@@ -1,0 +1,211 @@
+"""Provider / archetype configuration — DATA, not code branches.
+
+The reference encodes per-provider knowledge (tabula column x-coordinates,
+keyword anchors, keep-lists, currency whitelists, fund-name rewrites) inside
+19 separate scripts.  Here it is one table of configs consumed by the single
+dispatch + extraction pipeline (SURVEY.md §7 design stance).
+
+Citations (reference, /root/reference/src/...):
+  - currency whitelist file:      crelan/currencies.txt, crelan/parser.py:21-24
+  - keep-list keyword anchors:    crelan/parser.py:121-125 (to_keep),
+                                  amundi/parser.py:73-79, oddo/parser.py:110-116
+  - fixed column grids:           crelan/parser.py:96-103 (columns=[...] pts),
+                                  banque/parser.py:83-121 (two grids by header)
+  - whitespace-gap splitting:     four/parser.py:196-218
+  - country heading rows:         aviva/parser.py:23-33, 276-284
+  - header regex dispatch:        banque/parser.py:48-80; oddo/parser.py:427-435
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Reference data (broadcast-side lists)
+# ---------------------------------------------------------------------------
+
+# Space-separated one-line whitelist in the reference (crelan/currencies.txt);
+# we keep it as a Python list → broadcast literal / isin().
+CURRENCIES: list[str] = [
+    "EUR", "USD", "GBP", "CHF", "JPY", "SEK", "NOK", "DKK", "CAD", "AUD",
+    "HKD", "SGD", "PLN", "CZK", "HUF", "CNH", "NZD", "ZAR",
+]
+
+# Country heading rows dropped from holdings tables (aviva/parser.py:23-33).
+COUNTRIES: list[str] = [
+    "France", "Germany", "Belgium", "Netherlands", "Spain", "Italy",
+    "United States", "Japan", "Switzerland", "United Kingdom", "Ireland",
+    "Luxembourg", "Portugal", "Austria", "Denmark", "Sweden", "Norway",
+    "Finland", "Canada", "Australia",
+]
+
+# Rows kept even with a non-whitelisted/empty currency cell
+# (crelan/parser.py:121-125; amundi/parser.py:73-79).
+KEEP_LIST: list[str] = [
+    "CREANCES ET DETTES DIVERSES", "AUTRES",
+    "Créances", "Dettes", "Comptes financiers",
+    "Cash at bank", "Other assets and liabilities",
+]
+
+# Junk-row markers (P7 — aviva/parser.py:168-180, capitalatwork:275-289).
+JUNK_MARKERS: list[str] = [
+    "Total", "TOTAL", "transferable securities", "VALEURS MOBILIERES",
+    "____", "----",
+]
+
+# Sentinel manifest URLs to discard (P10 — aviva/parser.py:553-564).
+URL_SENTINELS: list[str] = ["nan", "annual_report_does_not_exists", ""]
+
+# ---------------------------------------------------------------------------
+# Archetype configs (the generalized 19 parsers)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ArchetypeConfig:
+    """One document-layout family = one dispatch target.
+
+    grid: character offsets where columns start, replacing tabula's
+          x-coordinate ``columns=[...]`` (crelan/parser.py:96-103).  A grid
+          of k offsets yields k cells: [o0:o1], [o1:o2], ..., [ok-1:].
+          None → whitespace-gap splitting (four/parser.py:196-218).
+    """
+
+    name: str
+    lang: str
+    # regex on page-0 text that classifies the document (D2,
+    # oddo/parser.py:427-435 style)
+    classify_regex: str
+    # regex identifying a holdings-table page (S4 keyword pre-filter,
+    # aviva/parser.py:70-75)
+    section_regex: str
+    # char-offset column grid; None = gap split
+    grid: tuple[int, ...] | None
+    # expected cell count after slicing/splitting (P11 shape filter)
+    shapes: tuple[int, ...] = (4,)
+    # ToC-driven page intervals (crelan) vs header meta rows (scor/amundi)
+    has_toc: bool = False
+    toc_page_limit: int = 5          # ToC searched in first N pages
+    # bounded reverse scan: section only in last N pages (varenna:70-74)
+    tail_pages: int | None = None
+    # regex extracting the fund name from a section-header page (F17,
+    # scor/parser.py:111-114)
+    fund_regex: str | None = None
+    # numeric locale: 'fr' => 1.234,56 ; 'en' => 1,234.56 (F1/F2)
+    number_locale: str = "fr"
+    keep_list: tuple[str, ...] = ()
+    # alternate grid used by the threshold-retry (A3, crelan/parser.py:132-135)
+    retry_grid: tuple[int, ...] | None = None
+
+
+ARCHETYPES: dict[str, ArchetypeConfig] = {
+    # crelan/bnp/pictet family: ToC page intervals + fixed FR grid
+    # (crelan/parser.py:41-103)
+    "toc_grid_fr": ArchetypeConfig(
+        name="toc_grid_fr",
+        lang="fr",
+        classify_regex=r"^RAPPORT ANNUEL",
+        section_regex=r"Composition des actifs au",
+        grid=(0, 40, 48, 66),
+        shapes=(4,),
+        has_toc=True,
+        fund_regex=None,
+        number_locale="fr",
+        keep_list=("CREANCES ET DETTES DIVERSES", "AUTRES"),
+    ),
+    # scor/mirova family: keyword header pages, EN numerals, fund name on
+    # the header line (scor/parser.py:31-37, 111-114)
+    "keyword_scan_en": ArchetypeConfig(
+        name="keyword_scan_en",
+        lang="en",
+        classify_regex=r"^ANNUAL REPORT",
+        section_regex=r"SCHEDULE OF INVESTMENTS",
+        grid=(0, 42, 50, 68),
+        shapes=(4,),
+        has_toc=False,
+        fund_regex=r"SCHEDULE OF INVESTMENTS - (.+?) *$",
+        number_locale="en",
+    ),
+    # varenna/carmignac family: inventory section only near document tail
+    # (varenna/parser.py:70-74; carmignac_fr/parser.py:119-135)
+    "reverse_scan_fr": ArchetypeConfig(
+        name="reverse_scan_fr",
+        lang="fr",
+        classify_regex=r"^RAPPORT ANNUEL REVISE",
+        section_regex=r"INVENTAIRE DETAILLE DES INSTRUMENTS FINANCIERS",
+        grid=(0, 40, 48, 66),
+        shapes=(4,),
+        has_toc=False,
+        tail_pages=15,
+        fund_regex=r"INVENTAIRE DETAILLE DES INSTRUMENTS FINANCIERS - (.+?) *$",
+        number_locale="fr",
+        keep_list=("Créances", "Dettes", "Comptes financiers"),
+    ),
+    # four family: no geometry, columns split on runs of >=2 spaces
+    # (four/parser.py:196-218); token count drives shape dispatch (D4)
+    "gap_split_en": ArchetypeConfig(
+        name="gap_split_en",
+        lang="en",
+        classify_regex=r"^INTERIM REPORT",
+        section_regex=r"PORTFOLIO STATEMENT",
+        grid=None,
+        shapes=(4, 5),
+        has_toc=False,
+        fund_regex=r"PORTFOLIO STATEMENT - (.+?) *$",
+        number_locale="en",
+    ),
+    # aviva/capitalatwork family: names fragmented over 2-3 rows, values on
+    # the last fragment; country heading rows interleaved
+    # (aviva/parser.py:183-199, 276-284)
+    "fragment_fusion_en": ArchetypeConfig(
+        name="fragment_fusion_en",
+        lang="en",
+        classify_regex=r"^AUDITED ANNUAL REPORT",
+        section_regex=r"STATEMENT OF INVESTMENTS",
+        grid=(0, 42, 50, 68),
+        shapes=(4,),
+        has_toc=False,
+        fund_regex=r"STATEMENT OF INVESTMENTS - (.+?) *$",
+        number_locale="en",
+    ),
+    # mandarin/bnp/amundi two-up family: each physical line carries a left
+    # and a right half-table (mandarin/parser.py:102-114)
+    "two_up_fr": ArchetypeConfig(
+        name="two_up_fr",
+        lang="fr",
+        classify_regex=r"^RAPPORT DE GESTION",
+        section_regex=r"INVENTAIRE - ",
+        grid=(0, 22, 28, 38),       # applied per half after the mid split
+        shapes=(4,),
+        has_toc=False,
+        fund_regex=r"INVENTAIRE - (.+?) *$",
+        number_locale="fr",
+    ),
+}
+
+# Classification order matters (first match wins) — keep deterministic.
+DISPATCH_ORDER: list[str] = [
+    # longest/most-specific markers first: several are superstrings of
+    # shorter ones (anchored regexes make this robust either way)
+    "reverse_scan_fr",
+    "fragment_fusion_en",
+    "toc_grid_fr",
+    "keyword_scan_en",
+    "gap_split_en",
+    "two_up_fr",
+]
+
+TWO_UP_SPLIT = 80  # char offset separating left/right halves (two_up_fr)
+
+# Final 9-column output contract (reference README.md:25-35).
+OUTPUT_COLUMNS: list[str] = [
+    "fund_provider",
+    "fund_name_report",
+    "fund_name_website",
+    "isin",
+    "holding_name",
+    "market_value",
+    "currency",
+    "net_assets",
+    "pdf_url",
+]

@@ -1,0 +1,92 @@
+"""String cleanup expressions (SURVEY.md §2.8 F9-F18).
+
+All JVM-side Spark SQL expressions:
+
+  F9  ISIN strip                aviva/parser.py:456-460, 481-485, 517-521
+  F10 charset purge             aviva/parser.py:673-676; capitalatwork:345-348
+  F11 multi-% truncation        aviva/parser.py:677-680; capitalatwork:349-359
+  F12 currency-token extraction aviva/parser.py:259-268; capitalatwork:89-97
+  F13 leading-token drop        scor/parser.py:55-57; oddo/parser.py:107-109
+  F14 trailing-digit strip      capitalatwork/parser.py:92-94, 115-117
+  F15 digit strip (currency)    roth/parser.py:61-63; comgest/parser.py:148-150
+  F16 fund-name rewrites        roth/parser.py:191; crelan/parser.py:58-66
+  F17 name-from-page regex      scor/parser.py:111-114; mandarin/parser.py:91-93
+  F18 whitespace collapse       aviva/parser.py:115-117, 682
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ISIN_PATTERN = r"[A-Z]{2}[A-Z0-9]{9}[0-9]"
+
+
+def strip_isin(col: Column) -> Column:
+    """F9: remove embedded ISIN codes (and the reference's 'PROPRE' tag)."""
+    return F.regexp_replace(col, ISIN_PATTERN + r"|PROPRE", "")
+
+
+def purge_charset(col: Column) -> Column:
+    """F10: keep only ``[0-9a-zA-Z/ %)(]``."""
+    return F.regexp_replace(col, r"[^0-9a-zA-Z/ %)(]", "")
+
+
+def truncate_multi_percent(col: Column) -> Column:
+    """F11: if a name contains more than one '%', cut after the first
+    '% <num>' match (aviva/parser.py:677-680)."""
+    n_pct = F.length(col) - F.length(F.regexp_replace(col, "%", ""))
+    head = F.regexp_extract(col, r"^(.*?%\s*[0-9.,]+)", 1)
+    return F.when((n_pct > 1) & (head != ""), head).otherwise(col)
+
+
+def extract_currency_token(col: Column, currencies: list[str]) -> Column:
+    """F12: whitelisted currency embedded in a name cell -> its own value."""
+    alt = "|".join(currencies)
+    return F.regexp_extract(col, rf"(?:^| )({alt})(?: |$)", 1)
+
+
+def remove_currency_token(col: Column, currencies: list[str]) -> Column:
+    """F12 (complement): drop the embedded currency token from the name."""
+    alt = "|".join(currencies)
+    return F.regexp_replace(col, rf"(?:^| )({alt})(?= |$)", " ")
+
+
+def drop_leading_token(col: Column) -> Column:
+    """F13: drop the first whitespace-separated token (quantity prefix)."""
+    return F.regexp_replace(col, r"^\S+ +", "")
+
+
+def strip_trailing_digits(col: Column) -> Column:
+    """F14: ``re.sub('\\d*$', '', name)``."""
+    return F.regexp_replace(col, r"[0-9]+$", "")
+
+
+def strip_digits(col: Column) -> Column:
+    """F15: remove all digits (currency cells polluted with amounts)."""
+    return F.regexp_replace(col, r"[0-9]+", "")
+
+
+def rewrite_fund_name(col: Column, pattern: str, replacement: str = "") -> Column:
+    """F16: provider-specific prefix/suffix removal, as config data."""
+    return F.trim(F.regexp_replace(col, pattern, replacement))
+
+
+def extract_by_regex(col: Column, pattern: str, group: int = 1) -> Column:
+    """F17: pull a fund name / currency out of page text."""
+    return F.regexp_extract(col, pattern, group)
+
+
+def collapse_ws(col: Column) -> Column:
+    """F18: whitespace collapse + trim ('" ".join(x.split())')."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def clean_holding_name(col: Column, strip_leading: Column) -> Column:
+    """The canonical name-cleanup chain: optional F13, then F9, then F18.
+
+    ``strip_leading`` is a boolean Column (per-row, set by the dispatch
+    stage for keyword-archetype docs) so the whole corpus stays one plan.
+    """
+    stripped = F.when(strip_leading, drop_leading_token(col)).otherwise(col)
+    return collapse_ws(strip_isin(stripped))

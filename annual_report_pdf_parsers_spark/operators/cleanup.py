@@ -1,0 +1,180 @@
+"""Relational cleanup operators (SURVEY.md §2.2 predicates, §2.5 windows).
+
+Named DataFrame->DataFrame transforms, all pure Catalyst (no UDFs).  The
+canonical order — the engine's documented contract, mirrored by the Python
+oracle ``sources/synthetic.py::simulate_cleanup`` — is:
+
+  P11 shape filter -> realign (P1/D4) -> P7 junk -> P9 countries ->
+  W3 block fusion -> P3 currency filter -> W1 ffill -> F* numeric + P6 ->
+  P12 summary drop -> name cleanup (F9/F13/F18) -> P5/P8
+
+Window partitioning: every order-dependent operator runs inside
+``(url, fund)`` partitions ordered by ``(page_no, row_idx)`` — the total
+order threaded from the extraction stage (SURVEY.md §7 risk #1).  Nothing
+ever windows across documents, so the plan scales horizontally: one
+shuffle on (url, fund), then fusion's groupBy and the ffill window reuse
+that clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import COUNTRIES, CURRENCIES, JUNK_MARKERS, KEEP_LIST
+from ..functions.numeric import to_double
+from ..functions.strings import clean_holding_name
+
+ORDER_COLS = ["page_no", "row_idx"]
+PART_COLS = ["url", "fund_name_report"]
+
+
+def realign(df: DataFrame) -> DataFrame:
+    """P1/P11/D4: shape filter + positional cells -> named columns.
+
+    Shape dispatch (four/parser.py:16-32; capitalatwork/parser.py:44-71):
+    gap-split rows may carry a leading quantity token (shape 5) which is
+    dropped; fixed-grid rows are always the 4-cell shape.
+    """
+    shape = F.size("cells")
+    is_gap = F.col("doc_class") == "gap_split_en"
+    ok = F.when(is_gap, shape.isin(4, 5)).otherwise(shape == 4)
+    off = F.when(is_gap & (shape == 5), F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.filter(ok)
+        .select(
+            "url",
+            "doc_class",
+            "lang",
+            "page_no",
+            "row_idx",
+            "fund_name_report",
+            F.element_at("cells", off + 1).alias("holding_name"),
+            F.element_at("cells", off + 2).alias("currency"),
+            F.element_at("cells", off + 3).alias("market_value"),
+            F.element_at("cells", off + 4).alias("net_assets"),
+        )
+    )
+
+
+def drop_junk_rows(df: DataFrame) -> DataFrame:
+    """P7 (aviva/parser.py:168-180): 'Total...' / boilerplate rows."""
+    cond = F.lit(False)
+    for m in JUNK_MARKERS:
+        cond = cond | F.col("holding_name").contains(m)
+    return df.filter(~cond)
+
+
+def drop_first_country_rows(df: DataFrame) -> DataFrame:
+    """P9 (aviva/parser.py:276-284): drop only the FIRST occurrence of each
+    country heading per (url, fund) — the reference's ``_countries.remove``
+    list semantics; later repeats survive (and typically fuse, W3)."""
+    w = Window.partitionBy(*PART_COLS, "holding_name").orderBy(*ORDER_COLS)
+    rn = F.row_number().over(w)
+    is_country = F.col("holding_name").isin(COUNTRIES)
+    return (
+        df.withColumn("_rn", rn)
+        .filter(~(is_country & (F.col("_rn") == 1)))
+        .drop("_rn")
+    )
+
+
+def fuse_fragments(df: DataFrame) -> DataFrame:
+    """W3 block fusion (aviva/parser.py:183-199; bnp/parser.py:258-273).
+
+    Fragment rows (both value cells empty) concatenate into the NEXT
+    complete row's name.  Implemented as a reverse running count of
+    complete rows (descending window) => fragments share their following
+    complete row's block id; then one groupBy per block.  Trailing
+    fragments (no complete row after) are dropped.
+
+    The descending window and the groupBy use the same (url, fund)
+    clustering, so Catalyst plans ONE shuffle for both.
+    """
+    complete = (F.col("market_value") != "") | (F.col("net_assets") != "")
+    w_desc = (
+        Window.partitionBy(*PART_COLS)
+        .orderBy(F.desc("page_no"), F.desc("row_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blk = F.sum(complete.cast("int")).over(w_desc)
+    frag = df.withColumn("_blk", blk).withColumn("_complete", complete)
+    name_parts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("page_no"), F.col("row_idx"), F.col("holding_name")
+            )
+        )
+    )
+    fused_name = F.array_join(
+        F.transform(name_parts, lambda s: s["holding_name"]), " "
+    )
+    keep_if = lambda c: F.max(F.when(F.col("_complete"), F.col(c)))  # noqa: E731
+    return (
+        frag.groupBy("url", "doc_class", "lang", "fund_name_report", "_blk")
+        .agg(
+            fused_name.alias("holding_name"),
+            keep_if("currency").alias("currency"),
+            keep_if("market_value").alias("market_value"),
+            keep_if("net_assets").alias("net_assets"),
+            keep_if("page_no").alias("page_no"),
+            keep_if("row_idx").alias("row_idx"),
+            F.max(F.col("_complete")).alias("_has_complete"),
+        )
+        .filter(F.col("_has_complete"))
+        .drop("_blk", "_has_complete")
+    )
+
+
+def filter_currency_whitelist(df: DataFrame) -> DataFrame:
+    """P3/P4 (crelan/parser.py:121-125): currency whitelist OR keep-list
+    anchor OR empty currency (pending W1 forward-fill)."""
+    return df.filter(
+        F.col("currency").isin(CURRENCIES)
+        | (F.col("currency") == "")
+        | F.col("holding_name").isin(KEEP_LIST)
+    )
+
+
+def ffill_currency(df: DataFrame) -> DataFrame:
+    """W1 (crelan/parser.py:782-784 et al.): empty currency takes the
+    previous surviving row's value; unfillable leading rows are dropped
+    (W6 seed semantics — first row of a fund always carries a currency)."""
+    w = (
+        Window.partitionBy(*PART_COLS)
+        .orderBy(*ORDER_COLS)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(
+        F.when(F.col("currency") != "", F.col("currency")), ignorenulls=True
+    ).over(w)
+    return (
+        df.withColumn("currency", filled)
+        .filter(F.col("currency").isNotNull() & (F.col("currency") != ""))
+    )
+
+
+def normalize_numbers(df: DataFrame, locale) -> DataFrame:
+    """F1-F7/F19 + P6 + P12: numeric cells -> DOUBLE, drop non-numeric
+    rows and the net_assets==100.00 fund-total row (mandarin/parser.py:191)."""
+    mv = to_double(F.col("market_value"), locale)
+    na = to_double(F.col("net_assets"), locale)
+    return (
+        df.withColumn("market_value", mv)
+        .withColumn("net_assets", na)
+        .filter(
+            F.col("market_value").isNotNull() & F.col("net_assets").isNotNull()
+        )
+        .filter(F.col("net_assets") != 100.0)  # P12
+    )
+
+
+def clean_names(df: DataFrame, strip_leading) -> DataFrame:
+    """F9/F13/F18 + P5/P8 name predicates."""
+    cleaned = clean_holding_name(F.col("holding_name"), strip_leading)
+    return (
+        df.withColumn("holding_name", cleaned)
+        .filter(
+            (F.length("holding_name") > 0) & (F.length("holding_name") < 90)
+        )
+    )

@@ -1,0 +1,176 @@
+"""Arrow-batch extraction stage: document -> table-cell rows.
+
+This is the engine's one custom physical operator (SURVEY.md §2.11): a
+``mapInPandas`` stage that replaces the reference's per-PDF tabula/camelot
+subprocess calls with vectorized pandas string ops over Arrow batches:
+
+  S4 page-text scan         aviva/parser.py:70-75 (keyword page location)
+  S5 column-grid slicer     crelan/parser.py:96-103 (tabula columns=[x...])
+                            -> fixed char-offset slicing
+  S7 whitespace-gap split   four/parser.py:196-218 (camelot stream)
+                            -> split on runs of >=2 spaces
+  U3 half-page split        mandarin/parser.py:102-114 (two-up restack)
+  ToC scan                  crelan/parser.py:41-56 (pages 2-5, 2-col grid)
+
+Output rows (one per table line / ToC entry / section header):
+
+  url STRING, doc_class STRING, lang STRING,
+  page_no INT, row_idx INT,              -- the total order the window
+                                         -- operators depend on (§2.5)
+  kind STRING,                           -- 'row' | 'toc' | 'meta'
+  cells ARRAY<STRING>
+
+Everything inside the batch is pandas-vectorized (``.str`` ops on exploded
+line frames) — no per-row Python at the Spark level, in line with the
+input_hint ("vectorized pandas/Arrow UDFs (no per-row Python)").
+
+Scale notes: the expensive page/line explosion happens *after* the cheap
+section-regex page filter (predicate-before-UDF, SURVEY.md §4), so filler
+pages never reach the slicer.  One input row (document) expands to O(rows
+per table) output rows; Arrow batch size is capped in session.py because
+input rows carry whole documents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..config import ARCHETYPES, TWO_UP_SPLIT
+
+EXTRACT_SCHEMA = (
+    "url string, doc_class string, lang string, "
+    "page_no int, row_idx int, kind string, cells array<string>"
+)
+
+TOC_GRID = (0, 60)  # fund name / page-number split for ToC pages
+TOC_MARKER = "SOMMAIRE"
+
+
+def _slice_cells(lines: pd.Series, grid: tuple[int, ...]) -> pd.Series:
+    """S5: cut each line into cells at fixed character offsets (the
+    tabula ``columns=[x1..xk]`` semantics, crelan/parser.py:96-103)."""
+    cols = []
+    for i, start in enumerate(grid):
+        end = grid[i + 1] if i + 1 < len(grid) else None
+        cols.append(lines.str.slice(start, end).str.strip())
+    return pd.Series(list(zip(*cols)), index=lines.index).map(list)
+
+
+def _gap_cells(lines: pd.Series) -> pd.Series:
+    """S7: whitespace-gap split (camelot stream, four/parser.py:196-218)."""
+    return lines.str.strip().str.split(r" {2,}", regex=True)
+
+
+def _explode_pages(grp: pd.DataFrame) -> pd.DataFrame:
+    ex = grp[["url", "lang"]].copy()
+    ex["page"] = grp["text"].str.split("\f")
+    ex = ex.explode("page", ignore_index=True)
+    ex["page_no"] = ex.groupby("url").cumcount()
+    return ex
+
+
+def _explode_lines(pages: pd.DataFrame) -> pd.DataFrame:
+    ln = pages.copy()
+    ln["line"] = ln["page"].str.split("\n")
+    ln = ln.drop(columns=["page"]).explode("line", ignore_index=True)
+    ln["row_idx"] = ln.groupby(["url", "page_no"]).cumcount()
+    return ln
+
+
+def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
+    cfg = ARCHETYPES[doc_class]
+    out: list[pd.DataFrame] = []
+    ex = _explode_pages(grp)
+
+    def emit(frame: pd.DataFrame, kind: str, cells: pd.Series) -> None:
+        if frame.empty:
+            return
+        r = frame[["url", "lang", "page_no", "row_idx"]].copy()
+        r["doc_class"] = doc_class
+        r["kind"] = kind
+        r["cells"] = cells
+        out.append(r[
+            ["url", "doc_class", "lang", "page_no", "row_idx", "kind", "cells"]
+        ])
+
+    # ---- ToC pages (crelan/parser.py:41-56) ----
+    if cfg.has_toc:
+        toc_pages = ex[
+            (ex["page_no"] < cfg.toc_page_limit)
+            & ex["page"].str.contains(TOC_MARKER, regex=False, na=False)
+        ]
+        toc_ln = _explode_lines(toc_pages)
+        toc_ln = toc_ln[toc_ln["row_idx"] > 0]  # skip the SOMMAIRE header
+        fund = toc_ln["line"].str.slice(0, TOC_GRID[1]).str.strip()
+        pg = toc_ln["line"].str.slice(TOC_GRID[1]).str.strip()
+        ok = pg.str.fullmatch(r"[0-9]+", na=False)  # reference drops
+        toc_ln = toc_ln[ok]                         # non-numeric pg rows
+        cells = pd.Series(
+            list(zip(fund[ok], pg[ok])), index=toc_ln.index
+        ).map(list)
+        emit(toc_ln, "toc", cells)
+
+    # ---- section pages (S4 keyword pre-filter) ----
+    sec_mask = ex["page"].str.contains(cfg.section_regex, regex=True, na=False)
+    if cfg.tail_pages is not None:
+        # O4 bounded reverse scan (varenna/parser.py:70-74)
+        max_pg = ex.groupby("url")["page_no"].transform("max")
+        sec_mask &= ex["page_no"] > (max_pg - cfg.tail_pages)
+    sec = ex[sec_mask]
+    if sec.empty:
+        return out
+    ln = _explode_lines(sec)
+
+    # line 0 of a section page is the header: a 'meta' row when the fund
+    # name is printed there (F17, scor/parser.py:111-114), else dropped
+    hdr = ln[ln["row_idx"] == 0]
+    if cfg.fund_regex is not None and not hdr.empty:
+        fund = hdr["line"].str.extract(cfg.fund_regex, expand=False)
+        got = fund.notna()
+        emit(hdr[got], "meta", fund[got].map(lambda v: [v]))
+
+    body = ln[(ln["row_idx"] > 0) & (ln["line"].str.strip() != "")]
+    if body.empty:
+        return out
+
+    if doc_class == "two_up_fr":
+        # U3: left/right half-tables restacked left-above-right per page
+        # (mandarin/parser.py:102-114); right block keeps page order via
+        # a +1000 row_idx offset
+        left = body.copy()
+        left["line"] = left["line"].str.slice(0, TWO_UP_SPLIT)
+        right = body.copy()
+        right["line"] = right["line"].str.slice(TWO_UP_SPLIT)
+        right["row_idx"] = right["row_idx"] + 1000
+        body = pd.concat([left, right], ignore_index=True)
+        body = body[body["line"].str.strip() != ""]
+
+    if cfg.grid is not None:
+        cells = _slice_cells(body["line"], cfg.grid)
+    else:
+        cells = _gap_cells(body["line"])
+    # drop rows whose cells are all empty (blank grid lines)
+    nonempty = cells.map(lambda cs: any(c != "" for c in cs))
+    emit(body[nonempty], "row", cells[nonempty])
+    return out
+
+
+def extract_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (url, text, lang, doc_class) -> extract rows."""
+    for pdf in it:
+        frames: list[pd.DataFrame] = []
+        for doc_class, grp in pdf.groupby("doc_class"):
+            if doc_class in ARCHETYPES:
+                frames.extend(_extract_one_class(grp, doc_class))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
+def extract_rows(pages_df):
+    """DataFrame-level wrapper: pages (with doc_class) -> cell rows."""
+    cols = ["url", "text", "lang", "doc_class"]
+    return pages_df.select(*cols).mapInPandas(extract_batches, EXTRACT_SCHEMA)

@@ -1,0 +1,69 @@
+"""The end-to-end extraction pipeline (SURVEY.md §3, "Spark lifecycle").
+
+    pages (url, warc_ts, html, text, lang)
+      -> classify (D2, dispatch.py)
+      -> extract_rows (Arrow-batch slicer, operators/extract.py)
+      -> assign_funds (meta ffill + ToC interval join, operators/joins.py)
+      -> realign (P1/P11/D4)
+      -> cleanup chain (P7 -> P9 -> W3 -> P3 -> W1 -> F*/P6/P12 -> names)
+      -> join_manifest (J1/J4/P10)
+      -> fixed 9-column projection (P2, reference README.md:25-35)
+
+One logical plan end-to-end: Catalyst prunes the pages scan down to
+(url, text, lang) — html/warc_ts are never read by this query — and the
+only Python stage is the extraction mapInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import OUTPUT_COLUMNS
+from ..operators.cleanup import (
+    clean_names,
+    drop_first_country_rows,
+    drop_junk_rows,
+    ffill_currency,
+    filter_currency_whitelist,
+    fuse_fragments,
+    normalize_numbers,
+    realign,
+)
+from ..operators.extract import extract_rows
+from ..operators.joins import assign_funds, join_manifest
+from .dispatch import classify, locale_col, provider_col
+
+
+def extract_holdings(pages: DataFrame) -> DataFrame:
+    """pages -> cleaned holdings (before the manifest join)."""
+    classified = classify(pages).filter(F.col("doc_class").isNotNull())
+    raw = extract_rows(classified)
+    rows = assign_funds(raw)
+    rows = realign(rows)
+    rows = drop_junk_rows(rows)
+    rows = drop_first_country_rows(rows)
+    rows = fuse_fragments(rows)
+    rows = filter_currency_whitelist(rows)
+    rows = ffill_currency(rows)
+    rows = normalize_numbers(rows, locale_col())
+    strip_leading = F.col("doc_class") == "keyword_scan_en"  # F13 archetype
+    rows = clean_names(rows, strip_leading)
+    return rows
+
+
+def run_pipeline(pages: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Full pipeline to the 9-column output contract."""
+    holdings = extract_holdings(pages)
+    joined = join_manifest(holdings, manifest)
+    return joined.select(
+        provider_col().alias("fund_provider"),
+        "fund_name_report",
+        "fund_name_website",
+        "isin",
+        "holding_name",
+        "market_value",
+        "currency",
+        "net_assets",
+        F.col("url").alias("pdf_url"),
+    ).select(*OUTPUT_COLUMNS)
