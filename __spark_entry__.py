@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship extraction pipeline (sf0.001-scaled corpus)
+queries()     -> SURVEY.md §2 operators + training-data ops over testdata
+oracle_sql()  -> exact DuckDB equivalents (see
+                 annual_report_pdf_parsers_spark/queries.py for the
+                 determinism engineering notes)
 """
 
 from __future__ import annotations
@@ -13,26 +13,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from annual_report_pdf_parsers_spark.queries import ORACLE_SQL, QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dispatch + Arrow-batch extraction + cleanup pipeline.
+
+    Loads sf0.001 documents to size the synthetic pages corpus (the pages
+    table itself is generated deterministically — FIXTURES.md §1: the
+    driver testdata has no (url, warc_ts, html, text, lang) table).
+    """
+    from annual_report_pdf_parsers_spark.plans.pipeline import run_pipeline
+    from annual_report_pdf_parsers_spark.sources.synthetic import (
+        make_corpus,
+        manifest_to_spark,
+        pages_to_spark,
+    )
+
+    n_docs = min(
+        spark.read.parquet(f"{SF0001}/documents.parquet").count(), 120
+    )
+    pages_pdf, manifest_pdf, _ = make_corpus(n_docs, seed=42)
+    return run_pipeline(
+        pages_to_spark(spark, pages_pdf),
+        manifest_to_spark(spark, manifest_pdf),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -15,6 +15,12 @@ Each mirrors a cleanup idiom of the reference parsers:
 
 The Python oracle for these lives in sources/synthetic.py::parse_number —
 the two must stay in lockstep (fixture tests enforce it).
+
+Codegen note: these expressions get inlined MANY times per stage (Catalyst
+collapses projects and substitutes aliases into pushed-down filters), so
+they are built from trim/translate + a single regexp_replace — keeping the
+generated code well under janino's 64KB method limit (a violation makes
+the whole stage silently fall back to interpreted execution).
 """
 
 from __future__ import annotations
@@ -22,19 +28,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# thin space / nbsp variants seen in FR number formatting
-_SPACES = "   "
-
 NUMERIC_RE = r"^-?[0-9]+(\.[0-9]+)?$"
 
-
-def _strip_common(col: Column) -> Column:
-    """F7 percent strip + F5 en-dash + F4 paren removal + trim."""
-    c = F.trim(col)
-    c = F.regexp_replace(c, "%", "")            # F7
-    c = F.translate(c, "–", "-")           # F5
-    c = F.regexp_replace(c, r"[()]", "")        # F4 (sign handled separately)
-    return F.trim(c)
+# %, parens and every space flavor (ascii, nbsp  , thin  ,
+# narrow  ) — removed in one regexp pass; the sign of a parenthesized
+# value is handled separately in to_double
+_STRIP_CLASS = "[%()" + " \u00a0\u2009\u202f" + "]"
 
 
 def is_paren_negative(col: Column) -> Column:
@@ -48,27 +47,31 @@ def normalize_number_str(col: Column, locale_col: Column) -> Column:
     ``locale_col`` is a per-row column ('fr'/'en') so one plan serves mixed
     corpora — no per-provider branching outside Catalyst (F3 semantics).
     """
-    c = _strip_common(col)
-    fr = F.regexp_replace(
-        F.regexp_replace(c, f"[.{_SPACES}]", ""), ",", "."
-    )
-    en = F.regexp_replace(c, f"[,{_SPACES}]", "")
+    c = F.translate(F.trim(col), "–", "-")           # F5 en-dash
+    c = F.regexp_replace(c, _STRIP_CLASS, "")             # F7 + F4 + spaces
+    # translate deletes from-chars with no to-char counterpart:
+    fr = F.translate(c, ",.", ".")  # ','->'.', thousands '.' deleted (F1)
+    en = F.translate(c, ",", "")    # thousands ',' deleted (F2)
     return F.when(locale_col == "fr", fr).otherwise(en)
 
 
 def to_double(col: Column, locale_col: Column) -> Column:
     """Full numeric chain -> DOUBLE; NULL when not numeric (feeds P6).
 
-    '', '-', 'nan' -> 0.0 (F6); parenthesized -> negated (F4); cast (F19).
+    '', '-', 'nan' -> 0.0 (F6); parenthesized -> negative absolute (F4 —
+    matches the reference's "negate only when positive" since
+    -abs(v) == v for already-negative v); cast (F19).  The trailing
+    ``+ 0.0`` folds IEEE -0.0 to +0.0 so serialization stays
+    byte-identical with the Python oracle.
     """
     s = normalize_number_str(col, locale_col)
-    zero = s.isin("", "-", "nan")                 # F6
-    num = F.when(zero, F.lit(0.0)).when(
+    mag = F.when(s.isin("", "-", "nan"), F.lit(0.0)).when(
         s.rlike(NUMERIC_RE), s.cast("double")
     )  # otherwise NULL => P6 drop
-    return F.when(
-        is_paren_negative(col) & (num > 0), -num
-    ).otherwise(num)
+    return (
+        F.when(is_paren_negative(col), -F.abs(mag)).otherwise(mag)
+        + F.lit(0.0)
+    )
 
 
 def is_numeric_shape(col: Column, locale_col: Column) -> Column:

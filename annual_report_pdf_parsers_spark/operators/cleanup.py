@@ -30,16 +30,16 @@ PART_COLS = ["url", "fund_name_report"]
 
 
 def realign(df: DataFrame) -> DataFrame:
-    """P1/P11/D4: shape filter + positional cells -> named columns.
+    """P1/P11: shape filter + positional cells -> named columns.
 
-    Shape dispatch (four/parser.py:16-32; capitalatwork/parser.py:44-71):
-    gap-split rows may carry a leading quantity token (shape 5) which is
-    dropped; fixed-grid rows are always the 4-cell shape.
+    The D4 token shift for gap-split shape-5 rows already happened inside
+    the Arrow batch (operators/extract.py) — ``shape`` carries the raw
+    token count, so the P11 predicate stays a plain column comparison
+    (keeping generated code small enough for whole-stage codegen).
     """
-    shape = F.size("cells")
+    shape = F.col("shape")
     is_gap = F.col("doc_class") == "gap_split_en"
     ok = F.when(is_gap, shape.isin(4, 5)).otherwise(shape == 4)
-    off = F.when(is_gap & (shape == 5), F.lit(1)).otherwise(F.lit(0))
     return (
         df.filter(ok)
         .select(
@@ -49,20 +49,19 @@ def realign(df: DataFrame) -> DataFrame:
             "page_no",
             "row_idx",
             "fund_name_report",
-            F.element_at("cells", off + 1).alias("holding_name"),
-            F.element_at("cells", off + 2).alias("currency"),
-            F.element_at("cells", off + 3).alias("market_value"),
-            F.element_at("cells", off + 4).alias("net_assets"),
+            F.col("c0").alias("holding_name"),
+            F.col("c1").alias("currency"),
+            F.col("c2").alias("market_value"),
+            F.col("c3").alias("net_assets"),
         )
     )
 
 
 def drop_junk_rows(df: DataFrame) -> DataFrame:
-    """P7 (aviva/parser.py:168-180): 'Total...' / boilerplate rows."""
-    cond = F.lit(False)
-    for m in JUNK_MARKERS:
-        cond = cond | F.col("holding_name").contains(m)
-    return df.filter(~cond)
+    """P7 (aviva/parser.py:168-180): 'Total...' / boilerplate rows.
+    One rlike alternation instead of N Contains — smaller generated code."""
+    pattern = "|".join(JUNK_MARKERS)
+    return df.filter(~F.col("holding_name").rlike(pattern))
 
 
 def drop_first_country_rows(df: DataFrame) -> DataFrame:

@@ -1,0 +1,211 @@
+"""Deduplication operators for web-scale corpora (task-brief first-class ops).
+
+  exact_dedup       hash-groupBy on content digest (md5)
+  shingles          k-word shingle sets (the unit for Jaccard/MinHash)
+  ngram_jaccard     pairwise n-gram Jaccard within cheap buckets
+  minhash_lsh       MinHash signatures + banded LSH candidate pairs
+  simhash           bitwise majority fingerprint over token hashes
+
+Design for 100 TB:
+  - exact dedup is one shuffle on the digest (map-side partial agg);
+  - Jaccard never goes all-pairs: candidates come from an equi-join on
+    (bucket, shingle) / LSH band keys — both shuffle-bounded;
+  - hashes are md5-hex (available in every engine) so the driver's DuckDB
+    oracle can reproduce signatures byte-for-byte; MinHash minima compare
+    lexicographically on hex strings (order-isomorphic to the integer
+    hash, so it IS a valid min-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the smallest id per identical content; one shuffle on digest."""
+    digest = F.md5(F.col(text_col))
+    return (
+        df.withColumn("digest", digest)
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_array(text_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles via an array lambda — no explode/shuffle.
+
+    Spark arrays index 0-based in lambda bracket syntax; the DuckDB oracle
+    uses 1-based list indexing — both produce tok[i..i+k-1] windows.
+    """
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    return F.when(
+        F.size(toks) >= k, F.array_distinct(F.transform(idx, parts))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(df: DataFrame, text_col="text", id_col="doc_id", k=3):
+    """(id, shingle) exploded rows, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairwise k-shingle Jaccard, candidates restricted to docs sharing a
+    bucket AND at least one shingle (equi-join, no cross product).
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|), one integer division -> identical
+    double in any engine.
+    """
+    base = df.select(
+        F.col(id_col).alias("sid"),
+        *[F.col(c) for c in bucket_cols],
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = base.groupBy("sid").count().withColumnRenamed("count", "sz")
+    a = base.select(
+        F.col("sid").alias("id_a"),
+        *[F.col(c).alias(f"_b_{c}") for c in bucket_cols],
+        "shingle",
+    )
+    b = base.select(
+        F.col("sid").alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in bucket_cols],
+        "shingle",
+    )
+    inter = (
+        a.join(b, on=[*(f"_b_{c}" for c in bucket_cols), "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(text_col: Column, n_hashes: int = 8, k: int = 3):
+    """MinHash signature: per seed i, min over shingles of
+    substr(md5(shingle||':'||i), 1, 8) — hex-string minima (lexicographic
+    min on hex == min on the underlying 32-bit value)."""
+    sh = shingle_array(text_col, k)
+
+    def hash_i(i: int):
+        # single-arg lambda: a two-arg lambda would be interpreted by
+        # Spark as an (element, index) higher-order function
+        return lambda s: F.substring(
+            F.md5(F.concat(s, F.lit(f":{i}"))), 1, 8
+        )
+
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, hash_i(i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the MinHash signature become
+    candidate pairs.  n_hashes/band_size bands; the band value is the
+    concatenation of its minhashes.  One explode + one equi-join on
+    (band_no, band_val): shuffle-bounded, never all-pairs."""
+    sig = minhash_signature(F.col(text_col), n_hashes, k)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_no"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(F.col("sig"), bi * band_size + j + 1)
+                        for j in range(band_size)
+                    ],
+                ).alias("band_val"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("sid"), sig.alias("sig"))
+        .filter(F.size("sig") > 0)
+        .select("sid", F.explode(bands).alias("b"))
+        .select("sid", F.col("b.band_no").alias("band_no"),
+                F.col("b.band_val").alias("band_val"))
+        .filter(F.col("band_val") != "")
+    )
+    a = exploded.select(
+        F.col("sid").alias("id_a"), "band_no", "band_val"
+    )
+    b = exploded.select(
+        F.col("sid").alias("id_b"), "band_no", "band_val"
+    )
+    return (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """16-bit SimHash: per token, md5 nibbles vote +1/-1 per bit position;
+    the sign vector is the fingerprint (near-dup docs differ in few bits).
+
+    Implemented as 16 conditional-sum aggregates over exploded tokens —
+    one shuffle on id, partial-aggregated map-side."""
+    toks = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    # nibble i of the md5 hex encodes bit i: vote +1 when >= '8'
+    votes = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    agg = toks.groupBy("sid").agg(*votes)
+    fp = F.concat(
+        *[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(16)]
+    )
+    return agg.select("sid", fp.alias("simhash"))

@@ -18,7 +18,16 @@ Output rows (one per table line / ToC entry / section header):
   page_no INT, row_idx INT,              -- the total order the window
                                          -- operators depend on (§2.5)
   kind STRING,                           -- 'row' | 'toc' | 'meta'
-  cells ARRAY<STRING>
+  c0..c3 STRING, shape INT               -- named cells + raw token count
+
+Cells come out POSITIONAL-NAMED (not an array): c0..c3 are the 4 payload
+cells after the D4 shape dispatch (four/parser.py:16-32) — for gap-split
+rows with a leading quantity token (shape 5) the shift happens here in
+the batch, so downstream Catalyst projections stay small (big CASE/
+element_at chains previously blew generated code past janino's 64KB
+method limit and forced interpreted fallback).  ``shape`` preserves the
+raw token count for the P11 filter.  ToC rows use c0=fund, c1=page;
+meta rows use c0=fund.
 
 Everything inside the batch is pandas-vectorized (``.str`` ops on exploded
 line frames) — no per-row Python at the Spark level, in line with the
@@ -41,26 +50,43 @@ from ..config import ARCHETYPES, TWO_UP_SPLIT
 
 EXTRACT_SCHEMA = (
     "url string, doc_class string, lang string, "
-    "page_no int, row_idx int, kind string, cells array<string>"
+    "page_no int, row_idx int, kind string, "
+    "c0 string, c1 string, c2 string, c3 string, shape int"
 )
+
+OUT_COLS = [
+    "url", "doc_class", "lang", "page_no", "row_idx", "kind",
+    "c0", "c1", "c2", "c3", "shape",
+]
 
 TOC_GRID = (0, 60)  # fund name / page-number split for ToC pages
 TOC_MARKER = "SOMMAIRE"
 
 
-def _slice_cells(lines: pd.Series, grid: tuple[int, ...]) -> pd.Series:
+def _slice_cells(lines: pd.Series, grid: tuple[int, ...]) -> pd.DataFrame:
     """S5: cut each line into cells at fixed character offsets (the
-    tabula ``columns=[x1..xk]`` semantics, crelan/parser.py:96-103)."""
-    cols = []
+    tabula ``columns=[x1..xk]`` semantics, crelan/parser.py:96-103).
+    Returns a frame with c0..c3 + shape (== len(grid), always complete)."""
+    out = pd.DataFrame(index=lines.index)
     for i, start in enumerate(grid):
         end = grid[i + 1] if i + 1 < len(grid) else None
-        cols.append(lines.str.slice(start, end).str.strip())
-    return pd.Series(list(zip(*cols)), index=lines.index).map(list)
+        out[f"c{i}"] = lines.str.slice(start, end).str.strip()
+    out["shape"] = len(grid)
+    return out
 
 
-def _gap_cells(lines: pd.Series) -> pd.Series:
-    """S7: whitespace-gap split (camelot stream, four/parser.py:196-218)."""
-    return lines.str.strip().str.split(r" {2,}", regex=True)
+def _gap_cells(lines: pd.Series) -> pd.DataFrame:
+    """S7: whitespace-gap split (camelot stream, four/parser.py:196-218)
+    + D4 shape dispatch: a 5-token row's leading quantity is dropped here
+    (four/parser.py:16-32), ``shape`` keeps the raw token count."""
+    cells = lines.str.strip().str.split(r" {2,}", regex=True)
+    shape = cells.str.len()
+    cells = cells.mask(shape == 5, cells.str[1:])
+    out = pd.DataFrame(index=lines.index)
+    for i in range(4):
+        out[f"c{i}"] = cells.str[i].fillna("")
+    out["shape"] = shape
+    return out
 
 
 def _explode_pages(grp: pd.DataFrame) -> pd.DataFrame:
@@ -84,16 +110,17 @@ def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
     out: list[pd.DataFrame] = []
     ex = _explode_pages(grp)
 
-    def emit(frame: pd.DataFrame, kind: str, cells: pd.Series) -> None:
+    def emit(frame: pd.DataFrame, kind: str, cells: pd.DataFrame) -> None:
         if frame.empty:
             return
         r = frame[["url", "lang", "page_no", "row_idx"]].copy()
         r["doc_class"] = doc_class
         r["kind"] = kind
-        r["cells"] = cells
-        out.append(r[
-            ["url", "doc_class", "lang", "page_no", "row_idx", "kind", "cells"]
-        ])
+        for c in ("c0", "c1", "c2", "c3", "shape"):
+            r[c] = cells[c] if c in cells.columns else (
+                0 if c == "shape" else None
+            )
+        out.append(r[OUT_COLS])
 
     # ---- ToC pages (crelan/parser.py:41-56) ----
     if cfg.has_toc:
@@ -107,9 +134,9 @@ def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
         pg = toc_ln["line"].str.slice(TOC_GRID[1]).str.strip()
         ok = pg.str.fullmatch(r"[0-9]+", na=False)  # reference drops
         toc_ln = toc_ln[ok]                         # non-numeric pg rows
-        cells = pd.Series(
-            list(zip(fund[ok], pg[ok])), index=toc_ln.index
-        ).map(list)
+        cells = pd.DataFrame(
+            {"c0": fund[ok], "c1": pg[ok], "shape": 2}, index=toc_ln.index
+        )
         emit(toc_ln, "toc", cells)
 
     # ---- section pages (S4 keyword pre-filter) ----
@@ -129,7 +156,11 @@ def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
     if cfg.fund_regex is not None and not hdr.empty:
         fund = hdr["line"].str.extract(cfg.fund_regex, expand=False)
         got = fund.notna()
-        emit(hdr[got], "meta", fund[got].map(lambda v: [v]))
+        emit(
+            hdr[got],
+            "meta",
+            pd.DataFrame({"c0": fund[got], "shape": 1}, index=hdr[got].index),
+        )
 
     body = ln[(ln["row_idx"] > 0) & (ln["line"].str.strip() != "")]
     if body.empty:
@@ -152,7 +183,10 @@ def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
     else:
         cells = _gap_cells(body["line"])
     # drop rows whose cells are all empty (blank grid lines)
-    nonempty = cells.map(lambda cs: any(c != "" for c in cs))
+    nonempty = (
+        (cells["c0"] != "") | (cells["c1"] != "")
+        | (cells["c2"] != "") | (cells["c3"] != "")
+    )
     emit(body[nonempty], "row", cells[nonempty])
     return out
 

@@ -35,8 +35,8 @@ def toc_intervals(raw: DataFrame) -> DataFrame:
             F.col("url").alias("_t_url"),
             "page_no",
             "row_idx",
-            F.element_at("cells", 1).alias("toc_fund"),
-            F.element_at("cells", 2).cast("int").alias("pg"),
+            F.col("c0").alias("toc_fund"),
+            F.col("c1").cast("int").alias("pg"),
         )
         .withColumn("end_pg", F.lead("pg").over(w))
         .drop("page_no", "row_idx")
@@ -63,7 +63,7 @@ def assign_funds(raw: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     meta_fund = F.last(
-        F.when(F.col("kind") == "meta", F.element_at("cells", 1)),
+        F.when(F.col("kind") == "meta", F.col("c0")),
         ignorenulls=True,
     ).over(w)
     rows = (

@@ -38,7 +38,12 @@ from .dispatch import classify, locale_col, provider_col
 def extract_holdings(pages: DataFrame) -> DataFrame:
     """pages -> cleaned holdings (before the manifest join)."""
     classified = classify(pages).filter(F.col("doc_class").isNotNull())
-    raw = extract_rows(classified)
+    # persist: the extract output feeds BOTH the table-row branch and the
+    # ToC-interval branch of assign_funds — without it the expensive
+    # Arrow-batch stage (and the pages scan) runs twice.  The cached data
+    # is extracted cells only (orders of magnitude smaller than the html/
+    # text input), spilling to disk if needed.
+    raw = extract_rows(classified).persist()
     rows = assign_funds(raw)
     rows = realign(rows)
     rows = drop_junk_rows(rows)

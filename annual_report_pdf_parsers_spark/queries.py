@@ -1,0 +1,854 @@
+"""Driver-contract query registry: SURVEY.md §2 operators over the
+driver's testdata tables, each paired with an exact DuckDB oracle SQL.
+
+Every pair is engineered for bit-identical results across engines:
+  - aggregates over doubles go through DECIMAL(18,2) (exact) then cast back;
+  - ratios/scores are integer counts with ONE final division/rounding;
+  - hashes are md5-hex (portable); MinHash minima are hex-string minima;
+  - ranks use explicit deterministic tie-breaks; row_number cast to BIGINT
+    (DuckDB's type) so schemas align.
+
+Query keys are prefixed by the SURVEY.md §2 operator they exercise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, text
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 scans, projections, predicates
+# ---------------------------------------------------------------------------
+
+
+def q_s1_scan_prune(spark, sf):
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_p3_whitelist(spark, sf):
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("lang").isin("en", "fr", "de"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_p6_numeric_shape(spark, sf):
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey").cast("string").rlike("4$"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_p7_junk_drop(spark, sf):
+    d = load(spark, sf, "documents")
+    return (
+        d.filter(
+            ~F.col("text").contains("spark") & ~F.col("text").contains("stream")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_p8_length_pred(spark, sf):
+    return (
+        load(spark, sf, "documents")
+        .filter(F.length("text").between(120, 400))
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_p11_shape_filter(spark, sf):
+    d = load(spark, sf, "documents").withColumn(
+        "n_tokens", text.token_count(F.col("text")).cast("long")
+    )
+    return d.filter(F.col("n_tokens").between(30, 60)).select(
+        "doc_id", "n_tokens"
+    )
+
+
+def q_p12_value_filter(spark, sf):
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") != 50.0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / slices
+# ---------------------------------------------------------------------------
+
+
+def q_o3_positional_slice(spark, sf):
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn").between(3, 5))
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_o4_bounded_tail(spark, sf):
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops
+# ---------------------------------------------------------------------------
+
+
+def q_u1_union(spark, sf):
+    d = load(spark, sf, "documents")
+    a = d.filter(F.col("lang") == "fr").select(
+        "doc_id", F.lit("fr_slice").alias("slice")
+    )
+    b = d.filter(F.col("source") == "src1").select(
+        "doc_id", F.lit("src1_slice").alias("slice")
+    )
+    return a.unionByName(b)
+
+
+def q_u2_distinct(spark, sf):
+    return load(spark, sf, "documents").select("lang", "source").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+def q_j1_broadcast_join(spark, sf):
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_j2_interval_join(spark, sf):
+    """J2: the ToC page-interval lookup pattern (lead() + range join)."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("session_id"),
+            F.col("ts").alias("start_ts"),
+        )
+        .withColumn("end_ts", F.lead("start_ts").over(
+            Window.partitionBy("user_id").orderBy("start_ts", "session_id")
+        ))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(
+            p,
+            (s["user_id"] == p["p_user"])
+            & (p["p_ts"] >= s["start_ts"])
+            & (s["end_ts"].isNull() | (p["p_ts"] < s["end_ts"])),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+def q_j5_anti_join(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+
+def q_w1_ffill(spark, sf):
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(~F.col("event_type").isin("click", "view"), F.col("value"))
+    return e.select(
+        "event_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+def q_w3_block_fusion(spark, sf):
+    """W3 on events: 'view' rows are fragments fused into the next
+    non-view event's props (the aviva fragment-concat semantics)."""
+    e = load(spark, sf, "events")
+    complete = F.col("event_type") != "view"
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blk = F.sum(complete.cast("int")).over(w_desc)
+    parts = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "props"))
+    )
+    return (
+        e.withColumn("_blk", blk)
+        .withColumn("_c", complete)
+        .groupBy("user_id", "_blk")
+        .agg(
+            F.array_join(
+                F.transform(parts, lambda s: s["props"]), " "
+            ).alias("fused_props"),
+            F.max(F.when(F.col("_c"), F.col("event_id"))).alias(
+                "anchor_event_id"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("_c").alias("_has"),
+        )
+        .filter(F.col("_has"))
+        .select("user_id", "anchor_event_id", "fused_props", "n_rows")
+    )
+
+
+def q_w4_lead(spark, sf):
+    e = load(spark, sf, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+def q_w6_first_seed(spark, sf):
+    e = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", F.first("value").over(w).alias("seed_value")
+    )
+
+
+def q_p9_first_occurrence_drop(spark, sf):
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    return (
+        e.withColumn("_rn", rn)
+        .filter(
+            ~(F.col("event_type").isin("error", "signup") & (F.col("_rn") == 1))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_a1_mode(spark, sf):
+    e = load(spark, sf, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+def q_a2_group_agg(spark, sf):
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_a5_keep_last(spark, sf):
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", F.col("event_id").alias("last_event_id")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function chains (the cleanup library, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_f_numeric_chain(spark, sf):
+    """F1/F4/F6 chain on deterministically constructed FR numerals."""
+    from .functions.numeric import to_double
+
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    s = F.concat(
+        F.lit("("),
+        F.col("l_orderkey").cast("string"),
+        F.lit(","),
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+        F.lit(")"),
+    )
+    s2 = F.when(F.col("l_linenumber") == 1, F.lit("-")).otherwise(s)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        to_double(s2, F.lit("fr")).alias("fr_value"),
+    )
+
+
+def q_f_name_clean(spark, sf):
+    """F9 ISIN strip + F18 collapse on tagged part names."""
+    from .functions.strings import collapse_ws, strip_isin
+
+    p = load(spark, sf, "part")
+    tagged = F.concat(
+        F.col("p_name"),
+        F.lit(" LU"),
+        F.lpad((F.col("p_partkey") % 1000000).cast("string"), 10, "0"),
+    )
+    return p.select(
+        "p_partkey", collapse_ws(strip_isin(tagged)).alias("cleaned")
+    )
+
+
+def q_d1_dispatch(spark, sf):
+    d = load(spark, sf, "documents")
+    cls = (
+        F.when(F.col("text").contains("window"), "windowed")
+        .when(F.col("text").contains("join"), "join-heavy")
+        .otherwise("plain")
+    )
+    return (
+        d.withColumn("doc_class", cls)
+        .groupBy("lang", "doc_class")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def _corpus_with_dupes(spark, sf):
+    """documents plus shifted copies of every 50th doc — deterministic
+    near/exact duplicates so dedup queries return non-trivial results."""
+    d = load(spark, sf, "documents")
+    dup = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionByName(dup)
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_corpus_with_dupes(spark, sf)).select(
+        "digest", "keep_id", "n_copies"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        _corpus_with_dupes(spark, sf),
+        bucket_cols=["lang", "source"],
+        threshold=0.5,
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(_corpus_with_dupes(spark, sf))
+
+
+def q_dedup_simhash(spark, sf):
+    return dedup.simhash16(load(spark, sf, "documents")).select(
+        F.col("sid").alias("doc_id"), "simhash"
+    )
+
+
+def q_ann_cosine_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def q_ann_lsh_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def q_text_langid(spark, sf):
+    return text.lang_id(load(spark, sf, "documents")).select(
+        "doc_id", "en_hits", "fr_hits", "lang_guess"
+    )
+
+
+def q_text_quality(spark, sf):
+    return text.quality_score(load(spark, sf, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    return text.fingerprint(load(spark, sf, "documents")).select(
+        "doc_id", "fp"
+    )
+
+
+def q_pipeline_extract(spark, sf):
+    """Flagship: the full extraction pipeline on the synthetic pages
+    corpus (rows-only check: no SQL oracle can express the Arrow-batch
+    slicer; byte-identical correctness is covered by tests/)."""
+    from .plans.pipeline import run_pipeline
+    from .sources.synthetic import make_corpus, manifest_to_spark, pages_to_spark
+
+    pages_pdf, manifest_pdf, _ = make_corpus(60, seed=42)
+    return run_pipeline(
+        pages_to_spark(spark, pages_pdf), manifest_to_spark(spark, manifest_pdf)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s1_scan_prune": q_s1_scan_prune,
+    "p3_whitelist": q_p3_whitelist,
+    "p6_numeric_shape": q_p6_numeric_shape,
+    "p7_junk_drop": q_p7_junk_drop,
+    "p8_length_pred": q_p8_length_pred,
+    "p11_shape_filter": q_p11_shape_filter,
+    "p12_value_filter": q_p12_value_filter,
+    "o3_positional_slice": q_o3_positional_slice,
+    "o4_bounded_tail": q_o4_bounded_tail,
+    "u1_union": q_u1_union,
+    "u2_distinct": q_u2_distinct,
+    "j1_broadcast_join": q_j1_broadcast_join,
+    "j2_interval_join": q_j2_interval_join,
+    "j5_anti_join": q_j5_anti_join,
+    "w1_ffill": q_w1_ffill,
+    "w3_block_fusion": q_w3_block_fusion,
+    "w4_lead": q_w4_lead,
+    "w6_first_seed": q_w6_first_seed,
+    "p9_first_occurrence_drop": q_p9_first_occurrence_drop,
+    "a1_mode": q_a1_mode,
+    "a2_group_agg": q_a2_group_agg,
+    "a5_keep_last": q_a5_keep_last,
+    "f_numeric_chain": q_f_numeric_chain,
+    "f_name_clean": q_f_name_clean,
+    "d1_dispatch": q_d1_dispatch,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "pipeline_extract": q_pipeline_extract,
+}
+
+# shared SQL fragments -------------------------------------------------------
+
+_DUPES = """
+corpus AS (
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source
+    FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+_TOKS = """
+toks AS (
+    SELECT doc_id, lang, source,
+           list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM corpus
+)
+"""
+
+_SHINGLES = """
+sh AS (
+    SELECT DISTINCT doc_id, lang, source,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+    FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
+    WHERE len(tk) >= 3
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "s1_scan_prune": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"
+    ),
+    "p3_whitelist": (
+        "SELECT lang, COUNT(*) AS n_docs FROM documents "
+        "WHERE lang IN ('en','fr','de') GROUP BY lang"
+    ),
+    "p6_numeric_shape": (
+        "SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem "
+        "WHERE regexp_matches(CAST(l_orderkey AS VARCHAR), '4$') "
+        "GROUP BY l_returnflag"
+    ),
+    "p7_junk_drop": (
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text NOT LIKE '%spark%' AND text NOT LIKE '%stream%' "
+        "GROUP BY source"
+    ),
+    "p8_length_pred": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE length(text) BETWEEN 120 AND 400"
+    ),
+    "p11_shape_filter": (
+        "SELECT doc_id, n_tokens FROM ("
+        "  SELECT doc_id, len(list_filter(string_split(text,' '), "
+        "         t -> t <> '')) AS n_tokens FROM documents) "
+        "WHERE n_tokens BETWEEN 30 AND 60"
+    ),
+    "p12_value_filter": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows "
+        "FROM lineitem WHERE l_quantity <> 50.0 "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "o3_positional_slice": (
+        "SELECT user_id, event_id, rn FROM ("
+        "  SELECT user_id, event_id, ROW_NUMBER() OVER ("
+        "    PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+        "WHERE rn BETWEEN 3 AND 5"
+    ),
+    "o4_bounded_tail": (
+        "SELECT user_id, event_id FROM ("
+        "  SELECT user_id, event_id, ROW_NUMBER() OVER ("
+        "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "  FROM events) WHERE rn <= 2"
+    ),
+    "u1_union": (
+        "SELECT doc_id, 'fr_slice' AS slice FROM documents WHERE lang='fr' "
+        "UNION ALL "
+        "SELECT doc_id, 'src1_slice' AS slice FROM documents "
+        "WHERE source='src1'"
+    ),
+    "u2_distinct": "SELECT DISTINCT lang, source FROM documents",
+    "j1_broadcast_join": (
+        "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    "j2_interval_join": (
+        "WITH s AS ("
+        "  SELECT user_id, event_id AS session_id, ts AS start_ts, "
+        "    LEAD(ts) OVER (PARTITION BY user_id "
+        "                   ORDER BY ts, event_id) AS end_ts "
+        "  FROM events WHERE event_type = 'signup') "
+        "SELECT s.user_id, s.session_id, COUNT(*) AS n_purchases "
+        "FROM s JOIN events e ON e.user_id = s.user_id "
+        "  AND e.event_type = 'purchase' AND e.ts >= s.start_ts "
+        "  AND (s.end_ts IS NULL OR e.ts < s.end_ts) "
+        "GROUP BY s.user_id, s.session_id"
+    ),
+    "j5_anti_join": (
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "w1_ffill": (
+        "SELECT event_id, last_value("
+        "  CASE WHEN event_type NOT IN ('click','view') THEN value END "
+        "  IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "  AS filled_value "
+        "FROM events"
+    ),
+    "w3_block_fusion": (
+        "WITH b AS ("
+        "  SELECT user_id, event_id, ts, props, "
+        "    event_type <> 'view' AS c, "
+        "    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END) OVER ("
+        "      PARTITION BY user_id ORDER BY ts DESC, event_id DESC "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk "
+        "  FROM events) "
+        "SELECT user_id, "
+        "  MAX(CASE WHEN c THEN event_id END) AS anchor_event_id, "
+        "  STRING_AGG(props, ' ' ORDER BY ts, event_id) AS fused_props, "
+        "  COUNT(*) AS n_rows "
+        "FROM b GROUP BY user_id, blk HAVING BOOL_OR(c)"
+    ),
+    "w4_lead": (
+        "SELECT user_id, event_id, LEAD(event_id) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id "
+        "FROM events WHERE event_type = 'error'"
+    ),
+    "w6_first_seed": (
+        "SELECT event_id, FIRST_VALUE(value) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seed_value "
+        "FROM events WHERE event_type = 'purchase'"
+    ),
+    "p9_first_occurrence_drop": (
+        "WITH r AS ("
+        "  SELECT event_type, ROW_NUMBER() OVER ("
+        "    PARTITION BY user_id, event_type "
+        "    ORDER BY ts, event_id) AS rn FROM events) "
+        "SELECT event_type, COUNT(*) AS n_kept FROM r "
+        "WHERE NOT (event_type IN ('error','signup') AND rn = 1) "
+        "GROUP BY event_type"
+    ),
+    "a1_mode": (
+        "WITH c AS ("
+        "  SELECT user_id, event_type, COUNT(*) AS n FROM events "
+        "  GROUP BY user_id, event_type) "
+        "SELECT user_id, event_type AS mode_type, n FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "    ORDER BY n DESC, event_type ASC) AS rn FROM c) WHERE rn = 1"
+    ),
+    "a2_group_agg": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "  AS sum_price, "
+        "COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "a5_keep_last": (
+        "SELECT user_id, event_type, event_id AS last_event_id FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+        "    ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "WHERE rn = 1"
+    ),
+    "f_numeric_chain": (
+        "SELECT l_orderkey, l_linenumber, "
+        "CASE WHEN l_linenumber = 1 THEN 0.0 ELSE "
+        "  -CAST(CAST(l_orderkey AS VARCHAR) || '.' || "
+        "        lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS DOUBLE) "
+        "END AS fr_value "
+        "FROM lineitem WHERE l_orderkey % 7 = 0"
+    ),
+    "f_name_clean": (
+        "SELECT p_partkey, trim(regexp_replace(regexp_replace("
+        "  p_name || ' LU' || lpad(CAST(p_partkey % 1000000 AS VARCHAR), "
+        "                          10, '0'), "
+        "  '[A-Z]{2}[A-Z0-9]{9}[0-9]|PROPRE', '', 'g'), "
+        "  '\\s+', ' ', 'g')) AS cleaned "
+        "FROM part"
+    ),
+    "d1_dispatch": (
+        "SELECT lang, CASE WHEN text LIKE '%window%' THEN 'windowed' "
+        "  WHEN text LIKE '%join%' THEN 'join-heavy' ELSE 'plain' END "
+        "  AS doc_class, COUNT(*) AS n_docs "
+        "FROM documents GROUP BY 1, 2"
+    ),
+    "dedup_exact": (
+        f"WITH {_DUPES} "
+        "SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, "
+        "COUNT(*) AS n_copies FROM corpus GROUP BY md5(text)"
+    ),
+    "dedup_ngram_jaccard": (
+        f"WITH {_DUPES}, {_TOKS}, {_SHINGLES}, "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i "
+        "  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
+        "    AND a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        "SELECT id_a, id_b, "
+        "  ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5"
+    ),
+    "dedup_minhash_lsh": (
+        f"WITH {_DUPES}, {_TOKS}, {_SHINGLES}, "
+        "mh AS (SELECT doc_id, "
+        + ", ".join(
+            f"MIN(substr(md5(shingle || ':{i}'), 1, 8)) AS h{i}"
+            for i in range(8)
+        )
+        + " FROM sh GROUP BY doc_id), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_no, "
+            f"h{2 * b} || '|' || h{2 * b + 1} AS band_val FROM mh"
+            for b in range(4)
+        )
+        + ") "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b "
+        "ON a.band_no = b.band_no AND a.band_val = b.band_val "
+        "WHERE a.doc_id < b.doc_id"
+    ),
+    "dedup_simhash": (
+        "WITH t AS ("
+        "  SELECT doc_id, md5(tok) AS h FROM ("
+        "    SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), "
+        "      x -> x <> '')) AS tok FROM documents)), "
+        "v AS (SELECT doc_id, "
+        + ", ".join(
+            f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' "
+            f"THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(16)
+        )
+        + " FROM t GROUP BY doc_id) "
+        "SELECT doc_id, "
+        + " || ".join(
+            f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
+        )
+        + " AS simhash FROM v"
+    ),
+    "text_langid": (
+        "WITH c AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "0.0 + (length(t) - length(replace(t, ' the ', ''))) / 5 "
+        "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
+        "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' and ', ''))) / 5 AS en_hits, "
+        "0.0 + (length(t) - length(replace(t, ' le ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' des ', ''))) / 5 AS fr_hits, "
+        "CASE WHEN (0.0 + (length(t) - length(replace(t, ' the ', ''))) / 5 "
+        "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
+        "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' and ', ''))) / 5) = 0 AND "
+        "  (0.0 + (length(t) - length(replace(t, ' le ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' des ', ''))) / 5) = 0 "
+        "  THEN 'unknown' "
+        "WHEN (0.0 + (length(t) - length(replace(t, ' the ', ''))) / 5 "
+        "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
+        "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' and ', ''))) / 5) >= "
+        "  (0.0 + (length(t) - length(replace(t, ' le ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' des ', ''))) / 5) "
+        "  THEN 'en' ELSE 'fr' END AS lang_guess "
+        "FROM c"
+    ),
+    "text_quality": (
+        "WITH q AS ("
+        "  SELECT doc_id, text, "
+        "    length(text) AS n_chars, "
+        "    len(list_filter(string_split(text,' '), x -> x <> '')) "
+        "      AS n_tokens, "
+        "    length(text) - length(replace(text, ' ', '')) AS spaces, "
+        "    length(text) - length(regexp_replace(text, "
+        "      '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
+        "    ' ' || lower(text) || ' ' AS t "
+        "  FROM documents) "
+        "SELECT doc_id, n_tokens, "
+        "ROUND(0.4 * ((0.0 "
+        "  + (length(t) - length(replace(t, ' the ', ''))) / 5 "
+        "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
+        "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' and ', ''))) / 5 "
+        "  + (length(t) - length(replace(t, ' le ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
+        "  + (length(t) - length(replace(t, ' des ', ''))) / 5) "
+        "  / n_tokens) "
+        "+ 0.3 * ((n_chars - punct - spaces) / n_chars) "
+        "+ 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality "
+        "FROM q"
+    ),
+    "text_fingerprint": (
+        "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+        "list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp "
+        "FROM documents"
+    ),
+    # ann_cosine_topk oracle is defined after local fold-order validation
+    # (see tests/test_oracle_parity.py); ann_lsh_topk and pipeline_extract
+    # are rows-only by design.
+    "ann_cosine_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+        "FROM embeddings WHERE vec_id < 10), "
+        "s AS ("
+        "  SELECT q.query_id, c.vec_id, "
+        "    ROUND(list_reduce(list_transform(generate_series(1, "
+        "      len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * "
+        "      CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b) "
+        "    / (sqrt(list_reduce(list_transform(generate_series(1, "
+        "      len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * "
+        "      CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)) "
+        "    * sqrt(list_reduce(list_transform(generate_series(1, "
+        "      len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * "
+        "      CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b))), 4) "
+        "    AS cos "
+        "  FROM q CROSS JOIN embeddings c WHERE q.query_id <> c.vec_id) "
+        "SELECT query_id, vec_id, cos, rnk FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "    ORDER BY cos DESC, vec_id ASC) AS rnk FROM s) WHERE rnk <= 5"
+    ),
+}

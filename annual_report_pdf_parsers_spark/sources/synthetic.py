@@ -115,22 +115,20 @@ def parse_number(cell: str, locale: str) -> float | None:
     Returns None when the cell is not numeric (P6 drops the row).
     """
     s = cell.strip()
-    s = s.replace("%", "")                      # F7
-    s = s.replace("–", "-")                # F5 en-dash
-    neg = "(" in s and ")" in s                 # F4
-    s = s.replace("(", "").replace(")", "")
-    s = s.strip()
-    if s in ("", "-", "nan"):                   # F6
+    neg = s.startswith("(") and s.endswith(")")              # F4
+    s = s.replace("\u2013", "-")                             # F5 en-dash
+    for ch in "%()" + " \u00a0\u2009\u202f":                 # F7+F4+spaces
+        s = s.replace(ch, "")
+    if s in ("", "-", "nan"):                                # F6
         return 0.0
-    if locale == "fr":                          # F1
-        s = s.replace(".", "").replace(" ", "").replace(" ", "")
-        s = s.replace(",", ".")
-    else:                                       # F2
-        s = s.replace(",", "").replace(" ", "").replace(" ", "")
-    if not re.fullmatch(r"-?\d+(\.\d+)?", s):   # P6 numeric-shape predicate
+    if locale == "fr":                                       # F1
+        s = s.replace(".", "").replace(",", ".")
+    else:                                                    # F2
+        s = s.replace(",", "")
+    if not re.fullmatch(r"-?[0-9]+(\.[0-9]+)?", s):  # P6 numeric predicate
         return None
     v = float(s)
-    return -v if neg and v > 0 else v
+    return -abs(v) + 0.0 if neg else v
 
 
 _ISIN_RE = re.compile(r"[A-Z]{2}[A-Z0-9]{9}[0-9]")

@@ -1,0 +1,152 @@
+"""Unit tests for operators beyond the oracle-parity suite: lineage/resume,
+streaming wrapper, multimodal plumbing, skew salting, numeric edge cases."""
+
+import datetime
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from annual_report_pdf_parsers_spark.functions.numeric import to_double
+from annual_report_pdf_parsers_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+)
+from annual_report_pdf_parsers_spark.sources.pages import (
+    pending_pages,
+    run_with_lineage,
+    salt_hot_hosts,
+)
+from annual_report_pdf_parsers_spark.sources.synthetic import (
+    make_corpus,
+    manifest_to_spark,
+    pages_to_spark,
+)
+
+
+def test_numeric_edge_cases(spark):
+    rows = [
+        ("1.234,56", "fr", 1234.56),
+        ("1 234,56", "fr", 1234.56),          # thin-space thousands
+        ("(1.234,56)", "fr", -1234.56),
+        ("1,234.56", "en", 1234.56),
+        ("(1,234.56)", "en", -1234.56),
+        ("12,34%", "fr", 12.34),
+        ("–", "fr", 0.0),                # en-dash F5+F6
+        ("-", "en", 0.0),
+        ("nan", "en", 0.0),
+        ("", "fr", 0.0),
+        ("abc", "en", None),                   # P6: not numeric
+        ("12.34.56", "en", None),
+    ]
+    df = spark.createDataFrame(
+        [(s, loc) for s, loc, _ in rows], "s string, loc string"
+    )
+    got = [
+        r.v
+        for r in df.select(
+            to_double(F.col("s"), F.col("loc")).alias("v")
+        ).collect()
+    ]
+    for (s, loc, want), g in zip(rows, got):
+        assert g == want or (g is None and want is None), (s, loc, want, g)
+
+
+def test_lineage_resume(spark, tmp_path):
+    out = str(tmp_path / "run")
+    pages_pdf, manifest_pdf, _ = make_corpus(12, seed=5)
+    pages = pages_to_spark(spark, pages_pdf)
+    manifest = manifest_to_spark(spark, manifest_pdf)
+
+    from annual_report_pdf_parsers_spark.streaming.incremental import (
+        incremental_run,
+    )
+
+    m1 = incremental_run(spark, pages, manifest, out, run_id="r1")
+    assert m1["docs"] == 12
+    # second run: everything committed, nothing pending
+    m2 = incremental_run(spark, pages, manifest, out, run_id="r2")
+    assert m2["docs"] == 0
+    # metrics table exists with provider counts
+    met = spark.read.parquet(os.path.join(out, "metrics"))
+    assert met.filter(F.col("run_id") == "r1").count() > 0
+
+
+def test_pending_pages_partial(spark, tmp_path):
+    out = str(tmp_path / "run2")
+    pages_pdf, manifest_pdf, _ = make_corpus(8, seed=6)
+    pages = pages_to_spark(spark, pages_pdf)
+    first = pages.limit(3)
+    from annual_report_pdf_parsers_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(first, manifest_to_spark(spark, manifest_pdf))
+    run_with_lineage(first, res, out, "r1")
+    left = pending_pages(spark, pages, out)
+    assert left.count() == 5
+
+
+def test_streaming_available_now(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages_in")
+    out = str(tmp_path / "stream_out")
+    pages_pdf, manifest_pdf, expected = make_corpus(10, seed=8)
+    pages_to_spark(spark, pages_pdf).write.parquet(pages_dir)
+    from annual_report_pdf_parsers_spark.streaming.incremental import (
+        streaming_pipeline,
+    )
+
+    q = streaming_pipeline(
+        spark, pages_dir, manifest_to_spark(spark, manifest_pdf), out
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out, "holdings"))
+    assert got.count() == len(expected)
+    # restart: checkpoint prevents reprocessing
+    q2 = streaming_pipeline(
+        spark, pages_dir, manifest_to_spark(spark, manifest_pdf), out
+    )
+    q2.awaitTermination(60)
+    assert (
+        spark.read.parquet(os.path.join(out, "holdings")).count()
+        == len(expected)
+    )
+
+
+def test_salt_hot_hosts(spark):
+    pages_pdf, _, _ = make_corpus(30, seed=9)
+    pages = pages_to_spark(spark, pages_pdf)
+    salted = salt_hot_hosts(pages, n_partitions=8, salt=4)
+    # the hot host (~30% of docs) must spread over >1 partition
+    dist = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("url").contains("hot.example.com"))
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert dist > 1
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", b"\x89PNG" + b"x" * 3000, 64, 64),
+        (2, "audio", b"RIFF" + b"y" * 1500, None, None),
+        (3, "image", b"", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, height int"
+    )
+    feats = extract_features(df).collect()
+    assert len(feats) == 3
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == 3004
+    assert len(by_id[1].feat) == 8
+    assert all(0.0 <= v <= 1.0 for v in by_id[1].feat)
+    # determinism
+    feats2 = extract_features(df).collect()
+    assert {r.media_id: r.digest for r in feats2} == {
+        r.media_id: r.digest for r in feats
+    }
+
+    frames = sample_frames(df).collect()
+    assert {(r.media_id, r.frame_no) for r in frames} >= {(1, 0), (1, 1)}
