@@ -112,6 +112,10 @@ ARCHETYPES: dict[str, ArchetypeConfig] = {
         fund_regex=None,
         number_locale="fr",
         keep_list=("CREANCES ET DETTES DIVERSES", "AUTRES"),
+        # A3 alternate grid: some crelan-family reports shift the table
+        # right; the slice-quality retry re-cuts with these offsets
+        # (crelan/parser.py:132-135 second columns=[...] list)
+        retry_grid=(0, 46, 54, 72),
     ),
     # scor/mirova family: keyword header pages, EN numerals, fund name on
     # the header line (scor/parser.py:31-37, 111-114)

@@ -46,7 +46,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from ..config import ARCHETYPES, TWO_UP_SPLIT
+from ..config import ARCHETYPES, CURRENCIES, TWO_UP_SPLIT
 
 EXTRACT_SCHEMA = (
     "url string, doc_class string, lang string, "
@@ -180,6 +180,21 @@ def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
 
     if cfg.grid is not None:
         cells = _slice_cells(body["line"], cfg.grid)
+        # A3/D5 threshold-retry (crelan/parser.py:132-135): when the
+        # primary grid mis-slices a document (currency cells don't look
+        # like currencies), re-slice that document with the alternate
+        # grid.  The reference's trigger is the fund's net_assets sum
+        # < 15.0 after parsing; ours fires earlier on the same signal
+        # class — a per-document slice-quality fraction — so the retry
+        # stays inside the Arrow batch (no second pass over the corpus).
+        if cfg.retry_grid is not None:
+            ok = cells["c1"].isin(CURRENCIES) | (cells["c1"] == "")
+            frac = ok.groupby(body["url"]).transform("mean")
+            bad = frac < 0.5
+            if bad.any():
+                cells.loc[bad, :] = _slice_cells(
+                    body.loc[bad, "line"], cfg.retry_grid
+                )
     else:
         cells = _gap_cells(body["line"])
     # drop rows whose cells are all empty (blank grid lines)

@@ -486,6 +486,9 @@ def make_corpus(
             doc_class=doc_class,
             lang=cfg.lang,
         )
+        # every ~10th ToC doc prints its tables at the ALTERNATE grid
+        # offsets, exercising the A3 slice-quality retry
+        alt_grid = doc_class == "toc_grid_fr" and i % 10 == 3
 
         n_funds = rng.randint(1, 3 if doc_class == "toc_grid_fr" else 2)
         words = rng.sample(_WORDS, k=n_funds)
@@ -508,7 +511,12 @@ def make_corpus(
                     fund.manifest.append((f"{title} - {cls}", _mk_isin(rng)))
             doc.funds.append(fund)
 
-        doc.text = _render_doc(doc, cfg, rng)
+        render_cfg = cfg
+        if alt_grid:
+            from dataclasses import replace as _dc_replace
+
+            render_cfg = _dc_replace(cfg, grid=cfg.retry_grid)
+        doc.text = _render_doc(doc, render_cfg, rng)
         page_rows.append(
             {
                 "url": url,
