@@ -55,6 +55,45 @@ def normalize_number_str(col: Column, locale_col: Column) -> Column:
     return F.when(locale_col == "fr", fr).otherwise(en)
 
 
+def pin(col: Column) -> Column:
+    """Optimizer pin: stop PushDownPredicates from substituting this
+    column's (expensive) defining expression into downstream filters.
+
+    A filter on a projected alias gets rewritten to the alias's FULL
+    expression and pushed below the projection — for regex-heavy chains
+    that re-evaluates the chain once per filter (measured 4-5x stage
+    cost in the cleanup pipeline).  Wrapping the alias in a condition on
+    a nondeterministic expression makes the predicate non-pushable while
+    leaving the value untouched (monotonically_increasing_id() >= 0 is
+    always true, but the optimizer cannot fold it).
+    """
+    return F.when(F.monotonically_increasing_id() >= 0, col)
+
+
+def double_from_normalized(s: Column, raw: Column) -> Column:
+    """F4/F6/F19 tail of the chain, taking an ALREADY-normalized string.
+
+    Use with ``normalize_number_str`` materialized as its own column:
+    the CASE branches below reference ``s`` several times, and Spark's
+    subexpression elimination does not deduplicate inside conditional
+    branches — if ``s`` were the inline normalize chain, every reference
+    would re-run the regex work (measured 5-8x stage cost).  As a
+    separate column it is a cheap attribute reference, and CollapseProject
+    keeps the two projections apart because a non-cheap multi-referenced
+    alias is never re-inlined.
+
+    ``try_cast`` replaces an rlike-gated cast: NULL on non-numeric (P6),
+    and closer to the reference's Python ``float(s)`` acceptance set than
+    a digits-only regex.  ``raw`` must be pre-trimmed (extractor cells
+    are); the paren check is plain startswith/endswith, no regex.
+    """
+    mag = F.when(s.isin("", "-", "nan"), F.lit(0.0)).otherwise(
+        s.try_cast("double")
+    )  # NULL => P6 drop
+    neg = raw.startswith("(") & raw.endswith(")")
+    return F.when(neg, -F.abs(mag)).otherwise(mag) + F.lit(0.0)
+
+
 def to_double(col: Column, locale_col: Column) -> Column:
     """Full numeric chain -> DOUBLE; NULL when not numeric (feeds P6).
 
@@ -64,13 +103,8 @@ def to_double(col: Column, locale_col: Column) -> Column:
     ``+ 0.0`` folds IEEE -0.0 to +0.0 so serialization stays
     byte-identical with the Python oracle.
     """
-    s = normalize_number_str(col, locale_col)
-    mag = F.when(s.isin("", "-", "nan"), F.lit(0.0)).when(
-        s.rlike(NUMERIC_RE), s.cast("double")
-    )  # otherwise NULL => P6 drop
-    return (
-        F.when(is_paren_negative(col), -F.abs(mag)).otherwise(mag)
-        + F.lit(0.0)
+    return double_from_normalized(
+        normalize_number_str(col, locale_col), F.trim(col)
     )
 
 

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import COUNTRIES, CURRENCIES, JUNK_MARKERS, KEEP_LIST
-from ..functions.numeric import to_double
+from ..functions.numeric import (
+    double_from_normalized,
+    normalize_number_str,
+    pin,
+)
 from ..functions.strings import clean_holding_name
 
 ORDER_COLS = ["page_no", "row_idx"]
@@ -155,9 +159,21 @@ def ffill_currency(df: DataFrame) -> DataFrame:
 
 def normalize_numbers(df: DataFrame, locale) -> DataFrame:
     """F1-F7/F19 + P6 + P12: numeric cells -> DOUBLE, drop non-numeric
-    rows and the net_assets==100.00 fund-total row (mandarin/parser.py:191)."""
-    mv = to_double(F.col("market_value"), locale)
-    na = to_double(F.col("net_assets"), locale)
+    rows and the net_assets==100.00 fund-total row (mandarin/parser.py:191).
+
+    Two-step on purpose: the normalized strings are materialized as their
+    own columns so the conditional tail (double_from_normalized) references
+    cheap attributes — see that function's docstring for the measured
+    codegen/CSE rationale.
+    """
+    df = df.withColumn(
+        "_mv_s", normalize_number_str(F.col("market_value"), locale)
+    ).withColumn("_na_s", normalize_number_str(F.col("net_assets"), locale))
+    # pin(): the P6/P12 filters below must reference these columns as
+    # attributes — pushed-down substitution would re-run the whole
+    # normalize chain per filter (see functions/numeric.py::pin)
+    mv = pin(double_from_normalized(F.col("_mv_s"), F.col("market_value")))
+    na = pin(double_from_normalized(F.col("_na_s"), F.col("net_assets")))
     return (
         df.withColumn("market_value", mv)
         .withColumn("net_assets", na)
@@ -165,12 +181,14 @@ def normalize_numbers(df: DataFrame, locale) -> DataFrame:
             F.col("market_value").isNotNull() & F.col("net_assets").isNotNull()
         )
         .filter(F.col("net_assets") != 100.0)  # P12
+        .drop("_mv_s", "_na_s")
     )
 
 
 def clean_names(df: DataFrame, strip_leading) -> DataFrame:
-    """F9/F13/F18 + P5/P8 name predicates."""
-    cleaned = clean_holding_name(F.col("holding_name"), strip_leading)
+    """F9/F13/F18 + P5/P8 name predicates (pinned: the length filters
+    must not re-inline the regex chain)."""
+    cleaned = pin(clean_holding_name(F.col("holding_name"), strip_leading))
     return (
         df.withColumn("holding_name", cleaned)
         .filter(

@@ -37,13 +37,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def shingle_array(text_col: Column, k: int = 3) -> Column:
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """Distinct k-word shingles via an array lambda — no explode/shuffle.
+
+    ``toks`` MUST be a materialized column attribute, not an inline
+    expression: the lambda body references it 3-4 times per element, and
+    Catalyst re-evaluates an inline child expression at every reference —
+    with ``tokens(text)`` inlined that made shingling O(len^2) per doc
+    (measured ~900us/shingle; attribute form is ~2us).
 
     Spark arrays index 0-based in lambda bracket syntax; the DuckDB oracle
     uses 1-based list indexing — both produce tok[i..i+k-1] windows.
     """
-    toks = tokens(text_col)
     idx = F.sequence(F.lit(0), F.size(toks) - k)
     parts = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
@@ -53,11 +58,35 @@ def shingle_array(text_col: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def with_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out: str = "_sh"
+) -> DataFrame:
+    """Materialize tokens, then shingles, as real columns (see
+    shingles_from_tokens).
+
+    Both columns are pin()-ned: CollapseProject/pushdown otherwise
+    re-inline them into every downstream reference (observed: 80+ copies
+    of the split() chain in the minhash plan => quadratic work)."""
+    from ..functions.numeric import pin
+
+    return (
+        df.withColumn("_tk", pin(tokens(F.col(text_col))))
+        .withColumn(out, pin(shingles_from_tokens(F.col("_tk"), k)))
+        .drop("_tk")
+    )
+
+
+def shingle_array(text_col: Column, k: int = 3) -> Column:
+    """Inline-expression form — ONLY for tiny inputs/tests; prefer
+    with_shingles (attribute form) in anything measured."""
+    return shingles_from_tokens(tokens(text_col), k)
+
+
 def doc_shingles(df: DataFrame, text_col="text", id_col="doc_id", k=3):
     """(id, shingle) exploded rows, distinct per doc."""
-    return df.select(
+    return with_shingles(df, text_col, k).select(
         F.col(id_col).alias("sid"),
-        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+        F.explode(F.col("_sh")).alias("shingle"),
     )
 
 
@@ -75,10 +104,10 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|-|A∩B|), one integer division -> identical
     double in any engine.
     """
-    base = df.select(
+    base = with_shingles(df, text_col, k).select(
         F.col(id_col).alias("sid"),
         *[F.col(c) for c in bucket_cols],
-        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+        F.explode(F.col("_sh")).alias("shingle"),
     )
     sizes = base.groupBy("sid").count().withColumnRenamed("count", "sz")
     a = base.select(
@@ -115,11 +144,11 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text_col: Column, n_hashes: int = 8, k: int = 3):
-    """MinHash signature: per seed i, min over shingles of
-    substr(md5(shingle||':'||i), 1, 8) — hex-string minima (lexicographic
-    min on hex == min on the underlying 32-bit value)."""
-    sh = shingle_array(text_col, k)
+def minhash_signature(sh: Column, n_hashes: int = 8):
+    """MinHash signature over a (materialized) shingles column: per seed
+    i, min over shingles of substr(md5(shingle||':'||i), 1, 8) —
+    hex-string minima (lexicographic min on hex == min on the underlying
+    32-bit value)."""
 
     def hash_i(i: int):
         # single-arg lambda: a two-arg lambda would be interpreted by
@@ -148,7 +177,6 @@ def minhash_lsh_pairs(
     candidate pairs.  n_hashes/band_size bands; the band value is the
     concatenation of its minhashes.  One explode + one equi-join on
     (band_no, band_val): shuffle-bounded, never all-pairs."""
-    sig = minhash_signature(F.col(text_col), n_hashes, k)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -165,8 +193,14 @@ def minhash_lsh_pairs(
             for bi in range(n_bands)
         ]
     )
+    # shingle array materialized as its OWN column: the 8 array_min
+    # minima below each reference it — inline, Catalyst would re-tokenize
+    # and re-shingle the text once per hash (measured 10x query cost)
+    sig = minhash_signature(F.col("_sh"), n_hashes)
     exploded = (
-        df.select(F.col(id_col).alias("sid"), sig.alias("sig"))
+        with_shingles(df, text_col, k)
+        .select(F.col(id_col).alias("sid"), "_sh")
+        .select("sid", sig.alias("sig"))
         .filter(F.size("sig") > 0)
         .select("sid", F.explode(bands).alias("b"))
         .select("sid", F.col("b.band_no").alias("band_no"),

@@ -59,6 +59,18 @@ OUT_COLS = [
     "c0", "c1", "c2", "c3", "shape",
 ]
 
+# resolved variant: fund assignment done in-batch (see extract_resolved)
+RESOLVED_SCHEMA = (
+    "url string, doc_class string, lang string, "
+    "page_no int, row_idx int, fund string, "
+    "c0 string, c1 string, c2 string, c3 string, shape int"
+)
+
+RESOLVED_COLS = [
+    "url", "doc_class", "lang", "page_no", "row_idx", "fund",
+    "c0", "c1", "c2", "c3", "shape",
+]
+
 TOC_GRID = (0, 60)  # fund name / page-number split for ToC pages
 TOC_MARKER = "SOMMAIRE"
 
@@ -105,10 +117,26 @@ def _explode_lines(pages: pd.DataFrame) -> pd.DataFrame:
     return ln
 
 
-def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
+def _extract_one_class(
+    grp: pd.DataFrame, doc_class: str, resolve: bool = False
+) -> list[pd.DataFrame]:
+    """One archetype's extraction; with ``resolve=True`` the fund
+    assignment (ToC interval lookup / header meta) happens HERE, inside
+    the batch, and only resolved table rows are emitted.
+
+    Rationale: a mapInPandas batch holds whole documents, so the
+    reference's per-file ToC lookup (crelan/parser.py:57-95) needs no
+    relational recombination — resolving in-batch removes a second pass
+    over the extract output (persist), a url-shuffle window, and a
+    broadcast (measured in BENCH).  The relational formulation (J2
+    interval join + W2 ffill) remains in operators/joins.py for when
+    ToC and body rows arrive from different sources.
+    """
     cfg = ARCHETYPES[doc_class]
     out: list[pd.DataFrame] = []
     ex = _explode_pages(grp)
+    toc_entries: pd.DataFrame | None = None
+    meta_funds: pd.DataFrame | None = None
 
     def emit(frame: pd.DataFrame, kind: str, cells: pd.DataFrame) -> None:
         if frame.empty:
@@ -134,10 +162,20 @@ def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
         pg = toc_ln["line"].str.slice(TOC_GRID[1]).str.strip()
         ok = pg.str.fullmatch(r"[0-9]+", na=False)  # reference drops
         toc_ln = toc_ln[ok]                         # non-numeric pg rows
-        cells = pd.DataFrame(
-            {"c0": fund[ok], "c1": pg[ok], "shape": 2}, index=toc_ln.index
-        )
-        emit(toc_ln, "toc", cells)
+        if resolve:
+            toc_entries = pd.DataFrame(
+                {
+                    "url": toc_ln["url"],
+                    "pg": pg[ok].astype("int64"),
+                    "fund": fund[ok],
+                }
+            )
+        else:
+            cells = pd.DataFrame(
+                {"c0": fund[ok], "c1": pg[ok], "shape": 2},
+                index=toc_ln.index,
+            )
+            emit(toc_ln, "toc", cells)
 
     # ---- section pages (S4 keyword pre-filter) ----
     sec_mask = ex["page"].str.contains(cfg.section_regex, regex=True, na=False)
@@ -156,11 +194,21 @@ def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
     if cfg.fund_regex is not None and not hdr.empty:
         fund = hdr["line"].str.extract(cfg.fund_regex, expand=False)
         got = fund.notna()
-        emit(
-            hdr[got],
-            "meta",
-            pd.DataFrame({"c0": fund[got], "shape": 1}, index=hdr[got].index),
-        )
+        if resolve:
+            # per-(url, page) fund, forward-filled across header-less
+            # continuation pages within the url (W2 semantics, in-batch)
+            meta_funds = hdr[["url", "page_no"]].copy()
+            meta_funds["fund"] = fund
+            meta_funds = meta_funds.sort_values(["url", "page_no"])
+            meta_funds["fund"] = meta_funds.groupby("url")["fund"].ffill()
+        else:
+            emit(
+                hdr[got],
+                "meta",
+                pd.DataFrame(
+                    {"c0": fund[got], "shape": 1}, index=hdr[got].index
+                ),
+            )
 
     body = ln[(ln["row_idx"] > 0) & (ln["line"].str.strip() != "")]
     if body.empty:
@@ -202,14 +250,43 @@ def _extract_one_class(grp: pd.DataFrame, doc_class: str) -> list[pd.DataFrame]:
         (cells["c0"] != "") | (cells["c1"] != "")
         | (cells["c2"] != "") | (cells["c3"] != "")
     )
-    emit(body[nonempty], "row", cells[nonempty])
+    body, cells = body[nonempty], cells[nonempty]
+    if not resolve:
+        emit(body, "row", cells)
+        return out
+
+    # ---- in-batch fund resolution ----
+    r = body[["url", "lang", "page_no", "row_idx"]].copy()
+    r["doc_class"] = doc_class
+    for c in ("c0", "c1", "c2", "c3", "shape"):
+        r[c] = cells[c]
+    if toc_entries is not None and not toc_entries.empty:
+        # J2 interval semantics [pg, next_pg): the last ToC entry whose
+        # page <= row's page — exactly merge_asof backward per url
+        r = r.sort_values("page_no", kind="stable")
+        toc_entries = toc_entries.sort_values("pg", kind="stable")
+        r = pd.merge_asof(
+            r,
+            toc_entries,
+            left_on="page_no",
+            right_on="pg",
+            by="url",
+            direction="backward",
+        ).drop(columns=["pg"])
+    elif meta_funds is not None and not meta_funds.empty:
+        r = r.merge(meta_funds, on=["url", "page_no"], how="left")
+    else:
+        r["fund"] = None
+    r = r[r["fund"].notna()]
+    out.append(r[RESOLVED_COLS])
     return out
 
 
 def extract_batches(
     it: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: (url, text, lang, doc_class) -> extract rows."""
+    """mapInPandas worker: (url, text, lang, doc_class) -> cell rows with
+    toc/meta rows for relational fund assignment."""
     for pdf in it:
         frames: list[pd.DataFrame] = []
         for doc_class, grp in pdf.groupby("doc_class"):
@@ -219,7 +296,31 @@ def extract_batches(
             yield pd.concat(frames, ignore_index=True)
 
 
+def extract_batches_resolved(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: table rows with fund already assigned."""
+    for pdf in it:
+        frames: list[pd.DataFrame] = []
+        for doc_class, grp in pdf.groupby("doc_class"):
+            if doc_class in ARCHETYPES:
+                frames.extend(
+                    _extract_one_class(grp, doc_class, resolve=True)
+                )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
 def extract_rows(pages_df):
     """DataFrame-level wrapper: pages (with doc_class) -> cell rows."""
     cols = ["url", "text", "lang", "doc_class"]
     return pages_df.select(*cols).mapInPandas(extract_batches, EXTRACT_SCHEMA)
+
+
+def extract_resolved(pages_df):
+    """pages (with doc_class) -> table rows with ``fund`` resolved
+    in-batch (the production pipeline path; see _extract_one_class)."""
+    cols = ["url", "text", "lang", "doc_class"]
+    return pages_df.select(*cols).mapInPandas(
+        extract_batches_resolved, RESOLVED_SCHEMA
+    )

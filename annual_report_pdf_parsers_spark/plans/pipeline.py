@@ -30,21 +30,26 @@ from ..operators.cleanup import (
     normalize_numbers,
     realign,
 )
-from ..operators.extract import extract_rows
-from ..operators.joins import assign_funds, join_manifest
+from ..operators.extract import extract_resolved
+from ..operators.joins import join_manifest
 from .dispatch import classify, locale_col, provider_col
 
 
 def extract_holdings(pages: DataFrame) -> DataFrame:
-    """pages -> cleaned holdings (before the manifest join)."""
+    """pages -> cleaned holdings (before the manifest join).
+
+    Plan shape (see SCALE.md §2): ONE Arrow-batch stage emitting rows
+    with funds already resolved (ToC/meta lookup happens in-batch — the
+    document is whole there), then ONE shuffle clustering (url, fund)
+    that every downstream window/group reuses: P9's (url,fund,name)
+    window, W3's descending window + group-by, W1's ffill are all
+    satisfied by hash(url, fund) and plan as sorts, not exchanges.
+    """
     classified = classify(pages).filter(F.col("doc_class").isNotNull())
-    # persist: the extract output feeds BOTH the table-row branch and the
-    # ToC-interval branch of assign_funds — without it the expensive
-    # Arrow-batch stage (and the pages scan) runs twice.  The cached data
-    # is extracted cells only (orders of magnitude smaller than the html/
-    # text input), spilling to disk if needed.
-    raw = extract_rows(classified).persist()
-    rows = assign_funds(raw)
+    rows = extract_resolved(classified).withColumn(
+        "fund_name_report", F.lower(F.col("fund"))
+    ).drop("fund")
+    rows = rows.repartition("url", "fund_name_report")
     rows = realign(rows)
     rows = drop_junk_rows(rows)
     rows = drop_first_country_rows(rows)

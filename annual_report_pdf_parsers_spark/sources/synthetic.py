@@ -125,9 +125,12 @@ def parse_number(cell: str, locale: str) -> float | None:
         s = s.replace(".", "").replace(",", ".")
     else:                                                    # F2
         s = s.replace(",", "")
-    if not re.fullmatch(r"-?[0-9]+(\.[0-9]+)?", s):  # P6 numeric predicate
+    # P6: the engine uses try_cast (NULL on failure) — mirror Python's
+    # float() acceptance, which is what the reference itself used
+    try:
+        v = float(s)
+    except ValueError:
         return None
-    v = float(s)
     return -abs(v) + 0.0 if neg else v
 
 
@@ -464,14 +467,15 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
 # ---------------------------------------------------------------------------
 
 
-def make_corpus(
-    n_docs: int, seed: int = 42
-) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
-    """Build (pages, manifest, expected) pandas frames deterministically."""
+def _gen_doc(i: int, seed: int):
+    """Generate one document's (page_row, manifest_rows, expected_rows).
+
+    Pure function of (seed, i) — make_corpus and make_corpus_parallel
+    produce identical corpora."""
     page_rows, manifest_rows, expected_rows = [], [], []
     t0 = datetime(2025, 12, 31, 0, 0, 0)
 
-    for i in range(n_docs):
+    if True:
         rng = random.Random(f"{seed}:{i}")
         doc_class = DISPATCH_ORDER[i % len(DISPATCH_ORDER)]
         cfg = ARCHETYPES[doc_class]
@@ -561,10 +565,54 @@ def make_corpus(
                 }
             )
 
-    pages = pd.DataFrame(page_rows)
-    manifest = pd.DataFrame(manifest_rows)
-    expected = pd.DataFrame(expected_rows)
+    return page_rows[0], manifest_rows, expected_rows
+
+
+def _gen_range(args):
+    lo, hi, seed = args
+    pages, manifest, expected = [], [], []
+    for i in range(lo, hi):
+        p, m, e = _gen_doc(i, seed)
+        pages.append(p)
+        manifest.extend(m)
+        expected.extend(e)
     return pages, manifest, expected
+
+
+def make_corpus(
+    n_docs: int, seed: int = 42
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Build (pages, manifest, expected) pandas frames deterministically."""
+    pages, manifest, expected = _gen_range((0, n_docs, seed))
+    return (
+        pd.DataFrame(pages),
+        pd.DataFrame(manifest),
+        pd.DataFrame(expected),
+    )
+
+
+def make_corpus_parallel(
+    n_docs: int, seed: int = 42, workers: int = 16
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Multiprocess corpus generation — identical output to make_corpus
+    (per-doc determinism), used by the bench for large corpora."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    step = max(1, n_docs // workers)
+    chunks = [
+        (lo, min(lo + step, n_docs), seed) for lo in range(0, n_docs, step)
+    ]
+    pages, manifest, expected = [], [], []
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        for p, m, e in ex.map(_gen_range, chunks):
+            pages.extend(p)
+            manifest.extend(m)
+            expected.extend(e)
+    return (
+        pd.DataFrame(pages),
+        pd.DataFrame(manifest),
+        pd.DataFrame(expected),
+    )
 
 
 def pages_to_spark(spark, pages_pdf: pd.DataFrame):

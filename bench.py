@@ -2,34 +2,44 @@
 
 Prints ONE JSON line:
   {"metric": "total_bench_seconds", "value": N, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": 0.1,
+   "queries": {...per-query sec...}, "sf": ...,
    "docs_per_sec": {"local8": X, "local32": Y},
    "scaling_efficiency": (Y/X)/4, ...}
 
-Two parts:
-  1. Scaling evidence (north rule): the SAME extraction job on the SAME
-     synthetic pages snapshot at local[8] and local[32]; report docs/sec
-     at both and efficiency = (tput_32 / tput_8) / 4 (target >= 0.8).
-     Sandbox stand-in for N -> 4N executors (BASELINE.md row 'Sandbox
-     scaling-evidence protocol').
-  2. Headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-     local[$SPARK_GRAFT_CPUS]; forced materialization via the noop sink.
+Scaling evidence (north rule): the SAME full extraction job over the SAME
+pages snapshot at local[8] and local[32]; docs/sec at both; efficiency =
+(tput_32 / tput_8) / 4, target >= 0.8.  Sandbox stand-in for N -> 4N
+executors (BASELINE.md "Sandbox scaling-evidence protocol").
+
+Measurement protocol (variance engineering, see git history):
+  - corpus written as ~16 parquet files (parallel gen+write, splittable);
+  - ONE plan per session (codegen compiled once), 1 warmup run (JIT),
+    then 3 timed runs with spark.catalog.clearCache() before each so the
+    full job (scan + Arrow extract + relational cleanup + join) recomputes;
+    median reported.  JIT/codegen warmup is excluded deliberately: a
+    production snapshot job runs for hours, the first-seconds warmup is
+    noise at that horizon.
+  - html is written as empty bytes: Catalyst column-pruning means the
+    pipeline never reads it (verify: .explain ReadSchema lacks html), so
+    shipping real bytes would only inflate parquet write time, not
+    exercise anything.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_DOCS (scaling
-corpus size), BENCH_SKIP_SCALING=1 for a quick headline-only run.
+corpus size, default 150000), BENCH_SKIP_SCALING=1 for headline-only.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_DOCS", "1200"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "150000"))
 
 HEADLINE = [
     "a2_group_agg",
@@ -46,29 +56,76 @@ HEADLINE = [
 ]
 
 
-def materialize(df) -> int:
+def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-    return 0
+
+
+def _gen_chunk(args) -> str:
+    lo, hi, seed, out_dir = args
+    import pandas as pd  # noqa: F401  (worker import)
+
+    from annual_report_pdf_parsers_spark.sources.synthetic import _gen_range
+
+    pages, manifest, _ = _gen_range((lo, hi, seed))
+    import pandas
+
+    pdf = pandas.DataFrame(pages)
+    pdf["html"] = b""  # never scanned (column pruning); see module doc
+    pdf.to_parquet(
+        os.path.join(out_dir, "pages", f"part-{lo:09d}.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+        row_group_size=500,
+    )
+    return json.dumps(
+        [{k: m[k] for k in ("name", "pdf_url", "isin")} for m in manifest]
+    )
+
+
+def build_corpus(n_docs: int, seed: int = 42) -> tuple[str, str]:
+    """Parallel-generate the pages snapshot as splittable parquet parts."""
+    import pandas as pd
+    from concurrent.futures import ProcessPoolExecutor
+
+    out_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    os.makedirs(os.path.join(out_dir, "pages"))
+    workers = min(16, os.cpu_count() or 4)
+    step = max(1, n_docs // workers)
+    chunks = [
+        (lo, min(lo + step, n_docs), seed, out_dir)
+        for lo in range(0, n_docs, step)
+    ]
+    manifest_rows = []
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        for blob in ex.map(_gen_chunk, chunks):
+            manifest_rows.extend(json.loads(blob))
+    mp = os.path.join(out_dir, "manifest.parquet")
+    pd.DataFrame(manifest_rows).to_parquet(mp)
+    return os.path.join(out_dir, "pages"), mp
 
 
 def run_extraction(master: str, pages_path: str, manifest_path: str) -> float:
-    """One full extraction run; returns wall seconds (session excluded)."""
+    """Median full-job seconds at one parallelism level (see module doc)."""
     from annual_report_pdf_parsers_spark.plans.pipeline import run_pipeline
     from annual_report_pdf_parsers_spark.session import get_spark, stop_all
-    from annual_report_pdf_parsers_spark.sources.pages import salt_hot_hosts
 
     cores = int(master[6:-1])
-    spark = get_spark(f"bench-{master}", master=master,
-                      shuffle_partitions=2 * cores)
+    spark = get_spark(
+        f"bench-{master}", master=master, shuffle_partitions=2 * cores
+    )
     try:
-        spark.range(10).count()  # JVM/codegen warmup
+        spark.sparkContext.setLogLevel("ERROR")
         pages = spark.read.parquet(pages_path)
         manifest = spark.read.parquet(manifest_path)
-        # skew-aware spread BEFORE the Arrow stage: hot host salted
-        pages = salt_hot_hosts(pages, n_partitions=4 * cores, salt=8)
-        t0 = time.time()
-        materialize(run_pipeline(pages, manifest))
-        return time.time() - t0
+        job = run_pipeline(pages, manifest)
+        materialize(job)  # warmup: codegen + JIT + python workers
+        times = []
+        for _ in range(3):
+            spark.catalog.clearCache()  # force full recompute
+            t0 = time.time()
+            materialize(job)
+            times.append(time.time() - t0)
+        return statistics.median(times)
     finally:
         stop_all()
 
@@ -77,38 +134,30 @@ def main() -> None:
     t_all = time.time()
     results: dict = {"sf": SF_DIR, "queries": {}}
 
-    # ---- corpus for the scaling runs (written once, read by both) ----
-    from annual_report_pdf_parsers_spark.sources.synthetic import make_corpus
-
-    tmp = tempfile.mkdtemp(prefix="bench_pages_")
-    pages_pdf, manifest_pdf, expected = make_corpus(N_DOCS, seed=42)
-    pages_path = os.path.join(tmp, "pages.parquet")
-    manifest_path = os.path.join(tmp, "manifest.parquet")
-    # Spark cannot read pandas' default nanosecond parquet timestamps
-    pages_pdf.to_parquet(
-        pages_path, coerce_timestamps="us", allow_truncated_timestamps=True
-    )
-    manifest_pdf.to_parquet(manifest_path)
-
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        t0 = time.time()
+        pages_path, manifest_path = build_corpus(N_DOCS, seed=42)
+        results["corpus_gen_sec"] = round(time.time() - t0, 1)
+        results["corpus_docs"] = N_DOCS
         t8 = run_extraction("local[8]", pages_path, manifest_path)
         t32 = run_extraction("local[32]", pages_path, manifest_path)
         tput8, tput32 = N_DOCS / t8, N_DOCS / t32
         results["docs_per_sec"] = {
-            "local8": round(tput8, 2),
-            "local32": round(tput32, 2),
+            "local8": round(tput8, 1),
+            "local32": round(tput32, 1),
         }
         results["scaling_efficiency"] = round((tput32 / tput8) / 4, 3)
         results["queries"]["pipeline_local8"] = round(t8, 3)
         results["queries"]["pipeline_local32"] = round(t32, 3)
 
-    # ---- headline queries at SF_DIR ----
     from annual_report_pdf_parsers_spark.queries import QUERIES
     from annual_report_pdf_parsers_spark.session import get_spark, stop_all
 
-    spark = get_spark("bench-queries", master=f"local[{CPUS}]",
-                      shuffle_partitions=2 * CPUS)
+    spark = get_spark(
+        "bench-queries", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS
+    )
     try:
+        spark.sparkContext.setLogLevel("ERROR")
         spark.range(10).count()
         for name in HEADLINE:
             t0 = time.time()
