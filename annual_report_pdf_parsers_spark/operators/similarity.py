@@ -108,35 +108,179 @@ def lsh_bucket(vec: Column, n_planes: int = 4, dim: int = 64) -> Column:
     return F.concat(*[hyperplane_sign(vec, i, dim) for i in range(n_planes)])
 
 
-def lsh_topk(
+def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]):
+    """Argmax-cosine cell id against a broadcast list of centroids —
+    a fold over literal arrays, fully JVM-side."""
+    best_id, best_cos = F.lit(-1), F.lit(-2.0)
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        c = cosine(vec, carr)
+        better = c > best_cos
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_cos = F.when(better, c).otherwise(best_cos)
+    return best_id
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Tiny k-means (Lloyd) for the IVF coarse quantizer, driven from the
+    driver but with all heavy work in DataFrame ops: assignment is a
+    JVM-side fold against broadcast centroid literals, update is one
+    groupBy-avg per dimension.  Seeds are deterministic (every
+    (n/n_cells)-th vector by id) — no RNG, reproducible across runs.
+
+    Centroids (n_cells x dim floats) are collected per iteration — KB-
+    scale, the standard Spark k-means shape.
+    """
+    n = corpus.count()
+    stride = max(1, n // n_cells)
+    seeds = (
+        corpus.filter((F.col(id_col) % stride == 0))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = corpus.withColumn(
+            "_cell", _nearest_centroid(F.col(vec_col), centroids)
+        )
+        agg = assigned.groupBy("_cell").agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), d + 1)).alias(f"d{d}")
+                for d in range(dim)
+            ]
+        )
+        rows = agg.collect()
+        centroids = [
+            (int(r["_cell"]), [float(r[f"d{d}"]) for d in range(dim)])
+            for r in rows
+        ]
+    return centroids
+
+
+def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
     k: int = 5,
-    n_planes: int = 4,
-    dim: int = 64,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: compare only vectors sharing the LSH bucket (recall < 1 by
-    design; the scale path for 10^12-row corpora)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
+    """IVF search: corpus rows carry their cell id; a query scans only its
+    ``n_probe`` nearest cells.  The candidate join is an equi-join on
+    cell — shuffle-bounded, candidate set ~ (n_probe / n_cells) of the
+    corpus; recall < 1 by design (the scale path next to the brute-force
+    baseline)."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cv"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+    )
+    # n_probe nearest cells per query: rank the centroid list per query
+    probe = None
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        row = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.lit(cid).alias("cell"),
+            cosine(F.col(vec_col), carr).alias("_ccos"),
+        )
+        probe = row if probe is None else probe.unionByName(row)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("cell"))
+    q = (
+        probe.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", "cell")
     )
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q)
+        .join(c, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
             F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cos"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def lsh_tables(vec: Column, n_tables: int, n_planes: int, dim: int) -> Column:
+    """Array of (table_no, bucket) structs — the standard multi-table
+    OR-construction: each table uses an independent plane set; a
+    candidate pair needs to collide in ANY table.  Recall for neighbors
+    at angle theta: 1 - (1 - (1-theta/pi)^n_planes)^n_tables."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_no"),
+                F.concat(
+                    *[
+                        hyperplane_sign(vec, t * n_planes + i, dim)
+                        for i in range(n_planes)
+                    ]
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 2,
+    n_tables: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: compare only vectors sharing an LSH bucket in >=1 table
+    (recall < 1 by design; the scale path for 10^12-row corpora).
+    Candidates dedupe across tables BEFORE scoring so each pair's cosine
+    is computed once — the join is shuffle-bounded on (table, bucket)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            lsh_tables(F.col(vec_col), n_tables, n_planes, dim)
+        ).alias("tb"),
+    ).select("query_id", "_qv", "tb.table_no", "tb.bucket")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            lsh_tables(F.col(vec_col), n_tables, n_planes, dim)
+        ).alias("tb"),
+    ).select("vec_id", "tb.table_no", "tb.bucket")
+    cand = (
+        q.join(c, ["table_no", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "_qv", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = cand.join(cv, "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

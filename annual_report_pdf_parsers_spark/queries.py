@@ -448,6 +448,16 @@ def q_ann_lsh_topk(spark, sf):
     ).withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN (iterative k-means quantizer -> cell-probed search).
+    Rows-only: the Lloyd iterations make it non-SQL-expressible."""
+    emb = load(spark, sf, "embeddings")
+    cents = similarity.ivf_fit(emb, n_cells=8, iters=2)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, k=5, n_probe=3
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def q_text_langid(spark, sf):
     return text.lang_id(load(spark, sf, "documents")).select(
         "doc_id", "en_hits", "fr_hits", "lang_guess"
@@ -515,6 +525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,

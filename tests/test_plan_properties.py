@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the scale properties SCALE.md claims must
+hold structurally, not just in prose.  These catch plan regressions the
+value-level tests can't see (a plan that silently re-adds a shuffle or
+re-reads the html column still produces correct rows)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from annual_report_pdf_parsers_spark.plans.pipeline import run_pipeline
+from annual_report_pdf_parsers_spark.sources.synthetic import (
+    make_corpus,
+    manifest_to_spark,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_paths(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("plan_corpus")
+    pages_pdf, manifest_pdf, _ = make_corpus(30, seed=11)
+    pp = str(d / "pages.parquet")
+    pages_pdf.to_parquet(
+        pp, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    return pp, manifest_pdf
+
+
+def _plan(spark, corpus_paths) -> str:
+    pp, manifest_pdf = corpus_paths
+    pages = spark.read.parquet(pp)
+    out = run_pipeline(pages, manifest_to_spark(spark, manifest_pdf))
+    return out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_html_column_pruned(spark, corpus_paths):
+    """The pipeline must never read html/warc_ts from the scan —
+    ReadSchema is the 100TB-vs-20TB difference (SCALE.md §1)."""
+    plan = _plan(spark, corpus_paths)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, "no FileScan in plan"
+    assert "html" not in scan[0]
+    assert "warc_ts" not in scan[0]
+    assert "text" in scan[0]
+
+
+def test_single_wide_shuffle(spark, corpus_paths):
+    """Exactly ONE hash exchange on the big path: the (url, fund)
+    clustering that all windows/groupBys reuse (SCALE.md §2).  Broadcast
+    exchanges (manifest) are allowed and expected."""
+    plan = _plan(spark, corpus_paths)
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, f"expected 1 hash exchange, got:\n{plan}"
+
+
+def test_manifest_join_is_broadcast(spark, corpus_paths):
+    plan = _plan(spark, corpus_paths)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_one_python_stage(spark, corpus_paths):
+    """Python appears exactly once in the hot path (the extract
+    mapInPandas); everything else must stay JVM-side."""
+    plan = _plan(spark, corpus_paths)
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs
+    assert "ArrowEvalPython" not in plan  # no scalar pandas UDFs either
+
+
+def test_dedup_minhash_plan_no_duplication(spark):
+    """The shingle/token chain must not be re-inlined (NOTES.md #2/#3):
+    split() may appear at most a few times, not once per reference."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    df = QUERIES["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") <= 4, plan.count("split(")
+
+
+def test_filters_stay_on_attributes(spark, corpus_paths):
+    """P6/P12 predicates must reference projected attributes, not inline
+    the normalize chain (functions/numeric.py::pin)."""
+    pp, manifest_pdf = corpus_paths
+    pages = spark.read.parquet(pp)
+    out = run_pipeline(pages, manifest_to_spark(spark, manifest_pdf))
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    for ln in optimized.splitlines():
+        if ln.strip().startswith("Filter") or "+- Filter" in ln:
+            assert "translate(" not in ln, (
+                "normalize chain leaked into a Filter:\n" + ln[:300]
+            )
