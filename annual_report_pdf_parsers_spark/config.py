@@ -96,6 +96,9 @@ class ArchetypeConfig:
     keep_list: tuple[str, ...] = ()
     # alternate grid used by the threshold-retry (A3, crelan/parser.py:132-135)
     retry_grid: tuple[int, ...] | None = None
+    # D3 header-regex grid variants (banque/parser.py:48-121): per-PAGE
+    # choice of (header_regex, grid offsets, payload cell indices to keep)
+    variants: tuple[tuple[str, tuple[int, ...], tuple[int, ...]], ...] | None = None
 
 
 ARCHETYPES: dict[str, ArchetypeConfig] = {
@@ -172,6 +175,33 @@ ARCHETYPES: dict[str, ArchetypeConfig] = {
         fund_regex=r"STATEMENT OF INVESTMENTS - (.+?) *$",
         number_locale="en",
     ),
+    # banque family: two layout generations distinguished by the column
+    # header on each table page; each has its own grid and its own
+    # positional filler columns to drop (banque/parser.py:48-121)
+    "header_grid_fr": ArchetypeConfig(
+        name="header_grid_fr",
+        lang="fr",
+        classify_regex=r"^ETATS FINANCIERS",
+        section_regex=r"ETAT DU PATRIMOINE",
+        grid=None,
+        shapes=(4,),
+        has_toc=False,
+        tail_pages=15,
+        fund_regex=r"ETAT DU PATRIMOINE - (.+?) *$",
+        number_locale="fr",
+        variants=(
+            # typ 1: name, currency, qty(drop), mv, na
+            # (banque columns=[339,366,436,514] -> 5 slots, drop _1)
+            (r"Désignation.*Devise.*Qté", (0, 34, 42, 52, 70), (0, 1, 3, 4)),
+            # typ 2: name, qty(drop), cours(drop), currency, mv, na
+            # (banque columns=[308,369,421,448,516,560] -> 7 slots)
+            (
+                r"Désignation.*Quantité.*Cours.*Devise",
+                (0, 30, 38, 46, 54, 72),
+                (0, 3, 4, 5),
+            ),
+        ),
+    ),
     # mandarin/bnp/amundi two-up family: each physical line carries a left
     # and a right half-table (mandarin/parser.py:102-114)
     "two_up_fr": ArchetypeConfig(
@@ -197,6 +227,7 @@ DISPATCH_ORDER: list[str] = [
     "keyword_scan_en",
     "gap_split_en",
     "two_up_fr",
+    "header_grid_fr",
 ]
 
 TWO_UP_SPLIT = 80  # char offset separating left/right halves (two_up_fr)

@@ -5,8 +5,9 @@ canonical order — the engine's documented contract, mirrored by the Python
 oracle ``sources/synthetic.py::simulate_cleanup`` — is:
 
   P11 shape filter -> realign (P1/D4) -> P7 junk -> P9 countries ->
-  W3 block fusion -> P3 currency filter -> W1 ffill -> F* numeric + P6 ->
-  P12 summary drop -> name cleanup (F9/F13/F18) -> P5/P8
+  W3 block fusion -> F12 currency rescue -> P3 currency filter ->
+  W1 ffill -> F* numeric + P6 -> P12 summary drop ->
+  name cleanup (F9/F13/F18) -> P5/P8
 
 Window partitioning: every order-dependent operator runs inside
 ``(url, fund)`` partitions ordered by ``(page_no, row_idx)`` — the total
@@ -126,6 +127,42 @@ def fuse_fragments(df: DataFrame) -> DataFrame:
         )
         .filter(F.col("_has_complete"))
         .drop("_blk", "_has_complete")
+    )
+
+
+def rescue_embedded_currency(df: DataFrame) -> DataFrame:
+    """F12 (aviva/parser.py:259-268 correct_corrupt_tables): when the
+    currency cell is empty but a whitelisted currency token is embedded
+    in the name cell, move it to the currency column and strip it from
+    the name.  Runs before P3 so rescued rows pass the whitelist without
+    waiting for W1."""
+    from ..functions.numeric import pin
+    from ..functions.strings import (
+        extract_currency_token,
+        remove_currency_token,
+    )
+
+    tok = pin(
+        F.when(
+            F.col("currency") == "",
+            extract_currency_token(F.col("holding_name"), CURRENCIES),
+        ).otherwise(F.lit(""))
+    )
+    df = df.withColumn("_ctok", tok)
+    rescued = F.col("_ctok").isNotNull() & (F.col("_ctok") != "")
+    return (
+        df.withColumn(
+            "holding_name",
+            F.when(
+                rescued,
+                remove_currency_token(F.col("holding_name"), CURRENCIES),
+            ).otherwise(F.col("holding_name")),
+        )
+        .withColumn(
+            "currency",
+            F.when(rescued, F.col("_ctok")).otherwise(F.col("currency")),
+        )
+        .drop("_ctok")
     )
 
 

@@ -226,7 +226,37 @@ def _extract_one_class(
         body = pd.concat([left, right], ignore_index=True)
         body = body[body["line"].str.strip() != ""]
 
-    if cfg.grid is not None:
+    if cfg.variants is not None:
+        # D3 (banque/parser.py:48-121): per-page layout generation chosen
+        # by the column-header regex; each variant has its own grid and
+        # its own positional filler columns to drop.  shape is the
+        # POST-dispatch payload width (always 4).
+        page_variant = pd.Series(-1, index=sec.index)
+        for vi, (hregex, _g, _keep) in enumerate(cfg.variants):
+            hit = sec["page"].str.contains(hregex, regex=True, na=False)
+            page_variant = page_variant.mask(
+                (page_variant == -1) & hit, vi
+            )
+        vmap = sec[["url", "page_no"]].copy()
+        vmap["_variant"] = page_variant
+        body = body.merge(vmap, on=["url", "page_no"], how="left")
+        parts, bodies = [], []
+        for vi, (_h, grid, keep) in enumerate(cfg.variants):
+            sub = body[body["_variant"] == vi]
+            if sub.empty:
+                continue
+            sliced = _slice_cells(sub["line"], grid)
+            kept = pd.DataFrame(index=sub.index)
+            for j, src_idx in enumerate(keep):
+                kept[f"c{j}"] = sliced[f"c{src_idx}"]
+            kept["shape"] = 4
+            parts.append(kept)
+            bodies.append(sub)
+        if not parts:
+            return out
+        cells = pd.concat(parts)
+        body = pd.concat(bodies)
+    elif cfg.grid is not None:
         cells = _slice_cells(body["line"], cfg.grid)
         # A3/D5 threshold-retry (crelan/parser.py:132-135): when the
         # primary grid mis-slices a document (currency cells don't look

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..config import OUTPUT_COLUMNS
 from ..operators.cleanup import (
     clean_names,
+    rescue_embedded_currency,
     drop_first_country_rows,
     drop_junk_rows,
     ffill_currency,
@@ -54,6 +55,7 @@ def extract_holdings(pages: DataFrame) -> DataFrame:
     rows = drop_junk_rows(rows)
     rows = drop_first_country_rows(rows)
     rows = fuse_fragments(rows)
+    rows = rescue_embedded_currency(rows)
     rows = filter_currency_whitelist(rows)
     rows = ffill_currency(rows)
     rows = normalize_numbers(rows, locale_col())

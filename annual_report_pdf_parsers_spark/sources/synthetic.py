@@ -40,6 +40,7 @@ from ..config import (
 
 PROVIDER_OF = {
     "toc_grid_fr": "PROVIDER_TOC_FR",
+    "header_grid_fr": "PROVIDER_BANQUE_FR",
     "keyword_scan_en": "PROVIDER_KEYWORD_EN",
     "reverse_scan_fr": "PROVIDER_REVERSE_FR",
     "gap_split_en": "PROVIDER_GAP_EN",
@@ -160,8 +161,9 @@ def simulate_cleanup(
 
     Canonical order (documented contract, see plans/pipeline.py):
       P7 junk drop -> P9 country first-occurrence drop -> W3 block fusion ->
-      P3 currency filter -> W1 ffill currency -> numeric parse (F*) + P6 ->
-      P12 summary drop -> name cleanup (F9/F13/F18) -> P5/P8 name predicates.
+      F12 embedded-currency rescue -> P3 currency filter -> W1 ffill
+      currency -> numeric parse (F*) + P6 -> P12 summary drop ->
+      name cleanup (F9/F13/F18) -> P5/P8 name predicates.
     Returns [(holding_name, market_value, currency, net_assets)].
     """
     # P7: junk rows
@@ -191,6 +193,18 @@ def simulate_cleanup(
             frag = []
         fused.append(r)
     out = fused
+
+    # F12: rescue a whitelisted currency token embedded in the name cell
+    # (aviva/parser.py:259-268) — first match moves to the currency
+    # column, ALL embedded tokens stripped from the name
+    cur_alt = "|".join(CURRENCIES)
+    cur_re = re.compile(rf"(?:^| )({cur_alt})(?= |$)")
+    for r in out:
+        if r.cur == "":
+            m = cur_re.search(r.name)
+            if m:
+                r.cur = m.group(1)
+                r.name = cur_re.sub(" ", r.name)
 
     # P3: currency whitelist (empty allowed pending ffill; keep-list anchors)
     keep = set(KEEP_LIST)
@@ -292,6 +306,19 @@ def _build_fund_rows(
                 name_cell = base = _mk_name(rng, name_width - len(c) - 12)
                 isin_tag = False
 
+        # F12: embed the currency in the name cell, leave currency empty
+        # (the aviva corrupt-table shape) — fragment archetype only
+        if (
+            frag_ok
+            and not isin_tag
+            and not dash
+            and rng.random() < 0.2
+            and " " in base
+        ):
+            head, rest = base.split(" ", 1)
+            rows.append(Cell4(f"{head} {cur} {rest}", "", mv_cell, na_cell))
+            continue
+
         # fragment split of the holding name (W3)
         if frag_ok and rng.random() < 0.4 and len(base) > 14 and not isin_tag:
             cut = len(base) // 2
@@ -385,6 +412,7 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
     # page 0: classification marker (D2)
     title = {
         "toc_grid_fr": f"RAPPORT ANNUEL {provider}",
+        "header_grid_fr": f"ETATS FINANCIERS {provider}",
         "keyword_scan_en": f"ANNUAL REPORT {provider}",
         "reverse_scan_fr": f"RAPPORT ANNUEL REVISE {provider}",
         "gap_split_en": f"INTERIM REPORT {provider}",
@@ -427,6 +455,7 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
     for f in doc.funds:
         hdr_txt = {
             "keyword_scan_en": f"SCHEDULE OF INVESTMENTS - {f.title}",
+            "header_grid_fr": f"ETAT DU PATRIMOINE - {f.title}",
             "reverse_scan_fr": (
                 f"INVENTAIRE DETAILLE DES INSTRUMENTS FINANCIERS - {f.title}"
             ),
@@ -437,6 +466,33 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
         if cfg.name == "gap_split_en":
             lines = ["  ".join(["Holding", "Ccy", "Market Value", "%NAV"])]
             lines += [_render_gap_line(r) for r in f.rows]
+        elif cfg.name == "header_grid_fr":
+            # D3: one layout generation per document, chosen deterministically
+            vi = doc.idx % 2
+            if vi == 0:
+                lines = [
+                    _pad("Désignation des valeurs", 34) + _pad("Devise", 8)
+                    + _pad("Qté Nbreou", 10) + _pad("Valeur", 18) + "% Actif"
+                ]
+                for r in f.rows:
+                    qty = str(rng.randrange(1, 99999))
+                    lines.append(
+                        (_pad(r.name, 34) + _pad(r.cur, 8) + _pad(qty, 10)
+                         + _pad(r.mv, 18) + r.na).rstrip()
+                    )
+            else:
+                lines = [
+                    _pad("Désignation des valeurs", 30) + _pad("Quantité", 8)
+                    + _pad("Cours", 8) + _pad("Devise", 8)
+                    + _pad("Valeur", 18) + "% Actif"
+                ]
+                for r in f.rows:
+                    qty = str(rng.randrange(1, 9999))
+                    cours = fmt_number(rng.randrange(100, 99999), "fr", False)
+                    lines.append(
+                        (_pad(r.name, 30) + _pad(qty, 8) + _pad(cours, 8)
+                         + _pad(r.cur, 8) + _pad(r.mv, 18) + r.na).rstrip()
+                    )
         elif cfg.name == "two_up_fr":
             rows = [_render_grid_line(r, cfg.grid, False) for r in f.rows]
             half = (len(rows) + 1) // 2
@@ -502,6 +558,8 @@ def _gen_doc(i: int, seed: int):
         elif doc_class == "keyword_scan_en":
             # leave room for the leading qty token ("99,999 ") in the cell
             name_width = cfg.grid[1] - 9
+        elif doc_class == "header_grid_fr":
+            name_width = 28  # fits both variant grids (30/34 name slots)
         for k in range(n_funds):
             title = f"{provider} {words[k]} FUND {k + 1}"
             fund = Fund(title=title)
