@@ -186,6 +186,14 @@ def main() -> None:
         # N -> 4N evidence on the pair the HOST can actually scale
         # (hw_ceiling shows why 8 -> 32 is not a valid pair on this box)
         results["scaling_efficiency"] = round((t4 / t16) / 4, 3)
+        # the host ceiling itself fluctuates run to run (shared VM);
+        # efficiency relative to the simultaneously-measured ceiling is
+        # the stable signal of ENGINE scalability
+        results["scaling_efficiency_vs_hw"] = round(
+            results["scaling_efficiency"]
+            / results["hw_ceiling"]["hw_eff_4_16"],
+            3,
+        )
         results["queries"]["pipeline_local4"] = round(t4, 3)
         results["queries"]["pipeline_local16"] = round(t16, 3)
         results["queries"]["pipeline_local32"] = round(t32, 3)
