@@ -38,6 +38,16 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the usual pre-split baseline for subword tokenizers
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex (JVM regexp_count — no UDF)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: stopword-marker counts per language family,
     highest count wins (en-biased tie-break, deterministic)."""

@@ -470,6 +470,16 @@ def q_text_quality(spark, sf):
     )
 
 
+def q_text_tokens(spark, sf):
+    """Token counting, whitespace + BPE-ish regex (task brief)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def q_text_fingerprint(spark, sf):
     return text.fingerprint(load(spark, sf, "documents")).select(
         "doc_id", "fp"
@@ -528,6 +538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "pipeline_extract": q_pipeline_extract,
 }
@@ -833,6 +844,14 @@ ORACLE_SQL: dict[str, str] = {
         "+ 0.3 * ((n_chars - punct - spaces) / n_chars) "
         "+ 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality "
         "FROM q"
+    ),
+    "text_tokens": (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "  AS BIGINT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, "
+        "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens "
+        "FROM documents"
     ),
     "text_fingerprint": (
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("

@@ -79,6 +79,17 @@ def test_dedup_minhash_plan_no_duplication(spark):
     assert plan.count("split(") <= 4, plan.count("split(")
 
 
+def test_dedup_joins_shuffle_bounded(spark):
+    """Candidate generation must be equi-joins — never a cross product."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    for q in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        df = QUERIES[q](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
 def test_filters_stay_on_attributes(spark, corpus_paths):
     """P6/P12 predicates must reference projected attributes, not inline
     the normalize chain (functions/numeric.py::pin)."""
