@@ -80,6 +80,39 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.55,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task-brief dedup entry):
+    all (a < b) pairs with rounded cosine >= threshold.
+
+    Sandbox formulation is the exact quadratic one (oracle-checkable);
+    at 10^12 scale candidates come from lsh_topk/ivf_topk buckets first
+    and this predicate is the verify step on the bounded candidate set.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_digits).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplane_sign(vec: Column, plane_no: int, dim: int = 64) -> Column:
     """Sign bit of <v, p_i> where plane p_i has +/-1 components derived
     from md5 nibbles (deterministic, engine-reproducible, no RNG)."""

@@ -434,6 +434,12 @@ def q_dedup_simhash(spark, sf):
     )
 
 
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs above a threshold."""
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.5)
+
+
 def q_ann_cosine_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
     return similarity.cosine_topk(
@@ -533,6 +539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -857,6 +864,23 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
         "list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp "
         "FROM documents"
+    ),
+    "dedup_embedding_cosine": (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id < 200), "
+        "s AS ("
+        "  SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "  ROUND(list_reduce(list_transform(generate_series(1, "
+        "    len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * "
+        "    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) "
+        "  / (sqrt(list_reduce(list_transform(generate_series(1, "
+        "    len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * "
+        "    CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) "
+        "  * sqrt(list_reduce(list_transform(generate_series(1, "
+        "    len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * "
+        "    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 4) AS cos "
+        "  FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b, cos FROM s WHERE cos >= 0.5"
     ),
     # ann_cosine_topk oracle is defined after local fold-order validation
     # (see tests/test_oracle_parity.py); ann_lsh_topk and pipeline_extract
