@@ -201,7 +201,10 @@ def minhash_lsh_pairs(
         with_shingles(df, text_col, k)
         .select(F.col(id_col).alias("sid"), "_sh")
         .select("sid", sig.alias("sig"))
-        .filter(F.size("sig") > 0)
+        # docs with no shingles produce NULL minima (array_min over an
+        # empty array); the real empty-doc gate is the band_val != ''
+        # filter below — concat_ws('') of NULLs is '' — so no size guard
+        # is needed here (F.array(...) is always length n_hashes).
         .select("sid", F.explode(bands).alias("b"))
         .select("sid", F.col("b.band_no").alias("band_no"),
                 F.col("b.band_val").alias("band_val"))

@@ -1,14 +1,24 @@
 """W5: ToC line repair (SURVEY.md §2.5, tobam/parser.py:88-94).
 
 A ToC entry whose line lacks a trailing page number grafts the NEXT
-line's trailing number onto itself; the consumed next line is removed.
-Reference semantics (tobam): the next line is replaced by "0" and
-filtered out afterwards — i.e. the repaired entry absorbs its successor
-entirely.
+line's last whitespace token onto itself (UNCONDITIONALLY — even when
+that token is not numeric); the consumed next line is replaced by "0"
+and filtered out afterwards.
 
-Spark formulation: lead() for the next line's number + an anti-filter on
-rows consumed by their predecessor, all within per-url windows (no
-cross-document state).
+The "0" replacement matters: a consumed line's effective content HAS a
+trailing digit, so it never consumes ITS successor — within a run of
+consecutive unnumbered lines, consumption ALTERNATES (L0 grafts+consumes
+L1, L2 grafts+consumes L3, ...), it does not cascade.  The closed form:
+row i is consumed iff the streak of consecutive unnumbered (original)
+lines immediately before it has ODD length.
+
+Spark formulation: row_number + a bounded max-window locating the last
+numbered predecessor gives the streak length; lead() supplies the graft
+token — all within per-url windows (no cross-document state).
+
+Deviation from the reference (documented): tobam raises IndexError when
+the LAST line lacks a page number (it indexes contents[i+1]); we leave
+that line unrepaired — downstream numeric parsing drops it.
 """
 
 from __future__ import annotations
@@ -19,7 +29,6 @@ from pyspark.sql import functions as F
 # last whitespace-separated token is all digits (the reference checks
 # ``line.split()[-1].isdigit()``)
 _TRAILING_NUM = r"(^|\s)([0-9]+)\s*$"
-_NUM_GROUP = 2
 
 
 def repair_toc_lines(
@@ -31,22 +40,25 @@ def repair_toc_lines(
     """Repair ToC entries with a missing trailing page number.
 
     Input: one row per ToC line.  Output: repaired lines, consumed
-    successors removed.
+    successors removed (tobam/parser.py:88-94 semantics, see module doc).
     """
     w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
     has_pg = F.col(line_col).rlike(_TRAILING_NUM)
+    rn = F.row_number().over(w)
+    # streak of consecutive unnumbered lines immediately before this row
+    last_pg_rn = F.max(F.when(has_pg, rn)).over(w_prev)
+    streak = (rn - 1) - F.coalesce(last_pg_rn, F.lit(0))
+    consumed = streak % 2 == 1
     next_line = F.lead(line_col).over(w)
-    prev_had_pg = F.lag(has_pg).over(w)
-    next_pg = F.regexp_extract(next_line, _TRAILING_NUM, _NUM_GROUP)
+    next_tok = F.regexp_extract(next_line, r"(\S+)\s*$", 1)
+    grafts = ~consumed & ~has_pg & next_line.isNotNull()
     repaired = F.when(
-        ~has_pg & next_pg.isNotNull() & (next_pg != ""),
-        F.concat(F.col(line_col), F.lit(" "), next_pg),
+        grafts, F.concat(F.col(line_col), F.lit(" "), next_tok)
     ).otherwise(F.col(line_col))
     return (
-        toc.withColumn("_prev_ok", F.coalesce(prev_had_pg, F.lit(True)))
+        toc.withColumn("_consumed", consumed)
         .withColumn(line_col, repaired)
-        # a line whose predecessor lacked a page number was consumed by it
-        # (the reference nulls it to "0" then filters, tobam:93-94)
-        .filter(F.col("_prev_ok"))
-        .drop("_prev_ok")
+        .filter(~F.col("_consumed"))
+        .drop("_consumed")
     )

@@ -196,8 +196,11 @@ def q_j2_interval_join(spark, sf):
 
 
 def q_j5_anti_join(spark, sf):
+    """Customers with no high-value order.  The totalprice filter keeps the
+    result non-empty at driver scale (every customer has SOME order, so the
+    bare anti-join was vacuous — 0 rows both sides proves nothing)."""
     c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 300000.0)
     return c.join(
         o, c["c_custkey"] == o["o_custkey"], "left_anti"
     ).select("c_custkey")
@@ -435,9 +438,22 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-dup pairs above a threshold."""
+    """Embedding-cosine near-dup pairs above a threshold.
+
+    Two non-vacuity guarantees (the 0.5-threshold version returned 0 rows
+    both sides — a green that proved nothing about the cosine math):
+      - threshold 0.35 sits inside the natural pair distribution at the
+        driver's sf (41 organic pairs at sf0.01);
+      - every 25th vector is unioned back as an exact copy (cos == 1.0),
+        so the result is non-empty at ANY scale factor.
+    """
     emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    return similarity.cosine_near_dup_pairs(emb, threshold=0.5)
+    dup = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return similarity.cosine_near_dup_pairs(
+        emb.unionByName(dup), threshold=0.35
+    )
 
 
 def q_ann_cosine_topk(spark, sf):
@@ -650,7 +666,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "j5_anti_join": (
         "SELECT c_custkey FROM customer WHERE NOT EXISTS "
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        " AND o_totalprice > 300000.0)"
     ),
     "w1_ffill": (
         "SELECT event_id, last_value("
@@ -867,7 +884,10 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "dedup_embedding_cosine": (
         "WITH e AS (SELECT vec_id, embedding FROM embeddings "
-        "WHERE vec_id < 200), "
+        "WHERE vec_id < 200 "
+        "UNION ALL "
+        "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings "
+        "WHERE vec_id < 200 AND vec_id % 25 = 0), "
         "s AS ("
         "  SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "  ROUND(list_reduce(list_transform(generate_series(1, "
@@ -880,7 +900,7 @@ ORACLE_SQL: dict[str, str] = {
         "    len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * "
         "    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 4) AS cos "
         "  FROM e a JOIN e b ON a.vec_id < b.vec_id) "
-        "SELECT id_a, id_b, cos FROM s WHERE cos >= 0.5"
+        "SELECT id_a, id_b, cos FROM s WHERE cos >= 0.35"
     ),
     # ann_cosine_topk oracle is defined after local fold-order validation
     # (see tests/test_oracle_parity.py); ann_lsh_topk and pipeline_extract
