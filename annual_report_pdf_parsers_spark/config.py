@@ -91,7 +91,9 @@ class ArchetypeConfig:
     # regex extracting the fund name from a section-header page (F17,
     # scor/parser.py:111-114)
     fund_regex: str | None = None
-    # numeric locale: 'fr' => 1.234,56 ; 'en' => 1,234.56 (F1/F2)
+    # numeric locale: 'fr' => 1.234,56 ; 'en' => 1,234.56 (F1/F2);
+    # 'auto' => content-inferred per cell (F3, mirova/parser.py:213-218:
+    # both '.' and ',' present -> ',' is thousands, else ',' is decimal)
     number_locale: str = "fr"
     keep_list: tuple[str, ...] = ()
     # alternate grid used by the threshold-retry (A3, crelan/parser.py:132-135)
@@ -99,6 +101,15 @@ class ArchetypeConfig:
     # D3 header-regex grid variants (banque/parser.py:48-121): per-PAGE
     # choice of (header_regex, grid offsets, payload cell indices to keep)
     variants: tuple[tuple[str, tuple[int, ...], tuple[int, ...]], ...] | None = None
+    # F16 fund-name rewrites applied to fund_name_report, in order
+    # (regex, replacement) — the reference's provider-specific prefix
+    # removals (roth/parser.py:191 "EdR Fund"; bnp/parser.py:69-77;
+    # crelan/parser.py:711-717)
+    name_rewrites: tuple[tuple[str, str], ...] = ()
+    # A1 currency mode-imputation for unfillable leading rows
+    # (amundi/parser.py:104-110: missing currency falls back to the
+    # table's most-frequent currency when W1 ffill has no seed)
+    impute_currency_mode: bool = False
 
 
 ARCHETYPES: dict[str, ArchetypeConfig] = {
@@ -131,7 +142,10 @@ ARCHETYPES: dict[str, ArchetypeConfig] = {
         shapes=(4,),
         has_toc=False,
         fund_regex=r"SCHEDULE OF INVESTMENTS - (.+?) *$",
-        number_locale="en",
+        # mirova family: locale inferred from cell content (F3)
+        number_locale="auto",
+        # roth/parser.py:191-style brand-prefix strip ("EdR Fund ...")
+        name_rewrites=((r"^PROVIDER_KEYWORD_EN\s+", ""),),
     ),
     # varenna/carmignac family: inventory section only near document tail
     # (varenna/parser.py:70-74; carmignac_fr/parser.py:119-135)
@@ -214,6 +228,11 @@ ARCHETYPES: dict[str, ArchetypeConfig] = {
         has_toc=False,
         fund_regex=r"INVENTAIRE - (.+?) *$",
         number_locale="fr",
+        # bnp/parser.py:69-77-style brand-prefix strip
+        name_rewrites=((r"^PROVIDER_TWO_UP_FR\s+", ""),),
+        # amundi/parser.py:104-110: leading rows with no currency seed take
+        # the fund's most-frequent currency instead of being dropped
+        impute_currency_mode=True,
     ),
 }
 

@@ -44,15 +44,25 @@ def is_paren_negative(col: Column) -> Column:
 def normalize_number_str(col: Column, locale_col: Column) -> Column:
     """F1/F2/F3: locale-aware '1.234,56'/'1,234.56' -> '1234.56' string.
 
-    ``locale_col`` is a per-row column ('fr'/'en') so one plan serves mixed
-    corpora — no per-provider branching outside Catalyst (F3 semantics).
+    ``locale_col`` is a per-row column ('fr'/'en'/'auto') so one plan
+    serves mixed corpora — no per-provider branching outside Catalyst.
+
+    'auto' is the F3 content-inferred rule (mirova/parser.py:213-218):
+    a cell containing BOTH '.' and ',' treats ',' as thousands
+    (``x.replace(",", "")``); otherwise ',' is the decimal mark
+    (``x.replace(",", ".")`` — note the reference does NOT delete '.'
+    in this branch, so '1.234' stays 1.234; fixture values always print
+    two decimals, which is what makes the inference sound).
     """
     c = F.translate(F.trim(col), "–", "-")           # F5 en-dash
     c = F.regexp_replace(c, _STRIP_CLASS, "")             # F7 + F4 + spaces
     # translate deletes from-chars with no to-char counterpart:
     fr = F.translate(c, ",.", ".")  # ','->'.', thousands '.' deleted (F1)
     en = F.translate(c, ",", "")    # thousands ',' deleted (F2)
-    return F.when(locale_col == "fr", fr).otherwise(en)
+    auto = F.when(c.contains(".") & c.contains(","), en).otherwise(
+        F.translate(c, ",", ".")
+    )
+    return F.when(locale_col == "fr", fr).when(locale_col == "en", en).otherwise(auto)
 
 
 def pin(col: Column) -> Column:

@@ -71,9 +71,17 @@ def drop_junk_rows(df: DataFrame) -> DataFrame:
 
 def drop_first_country_rows(df: DataFrame) -> DataFrame:
     """P9 (aviva/parser.py:276-284): drop only the FIRST occurrence of each
-    country heading per (url, fund) — the reference's ``_countries.remove``
-    list semantics; later repeats survive (and typically fuse, W3)."""
-    w = Window.partitionBy(*PART_COLS, "holding_name").orderBy(*ORDER_COLS)
+    country heading per PAGE-TABLE — the reference resets its mutable
+    country list for every table (``for table in tables: _countries =
+    countries[:]``), so a country repeated on a later page of the same fund
+    is dropped again; a repeat on the SAME page survives (and typically
+    fuses, W3).
+
+    The page_no partition column is a superset of the (url, fund)
+    clustering, so this window adds a sort, not a shuffle."""
+    w = Window.partitionBy(
+        *PART_COLS, "page_no", "holding_name"
+    ).orderBy("row_idx")
     rn = F.row_number().over(w)
     is_country = F.col("holding_name").isin(COUNTRIES)
     return (
@@ -178,8 +186,19 @@ def filter_currency_whitelist(df: DataFrame) -> DataFrame:
 
 def ffill_currency(df: DataFrame) -> DataFrame:
     """W1 (crelan/parser.py:782-784 et al.): empty currency takes the
-    previous surviving row's value; unfillable leading rows are dropped
-    (W6 seed semantics — first row of a fund always carries a currency)."""
+    previous surviving row's value.
+
+    A1 fallback (amundi/parser.py:104-110, archetypes with
+    ``impute_currency_mode``): unfillable LEADING rows take the fund's
+    most-frequent currency (pandas ``mode()[0]`` = smallest value among
+    the most frequent — mirrored by the (-count, currency) struct-min).
+    Other archetypes drop unfillable rows (W6 seed semantics).
+
+    Scale: both mode windows partition on supersets of (url, fund), so
+    the existing clustering satisfies them — sorts only, no new exchange.
+    """
+    from ..config import ARCHETYPES
+
     w = (
         Window.partitionBy(*PART_COLS)
         .orderBy(*ORDER_COLS)
@@ -188,8 +207,22 @@ def ffill_currency(df: DataFrame) -> DataFrame:
     filled = F.last(
         F.when(F.col("currency") != "", F.col("currency")), ignorenulls=True
     ).over(w)
+    # per-(url, fund) currency mode over the rows surviving P3
+    w_cur = Window.partitionBy(*PART_COLS, "currency")
+    w_fund = Window.partitionBy(*PART_COLS)
+    cnt = F.count(F.when(F.col("currency") != "", 1)).over(w_cur)
+    mode = F.min(
+        F.when(
+            F.col("currency") != "",
+            F.struct((-cnt).alias("nc"), F.col("currency").alias("c")),
+        )
+    ).over(w_fund)["c"]
+    impute_classes = [
+        n for n, cfg in ARCHETYPES.items() if cfg.impute_currency_mode
+    ]
+    fallback = F.when(F.col("doc_class").isin(impute_classes), mode)
     return (
-        df.withColumn("currency", filled)
+        df.withColumn("currency", F.coalesce(filled, fallback))
         .filter(F.col("currency").isNotNull() & (F.col("currency") != ""))
     )
 

@@ -160,8 +160,33 @@ def _extract_one_class(
         toc_ln = toc_ln[toc_ln["row_idx"] > 0]  # skip the SOMMAIRE header
         fund = toc_ln["line"].str.slice(0, TOC_GRID[1]).str.strip()
         pg = toc_ln["line"].str.slice(TOC_GRID[1]).str.strip()
-        ok = pg.str.fullmatch(r"[0-9]+", na=False)  # reference drops
-        toc_ln = toc_ln[ok]                         # non-numeric pg rows
+        ok = pg.str.fullmatch(r"[0-9]+", na=False)
+        if not ok.all():
+            # W5 ToC line repair (tobam/parser.py:88-94, same alternation
+            # semantics as operators/toc_repair.py): an unnumbered entry
+            # grafts the NEXT line's last whitespace token as its page and
+            # consumes that line; consumed lines (the reference's "0")
+            # never consume their own successor, so consumption alternates
+            # within runs of unnumbered lines.
+            url_s = toc_ln["url"]
+            pos = toc_ln.groupby("url").cumcount()
+            last_ok_before = (
+                pos.where(ok).groupby(url_s).ffill().groupby(url_s).shift(1)
+            )
+            streak = pos - 1 - last_ok_before.fillna(-1)
+            consumed = (streak % 2).eq(1)
+            next_tok = (
+                toc_ln["line"]
+                .groupby(url_s)
+                .shift(-1)
+                .str.extract(r"(\S+)\s*$", expand=False)
+            )
+            graft = ~consumed & ~ok & next_tok.notna()
+            pg = pg.mask(graft, next_tok)
+            keep = ~consumed
+            toc_ln, fund, pg = toc_ln[keep], fund[keep], pg[keep]
+            ok = pg.str.fullmatch(r"[0-9]+", na=False)
+        toc_ln = toc_ln[ok]  # entries still unnumbered after repair drop
         if resolve:
             toc_entries = pd.DataFrame(
                 {
@@ -238,7 +263,14 @@ def _extract_one_class(
                 (page_variant == -1) & hit, vi
             )
         vmap = sec[["url", "page_no"]].copy()
-        vmap["_variant"] = page_variant
+        # W2-style forward-fill: continuation pages of a multi-page table
+        # carry no column-header line, so they inherit the last matched
+        # variant within the url (otherwise their rows silently vanish)
+        vmap["_variant"] = page_variant.where(page_variant != -1)
+        vmap = vmap.sort_values(["url", "page_no"], kind="stable")
+        vmap["_variant"] = (
+            vmap.groupby("url")["_variant"].ffill().fillna(-1).astype(int)
+        )
         body = body.merge(vmap, on=["url", "page_no"], how="left")
         parts, bodies = [], []
         for vi, (_h, grid, keep) in enumerate(cfg.variants):

@@ -37,10 +37,30 @@ def provider_col() -> Column:
 
 
 def locale_col() -> Column:
-    """Per-row numeric locale ('fr'/'en') for the F1/F2/F3 chain."""
+    """Per-row numeric locale ('fr'/'en'/'auto') for the F1/F2/F3 chain."""
     expr = None
     for name, cfg in ARCHETYPES.items():
         cond = F.col("doc_class") == name
         loc = cfg.number_locale
         expr = F.when(cond, loc) if expr is None else expr.when(cond, loc)
     return expr
+
+
+def report_name_col(fund_col: Column) -> Column:
+    """F16: archetype-configured fund-name rewrites, then lowercase.
+
+    The rewrite table lives in config (name_rewrites) — prefix strips only,
+    so the rewritten report name stays a substring of the website fund name
+    and the J1 manifest containment join is unaffected."""
+    expr = F.lower(F.trim(fund_col))
+    out = None
+    for name, cfg in ARCHETYPES.items():
+        if not cfg.name_rewrites:
+            continue
+        rewritten = fund_col
+        for pat, repl in cfg.name_rewrites:
+            rewritten = F.regexp_replace(rewritten, pat, repl)
+        rewritten = F.lower(F.trim(rewritten))
+        cond = F.col("doc_class") == name
+        out = F.when(cond, rewritten) if out is None else out.when(cond, rewritten)
+    return expr if out is None else out.otherwise(expr)

@@ -33,7 +33,7 @@ from ..operators.cleanup import (
 )
 from ..operators.extract import extract_resolved
 from ..operators.joins import join_manifest
-from .dispatch import classify, locale_col, provider_col
+from .dispatch import classify, locale_col, provider_col, report_name_col
 
 
 def extract_holdings(pages: DataFrame) -> DataFrame:
@@ -48,7 +48,7 @@ def extract_holdings(pages: DataFrame) -> DataFrame:
     """
     classified = classify(pages).filter(F.col("doc_class").isNotNull())
     rows = extract_resolved(classified).withColumn(
-        "fund_name_report", F.lower(F.col("fund"))
+        "fund_name_report", report_name_col(F.col("fund"))  # F16 + lower
     ).drop("fund")
     rows = rows.repartition("url", "fund_name_report")
     rows = realign(rows)

@@ -80,6 +80,9 @@ class Fund:
     rows: list[Cell4] = field(default_factory=list)
     manifest: list[tuple[str, str | None]] = field(default_factory=list)
     # ^ (website name, isin) share classes; empty => no manifest match
+    # ToC entry wraps onto two lines, the page number on the second
+    # (the W5 tobam repair case) — the repaired entry keeps line 1's text
+    toc_wrap: bool = False
 
 
 @dataclass
@@ -124,8 +127,12 @@ def parse_number(cell: str, locale: str) -> float | None:
         return 0.0
     if locale == "fr":                                       # F1
         s = s.replace(".", "").replace(",", ".")
-    else:                                                    # F2
+    elif locale == "en":                                     # F2
         s = s.replace(",", "")
+    elif "." in s and "," in s:                              # F3 'auto':
+        s = s.replace(",", "")                               # ',' thousands
+    else:                                                    # F3 'auto':
+        s = s.replace(",", ".")                              # ',' decimal
     # P6: the engine uses try_cast (NULL on failure) — mirror Python's
     # float() acceptance, which is what the reference itself used
     try:
@@ -136,6 +143,31 @@ def parse_number(cell: str, locale: str) -> float | None:
 
 
 _ISIN_RE = re.compile(r"[A-Z]{2}[A-Z0-9]{9}[0-9]")
+
+
+def report_name(fund: Fund, cfg: ArchetypeConfig) -> str:
+    """Oracle for the engine's fund_name_report derivation: the W5-repaired
+    ToC text (line 1 only for wrapped entries), then the archetype's F16
+    rewrites (plans/dispatch.py::report_name_col), then trim + lower."""
+    title = fund.title
+    if fund.toc_wrap:
+        title = " ".join(title.split()[:2])
+    for pat, repl in cfg.name_rewrites:
+        title = re.sub(pat, repl, title)
+    return title.strip().lower()
+
+
+def _row_pages(cfg: ArchetypeConfig, n_rows: int) -> list[int]:
+    """Page-table index of each fund row, mirroring _render_doc's chunking
+    exactly (the P9 per-page country reset needs page identity in the
+    oracle).  MUST stay in lockstep with _render_doc."""
+    if cfg.name == "toc_grid_fr":
+        return [i // 8 for i in range(n_rows)]
+    if cfg.name == "two_up_fr":
+        half = (n_rows + 1) // 2
+        return [(i % half) // 60 for i in range(n_rows)]
+    # all other archetypes render [column-header, *rows] in 12-line pages
+    return [(i + 1) // 12 for i in range(n_rows)]
 
 
 def clean_name(name: str, strip_leading_token: bool) -> str:
@@ -166,19 +198,24 @@ def simulate_cleanup(
       name cleanup (F9/F13/F18) -> P5/P8 name predicates.
     Returns [(holding_name, market_value, currency, net_assets)].
     """
-    # P7: junk rows
-    out = [r for r in rows if not any(m in r.name for m in JUNK_MARKERS)]
+    # P7: junk rows (pages threaded through for P9's per-page reset)
+    pages = _row_pages(cfg, len(rows))
+    paged = [
+        (p, r)
+        for p, r in zip(pages, rows)
+        if not any(m in r.name for m in JUNK_MARKERS)
+    ]
 
-    # P9: drop only the FIRST occurrence of each country name
-    # (aviva/parser.py:276-284 '_countries.remove' semantics)
-    seen: set[str] = set()
-    kept: list[Cell4] = []
-    for r in out:
-        if r.name in COUNTRIES and r.name not in seen:
-            seen.add(r.name)
+    # P9: drop only the FIRST occurrence of each country name PER
+    # PAGE-TABLE (aviva/parser.py:276-284 resets '_countries' per table,
+    # so a country repeated on a later page is dropped again)
+    seen: set[tuple[int, str]] = set()
+    out: list[Cell4] = []
+    for p, r in paged:
+        if r.name in COUNTRIES and (p, r.name) not in seen:
+            seen.add((p, r.name))
             continue
-        kept.append(r)
-    out = kept
+        out.append(r)
 
     # W3: block fusion — fragment rows (mv=='' and na=='') concat into the
     # next complete row's name; trailing fragments are dropped
@@ -214,11 +251,22 @@ def simulate_cleanup(
         if r.cur in CURRENCIES or r.cur == "" or r.name in keep
     ]
 
-    # W1: forward-fill empty currency from previous surviving row
+    # W1: forward-fill empty currency from previous surviving row.
+    # A1 fallback (impute_currency_mode archetypes, amundi:104-110):
+    # unfillable LEADING rows take the most-frequent currency among the
+    # post-P3 non-empty values (pandas mode()[0]: smallest among ties).
+    mode_cur = ""
+    if cfg.impute_currency_mode:
+        from collections import Counter
+
+        cnt = Counter(r.cur for r in out if r.cur != "")
+        if cnt:
+            top = max(cnt.values())
+            mode_cur = min(c for c, n in cnt.items() if n == top)
     last_cur = ""
     for r in out:
         if r.cur == "":
-            r.cur = last_cur
+            r.cur = last_cur if last_cur else mode_cur
         else:
             last_cur = r.cur
     out = [r for r in out if r.cur != ""]  # no seed row -> unfillable, drop
@@ -263,11 +311,18 @@ def _build_fund_rows(
 ) -> list[Cell4]:
     """Draw one fund's rendered rows, edge cases included."""
     rows: list[Cell4] = []
-    n_hold = rng.randint(4, 9)
+    # header_grid_fr funds run long enough to spill onto continuation
+    # pages (which carry no variant-header line — the D3 ffill case)
+    n_hold = (
+        rng.randint(4, 14)
+        if cfg.name == "header_grid_fr"
+        else rng.randint(4, 9)
+    )
     allow_isin = name_width >= 38
     frag_ok = cfg.name == "fragment_fusion_en"
     country_pool = rng.sample(COUNTRIES, k=3)
     dup_country = rng.random() < 0.5
+    first_country: str | None = None
     # cap market values so they fit the archetype's mv field width
     # (grid slot [grid[2], grid[3]) minus 2 chars for the F4 parens)
     if cfg.grid is not None:
@@ -280,8 +335,14 @@ def _build_fund_rows(
     for h in range(n_hold):
         cur = rng.choice(CURRENCIES[:8])
         # gap-split pages cannot render an empty cell (a >=2-space split
-        # swallows it and shifts the columns), so currency is always present
-        missing_cur = cfg.grid is not None and h > 0 and rng.random() < 0.18
+        # swallows it and shifts the columns), so currency is always present.
+        # impute_currency_mode archetypes also blank the FIRST row's
+        # currency sometimes — the A1 mode-imputation case (no W1 seed)
+        missing_cur = (
+            cfg.grid is not None
+            and (h > 0 or cfg.impute_currency_mode)
+            and rng.random() < 0.18
+        )
         base = _mk_name(rng, name_width - 15 if allow_isin else name_width)
         isin_tag = allow_isin and rng.random() < 0.15
         name_cell = f"{base} {_mk_isin(rng)}" if isin_tag else base
@@ -299,6 +360,8 @@ def _build_fund_rows(
         # interleave country heading rows (fragment archetype, P9)
         if frag_ok and h in (1, 3) and country_pool:
             c = country_pool.pop()
+            if first_country is None:
+                first_country = c
             rows.append(Cell4(c, "", "", ""))
             if dup_country and h == 1:
                 # second occurrence: NOT removed by P9 -> becomes a fragment
@@ -334,6 +397,25 @@ def _build_fund_rows(
             rows.append(
                 Cell4(name_cell, "" if missing_cur else cur, mv_cell, na_cell, qty)
             )
+
+    # P9 per-page reset fixture: repeat an earlier country near the tail,
+    # followed by a real holding.  When the repeat lands on a LATER page
+    # it is dropped again (aviva's per-table list reset); on the SAME page
+    # it survives and fuses into the next holding's name — both paths are
+    # exercised across seeds, and the oracle's page mapping decides which.
+    if frag_ok and first_country is not None and rng.random() < 0.6:
+        rows.append(Cell4(first_country, "", "", ""))
+        extra = _mk_name(rng, name_width - 14)
+        c2 = rng.randrange(10_000, mv_max)
+        rows.append(
+            Cell4(
+                extra,
+                rng.choice(CURRENCIES[:8]),
+                fmt_number(c2, cfg.number_locale, paren_neg=True),
+                fmt_number(rng.randrange(1, 9_999), cfg.number_locale, False)
+                + "%",
+            )
+        )
 
     # keep-list anchor rows: values present, currency empty -> P3 keeps them
     # via the anchor list, W1 ffill supplies the currency
@@ -427,7 +509,15 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
         toc_lines = ["SOMMAIRE"]
         pg = 2  # pages 0,1 are title+ToC
         for f in doc.funds:
-            toc_lines.append(_pad(f.title, 60) + str(pg))
+            if f.toc_wrap:
+                # W5 fixture (tobam:88-94): the entry wraps onto two lines,
+                # page number on the second — repair grafts it onto line 1
+                # and consumes line 2
+                words = f.title.split()
+                toc_lines.append(_pad(" ".join(words[:2]), 60).rstrip())
+                toc_lines.append(_pad(" ".join(words[2:]), 60) + str(pg))
+            else:
+                toc_lines.append(_pad(f.title, 60) + str(pg))
             body = [
                 "Composition des actifs au 31.12.2025",
                 _render_grid_line(_header_cells(cfg), cfg.grid, False),
@@ -563,6 +653,10 @@ def _gen_doc(i: int, seed: int):
         for k in range(n_funds):
             title = f"{provider} {words[k]} FUND {k + 1}"
             fund = Fund(title=title)
+            # every 4th toc doc wraps its first fund's ToC entry (W5)
+            fund.toc_wrap = (
+                doc_class == "toc_grid_fr" and k == 0 and i % 4 == 1
+            )
             fund.rows = _build_fund_rows(rng, cfg, name_width)
             # manifest share classes: most funds 1 (Cap); some 2 (Cap+Dis,
             # exercising the J4 fan-back); every 11th doc's funds beyond the
@@ -600,7 +694,7 @@ def _gen_doc(i: int, seed: int):
                     expected_rows.append(
                         {
                             "fund_provider": provider,
-                            "fund_name_report": fund.title.lower(),
+                            "fund_name_report": report_name(fund, cfg),
                             "fund_name_website": website,
                             "isin": isin,
                             "holding_name": name,
