@@ -373,6 +373,41 @@ def extract_batches_resolved(
             yield pd.concat(frames, ignore_index=True)
 
 
+LINE_CELLS_SCHEMA = (
+    "line_id bigint, c0 string, c1 string, c2 string, c3 string, shape int"
+)
+
+
+def slice_lines(df, grid: tuple[int, ...]):
+    """S5 as a standalone DataFrame operator: (line_id, line) -> cells cut
+    at fixed character offsets via the SAME ``_slice_cells`` the pipeline's
+    extract stage uses — this is the driver-gate surface for the slicer
+    itself (oracle: substr/trim in SQL)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cells = _slice_cells(pdf["line"], grid)
+            cells.insert(0, "line_id", pdf["line_id"].values)
+            yield cells[["line_id", "c0", "c1", "c2", "c3", "shape"]]
+
+    return df.select("line_id", "line").mapInPandas(run, LINE_CELLS_SCHEMA)
+
+
+def gap_split_lines(df):
+    """S7 (+ its D4 shape shift) as a standalone operator: (line_id, line)
+    -> cells split on runs of >=2 spaces via the pipeline's ``_gap_cells``
+    (oracle: regexp_split_to_array in SQL)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cells = _gap_cells(pdf["line"])
+            cells.insert(0, "line_id", pdf["line_id"].values)
+            cells["shape"] = cells["shape"].astype("int32")
+            yield cells[["line_id", "c0", "c1", "c2", "c3", "shape"]]
+
+    return df.select("line_id", "line").mapInPandas(run, LINE_CELLS_SCHEMA)
+
+
 def extract_rows(pages_df):
     """DataFrame-level wrapper: pages (with doc_class) -> cell rows."""
     cols = ["url", "text", "lang", "doc_class"]

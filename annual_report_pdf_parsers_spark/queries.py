@@ -399,6 +399,515 @@ def q_d1_dispatch(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# §2.1 extraction operators (driver-gate surface for the Arrow-batch slicer)
+# ---------------------------------------------------------------------------
+
+
+_S5_GRID = (0, 40, 48, 66)
+
+
+def _s5_lines(spark, sf):
+    """Fixed-width lines built deterministically from part — the stand-in
+    for a rendered page grid, reproducible as string concat in SQL."""
+    p = load(spark, sf, "part")
+    line = F.concat(
+        F.rpad(F.col("p_name"), 40, " "),
+        F.rpad(F.col("p_brand"), 8, " "),
+        F.rpad(F.col("p_size").cast("string"), 18, " "),
+        F.col("p_type"),
+    )
+    return p.select(F.col("p_partkey").alias("line_id"), line.alias("line"))
+
+
+def q_s5_grid_slice(spark, sf):
+    """S5: the pipeline's ``_slice_cells`` run as a standalone mapInPandas
+    over fixed-width lines; oracle = substr/trim (crelan/parser.py:96-103
+    tabula columns=[...] semantics)."""
+    from .operators.extract import slice_lines
+
+    return slice_lines(_s5_lines(spark, sf), _S5_GRID)
+
+
+def q_s7_gap_split(spark, sf):
+    """S7 + D4 shift: ``_gap_cells`` (camelot-stream stand-in,
+    four/parser.py:196-218) — 5-token rows drop their leading qty."""
+    from .operators.extract import gap_split_lines
+
+    p = load(spark, sf, "part")
+    base = F.concat_ws(
+        "  ",
+        F.col("p_brand"),
+        F.col("p_name"),
+        F.col("p_size").cast("string"),
+        F.col("p_type"),
+    )
+    line = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.concat((F.col("p_partkey") % 89).cast("string"), F.lit("  "), base),
+    ).otherwise(base)
+    return gap_split_lines(
+        p.select(F.col("p_partkey").alias("line_id"), line.alias("line"))
+    )
+
+
+def q_u3_two_up_split(spark, sf):
+    """U3: two-up half-page split + restack (mandarin/parser.py:102-114)."""
+    p = load(spark, sf, "part")
+    line = F.concat(
+        F.rpad(F.concat_ws("  ", "p_brand", F.col("p_size").cast("string")), 40, " "),
+        F.concat_ws("  ", "p_type", (F.col("p_partkey") % 97).cast("string")),
+    )
+    d = p.select(F.col("p_partkey").alias("line_id"), line.alias("line"))
+    left = d.select(
+        "line_id",
+        F.lit("L").alias("half"),
+        F.trim(F.substring("line", 1, 40)).alias("cell"),
+    )
+    right = d.select(
+        "line_id",
+        F.lit("R").alias("half"),
+        F.trim(F.substring("line", 41, 100000)).alias("cell"),
+    )
+    return left.unionByName(right)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 remaining projections / predicates
+# ---------------------------------------------------------------------------
+
+
+def q_p1_realign(spark, sf):
+    """P1: positional cells -> named columns, filler dropped
+    (crelan/parser.py:105-118)."""
+    p = load(spark, sf, "part")
+    arr = F.split(
+        F.concat_ws("|", "p_brand", "p_type", "p_name", F.lit("filler")),
+        r"\|",
+    )
+    return p.select("p_partkey", arr.alias("cols")).select(
+        "p_partkey",
+        F.col("cols")[0].alias("brand"),
+        F.col("cols")[1].alias("ptype"),
+        F.col("cols")[2].alias("pname"),
+    )
+
+
+def q_p2_projection(spark, sf):
+    """P2: the fixed output-contract projection/reorder."""
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 500 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus",
+            "l_shipdate",
+        )
+    )
+
+
+def q_p4_keep_anchor(spark, sf):
+    """P4: keyword-anchor keep-list rescues rows failing the main predicate
+    (amundi/parser.py:73-79)."""
+    return (
+        load(spark, sf, "documents")
+        .filter(
+            (F.col("n_chars") < 200) | F.col("source").isin("src1", "src2")
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def q_p5_null_blank(spark, sf):
+    """P5 + P8 blank variant: drop null / whitespace-only values
+    (aviva/parser.py:181; capitalatwork:338-344)."""
+    e = load(spark, sf, "events")
+    v = (
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 5 == 1, F.lit("   "))
+        .otherwise(F.col("props"))
+    )
+    return (
+        e.select("event_id", v.alias("kept_props"))
+        .filter(
+            F.col("kept_props").isNotNull()
+            & (F.length(F.trim("kept_props")) > 0)
+        )
+    )
+
+
+def q_p10_sentinel(spark, sf):
+    """P10: sentinel-URL discard (aviva/parser.py:553-564)."""
+    from .config import URL_SENTINELS
+
+    c = load(spark, sf, "customer")
+    url = (
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("nan"))
+        .when(
+            F.col("c_custkey") % 97 == 1,
+            F.lit("annual_report_does_not_exists"),
+        )
+        .otherwise(
+            F.concat(F.lit("https://h/"), F.col("c_custkey").cast("string"))
+        )
+    )
+    return (
+        c.select("c_custkey", url.alias("pdf_url"))
+        .filter(~F.col("pdf_url").isin(URL_SENTINELS))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/2.6 remaining windows / sorts
+# ---------------------------------------------------------------------------
+
+
+def q_w2_name_ffill(spark, sf):
+    """W2: forward-fill a name-ish string column (roth/parser.py:496-503)."""
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") == "signup", F.col("props"))
+    return e.select(
+        "event_id", F.last(v, ignorenulls=True).over(w).alias("filled_name")
+    )
+
+
+def q_w5_toc_repair(spark, sf):
+    """W5: the tobam ToC repair (operators/toc_repair.py) over lines built
+    from events — unnumbered lines graft the next line's trailing token
+    with alternating consumption."""
+    from .operators.toc_repair import repair_toc_lines
+
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    line = F.concat(
+        F.lit("SEC "),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" "), (F.col("event_id") % 97).cast("string"))
+        ),
+    )
+    df = e.select(
+        F.col("user_id").alias("url"),
+        F.row_number().over(w).cast("long").alias("entry_idx"),
+        line.alias("line"),
+    )
+    return repair_toc_lines(df).select("url", "entry_idx", "line")
+
+
+def q_o2_page_sort(spark, sf):
+    """O2: page-list sort (scor/parser.py:90) — per-group sorted id list."""
+    e = load(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("event_id").cast("string"))),
+            ",",
+        ).alias("sorted_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 remaining aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_a3_threshold_retry(spark, sf):
+    """A3: threshold-triggered retry (crelan/parser.py:132-135) as its
+    relational pattern — groups whose primary aggregate is below threshold
+    take the alternate measure."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 23 == 0)
+    g = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("alt"),
+    )
+    picked = F.when(F.col("s") < 50, F.col("alt")).otherwise(F.col("s"))
+    return g.select(
+        "l_orderkey",
+        picked.cast("double").alias("picked"),
+        (F.col("s") < 50).alias("retried"),
+    )
+
+
+def q_a4_counts(spark, sf):
+    """A4: per-partition row/doc counts — the lineage metrics shape."""
+    return (
+        load(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 remaining scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q_f2_en_normalize(spark, sf):
+    """F2 + F4 under the EN locale ('1,234.56', parenthesized negatives)."""
+    from .functions.numeric import to_double
+
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    s = F.concat(
+        ((F.col("l_orderkey") % 900) + 1).cast("string"),
+        F.lit(","),
+        F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad((F.col("l_suppkey") % 100).cast("string"), 2, "0"),
+    )
+    s2 = F.when(F.col("l_linenumber") == 2, F.concat(F.lit("("), s, F.lit(")"))).otherwise(s)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        to_double(s2, F.lit("en")).alias("en_value"),
+    )
+
+
+def q_f3_format_infer(spark, sf):
+    """F3: content-inferred locale (mirova/parser.py:213-218) — both '.'
+    and ',' => ',' is thousands; otherwise ',' is the decimal mark."""
+    from .functions.numeric import to_double
+
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
+    mod3 = F.col("l_partkey") % 3
+    n9 = ((F.col("l_orderkey") % 90) + 1).cast("string")
+    n900 = ((F.col("l_orderkey") % 900) + 1).cast("string")
+    frac2 = F.lpad((F.col("l_suppkey") % 100).cast("string"), 2, "0")
+    both = F.concat(
+        n9, F.lit(","),
+        F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
+        F.lit("."), frac2,
+    )
+    comma_dec = F.concat(n900, F.lit(","), frac2)
+    dot_only = F.concat(n900, F.lit("."), frac2)
+    s = F.when(mod3 == 0, both).when(mod3 == 1, comma_dec).otherwise(dot_only)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        to_double(s, F.lit("auto")).alias("auto_value"),
+    )
+
+
+def q_f_token_strip(spark, sf):
+    """F13 leading-token drop / F14 trailing-digit strip / F15 digit strip."""
+    from .functions.strings import (
+        drop_leading_token,
+        strip_digits,
+        strip_trailing_digits,
+    )
+
+    p = load(spark, sf, "part")
+    name = F.concat(
+        (F.col("p_partkey") % 9999).cast("string"),
+        F.lit(" "),
+        F.col("p_brand"),
+        F.lit(" "),
+        F.col("p_type"),
+        (F.col("p_size") % 100).cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        drop_leading_token(name).alias("no_lead"),
+        strip_trailing_digits(name).alias("no_tail"),
+        strip_digits(name).alias("no_digits"),
+    )
+
+
+def q_f8_purge_numeric(spark, sf):
+    """F8: keep only [-.0-9] (banque/parser.py:140-153)."""
+    from .functions.numeric import purge_non_numeric
+
+    p = load(spark, sf, "part")
+    dirty = F.concat(
+        F.col("p_brand"),
+        F.lit("#"),
+        F.col("p_size").cast("string"),
+        F.lit("kg -"),
+        (F.col("p_partkey") % 1000).cast("string"),
+    )
+    return p.select("p_partkey", purge_non_numeric(dirty).alias("digits_only"))
+
+
+def q_f10_charset_purge(spark, sf):
+    """F10: keep only [0-9a-zA-Z/ %)(] (aviva/parser.py:673-676)."""
+    from .functions.strings import purge_charset
+
+    p = load(spark, sf, "part")
+    noisy = F.concat(
+        F.col("p_name"), F.lit(" ¬ß "), F.col("p_brand"), F.lit(" 12% (ok)/")
+    )
+    return p.select("p_partkey", purge_charset(noisy).alias("clean"))
+
+
+def q_f11_multi_pct(spark, sf):
+    """F11: multi-'%' truncation after the first '% <num>' match
+    (aviva/parser.py:677-680)."""
+    from .functions.strings import truncate_multi_percent
+
+    p = load(spark, sf, "part")
+    nm = F.when(
+        F.col("p_partkey") % 2 == 0,
+        F.concat(
+            F.col("p_brand"), F.lit(" % "), F.col("p_size").cast("string"),
+            F.lit(" "), F.col("p_type"), F.lit(" % 99 tail"),
+        ),
+    ).otherwise(
+        F.concat(F.col("p_brand"), F.lit(" % "), F.col("p_size").cast("string"))
+    )
+    return p.select("p_partkey", truncate_multi_percent(nm).alias("name_cut"))
+
+
+def q_f12_currency_rescue(spark, sf):
+    """F12: whitelisted currency embedded in a name cell -> extracted to
+    its own value, stripped from the name (aviva/parser.py:259-268).
+    The oracle reconstructs the expected strings from the same inputs."""
+    from .config import CURRENCIES
+    from .functions.strings import (
+        extract_currency_token,
+        remove_currency_token,
+    )
+
+    p = load(spark, sf, "part")
+    curs = ["EUR", "USD", "GBP", "CHF"]
+    cur = F.element_at(
+        F.array(*[F.lit(c) for c in curs]),
+        (F.col("p_partkey") % 4 + 1).cast("int"),
+    )
+    w1 = F.regexp_replace(F.col("p_brand"), "#", "")
+    name = F.concat(w1, F.lit(" "), cur, F.lit(" "), F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        extract_currency_token(name, CURRENCIES).alias("cur_tok"),
+        remove_currency_token(name, CURRENCIES).alias("name_clean"),
+    )
+
+
+def q_f16_rewrite_const(spark, sf):
+    """F16 provider rewrite + F20 constant columns (roth/parser.py:191;
+    tobam/parser.py:156-158)."""
+    from .functions.strings import rewrite_fund_name
+
+    p = load(spark, sf, "part")
+    title = F.concat(F.lit("EDR FUND "), F.col("p_brand"), F.lit(" EQUITY"))
+    return p.select(
+        "p_partkey",
+        rewrite_fund_name(title, r"^EDR FUND\s+").alias("report_name"),
+        F.lit("PROVIDER_X").alias("fund_provider"),
+        F.lit(None).cast("string").alias("isin"),
+    )
+
+
+def q_f17_regex_extract(spark, sf):
+    """F17: name-from-page regex extraction (scor/parser.py:111-114)."""
+    from .functions.strings import extract_by_regex
+
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        extract_by_regex(F.col("text"), r"the ([a-z]+)").alias("after_the"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 remaining dispatch operators
+# ---------------------------------------------------------------------------
+
+
+def q_d2_page0_dispatch(spark, sf):
+    """D2: document-type dispatch on page-0 content (oddo:427-435)."""
+    d = load(spark, sf, "documents")
+    page0 = F.substring("text", 1, 80)
+    cls = (
+        F.when(page0.contains("spark"), "spark_doc")
+        .when(page0.contains("data"), "data_doc")
+        .otherwise("other")
+    )
+    return (
+        d.withColumn("doc_class", cls)
+        .groupBy("doc_class")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_d3_header_variant(spark, sf):
+    """D3: header-regex chooses the column grid per line
+    (banque/parser.py:48-121)."""
+    s = load(spark, sf, "supplier")
+    line = F.when(
+        F.col("s_suppkey") % 2 == 0,
+        F.concat(
+            F.rpad(F.concat(F.lit("T1 "), F.col("s_name")), 40, " "),
+            F.col("s_nationkey").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.rpad(F.concat(F.lit("T2 "), F.col("s_name")), 50, " "),
+            F.col("s_nationkey").cast("string"),
+        )
+    )
+    d = s.select("s_suppkey", line.alias("line"))
+    v = F.when(F.col("line").startswith("T1"), 0).otherwise(1)
+    c0 = F.trim(
+        F.when(v == 0, F.substring("line", 1, 40)).otherwise(
+            F.substring("line", 1, 50)
+        )
+    )
+    c1 = F.trim(
+        F.when(v == 0, F.substring("line", 41, 100000)).otherwise(
+            F.substring("line", 51, 100000)
+        )
+    )
+    return d.select(
+        "s_suppkey", v.alias("variant"), c0.alias("c0"), c1.alias("c1")
+    )
+
+
+def q_d4_shape_dispatch(spark, sf):
+    """D4: token-count drives the realignment recipe (four/parser.py:16-32)."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 17 == 0)
+    base = F.concat_ws(
+        "  ",
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        (F.col("l_partkey") % 100).cast("string"),
+        (F.col("l_suppkey") % 100).cast("string"),
+    )
+    line = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.concat((F.col("l_orderkey") % 89).cast("string"), F.lit("  "), base),
+    ).otherwise(base)
+    arr = F.split(line, "  ")
+    shape = F.size(arr)
+    off = F.when(shape == 5, 1).otherwise(0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        shape.alias("shape"),
+        F.element_at(arr, off + 1).alias("c0"),
+        F.element_at(arr, off + 2).alias("c1"),
+        F.element_at(arr, off + 3).alias("c2"),
+        F.element_at(arr, off + 4).alias("c3"),
+    )
+
+
+def q_d5_fallback_chain(spark, sf):
+    """D5: primary extraction falls back to a secondary pattern
+    (roth/parser.py:186-187, 418-427)."""
+    d = load(spark, sf, "documents")
+    p1 = F.regexp_extract(F.col("text"), r"spark ([a-z]+)", 1)
+    p2 = F.regexp_extract(F.col("text"), r"the ([a-z]+)", 1)
+    picked = (
+        F.when(p1 != "", p1).when(p2 != "", p2).otherwise(F.lit("none"))
+    )
+    return d.select("doc_id", picked.alias("picked"))
+
+
+# ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
 
@@ -551,6 +1060,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
     "d1_dispatch": q_d1_dispatch,
+    "s5_grid_slice": q_s5_grid_slice,
+    "s7_gap_split": q_s7_gap_split,
+    "u3_two_up_split": q_u3_two_up_split,
+    "p1_realign": q_p1_realign,
+    "p2_projection": q_p2_projection,
+    "p4_keep_anchor": q_p4_keep_anchor,
+    "p5_null_blank": q_p5_null_blank,
+    "p10_sentinel": q_p10_sentinel,
+    "w2_name_ffill": q_w2_name_ffill,
+    "w5_toc_repair": q_w5_toc_repair,
+    "o2_page_sort": q_o2_page_sort,
+    "a3_threshold_retry": q_a3_threshold_retry,
+    "a4_counts": q_a4_counts,
+    "f2_en_normalize": q_f2_en_normalize,
+    "f3_format_infer": q_f3_format_infer,
+    "f_token_strip": q_f_token_strip,
+    "f8_purge_numeric": q_f8_purge_numeric,
+    "f10_charset_purge": q_f10_charset_purge,
+    "f11_multi_pct": q_f11_multi_pct,
+    "f12_currency_rescue": q_f12_currency_rescue,
+    "f16_rewrite_const": q_f16_rewrite_const,
+    "f17_regex_extract": q_f17_regex_extract,
+    "d2_page0_dispatch": q_d2_page0_dispatch,
+    "d3_header_variant": q_d3_header_variant,
+    "d4_shape_dispatch": q_d4_shape_dispatch,
+    "d5_fallback_chain": q_d5_fallback_chain,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -753,6 +1288,247 @@ ORACLE_SQL: dict[str, str] = {
         "  WHEN text LIKE '%join%' THEN 'join-heavy' ELSE 'plain' END "
         "  AS doc_class, COUNT(*) AS n_docs "
         "FROM documents GROUP BY 1, 2"
+    ),
+    "s5_grid_slice": (
+        "WITH l AS (SELECT p_partkey AS line_id, "
+        "  rpad(p_name, 40, ' ') || rpad(p_brand, 8, ' ') || "
+        "  rpad(CAST(p_size AS VARCHAR), 18, ' ') || p_type AS line "
+        "FROM part) "
+        "SELECT line_id, trim(substr(line, 1, 40)) AS c0, "
+        "trim(substr(line, 41, 8)) AS c1, trim(substr(line, 49, 18)) AS c2, "
+        "trim(substr(line, 67)) AS c3, 4 AS shape FROM l"
+    ),
+    "s7_gap_split": (
+        "WITH l AS (SELECT p_partkey AS line_id, "
+        "  CASE WHEN p_partkey % 3 = 0 "
+        "    THEN CAST(p_partkey % 89 AS VARCHAR) || '  ' ELSE '' END "
+        "  || p_brand || '  ' || p_name || '  ' || "
+        "  CAST(p_size AS VARCHAR) || '  ' || p_type AS line FROM part), "
+        "t AS (SELECT line_id, "
+        "  regexp_split_to_array(trim(line), ' {2,}') AS tk FROM l), "
+        "s AS (SELECT line_id, len(tk) AS shape, "
+        "  CASE WHEN len(tk) = 5 THEN 1 ELSE 0 END AS o, tk FROM t) "
+        "SELECT line_id, tk[1+o] AS c0, tk[2+o] AS c1, tk[3+o] AS c2, "
+        "tk[4+o] AS c3, CAST(shape AS INTEGER) AS shape FROM s"
+    ),
+    "u3_two_up_split": (
+        "WITH l AS (SELECT p_partkey AS line_id, "
+        "  rpad(p_brand || '  ' || CAST(p_size AS VARCHAR), 40, ' ') || "
+        "  p_type || '  ' || CAST(p_partkey % 97 AS VARCHAR) AS line "
+        "FROM part) "
+        "SELECT line_id, 'L' AS half, trim(substr(line, 1, 40)) AS cell "
+        "FROM l UNION ALL "
+        "SELECT line_id, 'R' AS half, trim(substr(line, 41)) AS cell FROM l"
+    ),
+    "p1_realign": (
+        "WITH t AS (SELECT p_partkey, string_split("
+        "  p_brand || '|' || p_type || '|' || p_name || '|filler', '|') "
+        "  AS cols FROM part) "
+        "SELECT p_partkey, cols[1] AS brand, cols[2] AS ptype, "
+        "cols[3] AS pname FROM t"
+    ),
+    "p2_projection": (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
+        "l_extendedprice, l_returnflag, l_linestatus, l_shipdate "
+        "FROM lineitem WHERE l_orderkey % 500 = 0"
+    ),
+    "p4_keep_anchor": (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE n_chars < 200 OR source IN ('src1','src2')"
+    ),
+    "p5_null_blank": (
+        "SELECT event_id, kept_props FROM ("
+        "  SELECT event_id, CASE WHEN event_id % 5 = 0 THEN NULL "
+        "    WHEN event_id % 5 = 1 THEN '   ' ELSE props END AS kept_props "
+        "  FROM events) "
+        "WHERE kept_props IS NOT NULL AND length(trim(kept_props)) > 0"
+    ),
+    "p10_sentinel": (
+        "SELECT c_custkey, pdf_url FROM ("
+        "  SELECT c_custkey, CASE WHEN c_custkey % 97 = 0 THEN 'nan' "
+        "    WHEN c_custkey % 97 = 1 THEN 'annual_report_does_not_exists' "
+        "    ELSE 'https://h/' || CAST(c_custkey AS VARCHAR) END AS pdf_url "
+        "  FROM customer) "
+        "WHERE pdf_url NOT IN "
+        "('nan', 'annual_report_does_not_exists', '')"
+    ),
+    "w2_name_ffill": (
+        "SELECT event_id, last_value("
+        "  CASE WHEN event_type = 'signup' THEN props END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "  AS filled_name "
+        "FROM events"
+    ),
+    "w5_toc_repair": (
+        "WITH l AS ("
+        "  SELECT user_id AS url, "
+        "    CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "      ORDER BY ts, event_id) AS BIGINT) AS entry_idx, "
+        "    'SEC ' || event_type || CASE WHEN event_id % 3 = 0 THEN '' "
+        "      ELSE ' ' || CAST(event_id % 97 AS VARCHAR) END AS line "
+        "  FROM events), "
+        "f AS ("
+        "  SELECT url, entry_idx, line, "
+        "    regexp_matches(line, '(^|\\s)([0-9]+)\\s*$') AS has_pg, "
+        "    ROW_NUMBER() OVER (PARTITION BY url ORDER BY entry_idx) AS rn, "
+        "    LEAD(line) OVER (PARTITION BY url ORDER BY entry_idx) "
+        "      AS next_line "
+        "  FROM l), "
+        "g AS ("
+        "  SELECT *, MAX(CASE WHEN has_pg THEN rn END) OVER ("
+        "    PARTITION BY url ORDER BY entry_idx "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_pg_rn "
+        "  FROM f) "
+        "SELECT url, entry_idx, "
+        "  CASE WHEN NOT has_pg AND next_line IS NOT NULL "
+        "    THEN line || ' ' || regexp_extract(next_line, '(\\S+)\\s*$', 1) "
+        "    ELSE line END AS line "
+        "FROM g "
+        "WHERE ((rn - 1 - COALESCE(last_pg_rn, 0)) % 2) <> 1"
+    ),
+    "o2_page_sort": (
+        "SELECT user_id, array_to_string(list_sort(list("
+        "CAST(event_id AS VARCHAR))), ',') AS sorted_ids "
+        "FROM events GROUP BY user_id"
+    ),
+    "a3_threshold_retry": (
+        "WITH g AS ("
+        "  SELECT l_orderkey, "
+        "    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s, "
+        "    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS alt "
+        "  FROM lineitem WHERE l_orderkey % 23 = 0 GROUP BY l_orderkey) "
+        "SELECT l_orderkey, "
+        "CAST(CASE WHEN s < 50 THEN alt ELSE s END AS DOUBLE) AS picked, "
+        "s < 50 AS retried FROM g"
+    ),
+    "a4_counts": (
+        "SELECT source, COUNT(*) AS n_rows, "
+        "COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source"
+    ),
+    "f2_en_normalize": (
+        "WITH t AS (SELECT l_orderkey, l_linenumber, "
+        "  CAST(CAST((l_orderkey % 900) + 1 AS VARCHAR) || "
+        "    lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0') || '.' || "
+        "    lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS v "
+        "  FROM lineitem WHERE l_orderkey % 11 = 0) "
+        "SELECT l_orderkey, l_linenumber, "
+        "CASE WHEN l_linenumber = 2 THEN -v ELSE v END AS en_value FROM t"
+    ),
+    "f3_format_infer": (
+        "SELECT l_orderkey, l_linenumber, "
+        "CASE WHEN l_partkey % 3 = 0 THEN "
+        "  CAST(CAST((l_orderkey % 90) + 1 AS VARCHAR) || "
+        "    lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0') || '.' || "
+        "    lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DOUBLE) "
+        "WHEN l_partkey % 3 = 1 THEN "
+        "  CAST(CAST((l_orderkey % 900) + 1 AS VARCHAR) || '.' || "
+        "    lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DOUBLE) "
+        "ELSE "
+        "  CAST(CAST((l_orderkey % 900) + 1 AS VARCHAR) || '.' || "
+        "    lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DOUBLE) "
+        "END AS auto_value "
+        "FROM lineitem WHERE l_orderkey % 13 = 0"
+    ),
+    "f_token_strip": (
+        "WITH t AS (SELECT p_partkey, "
+        "  CAST(p_partkey % 9999 AS VARCHAR) || ' ' || p_brand || ' ' || "
+        "  p_type || CAST(p_size % 100 AS VARCHAR) AS name FROM part) "
+        "SELECT p_partkey, "
+        "regexp_replace(name, '^\\S+ +', '') AS no_lead, "
+        "regexp_replace(name, '[0-9]+$', '') AS no_tail, "
+        "regexp_replace(name, '[0-9]+', '', 'g') AS no_digits FROM t"
+    ),
+    "f8_purge_numeric": (
+        "SELECT p_partkey, regexp_replace("
+        "p_brand || '#' || CAST(p_size AS VARCHAR) || 'kg -' || "
+        "CAST(p_partkey % 1000 AS VARCHAR), "
+        "'[^-.0-9]', '', 'g') AS digits_only FROM part"
+    ),
+    "f10_charset_purge": (
+        "SELECT p_partkey, regexp_replace("
+        "p_name || ' ¬ß ' || p_brand || ' 12% (ok)/', "
+        "'[^0-9a-zA-Z/ %)(]', '', 'g') AS clean FROM part"
+    ),
+    "f11_multi_pct": (
+        "WITH t AS (SELECT p_partkey, "
+        "  CASE WHEN p_partkey % 2 = 0 THEN "
+        "    p_brand || ' % ' || CAST(p_size AS VARCHAR) || ' ' || p_type "
+        "      || ' % 99 tail' "
+        "  ELSE p_brand || ' % ' || CAST(p_size AS VARCHAR) END AS nm "
+        "  FROM part) "
+        "SELECT p_partkey, "
+        "CASE WHEN (length(nm) - length(replace(nm, '%', ''))) > 1 "
+        "  AND regexp_extract(nm, '^(.*?%\\s*[0-9.,]+)', 1) <> '' "
+        "  THEN regexp_extract(nm, '^(.*?%\\s*[0-9.,]+)', 1) "
+        "  ELSE nm END AS name_cut FROM t"
+    ),
+    "f12_currency_rescue": (
+        "WITH t AS (SELECT p_partkey, "
+        "  replace(p_brand, '#', '') AS w1, p_type AS w2, "
+        "  ['EUR','USD','GBP','CHF'][CAST(p_partkey % 4 AS INTEGER) + 1] "
+        "    AS cur FROM part) "
+        "SELECT p_partkey, cur AS cur_tok, "
+        # the Spark removal replaces ' CUR' (lookahead keeps the trailing
+        # space) with ' ' -> a double space remains until F18 collapses it
+        "w1 || '  ' || w2 AS name_clean FROM t"
+    ),
+    "f16_rewrite_const": (
+        "SELECT p_partkey, "
+        "trim(regexp_replace('EDR FUND ' || p_brand || ' EQUITY', "
+        "  '^EDR FUND\\s+', '')) AS report_name, "
+        "'PROVIDER_X' AS fund_provider, CAST(NULL AS VARCHAR) AS isin "
+        "FROM part"
+    ),
+    "f17_regex_extract": (
+        "SELECT doc_id, regexp_extract(text, 'the ([a-z]+)', 1) "
+        "AS after_the FROM documents"
+    ),
+    "d2_page0_dispatch": (
+        "SELECT doc_class, COUNT(*) AS n_docs FROM ("
+        "  SELECT CASE WHEN substr(text, 1, 80) LIKE '%spark%' "
+        "    THEN 'spark_doc' "
+        "  WHEN substr(text, 1, 80) LIKE '%data%' THEN 'data_doc' "
+        "  ELSE 'other' END AS doc_class FROM documents) "
+        "GROUP BY doc_class"
+    ),
+    "d3_header_variant": (
+        "WITH l AS (SELECT s_suppkey, "
+        "  CASE WHEN s_suppkey % 2 = 0 "
+        "    THEN rpad('T1 ' || s_name, 40, ' ') || "
+        "      CAST(s_nationkey AS VARCHAR) "
+        "    ELSE rpad('T2 ' || s_name, 50, ' ') || "
+        "      CAST(s_nationkey AS VARCHAR) END AS line FROM supplier), "
+        "v AS (SELECT s_suppkey, line, "
+        "  CASE WHEN line LIKE 'T1%' THEN 0 ELSE 1 END AS variant FROM l) "
+        "SELECT s_suppkey, variant, "
+        "trim(CASE WHEN variant = 0 THEN substr(line, 1, 40) "
+        "  ELSE substr(line, 1, 50) END) AS c0, "
+        "trim(CASE WHEN variant = 0 THEN substr(line, 41) "
+        "  ELSE substr(line, 51) END) AS c1 FROM v"
+    ),
+    "d4_shape_dispatch": (
+        "WITH l AS (SELECT l_orderkey, l_linenumber, "
+        "  CASE WHEN l_linenumber % 2 = 0 "
+        "    THEN CAST(l_orderkey % 89 AS VARCHAR) || '  ' ELSE '' END "
+        "  || l_returnflag || '  ' || l_linestatus || '  ' || "
+        "  CAST(l_partkey % 100 AS VARCHAR) || '  ' || "
+        "  CAST(l_suppkey % 100 AS VARCHAR) AS line "
+        "  FROM lineitem WHERE l_orderkey % 17 = 0), "
+        "t AS (SELECT l_orderkey, l_linenumber, "
+        "  string_split(line, '  ') AS tk FROM l), "
+        "s AS (SELECT *, CAST(len(tk) AS INTEGER) AS shape, "
+        "  CASE WHEN len(tk) = 5 THEN 1 ELSE 0 END AS o FROM t) "
+        "SELECT l_orderkey, l_linenumber, shape, tk[1+o] AS c0, "
+        "tk[2+o] AS c1, tk[3+o] AS c2, tk[4+o] AS c3 FROM s"
+    ),
+    "d5_fallback_chain": (
+        "SELECT doc_id, "
+        "CASE WHEN regexp_extract(text, 'spark ([a-z]+)', 1) <> '' "
+        "  THEN regexp_extract(text, 'spark ([a-z]+)', 1) "
+        "WHEN regexp_extract(text, 'the ([a-z]+)', 1) <> '' "
+        "  THEN regexp_extract(text, 'the ([a-z]+)', 1) "
+        "ELSE 'none' END AS picked FROM documents"
     ),
     "dedup_exact": (
         f"WITH {_DUPES} "
