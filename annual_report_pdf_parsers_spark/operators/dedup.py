@@ -97,18 +97,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise k-shingle Jaccard, candidates restricted to docs sharing a
     bucket AND at least one shingle (equi-join, no cross product).
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|), one integer division -> identical
     double in any engine.
+
+    ``max_df`` caps a shingle's document frequency within its bucket: a
+    boilerplate shingle shared by d documents contributes d^2 rows to the
+    intersect join (quadratic within that key — the hot-shingle skew that
+    kills this plan at 100x).  Shingles above the cap are dropped BEFORE
+    the self-join, and set sizes are computed over the surviving shingles
+    so the Jaccard stays internally consistent (a documented approximation
+    of the exact measure — boilerplate carries no dedup signal anyway).
     """
     base = with_shingles(df, text_col, k).select(
         F.col(id_col).alias("sid"),
         *[F.col(c) for c in bucket_cols],
         F.explode(F.col("_sh")).alias("shingle"),
     )
+    if max_df is not None:
+        df_ok = (
+            base.groupBy(*bucket_cols, "shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+        base = base.join(df_ok, on=[*bucket_cols, "shingle"], how="left_semi")
     sizes = base.groupBy("sid").count().withColumnRenamed("count", "sz")
     a = base.select(
         F.col("sid").alias("id_a"),
@@ -224,25 +241,55 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
-    """16-bit SimHash: per token, md5 nibbles vote +1/-1 per bit position;
+def simhash_bits(
+    df: DataFrame, n_bits: int = 64, text_col="text", id_col="doc_id"
+) -> DataFrame:
+    """n-bit SimHash: per token, md5 nibbles vote +1/-1 per bit position;
     the sign vector is the fingerprint (near-dup docs differ in few bits).
 
-    Implemented as 16 conditional-sum aggregates over exploded tokens —
-    one shuffle on id, partial-aggregated map-side."""
+    Implemented as n_bits conditional-sum aggregates over exploded tokens —
+    one shuffle on id, partial-aggregated map-side.  Bits beyond the 32
+    nibbles of md5(tok) come from md5(tok || '#2') etc., so up to 128 bits
+    are available.  16 bits is collision-prone as a near-dup key beyond
+    ~10^5 docs (2^16 buckets); 64 bits is the 10^12-scale default.
+    """
+    assert n_bits <= 128
     toks = df.select(
         F.col(id_col).alias("sid"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
-    # nibble i of the md5 hex encodes bit i: vote +1 when >= '8'
+    )
+    toks = toks.withColumn("h", F.md5(F.col("tok")))
+    if n_bits > 32:
+        toks = toks.withColumn(
+            "h2", F.md5(F.concat(F.col("tok"), F.lit("#2")))
+        )
+        if n_bits > 64:
+            toks = toks.withColumn(
+                "h3", F.md5(F.concat(F.col("tok"), F.lit("#3")))
+            )
+            toks = toks.withColumn(
+                "h4", F.md5(F.concat(F.col("tok"), F.lit("#4")))
+            )
+
+    def nib(i: int):
+        src = ["h", "h2", "h3", "h4"][i // 32]
+        return F.substring(src, i % 32 + 1, 1)
+
+    # nibble i encodes bit i: vote +1 when >= '8'
     votes = [
-        F.sum(
-            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(16)
+        F.sum(F.when(nib(i) >= "8", 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(n_bits)
     ]
     agg = toks.groupBy("sid").agg(*votes)
     fp = F.concat(
-        *[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(16)]
+        *[
+            F.when(F.col(f"b{i}") > 0, "1").otherwise("0")
+            for i in range(n_bits)
+        ]
     )
     return agg.select("sid", fp.alias("simhash"))
+
+
+def simhash16(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """16-bit SimHash (sandbox-friendly width; see simhash_bits)."""
+    return simhash_bits(df, 16, text_col, id_col)

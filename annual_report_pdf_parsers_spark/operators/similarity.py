@@ -113,6 +113,70 @@ def cosine_near_dup_pairs(
     )
 
 
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.55,
+    n_planes: int = 2,
+    n_tables: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs, SCALE path: multi-table LSH candidate
+    generation + exact-cosine verification.
+
+    ``cosine_near_dup_pairs`` above is the exact quadratic form (the
+    verify predicate / small-scale oracle); THIS is the plan to run at
+    10^12 rows — candidates come from an equi-join on (table_no, bucket),
+    never a cross product, and each surviving pair is verified with the
+    exact cosine.  Recall for a pair at angle theta is
+    1 - (1 - (1 - theta/pi)^n_planes)^n_tables; exact duplicates are
+    always caught (identical vectors share every bucket).  Size n_planes
+    for the corpus: ~log2(n_docs / target_bucket_size) per table (see
+    lsh_plane_count)."""
+    b = corpus.select(
+        F.col(id_col).alias("sid"),
+        F.explode(
+            lsh_tables(F.col(vec_col), n_tables, n_planes, dim)
+        ).alias("tb"),
+    ).select("sid", F.col("tb.table_no").alias("t"), F.col("tb.bucket").alias("bk"))
+    a = b.select(F.col("sid").alias("id_a"), "t", "bk")
+    c = b.select(F.col("sid").alias("id_b"), "t", "bk")
+    cand = (
+        a.join(c, ["t", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_digits).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def lsh_plane_count(n_docs: int, target_bucket_size: int = 1024) -> int:
+    """Planes per LSH table so expected bucket occupancy ~= target:
+    2^planes buckets => planes = log2(n / target).  At n=10^12 and a 1k
+    target this is ~30 planes; the sandbox default (2) exists because 500
+    test vectors would otherwise land one-per-bucket and recall tests
+    would be vacuous.  Trade-off: more planes => better pruning, lower
+    per-table recall => compensate with n_tables (the OR-construction)."""
+    import math
+
+    return max(2, math.ceil(math.log2(max(2, n_docs / target_bucket_size))))
+
+
 def hyperplane_sign(vec: Column, plane_no: int, dim: int = 64) -> Column:
     """Sign bit of <v, p_i> where plane p_i has +/-1 components derived
     from md5 nibbles (deterministic, engine-reproducible, no RNG)."""

@@ -929,10 +929,14 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
+    """max_df=4 exercises the hot-shingle document-frequency cap (the
+    100x skew guard) — the cap provably fires at sf0.01 (max organic DF
+    is 5) and the oracle applies the identical filter."""
     return dedup.ngram_jaccard_pairs(
         _corpus_with_dupes(spark, sf),
         bucket_cols=["lang", "source"],
         threshold=0.5,
+        max_df=4,
     )
 
 
@@ -942,6 +946,14 @@ def q_dedup_minhash_lsh(spark, sf):
 
 def q_dedup_simhash(spark, sf):
     return dedup.simhash16(load(spark, sf, "documents")).select(
+        F.col("sid").alias("doc_id"), "simhash"
+    )
+
+
+def q_dedup_simhash64(spark, sf):
+    """64-bit SimHash — the 10^12-scale fingerprint width (16 bits is
+    collision-prone as a near-dup key beyond ~10^5 docs)."""
+    return dedup.simhash_bits(load(spark, sf, "documents"), 64).select(
         F.col("sid").alias("doc_id"), "simhash"
     )
 
@@ -962,6 +974,20 @@ def q_dedup_embedding_cosine(spark, sf):
     )
     return similarity.cosine_near_dup_pairs(
         emb.unionByName(dup), threshold=0.35
+    )
+
+
+def q_dedup_embedding_cosine_lsh(spark, sf):
+    """The composed SCALE path for embedding near-dup: multi-table LSH
+    candidates -> exact-cosine verify (never the O(n^2) pair join).
+    Deterministic (md5-derived hyperplanes), so the oracle reproduces the
+    buckets and the exact same pair set in SQL."""
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    dup = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return similarity.near_dup_pairs_lsh(
+        emb.unionByName(dup), threshold=0.35, n_planes=2, n_tables=3
     )
 
 
@@ -1090,7 +1116,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash64": q_dedup_simhash64,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1102,6 +1130,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # shared SQL fragments -------------------------------------------------------
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine between two embedding-table aliases, folding left-to-right
+    in float64 exactly like operators/similarity.py::cosine."""
+
+    def dot(x, y):
+        return (
+            f"list_reduce(list_transform(generate_series(1, "
+            f"len({x}.embedding)), i -> CAST({x}.embedding[i] AS DOUBLE) * "
+            f"CAST({y}.embedding[i] AS DOUBLE)), (p, q) -> p + q)"
+        )
+
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+def _lsh_bucket_sql(table_no: int, n_planes: int, dim: int = 64) -> str:
+    """Per-table LSH bucket string, reproducing similarity.hyperplane_sign
+    (md5-derived +/-1 plane components, left-to-right float64 fold)."""
+    signs = []
+    for p in range(table_no * n_planes, (table_no + 1) * n_planes):
+        fold = (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CASE WHEN substr(md5('plane{p}:' || CAST(i - 1 AS VARCHAR)), "
+            f"1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (p, q) -> p + q)"
+        )
+        signs.append(f"(CASE WHEN {fold} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(signs)
 
 _DUPES = """
 corpus AS (
@@ -1537,10 +1594,15 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "dedup_ngram_jaccard": (
         f"WITH {_DUPES}, {_TOKS}, {_SHINGLES}, "
-        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+        # max_df=4 hot-shingle cap, identical to the engine's filter
+        "dfc AS (SELECT lang, source, shingle FROM sh "
+        "  GROUP BY lang, source, shingle HAVING COUNT(*) <= 4), "
+        "shf AS (SELECT sh.doc_id, sh.lang, sh.source, sh.shingle "
+        "  FROM sh JOIN dfc USING (lang, source, shingle)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id), "
         "inter AS ("
         "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i "
-        "  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
+        "  FROM shf a JOIN shf b ON a.lang = b.lang AND a.source = b.source "
         "    AND a.shingle = b.shingle AND a.doc_id < b.doc_id "
         "  GROUP BY a.doc_id, b.doc_id) "
         "SELECT id_a, id_b, "
@@ -1586,6 +1648,45 @@ ORACLE_SQL: dict[str, str] = {
             f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
         )
         + " AS simhash FROM v"
+    ),
+    "dedup_simhash64": (
+        "WITH t AS ("
+        "  SELECT doc_id, md5(tok) AS h, md5(tok || '#2') AS h2 FROM ("
+        "    SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), "
+        "      x -> x <> '')) AS tok FROM documents)), "
+        "v AS (SELECT doc_id, "
+        + ", ".join(
+            f"SUM(CASE WHEN substr({'h' if i < 32 else 'h2'}, "
+            f"{i % 32 + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(64)
+        )
+        + " FROM t GROUP BY doc_id) "
+        "SELECT doc_id, "
+        + " || ".join(
+            f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(64)
+        )
+        + " AS simhash FROM v"
+    ),
+    "dedup_embedding_cosine_lsh": (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id < 200 "
+        "UNION ALL "
+        "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings "
+        "WHERE vec_id < 200 AND vec_id % 25 = 0), "
+        "b AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {t} AS t, {_lsh_bucket_sql(t, 2)} AS bk FROM e"
+            for t in range(3)
+        )
+        + "), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b "
+        "  FROM b a JOIN b c ON a.t = c.t AND a.bk = c.bk "
+        "    AND a.vec_id < c.vec_id), "
+        "s AS (SELECT id_a, id_b, "
+        f"  ROUND({_cos_sql('ea', 'eb')}, 4) AS cos "
+        "  FROM cand JOIN e ea ON ea.vec_id = id_a "
+        "  JOIN e eb ON eb.vec_id = id_b) "
+        "SELECT id_a, id_b, cos FROM s WHERE cos >= 0.35"
     ),
     "text_langid": (
         "WITH c AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t "

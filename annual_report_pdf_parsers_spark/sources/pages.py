@@ -89,20 +89,28 @@ def run_with_lineage(
               checkpoint future runs anti-join against.
     metrics:  per (doc_class-ish) partition row counts — the reference's
               'Total - N' prints (aviva/parser.py:697) as a table.
+
+    Crash-safety contract (parquet stand-in for an Iceberg transaction):
+      1. holdings land in a PER-RUN directory (holdings/run_id=<id>/);
+      2. metrics are computed FROM the written files — the pipeline plan
+         executes exactly once (the old formulation re-ran the whole job
+         a second time for the metrics aggregate);
+      3. lineage is committed LAST.  A crash inside the window leaves an
+         orphan run directory whose urls are absent from lineage: the next
+         run reprocesses them (pending_pages) and ``read_holdings`` keeps
+         only rows whose (url, run_id) is lineage-committed, so the orphan
+         can never surface as duplicate output.
     """
-    res_path = os.path.join(out_dir, "holdings")
+    res_path = os.path.join(out_dir, "holdings", f"run_id={run_id}")
     lin_path = os.path.join(out_dir, "lineage")
     met_path = os.path.join(out_dir, "metrics")
 
-    result.write.mode("append").parquet(res_path)
+    result.write.mode("overwrite").parquet(res_path)
 
-    lineage = pages.select("url").distinct().withColumn(
-        "run_id", F.lit(run_id)
-    )
-    lineage.write.mode("append").parquet(lin_path)
-
+    spark = pages.sparkSession
+    written = spark.read.parquet(res_path)
     metrics = (
-        result.groupBy("fund_provider")
+        written.groupBy("fund_provider")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("pdf_url").alias("n_docs"),
@@ -110,18 +118,49 @@ def run_with_lineage(
         .withColumn("run_id", F.lit(run_id))
     )
     metrics.write.mode("append").parquet(met_path)
-    n_docs = lineage.count()
+
+    # the commit point: only now do the urls count as processed
+    lineage = pages.select("url").distinct().withColumn(
+        "run_id", F.lit(run_id)
+    )
+    lineage.write.mode("append").parquet(lin_path)
+    n_docs = (
+        spark.read.parquet(lin_path)
+        .filter(F.col("run_id") == run_id)
+        .count()
+    )
     return {"docs": n_docs}
+
+
+def read_holdings(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Committed holdings only: a row is visible iff its (url, run_id) is
+    present in lineage, latest run winning per url — orphan per-run
+    directories from crashed runs are filtered out, and a url defensively
+    reprocessed by two committed runs appears once."""
+    hold = spark.read.parquet(os.path.join(out_dir, "holdings"))
+    lin = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    latest = lin.groupBy("url").agg(F.max("run_id").alias("_run"))
+    return hold.join(
+        F.broadcast(latest),
+        (hold["pdf_url"] == latest["url"])
+        & (hold["run_id"].cast("string") == latest["_run"].cast("string")),
+        "left_semi",
+    )
 
 
 def pending_pages(
     spark: SparkSession, pages: DataFrame, out_dir: str
 ) -> DataFrame:
     """Resume: drop urls already committed to lineage (the distributed
-    version of the reference's pdf_names.csv skip, README.md:121)."""
+    version of the reference's pdf_names.csv skip, README.md:121).
+    Only a MISSING lineage table means 'first run, process everything';
+    any other read error propagates (a transient failure must not
+    silently trigger full reprocessing)."""
+    from pyspark.errors import AnalysisException
+
     lin_path = os.path.join(out_dir, "lineage")
     try:
         done = spark.read.parquet(lin_path).select("url").distinct()
-    except Exception:
+    except AnalysisException:
         return pages
     return pages.join(done, "url", "left_anti")

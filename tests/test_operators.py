@@ -15,6 +15,7 @@ from annual_report_pdf_parsers_spark.operators.multimodal import (
 )
 from annual_report_pdf_parsers_spark.sources.pages import (
     pending_pages,
+    read_holdings,
     run_with_lineage,
     salt_hot_hosts,
 )
@@ -84,6 +85,31 @@ def test_pending_pages_partial(spark, tmp_path):
     run_with_lineage(first, res, out, "r1")
     left = pending_pages(spark, pages, out)
     assert left.count() == 5
+
+
+def test_lineage_crash_window_no_duplicates(spark, tmp_path):
+    """A crash between the holdings write and the lineage commit must not
+    yield duplicate output after resume: the orphan run directory's urls
+    stay pending, and read_holdings only surfaces lineage-committed rows."""
+    out = str(tmp_path / "crash")
+    pages_pdf, manifest_pdf, _ = make_corpus(6, seed=13)
+    pages = pages_to_spark(spark, pages_pdf)
+    from annual_report_pdf_parsers_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(pages, manifest_to_spark(spark, manifest_pdf))
+    n = res.count()
+    # simulate the crash: holdings written, lineage NOT committed
+    res.write.mode("overwrite").parquet(
+        os.path.join(out, "holdings", "run_id=r0")
+    )
+    # resume still sees every url as pending (orphan run is uncommitted)
+    assert pending_pages(spark, pages, out).count() == 6
+    # the re-run commits normally
+    run_with_lineage(pages, res, out, "r1")
+    # raw storage holds both copies, committed view exactly one
+    raw = spark.read.parquet(os.path.join(out, "holdings"))
+    assert raw.count() == 2 * n
+    assert read_holdings(spark, out).count() == n
 
 
 def test_streaming_available_now(spark, tmp_path):
