@@ -72,6 +72,48 @@ def salt_hot_hosts(
     )
 
 
+def write_csv_contract(df: DataFrame, path: str) -> None:
+    """S8 with the reference's EXACT serialization (aviva/parser.py:691-695
+    ``result.to_csv(out, index=False, encoding='utf-8')``): each partition
+    is rendered by pandas.to_csv inside an Arrow batch — float repr is
+    Python's shortest round-trip, quoting is pandas' — so the bytes match
+    what the reference emits (Spark's native CSV writer would differ: Java
+    Double.toString switches to scientific notation at 1e7).
+
+    Distributed: one part file per partition, no driver collect.  The
+    header is written once as ``_header.csv``; ``read_csv_contract``
+    reassembles.  At 100 TB this sink shape (text parts + a tiny header
+    artifact) is the same as any Spark text sink."""
+    import io
+
+    import pandas as pd
+
+    from ..config import OUTPUT_COLUMNS
+
+    cols = list(OUTPUT_COLUMNS)
+
+    def fmt(it):
+        for pdf in it:
+            buf = io.StringIO()
+            pdf[cols].to_csv(buf, index=False, header=False)
+            yield pd.DataFrame({"line": buf.getvalue().splitlines()})
+
+    df.mapInPandas(fmt, "line string").write.mode("overwrite").text(
+        os.path.join(path, "data")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(",".join(cols),)], "line string"
+    ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "header"))
+
+
+def read_csv_contract(spark: SparkSession, path: str):
+    """Read back a write_csv_contract sink as raw CSV lines (header first).
+    Returns (header_line, data_lines DataFrame)."""
+    header = spark.read.text(os.path.join(path, "header")).first()[0]
+    return header, spark.read.text(os.path.join(path, "data"))
+
+
 # ---------------------------------------------------------------------------
 # lineage / metrics / resume
 # ---------------------------------------------------------------------------

@@ -112,6 +112,34 @@ def test_lineage_crash_window_no_duplicates(spark, tmp_path):
     assert read_holdings(spark, out).count() == n
 
 
+def test_csv_sink_byte_parity(spark, tmp_path):
+    """S8: write_csv_contract must emit byte-identical CSV lines to the
+    reference's pandas to_csv serialization of the same rows."""
+    import io
+
+    from annual_report_pdf_parsers_spark.plans.pipeline import run_pipeline
+    from annual_report_pdf_parsers_spark.sources.pages import (
+        read_csv_contract,
+        write_csv_contract,
+    )
+    from annual_report_pdf_parsers_spark.config import OUTPUT_COLUMNS
+
+    out = str(tmp_path / "csv_sink")
+    pages_pdf, manifest_pdf, expected = make_corpus(10, seed=21)
+    res = run_pipeline(
+        pages_to_spark(spark, pages_pdf),
+        manifest_to_spark(spark, manifest_pdf),
+    )
+    write_csv_contract(res, out)
+    header, lines = read_csv_contract(spark, out)
+    assert header == ",".join(OUTPUT_COLUMNS)
+    got = sorted(r[0] for r in lines.collect())
+    buf = io.StringIO()
+    expected[list(OUTPUT_COLUMNS)].to_csv(buf, index=False, header=False)
+    want = sorted(buf.getvalue().splitlines())
+    assert got == want
+
+
 def test_streaming_available_now(spark, tmp_path):
     pages_dir = str(tmp_path / "pages_in")
     out = str(tmp_path / "stream_out")
