@@ -90,7 +90,9 @@ def assign_funds(raw: DataFrame) -> DataFrame:
     )
 
 
-def join_manifest(holdings: DataFrame, manifest: DataFrame) -> DataFrame:
+def join_manifest(
+    holdings: DataFrame, manifest: DataFrame, hint: str | None = None
+) -> DataFrame:
     """J1/J4/P10: left join to the manifest for website name + isin.
 
     The match is the reference's substring containment (the ToC/report
@@ -98,6 +100,14 @@ def join_manifest(holdings: DataFrame, manifest: DataFrame) -> DataFrame:
     an equi-join on url with an ``instr`` residual.  One report row fans
     out to every matching share class (Cap/Dis) — the J4 memo semantics.
     Unmatched reports keep NULL website/isin (pages-driven engine).
+
+    ``hint``: the manifest is NOT a fixed small dimension — it grows with
+    the corpus (one row per fund share class), so at bench/production
+    scale a driver-built broadcast is a serial bottleneck.  Pass
+    ``"shuffle_hash"`` to co-partition instead: holdings are already
+    hash(url)-clustered by the pipeline, so only the (small) manifest
+    side shuffles and the hash build is parallel per-partition.  Default
+    None lets Catalyst choose (broadcast for genuinely small manifests).
     """
     m = (
         manifest.filter(~F.col("pdf_url").isin(URL_SENTINELS))  # P10
@@ -107,6 +117,8 @@ def join_manifest(holdings: DataFrame, manifest: DataFrame) -> DataFrame:
             "isin",
         )
     )
+    if hint:
+        m = m.hint(hint)
     cond = (holdings["url"] == m["_m_url"]) & (
         F.instr(F.lower(m["fund_name_website"]), holdings["fund_name_report"])
         > 0

@@ -50,7 +50,12 @@ def extract_holdings(pages: DataFrame) -> DataFrame:
     rows = extract_resolved(classified).withColumn(
         "fund_name_report", report_name_col(F.col("fund"))  # F16 + lower
     ).drop("fund")
-    rows = rows.repartition("url", "fund_name_report")
+    # ONE wide exchange, keyed on url ALONE: hash(url) satisfies the
+    # ClusteredDistribution of every downstream (url, fund, ...) window
+    # and group-by (subset rule), AND it co-partitions holdings with the
+    # url-keyed manifest join — a (url, fund) key would force the join to
+    # re-exchange the big side.  Granularity is per-document, uniform.
+    rows = rows.repartition("url")
     rows = realign(rows)
     rows = drop_junk_rows(rows)
     rows = drop_first_country_rows(rows)
@@ -64,10 +69,17 @@ def extract_holdings(pages: DataFrame) -> DataFrame:
     return rows
 
 
-def run_pipeline(pages: DataFrame, manifest: DataFrame) -> DataFrame:
-    """Full pipeline to the 9-column output contract."""
+def run_pipeline(
+    pages: DataFrame, manifest: DataFrame, manifest_hint: str | None = None
+) -> DataFrame:
+    """Full pipeline to the 9-column output contract.
+
+    ``manifest_hint="shuffle_hash"`` selects the co-partitioned manifest
+    join (see join_manifest) — the production shape when the manifest
+    scales with the corpus; default lets Catalyst broadcast small ones.
+    """
     holdings = extract_holdings(pages)
-    joined = join_manifest(holdings, manifest)
+    joined = join_manifest(holdings, manifest, hint=manifest_hint)
     return joined.select(
         provider_col().alias("fund_provider"),
         "fund_name_report",

@@ -69,6 +69,25 @@ def test_one_python_stage(spark, corpus_paths):
     assert "ArrowEvalPython" not in plan  # no scalar pandas UDFs either
 
 
+def test_manifest_shuffle_join_is_copartitioned(spark, corpus_paths):
+    """The bench/production manifest-join shape ("shuffle_hash" hint):
+    holdings are already hash(url)-partitioned, so the join must add an
+    exchange ONLY for the manifest side — exactly 2 hash exchanges total
+    (the (url) big-path one + the small manifest one), a ShuffledHashJoin,
+    and still no broadcast-nested-loop / cartesian."""
+    pp, manifest_pdf = corpus_paths
+    pages = spark.read.parquet(pp)
+    out = run_pipeline(
+        pages, manifest_to_spark(spark, manifest_pdf),
+        manifest_hint="shuffle_hash",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_minhash_plan_no_duplication(spark):
     """The shingle/token chain must not be re-inlined (NOTES.md #2/#3):
     split() may appear at most a few times, not once per reference."""
