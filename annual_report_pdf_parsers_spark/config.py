@@ -110,6 +110,9 @@ class ArchetypeConfig:
     # (amundi/parser.py:104-110: missing currency falls back to the
     # table's most-frequent currency when W1 ffill has no seed)
     impute_currency_mode: bool = False
+    # F10 charset purge + F11 multi-% truncation in the name cleanup
+    # (aviva/parser.py:673-680; capitalatwork:345-359 — always co-occur)
+    deep_name_clean: bool = False
 
 
 ARCHETYPES: dict[str, ArchetypeConfig] = {
@@ -188,6 +191,7 @@ ARCHETYPES: dict[str, ArchetypeConfig] = {
         has_toc=False,
         fund_regex=r"STATEMENT OF INVESTMENTS - (.+?) *$",
         number_locale="en",
+        deep_name_clean=True,  # aviva F10+F11 final name cleanup
     ),
     # banque family: two layout generations distinguished by the column
     # header on each table page; each has its own grid and its own

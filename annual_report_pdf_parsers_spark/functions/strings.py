@@ -33,10 +33,20 @@ def purge_charset(col: Column) -> Column:
 
 
 def truncate_multi_percent(col: Column) -> Column:
-    """F11: if a name contains more than one '%', cut after the first
-    '% <num>' match (aviva/parser.py:677-680)."""
+    """F11 (generic variant): if a name contains more than one '%', cut
+    after the first '% <num>' match."""
     n_pct = F.length(col) - F.length(F.regexp_replace(col, "%", ""))
     head = F.regexp_extract(col, r"^(.*?%\s*[0-9.,]+)", 1)
+    return F.when((n_pct > 1) & (head != ""), head).otherwise(col)
+
+
+def truncate_multi_percent_aviva(col: Column) -> Column:
+    """F11, aviva-exact (aviva/parser.py:677-680): when the name holds >1
+    '%', truncate at the END of the first ``% {0,3}[\\d/]+`` match —
+    ``text[:s.end()]``.  Deviation: the reference crashes (s is None) when
+    no '%' is digit-followed; we leave the name unchanged instead."""
+    n_pct = F.length(col) - F.length(F.regexp_replace(col, "%", ""))
+    head = F.regexp_extract(col, r"^(.*?% {0,3}[0-9/]+)", 1)
     return F.when((n_pct > 1) & (head != ""), head).otherwise(col)
 
 
@@ -82,11 +92,23 @@ def collapse_ws(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
-def clean_holding_name(col: Column, strip_leading: Column) -> Column:
-    """The canonical name-cleanup chain: optional F13, then F9, then F18.
+def clean_holding_name(
+    col: Column, strip_leading: Column, deep_clean: Column | None = None
+) -> Column:
+    """The canonical name-cleanup chain: optional F13, then F9, then the
+    optional aviva deep clean (F10 charset purge + F11 multi-% truncation,
+    aviva/parser.py:673-680 order), then F18 collapse+trim.
 
-    ``strip_leading`` is a boolean Column (per-row, set by the dispatch
-    stage for keyword-archetype docs) so the whole corpus stays one plan.
+    ``strip_leading`` / ``deep_clean`` are boolean Columns (per-row, set
+    by the dispatch stage per archetype) so the whole corpus stays one
+    plan.  The deep branch duplicates the upstream chain inside the CASE
+    (no CSE across branches) — acceptable: each row evaluates one branch,
+    and the chain is three small regexes.
     """
     stripped = F.when(strip_leading, drop_leading_token(col)).otherwise(col)
-    return collapse_ws(strip_isin(stripped))
+    base = strip_isin(stripped)
+    if deep_clean is not None:
+        base = F.when(
+            deep_clean, truncate_multi_percent_aviva(purge_charset(base))
+        ).otherwise(base)
+    return collapse_ws(base)

@@ -64,8 +64,13 @@ def extract_holdings(pages: DataFrame) -> DataFrame:
     rows = filter_currency_whitelist(rows)
     rows = ffill_currency(rows)
     rows = normalize_numbers(rows, locale_col())
+    from ..config import ARCHETYPES
+
     strip_leading = F.col("doc_class") == "keyword_scan_en"  # F13 archetype
-    rows = clean_names(rows, strip_leading)
+    deep = F.col("doc_class").isin(
+        [n for n, c in ARCHETYPES.items() if c.deep_name_clean]
+    )  # F10+F11 archetypes (aviva/parser.py:673-680)
+    rows = clean_names(rows, strip_leading, deep)
     return rows
 
 

@@ -745,9 +745,13 @@ def q_f10_charset_purge(spark, sf):
 
 
 def q_f11_multi_pct(spark, sf):
-    """F11: multi-'%' truncation after the first '% <num>' match
-    (aviva/parser.py:677-680)."""
-    from .functions.strings import truncate_multi_percent
+    """F11: multi-'%' truncation after the first '% <num>' match — both
+    the generic variant and the aviva-exact one (aviva/parser.py:677-680,
+    live in the pipeline for deep_name_clean archetypes)."""
+    from .functions.strings import (
+        truncate_multi_percent,
+        truncate_multi_percent_aviva,
+    )
 
     p = load(spark, sf, "part")
     nm = F.when(
@@ -759,7 +763,11 @@ def q_f11_multi_pct(spark, sf):
     ).otherwise(
         F.concat(F.col("p_brand"), F.lit(" % "), F.col("p_size").cast("string"))
     )
-    return p.select("p_partkey", truncate_multi_percent(nm).alias("name_cut"))
+    return p.select(
+        "p_partkey",
+        truncate_multi_percent(nm).alias("name_cut"),
+        truncate_multi_percent_aviva(nm).alias("aviva_cut"),
+    )
 
 
 def q_f12_currency_rescue(spark, sf):
@@ -1518,7 +1526,11 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN (length(nm) - length(replace(nm, '%', ''))) > 1 "
         "  AND regexp_extract(nm, '^(.*?%\\s*[0-9.,]+)', 1) <> '' "
         "  THEN regexp_extract(nm, '^(.*?%\\s*[0-9.,]+)', 1) "
-        "  ELSE nm END AS name_cut FROM t"
+        "  ELSE nm END AS name_cut, "
+        "CASE WHEN (length(nm) - length(replace(nm, '%', ''))) > 1 "
+        "  AND regexp_extract(nm, '^(.*?% {0,3}[0-9/]+)', 1) <> '' "
+        "  THEN regexp_extract(nm, '^(.*?% {0,3}[0-9/]+)', 1) "
+        "  ELSE nm END AS aviva_cut FROM t"
     ),
     "f12_currency_rescue": (
         "WITH t AS (SELECT p_partkey, "

@@ -170,13 +170,23 @@ def _row_pages(cfg: ArchetypeConfig, n_rows: int) -> list[int]:
     return [(i + 1) // 12 for i in range(n_rows)]
 
 
-def clean_name(name: str, strip_leading_token: bool) -> str:
-    """Oracle for the name-cleanup chain: F9 ISIN strip, F13 leading-token
-    drop, F18 whitespace collapse + trim (SURVEY.md §2.8)."""
+def clean_name(
+    name: str, strip_leading_token: bool, deep_clean: bool = False
+) -> str:
+    """Oracle for the name-cleanup chain: F13 leading-token drop, F9 ISIN
+    strip, optional aviva deep clean (F10 charset purge then F11 multi-%
+    truncation, aviva/parser.py:673-680), F18 whitespace collapse + trim
+    (SURVEY.md §2.8)."""
     s = name
     if strip_leading_token:
         s = re.sub(r"^\S+ +", "", s, count=1)
     s = _ISIN_RE.sub("", s)                     # F9
+    if deep_clean:
+        s = re.sub(r"[^0-9a-zA-Z/ %)(]", "", s)  # F10
+        if s.count("%") > 1:                     # F11 (aviva-exact)
+            m = re.search(r"% {0,3}[0-9/]+", s)
+            if m:
+                s = s[: m.end()]
     s = re.sub(r"\s+", " ", s).strip()          # F18
     return s
 
@@ -283,7 +293,10 @@ def simulate_cleanup(
         # (gap shape-5) or embedded in the name cell and removed by the
         # F13 leading-token strip (keyword archetype) — either way the
         # expected name is the bare holding name
-        name = clean_name(r.name, strip_leading_token=False)
+        name = clean_name(
+            r.name, strip_leading_token=False,
+            deep_clean=cfg.deep_name_clean,
+        )
         if not name or len(name) >= 90:     # P5 / P8
             continue
         result.append((name, mv, r.cur, na))
@@ -368,6 +381,17 @@ def _build_fund_rows(
                 rows.append(Cell4(c, "", "", ""))
                 name_cell = base = _mk_name(rng, name_width - len(c) - 12)
                 isin_tag = False
+
+        # F10/F11 deep-clean fixtures (aviva:673-680) — fragment archetype
+        # renders some names with purged-charset pollution or a junk tail
+        # after a second '%' token; the oracle's clean_name applies the
+        # same chain
+        if frag_ok and not isin_tag and not dash:
+            roll = rng.random()
+            if roll < 0.15:
+                name_cell = f"{base[:4]}«™{base[4:]}"
+            elif roll < 0.3 and len(base) < 25:
+                name_cell = f"{base} 4% 26 SR {rng.randrange(1, 9)}%"
 
         # F12: embed the currency in the name cell, leave currency empty
         # (the aviva corrupt-table shape) — fragment archetype only
