@@ -48,9 +48,10 @@ def realign(df: DataFrame) -> DataFrame:
     return (
         df.filter(ok)
         .select(
+            # lang deliberately dropped: nothing downstream reads it, and
+            # every column here transits the wide exchange + four sorts
             "url",
             "doc_class",
-            "lang",
             "page_no",
             "row_idx",
             "fund_name_report",
@@ -123,7 +124,7 @@ def fuse_fragments(df: DataFrame) -> DataFrame:
     )
     keep_if = lambda c: F.max(F.when(F.col("_complete"), F.col(c)))  # noqa: E731
     return (
-        frag.groupBy("url", "doc_class", "lang", "fund_name_report", "_blk")
+        frag.groupBy("url", "doc_class", "fund_name_report", "_blk")
         .agg(
             fused_name.alias("holding_name"),
             keep_if("currency").alias("currency"),
@@ -194,10 +195,15 @@ def ffill_currency(df: DataFrame) -> DataFrame:
     the most frequent — mirrored by the (-count, currency) struct-min).
     Other archetypes drop unfillable rows (W6 seed semantics).
 
-    Scale: both mode windows partition on supersets of (url, fund), so
-    the existing clustering satisfies them — sorts only, no new exchange.
+    Scale: the mode is computed as per-currency conditional counts over
+    the LITERAL whitelist (post-P3 every non-empty currency is
+    whitelisted) in an unordered (url, fund) window stacked ABOVE the
+    ffill window — its required (url, fund) ordering is a prefix of the
+    ffill sort's output, so the plan carries ONE sort, not two (the
+    earlier (url, fund, currency)-partitioned formulation cost a
+    dedicated full-width sort).
     """
-    from ..config import ARCHETYPES
+    from ..config import ARCHETYPES, CURRENCIES
 
     w = (
         Window.partitionBy(*PART_COLS)
@@ -207,22 +213,26 @@ def ffill_currency(df: DataFrame) -> DataFrame:
     filled = F.last(
         F.when(F.col("currency") != "", F.col("currency")), ignorenulls=True
     ).over(w)
-    # per-(url, fund) currency mode over the rows surviving P3
-    w_cur = Window.partitionBy(*PART_COLS, "currency")
+    df = df.withColumn("_filled", filled)
+
     w_fund = Window.partitionBy(*PART_COLS)
-    cnt = F.count(F.when(F.col("currency") != "", 1)).over(w_cur)
-    mode = F.min(
-        F.when(
-            F.col("currency") != "",
-            F.struct((-cnt).alias("nc"), F.col("currency").alias("c")),
+    cands = []
+    for c in CURRENCIES:
+        cnt_c = F.count(F.when(F.col("currency") == c, 1)).over(w_fund)
+        cands.append(
+            F.when(
+                cnt_c > 0,
+                F.struct((-cnt_c).alias("nc"), F.lit(c).alias("c")),
+            )
         )
-    ).over(w_fund)["c"]
+    mode = F.array_min(F.array(*cands))["c"]  # max count, min currency
     impute_classes = [
         n for n, cfg in ARCHETYPES.items() if cfg.impute_currency_mode
     ]
     fallback = F.when(F.col("doc_class").isin(impute_classes), mode)
     return (
-        df.withColumn("currency", F.coalesce(filled, fallback))
+        df.withColumn("currency", F.coalesce(F.col("_filled"), fallback))
+        .drop("_filled")
         .filter(F.col("currency").isNotNull() & (F.col("currency") != ""))
     )
 

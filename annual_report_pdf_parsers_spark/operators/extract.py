@@ -46,7 +46,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from ..config import ARCHETYPES, CURRENCIES, TWO_UP_SPLIT
+from ..config import ARCHETYPES, COUNTRIES, CURRENCIES, TWO_UP_SPLIT
 
 EXTRACT_SCHEMA = (
     "url string, doc_class string, lang string, "
@@ -322,6 +322,19 @@ def _extract_one_class(
     r["doc_class"] = doc_class
     for c in ("c0", "c1", "c2", "c3", "shape"):
         r[c] = cells[c]
+
+    # P9 in-batch (aviva/parser.py:276-284): drop the FIRST occurrence of
+    # each country heading per page-table.  Per-page logic belongs here —
+    # the document is whole in the batch — and doing it relationally cost
+    # a dedicated (url, fund, page, name) sort of every extracted row
+    # (the window form remains in operators/cleanup.py, driver-checked).
+    # Commutes with the later junk/shape filters: junk rows are never
+    # countries and country rows always slice to the full shape.
+    is_c = r["c0"].isin(COUNTRIES)
+    if is_c.any():
+        c_rows = r[is_c]
+        firsts = ~c_rows.duplicated(subset=["url", "page_no", "c0"])
+        r = r.drop(index=c_rows.index[firsts])
     if toc_entries is not None and not toc_entries.empty:
         # J2 interval semantics [pg, next_pg): the last ToC entry whose
         # page <= row's page — exactly merge_asof backward per url

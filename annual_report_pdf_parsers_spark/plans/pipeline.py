@@ -23,7 +23,6 @@ from ..config import OUTPUT_COLUMNS
 from ..operators.cleanup import (
     clean_names,
     rescue_embedded_currency,
-    drop_first_country_rows,
     drop_junk_rows,
     ffill_currency,
     filter_currency_whitelist,
@@ -50,15 +49,19 @@ def extract_holdings(pages: DataFrame) -> DataFrame:
     rows = extract_resolved(classified).withColumn(
         "fund_name_report", report_name_col(F.col("fund"))  # F16 + lower
     ).drop("fund")
+    # P11 shape filter + P1 realign + P7 junk drop BEFORE the exchange:
+    # all three are per-row and order-independent, so running them map-side
+    # shrinks the shuffled payload (junk/misshapen rows never ship, the
+    # shape/lang columns never transit the exchange or the four sorts).
+    rows = realign(rows)
+    rows = drop_junk_rows(rows)
     # ONE wide exchange, keyed on url ALONE: hash(url) satisfies the
     # ClusteredDistribution of every downstream (url, fund, ...) window
     # and group-by (subset rule), AND it co-partitions holdings with the
     # url-keyed manifest join — a (url, fund) key would force the join to
     # re-exchange the big side.  Granularity is per-document, uniform.
     rows = rows.repartition("url")
-    rows = realign(rows)
-    rows = drop_junk_rows(rows)
-    rows = drop_first_country_rows(rows)
+    # P9 ran in-batch (extract.py) — per-page logic, no extra sort here
     rows = fuse_fragments(rows)
     rows = rescue_embedded_currency(rows)
     rows = filter_currency_whitelist(rows)

