@@ -1174,14 +1174,16 @@ def _cos_sql(a: str, b: str) -> str:
     return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
 
 
-def _lsh_bucket_sql(table_no: int, n_planes: int, dim: int = 64) -> str:
+def _lsh_bucket_sql(
+    table_no: int, n_planes: int, dim: int = 64, col: str = "embedding"
+) -> str:
     """Per-table LSH bucket string, reproducing similarity.hyperplane_sign
     (md5-derived +/-1 plane components, left-to-right float64 fold)."""
     signs = []
     for p in range(table_no * n_planes, (table_no + 1) * n_planes):
         fold = (
             f"list_reduce(list_transform(generate_series(1, {dim}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"i -> CAST({col}[i] AS DOUBLE) * "
             f"(CASE WHEN substr(md5('plane{p}:' || CAST(i - 1 AS VARCHAR)), "
             f"1, 1) >= '8' THEN 1.0 ELSE -1.0 END)), (p, q) -> p + q)"
         )
@@ -1837,9 +1839,31 @@ ORACLE_SQL: dict[str, str] = {
         "  FROM e a JOIN e b ON a.vec_id < b.vec_id) "
         "SELECT id_a, id_b, cos FROM s WHERE cos >= 0.35"
     ),
-    # ann_cosine_topk oracle is defined after local fold-order validation
-    # (see tests/test_oracle_parity.py); ann_lsh_topk and pipeline_extract
-    # are rows-only by design.
+    # ann_lsh_topk: deterministic md5 hyperplanes make even the ANN path
+    # exactly SQL-reproducible (same trick as dedup_embedding_cosine_lsh);
+    # only ann_ivf_topk (iterative k-means) and pipeline_extract (Arrow
+    # batch) remain rows-only.
+    "ann_lsh_topk": (
+        "WITH cb AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {t} AS t, {_lsh_bucket_sql(t, 2)} AS bk "
+            "FROM embeddings"
+            for t in range(3)
+        )
+        + "), "
+        "qb AS (SELECT vec_id AS query_id, t, bk FROM cb "
+        "  WHERE vec_id < 10), "
+        "cand AS (SELECT DISTINCT qb.query_id, cb.vec_id "
+        "  FROM qb JOIN cb ON qb.t = cb.t AND qb.bk = cb.bk "
+        "    AND cb.vec_id <> qb.query_id), "
+        "s AS (SELECT query_id, cand.vec_id, "
+        f"  ROUND({_cos_sql('eq', 'ec')}, 4) AS cos "
+        "  FROM cand JOIN embeddings eq ON eq.vec_id = query_id "
+        "  JOIN embeddings ec ON ec.vec_id = cand.vec_id) "
+        "SELECT query_id, vec_id, cos, rnk FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "    ORDER BY cos DESC, vec_id ASC) AS rnk FROM s) WHERE rnk <= 5"
+    ),
     "ann_cosine_topk": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
         "FROM embeddings WHERE vec_id < 10), "
