@@ -201,8 +201,15 @@ def pending_pages(
     from pyspark.errors import AnalysisException
 
     lin_path = os.path.join(out_dir, "lineage")
+    # scheme-agnostic existence probe (local/HDFS/S3A): avoids Spark
+    # logging a scary-but-expected AnalysisException on every first run
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(lin_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return pages
     try:
         done = spark.read.parquet(lin_path).select("url").distinct()
-    except AnalysisException:
+    except AnalysisException:  # backstop: dir exists but no parquet yet
         return pages
     return pages.join(done, "url", "left_anti")
