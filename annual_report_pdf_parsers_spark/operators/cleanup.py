@@ -4,17 +4,20 @@ Named DataFrame->DataFrame transforms, all pure Catalyst (no UDFs).  The
 canonical order — the engine's documented contract, mirrored by the Python
 oracle ``sources/synthetic.py::simulate_cleanup`` — is:
 
-  P11 shape filter -> realign (P1/D4) -> P7 junk -> P9 countries ->
+  [in-batch: extract + fund resolution + P9 per-page country drop] ->
+  P11 shape filter -> realign (P1/D4) -> P7 junk -> [exchange on url] ->
   W3 block fusion -> F12 currency rescue -> P3 currency filter ->
-  W1 ffill -> F* numeric + P6 -> P12 summary drop ->
-  name cleanup (F9/F13/F18) -> P5/P8
+  W1 ffill (+ A1 mode fallback) -> F* numeric + P6 -> P12 summary drop ->
+  name cleanup (F9/F13 [+F10/F11 deep] /F18) -> P5/P8
 
 Window partitioning: every order-dependent operator runs inside
 ``(url, fund)`` partitions ordered by ``(page_no, row_idx)`` — the total
 order threaded from the extraction stage (SURVEY.md §7 risk #1).  Nothing
 ever windows across documents, so the plan scales horizontally: one
-shuffle on (url, fund), then fusion's groupBy and the ffill window reuse
-that clustering.
+shuffle on url (hash(url) satisfies every (url, fund, ...) clustering by
+the subset rule), then fusion's groupBy and both ffill/mode windows reuse
+that clustering — the executed plan carries exactly TWO sorts (W3's
+descending, W1's ascending) and ONE wide exchange.
 """
 
 from __future__ import annotations

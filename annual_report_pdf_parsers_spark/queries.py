@@ -999,6 +999,47 @@ def q_dedup_embedding_cosine_lsh(spark, sf):
     )
 
 
+def q_dedup_url_canonical(spark, sf):
+    """URL-level dedup on canonicalized urls (operators/urls.py) — four
+    dirty variants per logical url (scheme/host case, www., tracking
+    params, trailing slash + fragment) must collapse to one canonical
+    key.  The oracle reconstructs the canonical form from the same key
+    arithmetic."""
+    from .operators.urls import url_dedup
+
+    c = load(spark, sf, "customer")
+    lid = (F.col("c_custkey") % 300).cast("string")
+    v = F.col("c_custkey") % 4
+    tail = F.concat(
+        F.lit("shop-"), lid, F.lit(".com/r/"), lid, F.lit("?x="), lid
+    )
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), tail))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.SHOP-"), lid, F.lit(".COM/r/"), lid,
+                F.lit("?x="), lid,
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://shop-"), lid, F.lit(".com/r/"), lid,
+                F.lit("?utm_source=ad&x="), lid, F.lit("&gclid=zz"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://shop-"), lid, F.lit(".com/r/"), lid,
+                F.lit("/?x="), lid, F.lit("#frag"),
+            )
+        )
+    )
+    d = c.select(F.col("c_custkey").alias("doc_id"), url.alias("url"))
+    return url_dedup(d)
+
+
 def q_dedup_corpus_keep(spark, sf):
     """The composed training-corpus dedup decision — what a data pipeline
     actually ships: exact dedup (keep min id per content digest), then
@@ -1147,6 +1188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_corpus_keep": q_dedup_corpus_keep,
+    "dedup_url_canonical": q_dedup_url_canonical,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1682,6 +1724,13 @@ ORACLE_SQL: dict[str, str] = {
             f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
         )
         + " AS simhash FROM v"
+    ),
+    "dedup_url_canonical": (
+        "SELECT 'https://shop-' || CAST(c_custkey % 300 AS VARCHAR) || "
+        "'.com/r/' || CAST(c_custkey % 300 AS VARCHAR) || "
+        "'?x=' || CAST(c_custkey % 300 AS VARCHAR) AS canonical_url, "
+        "MIN(c_custkey) AS keep_id, COUNT(*) AS n_variants "
+        "FROM customer GROUP BY c_custkey % 300"
     ),
     "dedup_corpus_keep": (
         f"WITH {_DUPES}, "

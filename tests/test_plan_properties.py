@@ -69,6 +69,17 @@ def test_one_python_stage(spark, corpus_paths):
     assert "ArrowEvalPython" not in plan  # no scalar pandas UDFs either
 
 
+def test_pipeline_two_sorts(spark, corpus_paths):
+    """Sort economy (round 2): the plan carries exactly TWO sorts — W3's
+    descending and W1's ascending.  P9 runs in-batch and the A1 mode
+    windows reuse the ffill sort; a third sort is a regression."""
+    plan = _plan(spark, corpus_paths)
+    n_sorts = sum(
+        1 for ln in plan.splitlines() if "- Sort [" in ln
+    )
+    assert n_sorts == 2, f"expected 2 sorts, got {n_sorts}:\n{plan}"
+
+
 def test_manifest_shuffle_join_is_copartitioned(spark, corpus_paths):
     """The bench/production manifest-join shape ("shuffle_hash" hint):
     holdings are already hash(url)-partitioned, so the join must add an

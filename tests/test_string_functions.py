@@ -67,3 +67,21 @@ def test_f17_extract_by_regex(spark):
              "Annual report ALPHA FUND 2025")
         == "ALPHA FUND"
     )
+
+
+def test_url_canonicalization_edges(spark):
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        canonicalize_url,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM/a/b/?utm_source=x&q=1&fbclid=z#top",
+         "https://ex.com/a/b?q=1"),
+        ("http://ex.com/", "http://ex.com"),            # bare trailing slash
+        ("https://ex.com/p?utm_campaign=only", "https://ex.com/p"),
+        ("https://sub.www-like.org/p?a=1&b=2", "https://sub.www-like.org/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [w for _, w in cases]
