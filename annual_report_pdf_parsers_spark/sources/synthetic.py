@@ -123,8 +123,6 @@ def parse_number(cell: str, locale: str) -> float | None:
     s = s.replace("\u2013", "-")                             # F5 en-dash
     for ch in "%()" + " \u00a0\u2009\u202f":                 # F7+F4+spaces
         s = s.replace(ch, "")
-    if s in ("", "-", "nan"):                                # F6
-        return 0.0
     if locale == "fr":                                       # F1
         s = s.replace(".", "").replace(",", ".")
     elif locale == "en":                                     # F2
@@ -133,6 +131,11 @@ def parse_number(cell: str, locale: str) -> float | None:
         s = s.replace(",", "")                               # ',' thousands
     else:                                                    # F3 'auto':
         s = s.replace(",", ".")                              # ',' decimal
+    # F6 sentinel AFTER locale normalization \u2014 exactly where the engine
+    # checks it (double_from_normalized receives the normalized string);
+    # property-tested equal on adversarial inputs (tests/test_property.py)
+    if s in ("", "-", "nan"):
+        return 0.0
     # P6: the engine uses try_cast (NULL on failure) — mirror Python's
     # float() acceptance, which is what the reference itself used
     try:

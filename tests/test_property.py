@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis): Spark expressions vs independent
+Python models on generated adversarial inputs.
+
+Each property collects one generated BATCH of cases and runs ONE Spark
+job over it (per-example Spark jobs would take minutes).  Settings are
+derandomized for reproducibility.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from annual_report_pdf_parsers_spark.functions.numeric import to_double
+from annual_report_pdf_parsers_spark.operators.toc_repair import (
+    repair_toc_lines,
+)
+from annual_report_pdf_parsers_spark.operators.urls import canonicalize_url
+from annual_report_pdf_parsers_spark.sources.synthetic import parse_number
+
+SETTINGS = settings(max_examples=8, deadline=None, derandomize=True)
+
+# ---------------------------------------------------------------------------
+# F1-F8/F19 numeric chain vs the pure-Python oracle
+# ---------------------------------------------------------------------------
+
+_NUMERIC_ALPHABET = "0123456789.,-()%  –"
+
+numeric_cell = st.text(alphabet=_NUMERIC_ALPHABET, min_size=0, max_size=14)
+locale = st.sampled_from(["fr", "en", "auto"])
+
+
+@SETTINGS
+@given(st.lists(st.tuples(numeric_cell, locale), min_size=1, max_size=40))
+def test_numeric_chain_matches_python_oracle(spark, cases):
+    df = spark.createDataFrame(cases, "cell string, loc string")
+    got = df.select(
+        to_double(F.col("cell"), F.col("loc")).alias("v")
+    ).collect()
+    for (cell, loc), row in zip(cases, got):
+        want = parse_number(cell, loc)
+        assert row.v == want or (
+            row.v is None and want is None
+        ), f"cell={cell!r} loc={loc}: spark={row.v} python={want}"
+
+
+# ---------------------------------------------------------------------------
+# W5 ToC repair vs a direct port of the reference loop (tobam:88-94)
+# ---------------------------------------------------------------------------
+
+
+def _reference_repair(lines: list[str]) -> list[str]:
+    """tobam/parser.py:88-94 ported verbatim (mutating loop with the '0'
+    sentinel), with the one documented deviation: no IndexError when the
+    LAST line lacks a number (left unrepaired)."""
+    c = list(lines)
+    for i in range(len(c)):
+        if not c[i].split()[-1].isdigit():
+            if i + 1 < len(c):
+                c[i] = c[i] + " " + c[i + 1].split()[-1]
+                c[i + 1] = "0"
+    return [x for x in c if x != "0"]
+
+
+_WORD = st.text(alphabet="ABCDEFGH", min_size=1, max_size=4)
+_toc_line = st.builds(
+    lambda words, pg: " ".join(words) + (f" {pg}" if pg else ""),
+    st.lists(_WORD, min_size=1, max_size=3),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=99)),
+)
+
+
+@SETTINGS
+@given(st.lists(st.lists(_toc_line, min_size=1, max_size=7), min_size=1, max_size=6))
+def test_toc_repair_matches_reference_loop(spark, docs):
+    rows = [
+        (f"u{d}", i, line)
+        for d, lines in enumerate(docs)
+        for i, line in enumerate(lines)
+    ]
+    df = spark.createDataFrame(rows, "url string, entry_idx int, line string")
+    got: dict[str, list[str]] = {}
+    for r in sorted(
+        repair_toc_lines(df).collect(), key=lambda r: (r.url, r.entry_idx)
+    ):
+        got.setdefault(r.url, []).append(r.line)
+    for d, lines in enumerate(docs):
+        want = _reference_repair(lines)
+        assert got.get(f"u{d}", []) == want, (
+            f"doc={lines!r}: spark={got.get(f'u{d}')} reference={want}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization vs component-wise construction (non-circular:
+# the expected value is built from the parts, never parsed)
+# ---------------------------------------------------------------------------
+
+_host_word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_param = st.one_of(
+    st.tuples(st.sampled_from(["q", "id", "page"]), st.integers(0, 99)),
+    st.tuples(
+        st.sampled_from(["utm_source", "utm_campaign", "fbclid", "gclid"]),
+        st.integers(0, 99),
+    ),
+)
+_url_case = st.builds(
+    lambda scheme_up, www, host, segs, params, slash, frag: {
+        "scheme_up": scheme_up, "www": www, "host": host, "segs": segs,
+        "params": params, "slash": slash, "frag": frag,
+    },
+    st.booleans(),
+    st.booleans(),
+    _host_word,
+    st.lists(_host_word, min_size=0, max_size=3),
+    st.lists(_param, min_size=0, max_size=4),
+    st.booleans(),
+    st.booleans(),
+)
+
+_TRACKING = re.compile(r"^(utm_[A-Za-z]+|fbclid|gclid|ref)$")
+
+
+def _build_and_expect(case: dict) -> tuple[str, str]:
+    scheme = "HTTPS" if case["scheme_up"] else "https"
+    host = case["host"] + ".com"
+    raw_host = ("WWW." if case["www"] else "") + (
+        host.upper() if case["scheme_up"] else host
+    )
+    path = "".join("/" + s for s in case["segs"])
+    qs = "&".join(f"{k}={v}" for k, v in case["params"])
+    url = (
+        f"{scheme}://{raw_host}{path}"
+        + ("/" if case["slash"] else "")
+        + (f"?{qs}" if qs else "")
+        + ("#frag" if case["frag"] else "")
+    )
+    kept = "&".join(
+        f"{k}={v}" for k, v in case["params"] if not _TRACKING.match(k)
+    )
+    expected = f"https://{host}{path}" + (f"?{kept}" if kept else "")
+    return url, expected
+
+
+@SETTINGS
+@given(st.lists(_url_case, min_size=1, max_size=40))
+def test_url_canonicalization_property(spark, cases):
+    pairs = [_build_and_expect(c) for c in cases]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in pairs], "url string"
+    )
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    for (u, want), g in zip(pairs, got):
+        assert g == want, f"url={u!r}: spark={g!r} expected={want!r}"
