@@ -1075,7 +1075,14 @@ def q_ann_lsh_topk(spark, sf):
 
 def q_ann_ivf_topk(spark, sf):
     """IVF ANN (iterative k-means quantizer -> cell-probed search).
-    Rows-only: the Lloyd iterations make it non-SQL-expressible."""
+
+    Rows-only BY NECESSITY, not omission: the Lloyd update averages
+    doubles with Spark's partition-order-dependent partial aggregation,
+    so centroid floats are not bit-reproducible in another engine — an
+    oracle would flake on the 15th decimal of an AVG.  (Contrast
+    ann_lsh_topk: md5-derived planes + left-to-right folds ARE exactly
+    reproducible, and it carries a full SQL oracle.)  Recall tests pin
+    the semantics instead: full-probe == brute force, 3-probe >= 0.5."""
     emb = load(spark, sf, "embeddings")
     cents = similarity.ivf_fit(emb, n_cells=8, iters=2)
     return similarity.ivf_topk(
@@ -1108,6 +1115,25 @@ def q_text_tokens(spark, sf):
 def q_text_fingerprint(spark, sf):
     return text.fingerprint(load(spark, sf, "documents")).select(
         "doc_id", "fp"
+    )
+
+
+def q_corpus_text_filter(spark, sf):
+    """The composed training-corpus TEXT filter decision — language match
+    (heuristic guess == declared lang), quality floor, token bounds — the
+    lang-ID + quality operators as they would actually ship."""
+    d = text.quality_score(text.lang_id(load(spark, sf, "documents")))
+    return (
+        d.filter(
+            (F.col("lang_guess") == F.col("lang"))
+            & (F.col("quality") >= 0.42)
+            & F.col("n_tokens").between(20, 90)
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+        )
     )
 
 
@@ -1196,6 +1222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "corpus_text_filter": q_corpus_text_filter,
     "pipeline_extract": q_pipeline_extract,
 }
 
@@ -1724,6 +1751,34 @@ ORACLE_SQL: dict[str, str] = {
             f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
         )
         + " AS simhash FROM v"
+    ),
+    "corpus_text_filter": (
+        "WITH c AS (SELECT doc_id, lang, "
+        "  length(text) AS n_chars, "
+        "  len(list_filter(string_split(text,' '), x -> x <> '')) "
+        "    AS n_tokens, "
+        "  length(text) - length(replace(text, ' ', '')) AS spaces, "
+        "  length(text) - length(regexp_replace(text, "
+        "    '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
+        "  ' ' || lower(text) || ' ' AS t FROM documents), "
+        "s AS (SELECT doc_id, lang, n_tokens, "
+        "  0.0 + (length(t) - length(replace(t, ' the ', ''))) / 5 "
+        "    + (length(t) - length(replace(t, ' a ', ''))) / 3 "
+        "    + (length(t) - length(replace(t, ' of ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' and ', ''))) / 5 AS en_hits, "
+        "  0.0 + (length(t) - length(replace(t, ' le ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' la ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' et ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' des ', ''))) / 5 AS fr_hits, "
+        "  n_chars, spaces, punct FROM c), "
+        "q AS (SELECT doc_id, lang, n_tokens, en_hits, fr_hits, "
+        "  ROUND(0.4 * ((en_hits + fr_hits) / n_tokens) "
+        "    + 0.3 * ((n_chars - punct - spaces) / n_chars) "
+        "    + 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality FROM s) "
+        "SELECT doc_id, n_tokens, quality FROM q "
+        "WHERE CASE WHEN en_hits = 0 AND fr_hits = 0 THEN 'unknown' "
+        "  WHEN en_hits >= fr_hits THEN 'en' ELSE 'fr' END = lang "
+        "  AND quality >= 0.42 AND n_tokens BETWEEN 20 AND 90"
     ),
     "dedup_url_canonical": (
         "SELECT 'https://shop-' || CAST(c_custkey % 300 AS VARCHAR) || "
