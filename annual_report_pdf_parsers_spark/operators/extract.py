@@ -402,6 +402,24 @@ def extract_batches_resolved(
             yield pd.concat(frames, ignore_index=True)
 
 
+PAGE_LINES_SCHEMA = "url string, page_no int, row_idx int, line string"
+
+
+def explode_page_lines(df):
+    """S4 as a standalone operator: document text -> one row per page
+    line, via the SAME ``_explode_pages``/``_explode_lines`` the extract
+    stage uses (form-feed page breaks, newline lines) — the driver-gate
+    surface for the explode mechanics (oracle: UNNEST in SQL)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ex = _explode_pages(pdf.assign(lang=""))
+            ln = _explode_lines(ex)
+            yield ln[["url", "page_no", "row_idx", "line"]]
+
+    return df.select("url", "text").mapInPandas(run, PAGE_LINES_SCHEMA)
+
+
 LINE_CELLS_SCHEMA = (
     "line_id bigint, c0 string, c1 string, c2 string, c3 string, shape int"
 )

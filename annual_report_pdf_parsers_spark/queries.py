@@ -428,6 +428,25 @@ def q_s5_grid_slice(spark, sf):
     return slice_lines(_s5_lines(spark, sf), _S5_GRID)
 
 
+def q_s4_page_explode(spark, sf):
+    """S4: document -> page -> line explosion via the extract stage's own
+    pandas helpers (form-feed pages, newline lines, empty lines kept)."""
+    from .operators.extract import explode_page_lines
+
+    s = load(spark, sf, "supplier")
+    text = F.concat(
+        F.lit("TITLE "), F.col("s_name"), F.lit("\n"),
+        F.lit("row-"), (F.col("s_suppkey") % 97).cast("string"),
+        F.lit("\n\nlast"),                      # empty line kept
+        F.lit("\f"),                             # page break
+        F.lit("PAGE2 "), F.col("s_name"),
+    )
+    d = s.select(
+        F.col("s_suppkey").cast("string").alias("url"), text.alias("text")
+    )
+    return explode_page_lines(d)
+
+
 def q_s7_gap_split(spark, sf):
     """S7 + D4 shift: ``_gap_cells`` (camelot-stream stand-in,
     four/parser.py:196-218) — 5-token rows drop their leading qty."""
@@ -1180,6 +1199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
     "d1_dispatch": q_d1_dispatch,
+    "s4_page_explode": q_s4_page_explode,
     "s5_grid_slice": q_s5_grid_slice,
     "s7_gap_split": q_s7_gap_split,
     "u3_two_up_split": q_u3_two_up_split,
@@ -1444,6 +1464,20 @@ ORACLE_SQL: dict[str, str] = {
         "  WHEN text LIKE '%join%' THEN 'join-heavy' ELSE 'plain' END "
         "  AS doc_class, COUNT(*) AS n_docs "
         "FROM documents GROUP BY 1, 2"
+    ),
+    "s4_page_explode": (
+        "WITH d AS (SELECT CAST(s_suppkey AS VARCHAR) AS url, "
+        "  'TITLE ' || s_name || chr(10) || 'row-' || "
+        "  CAST(s_suppkey % 97 AS VARCHAR) || chr(10) || chr(10) || "
+        "  'last' || chr(12) || 'PAGE2 ' || s_name AS text FROM supplier), "
+        "p AS (SELECT url, CAST(g.i - 1 AS INTEGER) AS page_no, "
+        "  pages[g.i] AS page FROM "
+        "  (SELECT url, string_split(text, chr(12)) AS pages FROM d), "
+        "  UNNEST(generate_series(1, len(pages))) AS g(i)) "
+        "SELECT url, page_no, CAST(g2.i - 1 AS INTEGER) AS row_idx, "
+        "lines[g2.i] AS line FROM "
+        "(SELECT url, page_no, string_split(page, chr(10)) AS lines FROM p), "
+        "UNNEST(generate_series(1, len(lines))) AS g2(i)"
     ),
     "s5_grid_slice": (
         "WITH l AS (SELECT p_partkey AS line_id, "
