@@ -41,7 +41,7 @@ def serialize(df: pd.DataFrame) -> list[str]:
     return sorted(rows)
 
 
-@pytest.mark.parametrize("n_docs,seed", [(36, 42), (24, 7)])
+@pytest.mark.parametrize("n_docs,seed", [(36, 42), (24, 7), (50, 99)])
 def test_byte_identical(spark, n_docs, seed):
     pages_pdf, manifest_pdf, expected = make_corpus(n_docs, seed=seed)
     pages = pages_to_spark(spark, pages_pdf)
