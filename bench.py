@@ -214,6 +214,8 @@ def main() -> None:
         for _ in range(2):
             if (min(runs4) / min(runs16)) / 4 >= 0.8:
                 break
+            if time.time() - t_all > 700:  # stay under plausible timeouts
+                break
             time.sleep(90)
             runs4 += run_extraction("local[4]", pages_path, manifest_path)
             runs16 += run_extraction("local[16]", pages_path, manifest_path)
