@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import COUNTRIES, CURRENCIES, JUNK_MARKERS, KEEP_LIST
+from ..config import CURRENCIES, JUNK_MARKERS, KEEP_LIST
 from ..functions.numeric import (
     double_from_normalized,
     normalize_number_str,
@@ -71,28 +71,6 @@ def drop_junk_rows(df: DataFrame) -> DataFrame:
     One rlike alternation instead of N Contains — smaller generated code."""
     pattern = "|".join(JUNK_MARKERS)
     return df.filter(~F.col("holding_name").rlike(pattern))
-
-
-def drop_first_country_rows(df: DataFrame) -> DataFrame:
-    """P9 (aviva/parser.py:276-284): drop only the FIRST occurrence of each
-    country heading per PAGE-TABLE — the reference resets its mutable
-    country list for every table (``for table in tables: _countries =
-    countries[:]``), so a country repeated on a later page of the same fund
-    is dropped again; a repeat on the SAME page survives (and typically
-    fuses, W3).
-
-    The page_no partition column is a superset of the (url, fund)
-    clustering, so this window adds a sort, not a shuffle."""
-    w = Window.partitionBy(
-        *PART_COLS, "page_no", "holding_name"
-    ).orderBy("row_idx")
-    rn = F.row_number().over(w)
-    is_country = F.col("holding_name").isin(COUNTRIES)
-    return (
-        df.withColumn("_rn", rn)
-        .filter(~(is_country & (F.col("_rn") == 1)))
-        .drop("_rn")
-    )
 
 
 def fuse_fragments(df: DataFrame) -> DataFrame:

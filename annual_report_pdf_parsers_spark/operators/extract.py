@@ -339,18 +339,6 @@ def _extract_one_class(
     for c in ("c0", "c1", "c2", "c3", "shape"):
         r[c] = cells[c]
 
-    # P9 in-batch (aviva/parser.py:276-284): drop the FIRST occurrence of
-    # each country heading per page-table.  Per-page logic belongs here —
-    # the document is whole in the batch — and doing it relationally cost
-    # a dedicated (url, fund, page, name) sort of every extracted row
-    # (the window form remains in operators/cleanup.py, driver-checked).
-    # Commutes with the later junk/shape filters: junk rows are never
-    # countries and country rows always slice to the full shape.
-    is_c = r["c0"].isin(COUNTRIES)
-    if is_c.any():
-        c_rows = r[is_c]
-        firsts = ~c_rows.duplicated(subset=["url", "page_no", "c0"])
-        r = r.drop(index=c_rows.index[firsts])
     if toc_entries is not None and not toc_entries.empty:
         # J2 interval semantics [pg, next_pg): the last ToC entry whose
         # page <= row's page — exactly merge_asof backward per url
@@ -369,6 +357,23 @@ def _extract_one_class(
     else:
         r["fund"] = None
     r = r[r["fund"].notna()]
+    # P9 in-batch (aviva/parser.py:276-284): drop the FIRST occurrence of
+    # each country heading per page-table.  Per-page logic belongs here —
+    # the document is whole in the batch — and doing it relationally would
+    # cost a dedicated (url, fund, page, name) sort of every extracted
+    # row.  Runs AFTER fund resolution with fund in the dedup key: the
+    # reference resets its country list per table WITHIN a fund's page
+    # range, so if one page ever carried two funds' tables each fund's
+    # first occurrence is dropped independently (this is the single P9
+    # implementation — the oracle simulate_cleanup keys (page, name)
+    # per fund the same way).  Commutes with the later junk/shape
+    # filters: junk rows are never countries and country rows always
+    # slice to the full shape.
+    is_c = r["c0"].isin(COUNTRIES)
+    if is_c.any():
+        c_rows = r[is_c]
+        firsts = ~c_rows.duplicated(subset=["url", "fund", "page_no", "c0"])
+        r = r.drop(index=c_rows.index[firsts])
     out.append(r[RESOLVED_COLS])
     return out
 

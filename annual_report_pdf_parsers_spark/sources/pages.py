@@ -83,7 +83,16 @@ def write_csv_contract(df: DataFrame, path: str) -> None:
     Distributed: one part file per partition, no driver collect.  The
     header is written once as ``_header.csv``; ``read_csv_contract``
     reassembles.  At 100 TB this sink shape (text parts + a tiny header
-    artifact) is the same as any Spark text sink."""
+    artifact) is the same as any Spark text sink.
+
+    Newline safety: the rendered buffer is split ONLY on the explicit
+    ``lineterminator`` ("\\n"), never ``splitlines()`` — splitlines also
+    breaks on \\u2028/\\u2029/\\f/\\x85, silently splitting a record whose
+    string field contains one of those (manifest-sourced fields like
+    fund_name_website never pass through the F18 whitespace collapse).  A
+    field containing a real "\\n" is quoted by to_csv across two physical
+    pieces; emitting the pieces as consecutive text rows reassembles to
+    the byte-identical file (Spark's text sink joins rows with "\\n")."""
     import io
 
     import pandas as pd
@@ -95,8 +104,13 @@ def write_csv_contract(df: DataFrame, path: str) -> None:
     def fmt(it):
         for pdf in it:
             buf = io.StringIO()
-            pdf[cols].to_csv(buf, index=False, header=False)
-            yield pd.DataFrame({"line": buf.getvalue().splitlines()})
+            pdf[cols].to_csv(
+                buf, index=False, header=False, lineterminator="\n"
+            )
+            pieces = buf.getvalue().split("\n")
+            if pieces and pieces[-1] == "":
+                pieces.pop()  # to_csv terminates the last record too
+            yield pd.DataFrame({"line": pieces})
 
     df.mapInPandas(fmt, "line string").write.mode("overwrite").text(
         os.path.join(path, "data")
@@ -134,20 +148,31 @@ def run_with_lineage(
 
     Crash-safety contract (parquet stand-in for an Iceberg transaction):
       1. holdings land in a PER-RUN directory (holdings/run_id=<id>/);
-      2. metrics are computed FROM the written files — the pipeline plan
-         executes exactly once (the old formulation re-ran the whole job
-         a second time for the metrics aggregate);
-      3. lineage is committed LAST.  A crash inside the window leaves an
-         orphan run directory whose urls are absent from lineage: the next
-         run reprocesses them (pending_pages) and ``read_holdings`` keeps
-         only rows whose (url, run_id) is lineage-committed, so the orphan
-         can never surface as duplicate output.
+      2. lineage is the commit point.  A crash before it leaves an orphan
+         run directory whose urls are absent from lineage: the next run
+         reprocesses them (pending_pages) and ``read_holdings`` keeps
+         only rows whose (url, run_id) is lineage-committed, so the
+         orphan can never surface as duplicate output.
+      3. metrics are written AFTER the commit, computed FROM the written
+         files (the plan executes exactly once).  Writing them before the
+         commit would leave orphan metrics rows for a run lineage says
+         never happened — the re-run would then double-count them.  A
+         crash between commit and metrics loses at most one run's metrics
+         rows, which are recomputable from the committed holdings;
+         ``read_metrics`` additionally filters to committed run_ids as
+         defense in depth.
     """
     res_path = os.path.join(out_dir, "holdings", f"run_id={run_id}")
     lin_path = os.path.join(out_dir, "lineage")
     met_path = os.path.join(out_dir, "metrics")
 
     result.write.mode("overwrite").parquet(res_path)
+
+    # the commit point: only now do the urls count as processed
+    lineage = pages.select("url").distinct().withColumn(
+        "run_id", F.lit(run_id)
+    )
+    lineage.write.mode("append").parquet(lin_path)
 
     spark = pages.sparkSession
     written = spark.read.parquet(res_path)
@@ -160,12 +185,6 @@ def run_with_lineage(
         .withColumn("run_id", F.lit(run_id))
     )
     metrics.write.mode("append").parquet(met_path)
-
-    # the commit point: only now do the urls count as processed
-    lineage = pages.select("url").distinct().withColumn(
-        "run_id", F.lit(run_id)
-    )
-    lineage.write.mode("append").parquet(lin_path)
     n_docs = (
         spark.read.parquet(lin_path)
         .filter(F.col("run_id") == run_id)
@@ -178,16 +197,40 @@ def read_holdings(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed holdings only: a row is visible iff its (url, run_id) is
     present in lineage, latest run winning per url — orphan per-run
     directories from crashed runs are filtered out, and a url defensively
-    reprocessed by two committed runs appears once."""
+    reprocessed by two committed runs appears once.
+
+    Scale: the lineage table grows WITH the corpus (one row per committed
+    url), so — exactly like the manifest in join_manifest — a driver-built
+    broadcast of it would OOM/serialize at 10^12 urls.  The semi-join is
+    hinted shuffle_hash instead: both sides shuffle on url (holdings are
+    hash(url)-clustered on disk, bucket(url) under Iceberg, so only the
+    lineage side moves) and the hash build is parallel per-partition.
+    tests/test_plan_properties.py::test_read_holdings_no_lineage_broadcast
+    pins the no-BroadcastExchange shape."""
     hold = spark.read.parquet(os.path.join(out_dir, "holdings"))
     lin = spark.read.parquet(os.path.join(out_dir, "lineage"))
     latest = lin.groupBy("url").agg(F.max("run_id").alias("_run"))
     return hold.join(
-        F.broadcast(latest),
+        latest.hint("shuffle_hash"),
         (hold["pdf_url"] == latest["url"])
         & (hold["run_id"].cast("string") == latest["_run"].cast("string")),
         "left_semi",
     )
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Metrics restricted to lineage-committed run_ids — orphan metrics
+    rows from a run that crashed between the metrics append and the
+    lineage commit (impossible under the current write order, possible
+    for tables written by older engine versions) are filtered out, so
+    re-running those urls can never double-count."""
+    met = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    committed = (
+        spark.read.parquet(os.path.join(out_dir, "lineage"))
+        .select("run_id")
+        .distinct()
+    )
+    return met.join(committed.hint("shuffle_hash"), "run_id", "left_semi")
 
 
 def pending_pages(

@@ -209,12 +209,16 @@ def main() -> None:
         # When hw_eff_4_16 itself is < 0.8 the host cannot evidence the
         # target for ANY software — scaling_efficiency_vs_hw is the
         # signal to read then.
+        # retry budget starts AFTER corpus gen + hw calibration: measured
+        # from t_all those minutes ate the whole window and the retry path
+        # was mostly dead (ADVICE r02)
+        t_scaling = time.time()
         runs4 = run_extraction("local[4]", pages_path, manifest_path)
         runs16 = run_extraction("local[16]", pages_path, manifest_path)
         for _ in range(2):
             if (min(runs4) / min(runs16)) / 4 >= 0.8:
                 break
-            if time.time() - t_all > 700:  # stay under plausible timeouts
+            if time.time() - t_scaling > 700:  # stay under plausible timeouts
                 break
             time.sleep(90)
             runs4 += run_extraction("local[4]", pages_path, manifest_path)
