@@ -112,6 +112,16 @@ def ngram_jaccard_pairs(
     the self-join, and set sizes are computed over the surviving shingles
     so the Jaccard stays internally consistent (a documented approximation
     of the exact measure — boilerplate carries no dedup signal anyway).
+
+    The cap is a window count over ONE exchange of the exploded frame
+    (hash(bucket, shingle)), not a separate aggregate + semi-join: the
+    groupBy formulation pruned ``sid`` from its branch, so the expensive
+    tokenize+shingle chain planned TWICE (no exchange reuse — measured as
+    the r02 +88% regression).  Here every consumer — both self-join sides
+    and the set-size aggregate — sits above the same exchange, shingling
+    runs once, and the join keys arrive pre-partitioned.  WindowExec
+    buffers one (bucket, shingle) group at a time in a spillable array,
+    so a hot boilerplate key degrades to disk, never OOM.
     """
     base = with_shingles(df, text_col, k).select(
         F.col(id_col).alias("sid"),
@@ -119,13 +129,14 @@ def ngram_jaccard_pairs(
         F.explode(F.col("_sh")).alias("shingle"),
     )
     if max_df is not None:
-        df_ok = (
-            base.groupBy(*bucket_cols, "shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*bucket_cols, "shingle")
+        base = (
+            base.withColumn("_df", F.count(F.lit(1)).over(w))
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
-        base = base.join(df_ok, on=[*bucket_cols, "shingle"], how="left_semi")
     sizes = base.groupBy("sid").count().withColumnRenamed("count", "sz")
     a = base.select(
         F.col("sid").alias("id_a"),
