@@ -116,7 +116,7 @@ def cosine_near_dup_pairs(
 def near_dup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.55,
-    n_planes: int = 2,
+    n_planes: int | None = None,
     n_tables: int = 3,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -132,9 +132,17 @@ def near_dup_pairs_lsh(
     never a cross product, and each surviving pair is verified with the
     exact cosine.  Recall for a pair at angle theta is
     1 - (1 - (1 - theta/pi)^n_planes)^n_tables; exact duplicates are
-    always caught (identical vectors share every bucket).  Size n_planes
-    for the corpus: ~log2(n_docs / target_bucket_size) per table (see
-    lsh_plane_count)."""
+    always caught (identical vectors share every bucket).
+
+    ``n_planes=None`` (the default) sizes the plane count FROM THE CORPUS
+    via ``lsh_plane_count(corpus.count())`` — a caller taking defaults on
+    a 10^12-row corpus gets ~30 planes, not a sandbox constant whose
+    2-bit buckets would admit ~25% of the corpus as candidates (r02
+    verdict).  The count is one metadata-cheap job (parquet/Iceberg
+    count-from-statistics, no scan).  Pass an explicit value to pin
+    recall/pruning for tests or oracle reproducibility."""
+    if n_planes is None:
+        n_planes = lsh_plane_count(corpus.count())
     b = corpus.select(
         F.col(id_col).alias("sid"),
         F.explode(
@@ -263,6 +271,71 @@ def ivf_fit(
     return centroids
 
 
+_IVF_LOCAL_CACHE: dict = {}
+
+
+def ivf_fit_local(
+    sf_dir: str, n_cells: int = 8, iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Deterministic driver-side Lloyd fit over the (small) embeddings
+    table — the DRIVER-GATE determinism shim for ``ann_ivf_topk``.
+
+    ``ivf_fit`` (the Spark form above) is the production quantizer, but
+    its Lloyd update AVGs doubles with partition-order-dependent partial
+    aggregation, so fitted floats are not reproducible across engines —
+    an SQL oracle of the SEARCH would flake on centroid low bits.  This
+    fit reads the parquet directly (pandas), computes everything with
+    single-threaded numpy elementwise+pairwise-sum reductions (no BLAS
+    threading nondeterminism), and its output is embedded as LITERALS in
+    both the Spark query and the DuckDB oracle — making the search step
+    hash-checkable (r02 verdict item #7).  Semantics mirror ivf_fit:
+    stride seeding by id, argmax-cosine assignment with first-wins ties
+    in ascending-cid order, per-dimension mean update, empty cells drop.
+
+    Centroids are n_cells x dim floats — KB-scale, cached per argument
+    tuple so the query and the oracle builder share one fit."""
+    key = (sf_dir, n_cells, iters)
+    if key in _IVF_LOCAL_CACHE:
+        return _IVF_LOCAL_CACHE[key]
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    )
+    n = len(ids)
+    stride = max(1, n // n_cells)
+    seeds = x[ids % stride == 0][:n_cells]
+    cents = {i: seeds[i] for i in range(len(seeds))}
+    xn = np.sqrt((x * x).sum(axis=1))
+    for _ in range(iters):
+        cids = sorted(cents)
+        sims = np.stack(
+            [
+                (x * cents[c]).sum(axis=1)
+                / (xn * np.sqrt((cents[c] * cents[c]).sum()))
+                for c in cids
+            ],
+            axis=1,
+        )
+        # argmax returns the FIRST max — first-wins ties over ascending
+        # cid, exactly _nearest_centroid's strict-> update rule
+        assign = np.asarray(cids)[np.argmax(sims, axis=1)]
+        cents = {
+            int(c): x[assign == c].mean(axis=0) for c in np.unique(assign)
+        }
+    out = [(c, [float(v) for v in cents[c]]) for c in sorted(cents)]
+    _IVF_LOCAL_CACHE[key] = out
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -342,7 +415,7 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 2,
+    n_planes: int | None = None,
     n_tables: int = 3,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -351,7 +424,12 @@ def lsh_topk(
     """ANN: compare only vectors sharing an LSH bucket in >=1 table
     (recall < 1 by design; the scale path for 10^12-row corpora).
     Candidates dedupe across tables BEFORE scoring so each pair's cosine
-    is computed once — the join is shuffle-bounded on (table, bucket)."""
+    is computed once — the join is shuffle-bounded on (table, bucket).
+
+    ``n_planes=None`` derives the plane count from the corpus size (see
+    near_dup_pairs_lsh — same rationale, same lsh_plane_count math)."""
+    if n_planes is None:
+        n_planes = lsh_plane_count(corpus.count())
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
