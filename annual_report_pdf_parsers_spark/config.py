@@ -40,11 +40,12 @@ COUNTRIES: list[str] = [
 ]
 
 # Rows kept even with a non-whitelisted/empty currency cell
-# (crelan/parser.py:121-125; amundi/parser.py:73-79).
+# (crelan/parser.py:121-125, 739-742 to_keep; amundi/parser.py:73-79).
 KEEP_LIST: list[str] = [
     "CREANCES ET DETTES DIVERSES", "AUTRES",
     "Créances", "Dettes", "Comptes financiers",
     "Cash at bank", "Other assets and liabilities",
+    "Te ontvangen interesten", "Te betalen kosten",
 ]
 
 # Junk-row markers (P7 — aviva/parser.py:168-180, capitalatwork:275-289).
@@ -113,6 +114,16 @@ class ArchetypeConfig:
     # F10 charset purge + F11 multi-% truncation in the name cleanup
     # (aviva/parser.py:673-680; capitalatwork:345-359 — always co-occur)
     deep_name_clean: bool = False
+    # crelan hard clean() (crelan/parser.py:644-656): three sequential
+    # per-character passes over the holding name (lowercase purge,
+    # conditional '%' removal, post-digit letter removal, digit-space
+    # collapse) — the bond-code normalization family
+    hard_name_clean: bool = False
+    # D1 manifest-name routing (crelan/parser.py:736-763): the reference
+    # dispatches on the MANIFEST's website name substring, not page
+    # content; a non-None regex routes any document whose manifest names
+    # match it to this archetype, taking priority over page-0 dispatch
+    manifest_route_regex: str | None = None
 
 
 ARCHETYPES: dict[str, ArchetypeConfig] = {
@@ -238,6 +249,43 @@ ARCHETYPES: dict[str, ArchetypeConfig] = {
         # the fund's most-frequent currency instead of being dropped
         impute_currency_mode=True,
     ),
+    # oddo/scor/mirova family SECOND page-0 type (oddo/parser.py:427-435
+    # routes one provider's documents into 4 per-type parsers): same
+    # provider as keyword_scan_en, different page-0 marker, section
+    # keyword, grid offsets — the within-provider type-family mechanic
+    "keyword_scan_en_t2": ArchetypeConfig(
+        name="keyword_scan_en_t2",
+        lang="en",
+        classify_regex=r"^SEMI-ANNUAL REPORT",
+        section_regex=r"INVESTMENT PORTFOLIO",
+        grid=(0, 45, 53, 71),
+        shapes=(4,),
+        has_toc=False,
+        fund_regex=r"INVESTMENT PORTFOLIO - (.+?) *$",
+        number_locale="en",
+        name_rewrites=((r"^PROVIDER_KEYWORD_EN\s+", ""),),
+    ),
+    # crelan hard-clean family (crelan/parser.py:644-656, 736-763): the
+    # page-0 title is the AMBIGUOUS "RAPPORT ANNUEL ..." (classify_regex
+    # never fires — page-0 dispatch alone would misroute these documents
+    # to toc_grid_fr and extract nothing); routing comes from the
+    # manifest name containing the METROPOLITAN token, exactly the
+    # reference's website-substring dispatch.  Holding names are
+    # bond-code shaped and go through the hard clean() chain.
+    "manifest_grid_fr": ArchetypeConfig(
+        name="manifest_grid_fr",
+        lang="fr",
+        classify_regex=r"(?!x)x",  # page-0 content cannot identify these
+        section_regex=r"COMPOSITION DU PORTEFEUILLE",
+        grid=(0, 40, 48, 66),
+        shapes=(4,),
+        has_toc=False,
+        fund_regex=r"COMPOSITION DU PORTEFEUILLE - (.+?) *$",
+        number_locale="fr",
+        keep_list=("Te ontvangen interesten", "Te betalen kosten"),
+        hard_name_clean=True,
+        manifest_route_regex="METROPOLITAN",
+    ),
 }
 
 # Classification order matters (first match wins) — keep deterministic.
@@ -247,10 +295,12 @@ DISPATCH_ORDER: list[str] = [
     "reverse_scan_fr",
     "fragment_fusion_en",
     "toc_grid_fr",
+    "keyword_scan_en_t2",
     "keyword_scan_en",
     "gap_split_en",
     "two_up_fr",
     "header_grid_fr",
+    "manifest_grid_fr",
 ]
 
 TWO_UP_SPLIT = 80  # char offset separating left/right halves (two_up_fr)

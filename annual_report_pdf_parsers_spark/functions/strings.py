@@ -87,23 +87,51 @@ def extract_by_regex(col: Column, pattern: str, group: int = 1) -> Column:
     return F.regexp_extract(col, pattern, group)
 
 
+def hard_clean_crelan(col: Column) -> Column:
+    """Crelan hard ``clean()`` (crelan/parser.py:644-656): bond-code
+    normalization via three SEQUENTIAL regex passes — lookarounds evaluate
+    against each pass's INPUT, so pass boundaries matter (a removal in
+    pass 1 creates adjacencies pass 2 sees):
+
+      1. ``(?<!\\d)%|[a-z]|%(?! )`` — every lowercase letter; a '%'
+         survives only when digit-preceded AND space-followed;
+      2. ``(?<=\\d)[a-zA-Z](?! )|(?<=\\.)[a-zA-Z](?! )`` — letters glued
+         to a digit/dot (unit suffixes like '2y');
+      3. ``(?<=[0-9/]) (?=[0-9/])`` — the space inside split numerics.
+
+    ``'nan'`` maps to ``'_'`` (the reference's NaN cell sentinel).  Java
+    regex supports the lookarounds natively; the DuckDB oracle (no
+    lookarounds in RE2) reproduces each pass as a per-character keep
+    predicate over the same input — see queries._hard_clean_pass_sql."""
+    p1 = F.regexp_replace(col, r"(?<!\d)%|[a-z]|%(?! )", "")
+    p2 = F.regexp_replace(p1, r"(?<=\d)[a-zA-Z](?! )|(?<=\.)[a-zA-Z](?! )", "")
+    p3 = F.regexp_replace(p2, r"(?<=[0-9/]) (?=[0-9/])", "")
+    return F.when(col == "nan", F.lit("_")).otherwise(p3)
+
+
 def collapse_ws(col: Column) -> Column:
     """F18: whitespace collapse + trim ('" ".join(x.split())')."""
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
 def clean_holding_name(
-    col: Column, strip_leading: Column, deep_clean: Column | None = None
+    col: Column,
+    strip_leading: Column,
+    deep_clean: Column | None = None,
+    hard_clean: Column | None = None,
 ) -> Column:
     """The canonical name-cleanup chain: optional F13, then F9, then the
     optional aviva deep clean (F10 charset purge + F11 multi-% truncation,
-    aviva/parser.py:673-680 order), then F18 collapse+trim.
+    aviva/parser.py:673-680 order) OR the crelan hard clean
+    (hard_clean_crelan — the two never co-occur in an archetype), then
+    F18 collapse+trim.
 
-    ``strip_leading`` / ``deep_clean`` are boolean Columns (per-row, set
-    by the dispatch stage per archetype) so the whole corpus stays one
-    plan.  The deep branch duplicates the upstream chain inside the CASE
-    (no CSE across branches) — acceptable: each row evaluates one branch,
-    and the chain is three small regexes.
+    ``strip_leading`` / ``deep_clean`` / ``hard_clean`` are boolean
+    Columns (per-row, set by the dispatch stage per archetype) so the
+    whole corpus stays one plan.  The conditional branches duplicate the
+    upstream chain inside the CASE (no CSE across branches) — acceptable:
+    each row evaluates one branch, and the chains are a few small
+    regexes.
     """
     stripped = F.when(strip_leading, drop_leading_token(col)).otherwise(col)
     base = strip_isin(stripped)
@@ -111,4 +139,6 @@ def clean_holding_name(
         base = F.when(
             deep_clean, truncate_multi_percent_aviva(purge_charset(base))
         ).otherwise(base)
+    if hard_clean is not None:
+        base = F.when(hard_clean, hard_clean_crelan(base)).otherwise(base)
     return collapse_ws(base)

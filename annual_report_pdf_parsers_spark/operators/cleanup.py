@@ -246,12 +246,16 @@ def normalize_numbers(df: DataFrame, locale) -> DataFrame:
     )
 
 
-def clean_names(df: DataFrame, strip_leading, deep_clean=None) -> DataFrame:
-    """F9/F13 (+F10/F11 for deep-clean archetypes) /F18 + P5/P8 name
+def clean_names(
+    df: DataFrame, strip_leading, deep_clean=None, hard_clean=None
+) -> DataFrame:
+    """F9/F13 (+F10/F11 deep clean, + crelan hard clean) /F18 + P5/P8 name
     predicates (pinned: the length filters must not re-inline the regex
     chain)."""
     cleaned = pin(
-        clean_holding_name(F.col("holding_name"), strip_leading, deep_clean)
+        clean_holding_name(
+            F.col("holding_name"), strip_leading, deep_clean, hard_clean
+        )
     )
     return (
         df.withColumn("holding_name", cleaned)

@@ -1,11 +1,28 @@
 """Dispatch stage (SURVEY.md §2.9 D1/D2/D3): classify each document.
 
 The reference routes per-row in Python (crelan/parser.py:736-763 name
-substrings; oddo/parser.py:427-435 page-0 content).  Here it is a single
-``when`` chain over the first page's text producing a ``doc_class`` column
-— pure Catalyst expression, evaluated once per document, drives both the
-Arrow-batch extractor and every downstream locale/provider branch without
-splitting the plan.
+substrings; oddo/parser.py:427-435 page-0 content).  Here both mechanics
+are declarative:
+
+  D2 — a single ``when`` chain over the first page's text producing a
+  ``doc_class`` column: pure Catalyst expression, evaluated once per
+  document, drives both the Arrow-batch extractor and every downstream
+  locale/provider branch without splitting the plan.
+
+  D1 — manifest-name routing (crelan dispatches SOLELY on the website
+  fund name: "Crelan"/"Metropolitan Rentastro" substrings pick the
+  parser).  ``route_map`` reduces the manifest to one (url, class) row
+  per routable document; ``classify`` left-joins it and gives it
+  priority over the page-0 chain (``coalesce``), exactly the reference's
+  name-first order.  Within one provider family several page-0 types map
+  to distinct archetypes sharing a provider (oddo/parser.py:427-435) —
+  keyword_scan_en / keyword_scan_en_t2 in ARCHETYPES.
+
+Scale: the route map is one row per ROUTED url — corpus-growing, like
+the manifest itself.  In the sandbox Catalyst broadcasts it; at 10^12
+documents both pages and manifest live in bucket(url) Iceberg tables and
+the join is storage-partitioned (no exchange of the big side, no driver
+build).  The map build is one shuffle of the (small) manifest.
 """
 
 from __future__ import annotations
@@ -17,14 +34,58 @@ from ..config import ARCHETYPES, DISPATCH_ORDER
 from ..sources.synthetic import PROVIDER_OF
 
 
-def classify(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """D2: add ``doc_class`` from page-0 content; unknown layouts -> NULL."""
+def route_map(manifest: DataFrame) -> DataFrame:
+    """D1: (url, doc_class) for documents whose manifest names match an
+    archetype's ``manifest_route_regex``.  min() makes the pick
+    deterministic if share classes ever matched different archetypes.
+
+    The aggregation runs on the route's DISPATCH_ORDER index, not the
+    class STRING: min(int) plans as a HashAggregate while min(string)
+    falls back to a SortAggregate — two pointless sorts of the manifest
+    side (observed; test_pipeline_two_sorts pins the sort economy)."""
+    idx: Column | None = None
+    routable: list[str] = []
+    for name in DISPATCH_ORDER:
+        rx = ARCHETYPES[name].manifest_route_regex
+        if rx is None:
+            continue
+        cond = F.col("name").rlike(rx)
+        i = F.lit(len(routable))
+        idx = F.when(cond, i) if idx is None else idx.when(cond, i)
+        routable.append(name)
+    if idx is None:
+        return None
+    back: Column | None = None
+    for i, name in enumerate(routable):
+        cond = F.col("_ri") == i
+        back = F.when(cond, name) if back is None else back.when(cond, name)
+    return (
+        manifest.select(F.col("pdf_url").alias("url"), idx.alias("_ri"))
+        .filter(F.col("_ri").isNotNull())
+        .groupBy("url")
+        .agg(F.min("_ri").alias("_ri"))
+        .select("url", back.alias("_route_class"))
+    )
+
+
+def classify(
+    pages: DataFrame, manifest: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """D2 (+ D1 when a manifest is supplied): add ``doc_class``; unknown
+    layouts -> NULL.  Manifest routing takes priority — the reference's
+    crelan dispatcher never looks at page content."""
     page0 = F.substring_index(F.col(text_col), "\f", 1)
     expr: Column | None = None
     for name in DISPATCH_ORDER:
         cond = page0.rlike(ARCHETYPES[name].classify_regex)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return pages.withColumn("doc_class", expr)
+    routes = route_map(manifest) if manifest is not None else None
+    if routes is None:
+        return pages.withColumn("doc_class", expr)
+    return pages.join(routes, "url", "left").withColumn(
+        "doc_class", F.coalesce(F.col("_route_class"), expr)
+    ).drop("_route_class")
 
 
 def provider_col() -> Column:

@@ -35,7 +35,9 @@ from ..operators.joins import join_manifest
 from .dispatch import classify, locale_col, provider_col, report_name_col
 
 
-def extract_holdings(pages: DataFrame) -> DataFrame:
+def extract_holdings(
+    pages: DataFrame, manifest: DataFrame | None = None
+) -> DataFrame:
     """pages -> cleaned holdings (before the manifest join).
 
     Plan shape (see SCALE.md §2): ONE Arrow-batch stage emitting rows
@@ -44,8 +46,15 @@ def extract_holdings(pages: DataFrame) -> DataFrame:
     that every downstream window/group reuses: P9's (url,fund,name)
     window, W3's descending window + group-by, W1's ffill are all
     satisfied by hash(url, fund) and plan as sorts, not exchanges.
+
+    ``manifest`` (optional) enables D1 manifest-name routing (see
+    plans/dispatch.py): a broadcast join of the per-url route map on the
+    scan side — no exchange of the big side, one small-side shuffle to
+    build the map.
     """
-    classified = classify(pages).filter(F.col("doc_class").isNotNull())
+    classified = classify(pages, manifest).filter(
+        F.col("doc_class").isNotNull()
+    )
     rows = extract_resolved(classified).withColumn(
         "fund_name_report", report_name_col(F.col("fund"))  # F16 + lower
     ).drop("fund")
@@ -73,20 +82,35 @@ def extract_holdings(pages: DataFrame) -> DataFrame:
     deep = F.col("doc_class").isin(
         [n for n, c in ARCHETYPES.items() if c.deep_name_clean]
     )  # F10+F11 archetypes (aviva/parser.py:673-680)
-    rows = clean_names(rows, strip_leading, deep)
+    hard = F.col("doc_class").isin(
+        [n for n, c in ARCHETYPES.items() if c.hard_name_clean]
+    )  # crelan hard clean() archetypes (crelan/parser.py:644-656)
+    rows = clean_names(rows, strip_leading, deep, hard)
     return rows
 
 
 def run_pipeline(
-    pages: DataFrame, manifest: DataFrame, manifest_hint: str | None = None
+    pages: DataFrame,
+    manifest: DataFrame,
+    manifest_hint: str | None = None,
+    manifest_routing: bool = True,
 ) -> DataFrame:
     """Full pipeline to the 9-column output contract.
 
     ``manifest_hint="shuffle_hash"`` selects the co-partitioned manifest
     join (see join_manifest) — the production shape when the manifest
     scales with the corpus; default lets Catalyst broadcast small ones.
+
+    ``manifest_routing`` enables D1 manifest-name dispatch (default on —
+    required for archetypes with manifest_route_regex; the reference's
+    crelan dispatcher routes on the website name only).  Pass False when
+    the corpus is known to contain no manifest-routed documents to keep
+    the exact one-exchange legacy plan (bench.py does this for its
+    pinned 7-class corpus so docs/sec stays comparable round over round).
     """
-    holdings = extract_holdings(pages)
+    holdings = extract_holdings(
+        pages, manifest if manifest_routing else None
+    )
     joined = join_manifest(holdings, manifest, hint=manifest_hint)
     return joined.select(
         provider_col().alias("fund_provider"),

@@ -939,6 +939,76 @@ def q_d5_fallback_chain(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+def q_d1_manifest_routing(spark, sf):
+    """D1 manifest-name routing through the REAL dispatch operator
+    (plans/dispatch.py::classify + route_map; crelan/parser.py:736-763):
+    a synthetic pages/manifest pair built from customer rows — urls whose
+    manifest names carry the METROPOLITAN token route to
+    manifest_grid_fr regardless of page-0 content; the rest fall through
+    to the page-0 when-chain (toc / keyword t1 / keyword t2)."""
+    from .plans.dispatch import classify
+
+    c = load(spark, sf, "customer")
+    k = F.col("c_custkey")
+    url = F.concat(F.lit("u"), (k % 60).cast("string"))
+    text_c = (
+        F.when(k % 3 == 0, F.lit("RAPPORT ANNUEL X\fbody"))
+        .when(k % 3 == 1, F.lit("ANNUAL REPORT Y\fbody"))
+        .otherwise(F.lit("SEMI-ANNUAL REPORT Z\fbody"))
+    )
+    # url determines k%60, which determines k%3: the dedupe is exact
+    pages = (
+        c.filter(k < 180)
+        .select(url.alias("url"), text_c.alias("text"))
+        .dropDuplicates(["url"])
+    )
+    man = c.filter(k < 300).select(
+        F.concat(F.lit("u"), (k % 60).cast("string")).alias("pdf_url"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("METROPOLITAN FUND "), (k % 60).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("FUND "), (k % 60).cast("string")))
+        .alias("name"),
+    )
+    return classify(pages, man).select("url", "doc_class")
+
+
+def q_f_hard_name_clean(spark, sf):
+    """Crelan hard clean() (crelan/parser.py:644-656) over adversarial
+    bond-code names built from part rows: lowercase purge, contextual '%'
+    removal, post-digit letter removal, digit-space collapse, plus the
+    'nan' sentinel.  The oracle reproduces each sequential regex pass as
+    a per-character keep predicate (DuckDB's RE2 has no lookarounds)."""
+    from .functions import strings
+
+    p = load(spark, sf, "part")
+    k = F.col("p_partkey")
+    raw = F.when(k % 97 == 0, F.lit("nan")).otherwise(
+        F.concat(
+            F.upper(F.substring("p_name", 1, 4)),
+            F.lit(" "),
+            F.col("p_name"),
+            F.lit(" "),
+            (k % 9).cast("string"),
+            F.lit(","),
+            (k % 90 + 10).cast("string"),
+            F.lit("%"),
+            F.when(k % 3 == 0, F.lit(" ")).otherwise(F.lit("")),
+            (k % 28 + 1).cast("string"),
+            F.lit("/"),
+            (k % 12 + 1).cast("string"),
+            F.when(k % 4 == 0, F.lit(" 2y")).otherwise(F.lit(" 30BX9")),
+        )
+    )
+    return p.select(
+        k.cast("long").alias("id"),
+        strings.collapse_ws(strings.hard_clean_crelan(raw)).alias(
+            "name_clean"
+        ),
+    )
+
+
 def _corpus_with_dupes(spark, sf):
     """documents plus shifted copies of every 50th doc — deterministic
     near/exact duplicates so dedup queries return non-trivial results."""
@@ -1232,6 +1302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d3_header_variant": q_d3_header_variant,
     "d4_shape_dispatch": q_d4_shape_dispatch,
     "d5_fallback_chain": q_d5_fallback_chain,
+    "d1_manifest_routing": q_d1_manifest_routing,
+    "f_hard_name_clean": q_f_hard_name_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2101,3 +2173,75 @@ except OSError:
     # driver testdata absent (e.g. packaging environment): the entry
     # falls back to the rows-only check rather than failing the import
     pass
+
+
+def _hard_clean_pass_sql(src: str, remove_pred: str) -> str:
+    """One sequential pass of the crelan hard clean() as SQL: DuckDB's
+    RE2 regexes have no lookarounds, so each pass is restated as a
+    per-character KEEP predicate over that pass's input — exactly how
+    Python's re.sub evaluates lookarounds (against the pass input, not
+    the partially-built output).  ``remove_pred`` may reference {C} (the
+    char), {PV} (previous char or ''), {NX} (next char or '')."""
+    pred = remove_pred.format(
+        C="ch[i]",
+        PV="coalesce(ch[i-1], '')",
+        NX="coalesce(ch[i+1], '')",
+    )
+    return (
+        "(SELECT array_to_string(list_transform(list_filter("
+        "generate_series(1, len(ch)), "
+        f"i -> NOT ({pred})), i -> ch[i]), '') "
+        f"FROM (SELECT regexp_split_to_array({src}, '') AS ch))"
+    )
+
+
+# remove-predicates per pass (see functions/strings.py::hard_clean_crelan);
+# placeholders {C}/{PV}/{NX} are substituted by _hard_clean_pass_sql
+_HC1 = (
+    "regexp_matches({C}, '^[a-z]$') "
+    "OR ({C} = '%' AND NOT regexp_matches({PV}, '^[0-9]$')) "
+    "OR ({C} = '%' AND {NX} <> ' ')"
+)
+_HC2 = (
+    "regexp_matches({C}, '^[A-Za-z]$') "
+    "AND regexp_matches({PV}, '^[0-9.]$') AND {NX} <> ' '"
+)
+_HC3 = (
+    "{C} = ' ' AND regexp_matches({PV}, '^[0-9/]$') "
+    "AND regexp_matches({NX}, '^[0-9/]$')"
+)
+
+ORACLE_SQL["f_hard_name_clean"] = (
+    "WITH raw AS (SELECT CAST(p_partkey AS BIGINT) AS id, "
+    "  CASE WHEN p_partkey % 97 = 0 THEN 'nan' ELSE "
+    "    upper(substr(p_name, 1, 4)) || ' ' || p_name || ' ' || "
+    "    CAST(p_partkey % 9 AS VARCHAR) || ',' || "
+    "    CAST(p_partkey % 90 + 10 AS VARCHAR) || '%' || "
+    "    (CASE WHEN p_partkey % 3 = 0 THEN ' ' ELSE '' END) || "
+    "    CAST(p_partkey % 28 + 1 AS VARCHAR) || '/' || "
+    "    CAST(p_partkey % 12 + 1 AS VARCHAR) || "
+    "    (CASE WHEN p_partkey % 4 = 0 THEN ' 2y' ELSE ' 30BX9' END) "
+    "  END AS s FROM part), "
+    f"p1 AS (SELECT id, {_hard_clean_pass_sql('s', _HC1)} AS s, "
+    "  s AS orig FROM raw), "
+    f"p2 AS (SELECT id, {_hard_clean_pass_sql('s', _HC2)} AS s, "
+    "  orig FROM p1), "
+    f"p3 AS (SELECT id, {_hard_clean_pass_sql('s', _HC3)} AS s, "
+    "  orig FROM p2) "
+    "SELECT id, trim(regexp_replace("
+    "  CASE WHEN orig = 'nan' THEN '_' ELSE s END, "
+    "  '\\s+', ' ', 'g')) AS name_clean FROM p3"
+)
+
+ORACLE_SQL["d1_manifest_routing"] = (
+    "WITH pages AS (SELECT DISTINCT "
+    "  'u' || CAST(c_custkey % 60 AS VARCHAR) AS url, "
+    "  c_custkey % 3 AS t3 FROM customer WHERE c_custkey < 180), "
+    "routes AS (SELECT 'u' || CAST(c_custkey % 60 AS VARCHAR) AS url, "
+    "  'manifest_grid_fr' AS rc FROM customer "
+    "  WHERE c_custkey < 300 AND c_custkey % 5 = 0 GROUP BY 1, 2) "
+    "SELECT p.url, COALESCE(r.rc, "
+    "  CASE p.t3 WHEN 0 THEN 'toc_grid_fr' WHEN 1 THEN 'keyword_scan_en' "
+    "  ELSE 'keyword_scan_en_t2' END) AS doc_class "
+    "FROM pages p LEFT JOIN routes r ON p.url = r.url"
+)

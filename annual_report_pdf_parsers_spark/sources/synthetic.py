@@ -42,10 +42,17 @@ PROVIDER_OF = {
     "toc_grid_fr": "PROVIDER_TOC_FR",
     "header_grid_fr": "PROVIDER_BANQUE_FR",
     "keyword_scan_en": "PROVIDER_KEYWORD_EN",
+    # the oddo-style within-provider type family (oddo/parser.py:427-435):
+    # a second page-0 type of the SAME provider, own grid/section marker
+    "keyword_scan_en_t2": "PROVIDER_KEYWORD_EN",
     "reverse_scan_fr": "PROVIDER_REVERSE_FR",
     "gap_split_en": "PROVIDER_GAP_EN",
     "fragment_fusion_en": "PROVIDER_FRAGMENT_EN",
     "two_up_fr": "PROVIDER_TWO_UP_FR",
+    # manifest-name-routed family (crelan/parser.py:736-763): page-0 text
+    # is ambiguous by design, D1 routes on the METROPOLITAN token in the
+    # manifest names
+    "manifest_grid_fr": "PROVIDER_CRELAN_FR",
 }
 
 _WORDS = (
@@ -173,12 +180,29 @@ def _row_pages(cfg: ArchetypeConfig, n_rows: int) -> list[int]:
     return [(i + 1) // 12 for i in range(n_rows)]
 
 
+def hard_clean_ref(text: str) -> str:
+    """Verbatim restatement of the crelan hard ``clean()``
+    (crelan/parser.py:644-656) minus its final strip (the engine's F18
+    handles trimming) — the oracle half of functions/strings.py::
+    hard_clean_crelan, also the property-fuzz reference."""
+    if text == "nan":
+        return "_"
+    text = re.sub(r"(?<!\d)%|[a-z]|%(?! )", "", text)
+    text = re.sub(r"(?<=\d)[a-zA-Z](?! )|(?<=\.)[a-zA-Z](?! )", "", text)
+    text = re.sub(r"(?<=[0-9/]) (?=[0-9/])", "", text)
+    return text
+
+
 def clean_name(
-    name: str, strip_leading_token: bool, deep_clean: bool = False
+    name: str,
+    strip_leading_token: bool,
+    deep_clean: bool = False,
+    hard_clean: bool = False,
 ) -> str:
     """Oracle for the name-cleanup chain: F13 leading-token drop, F9 ISIN
     strip, optional aviva deep clean (F10 charset purge then F11 multi-%
-    truncation, aviva/parser.py:673-680), F18 whitespace collapse + trim
+    truncation, aviva/parser.py:673-680) or crelan hard clean
+    (crelan/parser.py:644-656), F18 whitespace collapse + trim
     (SURVEY.md §2.8)."""
     s = name
     if strip_leading_token:
@@ -190,6 +214,8 @@ def clean_name(
             m = re.search(r"% {0,3}[0-9/]+", s)
             if m:
                 s = s[: m.end()]
+    if hard_clean:
+        s = hard_clean_ref(s)
     s = re.sub(r"\s+", " ", s).strip()          # F18
     return s
 
@@ -299,6 +325,7 @@ def simulate_cleanup(
         name = clean_name(
             r.name, strip_leading_token=False,
             deep_clean=cfg.deep_name_clean,
+            hard_clean=cfg.hard_name_clean,
         )
         if not name or len(name) >= 90:     # P5 / P8
             continue
@@ -320,6 +347,25 @@ def _mk_name(rng: random.Random, max_len: int) -> str:
 
 def _mk_isin(rng: random.Random) -> str:
     return "LU" + "".join(rng.choice("0123456789") for _ in range(10))
+
+
+def _mk_bond_name(rng: random.Random, max_len: int) -> str:
+    """Bond-code-shaped names exercising every branch of the crelan hard
+    clean(): lowercase pollution, '%' kept/removed by context, digit-space
+    collapse, glued unit suffixes."""
+    w = rng.choice(_WORDS)
+    pct = f"{rng.randrange(1, 9)},{rng.randrange(10, 99)}%"
+    dd = f"{rng.randrange(1, 28):02d}/{rng.randrange(1, 13):02d}"
+    v = rng.randrange(4)
+    if v == 0:
+        n = f"{w} {pct} {dd}"                      # surviving '%'
+    elif v == 1:
+        n = f"{w} Bond {pct} {dd} {rng.randrange(20, 40)}"  # lc + collapse
+    elif v == 2:
+        n = f"{w} {pct}{dd}"                       # '%' glued -> removed
+    else:
+        n = f"{w} {rng.randrange(1, 9)}y {pct} {dd} series"  # unit suffix
+    return n[:max_len].strip()
 
 
 def _build_fund_rows(
@@ -362,6 +408,10 @@ def _build_fund_rows(
         base = _mk_name(rng, name_width - 15 if allow_isin else name_width)
         isin_tag = allow_isin and rng.random() < 0.15
         name_cell = f"{base} {_mk_isin(rng)}" if isin_tag else base
+        if cfg.hard_name_clean and rng.random() < 0.7:
+            # crelan family: bond-code names through the hard clean()
+            base = name_cell = _mk_bond_name(rng, name_width)
+            isin_tag = False
         dash = rng.random() < 0.06
         if dash:
             mv_cell, na_cell = "-", "0,00%" if cfg.number_locale == "fr" else "0.00%"
@@ -523,10 +573,15 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
         "toc_grid_fr": f"RAPPORT ANNUEL {provider}",
         "header_grid_fr": f"ETATS FINANCIERS {provider}",
         "keyword_scan_en": f"ANNUAL REPORT {provider}",
+        "keyword_scan_en_t2": f"SEMI-ANNUAL REPORT {provider}",
         "reverse_scan_fr": f"RAPPORT ANNUEL REVISE {provider}",
         "gap_split_en": f"INTERIM REPORT {provider}",
         "fragment_fusion_en": f"AUDITED ANNUAL REPORT {provider}",
         "two_up_fr": f"RAPPORT DE GESTION {provider}",
+        # deliberately AMBIGUOUS page-0: matches toc_grid_fr's classify
+        # regex — only the D1 manifest route (METROPOLITAN) can dispatch
+        # these documents correctly (crelan/parser.py:736-763)
+        "manifest_grid_fr": f"RAPPORT ANNUEL {provider}",
     }[cfg.name]
     pages.append(title + "\n" + filler(1)[0])
 
@@ -572,6 +627,7 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
     for f in doc.funds:
         hdr_txt = {
             "keyword_scan_en": f"SCHEDULE OF INVESTMENTS - {f.title}",
+            "keyword_scan_en_t2": f"INVESTMENT PORTFOLIO - {f.title}",
             "header_grid_fr": f"ETAT DU PATRIMOINE - {f.title}",
             "reverse_scan_fr": (
                 f"INVENTAIRE DETAILLE DES INSTRUMENTS FINANCIERS - {f.title}"
@@ -579,6 +635,7 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
             "gap_split_en": f"PORTFOLIO STATEMENT - {f.title}",
             "fragment_fusion_en": f"STATEMENT OF INVESTMENTS - {f.title}",
             "two_up_fr": f"INVENTAIRE - {f.title}",
+            "manifest_grid_fr": f"COMPOSITION DU PORTEFEUILLE - {f.title}",
         }[cfg.name]
         if cfg.name == "gap_split_en":
             lines = ["  ".join(["Holding", "Ccy", "Market Value", "%NAV"])]
@@ -640,17 +697,20 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _gen_doc(i: int, seed: int):
+def _gen_doc(i: int, seed: int, classes: list[str] | None = None):
     """Generate one document's (page_row, manifest_rows, expected_rows).
 
     Pure function of (seed, i) — make_corpus and make_corpus_parallel
-    produce identical corpora."""
+    produce identical corpora.  ``classes`` pins the archetype rotation
+    (bench.py keeps the round-2 7-class mix so docs/sec stays comparable
+    across rounds; tests default to all of DISPATCH_ORDER)."""
     page_rows, manifest_rows, expected_rows = [], [], []
     t0 = datetime(2025, 12, 31, 0, 0, 0)
 
     if True:
         rng = random.Random(f"{seed}:{i}")
-        doc_class = DISPATCH_ORDER[i % len(DISPATCH_ORDER)]
+        rotation = classes or DISPATCH_ORDER
+        doc_class = rotation[i % len(rotation)]
         cfg = ARCHETYPES[doc_class]
         provider = PROVIDER_OF[doc_class]
         # deliberate host skew: ~30% of docs on one hot host (FIXTURES.md §1)
@@ -689,9 +749,17 @@ def _gen_doc(i: int, seed: int):
             # exercising the J4 fan-back); every 11th doc's funds beyond the
             # first have NO manifest row (left-join null path)
             if not (i % 11 == 7 and k >= 1):
-                classes = ["Cap"] + (["Dis"] if rng.random() < 0.25 else [])
-                for cls in classes:
-                    fund.manifest.append((f"{title} - {cls}", _mk_isin(rng)))
+                share_cls = ["Cap"] + (["Dis"] if rng.random() < 0.25 else [])
+                # D1 route token: the reference's "Metropolitan Rentastro"
+                # website substring (crelan/parser.py:754) — the ONLY
+                # signal that identifies a manifest_grid_fr document
+                prefix = (
+                    "METROPOLITAN " if doc_class == "manifest_grid_fr" else ""
+                )
+                for cls in share_cls:
+                    fund.manifest.append(
+                        (f"{prefix}{title} - {cls}", _mk_isin(rng))
+                    )
             doc.funds.append(fund)
 
         render_cfg = cfg
@@ -748,10 +816,11 @@ def _gen_doc(i: int, seed: int):
 
 
 def _gen_range(args):
-    lo, hi, seed = args
+    lo, hi, seed, *rest = args
+    classes = rest[0] if rest else None
     pages, manifest, expected = [], [], []
     for i in range(lo, hi):
-        p, m, e = _gen_doc(i, seed)
+        p, m, e = _gen_doc(i, seed, classes)
         pages.append(p)
         manifest.extend(m)
         expected.extend(e)
@@ -759,10 +828,10 @@ def _gen_range(args):
 
 
 def make_corpus(
-    n_docs: int, seed: int = 42
+    n_docs: int, seed: int = 42, classes: list[str] | None = None
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Build (pages, manifest, expected) pandas frames deterministically."""
-    pages, manifest, expected = _gen_range((0, n_docs, seed))
+    pages, manifest, expected = _gen_range((0, n_docs, seed, classes))
     return (
         pd.DataFrame(pages),
         pd.DataFrame(manifest),
@@ -771,7 +840,10 @@ def make_corpus(
 
 
 def make_corpus_parallel(
-    n_docs: int, seed: int = 42, workers: int = 16
+    n_docs: int,
+    seed: int = 42,
+    workers: int = 16,
+    classes: list[str] | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Multiprocess corpus generation — identical output to make_corpus
     (per-doc determinism), used by the bench for large corpora."""
@@ -779,7 +851,8 @@ def make_corpus_parallel(
 
     step = max(1, n_docs // workers)
     chunks = [
-        (lo, min(lo + step, n_docs), seed) for lo in range(0, n_docs, step)
+        (lo, min(lo + step, n_docs), seed, classes)
+        for lo in range(0, n_docs, step)
     ]
     pages, manifest, expected = [], [], []
     with ProcessPoolExecutor(max_workers=workers) as ex:

@@ -110,13 +110,24 @@ def calibrate_hw() -> dict[str, float]:
     }
 
 
+# The scaling corpus PINS the round-2 archetype mix (the original seven
+# classes): adding new archetypes to DISPATCH_ORDER must not silently
+# change the benchmark workload, or docs/sec stops being comparable round
+# over round.  With no manifest-routed docs in the corpus, the pipeline
+# runs with manifest_routing=False — the exact r02 one-exchange plan.
+BENCH_CLASSES = [
+    "reverse_scan_fr", "fragment_fusion_en", "toc_grid_fr",
+    "keyword_scan_en", "gap_split_en", "two_up_fr", "header_grid_fr",
+]
+
+
 def _gen_chunk(args) -> str:
     lo, hi, seed, out_dir = args
     import pandas as pd  # noqa: F401  (worker import)
 
     from annual_report_pdf_parsers_spark.sources.synthetic import _gen_range
 
-    pages, manifest, _ = _gen_range((lo, hi, seed))
+    pages, manifest, _ = _gen_range((lo, hi, seed, BENCH_CLASSES))
     import pandas
 
     pdf = pandas.DataFrame(pages)
@@ -179,7 +190,10 @@ def run_extraction(
         spark.sparkContext.setLogLevel("ERROR")
         pages = spark.read.parquet(pages_path)
         manifest = spark.read.parquet(manifest_path)
-        job = run_pipeline(pages, manifest, manifest_hint="shuffle_hash")
+        job = run_pipeline(
+            pages, manifest, manifest_hint="shuffle_hash",
+            manifest_routing=False,  # corpus pinned to unrouted classes
+        )
         materialize(job)  # warmup: codegen + JIT + python workers
         times = []
         for _ in range(3):

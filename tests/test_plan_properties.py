@@ -25,10 +25,10 @@ def corpus_paths(spark, tmp_path_factory):
     return pp, manifest_pdf
 
 
-def _plan(spark, corpus_paths) -> str:
+def _plan(spark, corpus_paths, **kw) -> str:
     pp, manifest_pdf = corpus_paths
     pages = spark.read.parquet(pp)
-    out = run_pipeline(pages, manifest_to_spark(spark, manifest_pdf))
+    out = run_pipeline(pages, manifest_to_spark(spark, manifest_pdf), **kw)
     return out._jdf.queryExecution().executedPlan().toString()
 
 
@@ -44,12 +44,27 @@ def test_html_column_pruned(spark, corpus_paths):
 
 
 def test_single_wide_shuffle(spark, corpus_paths):
-    """Exactly ONE hash exchange on the big path: the (url, fund)
-    clustering that all windows/groupBys reuse (SCALE.md §2).  Broadcast
-    exchanges (manifest) are allowed and expected."""
-    plan = _plan(spark, corpus_paths)
+    """Exactly ONE hash exchange on the big path: the url clustering that
+    all windows/groupBys reuse (SCALE.md §2).  With manifest_routing=False
+    (no D1-routed archetypes in the corpus) that is the ONLY hash exchange
+    in the whole plan; broadcast exchanges (manifest) are allowed."""
+    plan = _plan(spark, corpus_paths, manifest_routing=False)
     hash_exchanges = plan.count("Exchange hashpartitioning")
     assert hash_exchanges == 1, f"expected 1 hash exchange, got:\n{plan}"
+
+
+def test_routed_plan_shape(spark, corpus_paths):
+    """Default plan (D1 manifest routing on): TWO hash exchanges — the
+    big-path url clustering plus the SMALL-side route-map aggregation of
+    the manifest — and the route map joins the scan side as a broadcast
+    (no exchange of the pages side).  The heavy columns still shuffle
+    exactly once."""
+    plan = _plan(spark, corpus_paths)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("MapInPandas") == 1
+    # routing join + manifest join are both broadcast on the default path
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_manifest_join_is_broadcast(spark, corpus_paths):
@@ -88,9 +103,11 @@ def test_manifest_shuffle_join_is_copartitioned(spark, corpus_paths):
     and still no broadcast-nested-loop / cartesian."""
     pp, manifest_pdf = corpus_paths
     pages = spark.read.parquet(pp)
+    # the exact bench shape: shuffle-hash manifest join, routing off
+    # (bench.py pins a corpus with no manifest-routed classes)
     out = run_pipeline(
         pages, manifest_to_spark(spark, manifest_pdf),
-        manifest_hint="shuffle_hash",
+        manifest_hint="shuffle_hash", manifest_routing=False,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan

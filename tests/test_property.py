@@ -154,3 +154,34 @@ def test_url_canonicalization_property(spark, cases):
     got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
     for (u, want), g in zip(pairs, got):
         assert g == want, f"url={u!r}: spark={g!r} expected={want!r}"
+
+
+# ---------------------------------------------------------------------------
+# crelan hard clean() vs the reference regex chain (crelan:644-656)
+# ---------------------------------------------------------------------------
+
+_HARD_ALPHABET = "abyzABYZ0123456789%./, "
+_hard_name = st.one_of(
+    st.just("nan"),
+    st.text(alphabet=_HARD_ALPHABET, min_size=0, max_size=18),
+)
+
+
+@SETTINGS
+@given(st.lists(_hard_name, min_size=1, max_size=50))
+def test_hard_clean_matches_reference_chain(spark, cases):
+    """functions/strings.py::hard_clean_crelan (Java-regex lookarounds)
+    must equal the reference's sequential re.sub chain on adversarial
+    inputs — every '%' context, glued unit letters, digit-space runs."""
+    from annual_report_pdf_parsers_spark.functions.strings import (
+        hard_clean_crelan,
+    )
+    from annual_report_pdf_parsers_spark.sources.synthetic import (
+        hard_clean_ref,
+    )
+
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = df.select(hard_clean_crelan(F.col("s")).alias("v")).collect()
+    for s, row in zip(cases, got):
+        want = hard_clean_ref(s)
+        assert row.v == want, f"s={s!r}: spark={row.v!r} python={want!r}"
