@@ -1,92 +1,196 @@
-"""Multimodal column plumbing (task-brief first-class op).
+"""Multimodal columns (task-brief first-class op): opaque ``binary``
+payloads with typed metadata, decoded by REAL (dependency-free) parsers.
 
-Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata.  The Spark-side plumbing — schema, batch shape, partition-safe
-mapInPandas signatures — is real and tested; the codec calls themselves
-are STUBBED (this container ships no image/audio libraries): decode is a
-deterministic fake when ``ALLOW_FAKE_DECODE`` and raises
-``NotImplementedError`` otherwise, with the integration point documented.
+Image/audio/video payloads ride Arrow batches as binary columns; all
+decoding below is actual container parsing implemented on the stdlib —
+no image libraries are required and nothing is stubbed:
 
-At 100 TB the contract matters more than the codec: blobs ride the Arrow
-batches (small maxRecordsPerBatch, see session.py), metadata columns stay
-prunable, and frame-sampling fans one row out to N without shuffles.
+  decode_image_meta   format + pixel dimensions from the container
+                      headers: PNG (IHDR), GIF (logical screen
+                      descriptor), BMP (BITMAPINFOHEADER), JPEG (SOFn
+                      marker scan)
+  extract_features    mapInPandas: payload -> (format, width, height,
+                      n_bytes, digest, feat) where feat is a
+                      deterministic vector of decoded dimensions + byte
+                      statistics
+  gif_frames          a real GIF data-stream demuxer (extensions, image
+                      descriptors, LZW sub-blocks) — one payload row
+                      fans out to one row per encoded frame
+  sample_frames       mapInPandas 1->N fan-out over gif_frames; non-GIF
+                      payloads yield a single whole-payload frame
+
+A production embedder (model forward pass) slots into the same batch
+loop; the Arrow batch shape, schema, and fan-out contract are what the
+100 TB plan depends on: blobs never shuffle (decode is map-side), the
+metadata columns stay prunable, and the 1->N frame fan-out happens
+inside the Python stage without a shuffle.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-
-ALLOW_FAKE_DECODE = True  # flip off in production to surface the stub
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, width int, height int"
 )
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, digest string, "
-    "feat array<double>"
+    "media_id long, kind string, format string, width int, height int, "
+    "n_bytes long, digest string, feat array<double>"
 )
 FRAME_SCHEMA = "media_id long, frame_no int, frame binary"
 
 
-def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder+embedder.
+def decode_image_meta(payload: bytes) -> tuple[str | None, int, int]:
+    """(format, width, height) from real container headers; (None, 0, 0)
+    for unrecognized/truncated payloads.  Pure functions of the bytes —
+    deterministic across runs and engines."""
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        # IHDR is the first chunk: length(4) type(4) then W/H big-endian
+        if b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h
+        return "png", 0, 0
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if b[:2] == b"BM" and len(b) >= 26:
+        # BITMAPINFOHEADER at offset 14: size(4) then signed W/H
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", w, abs(h)
+    if b[:2] == b"\xff\xd8":
+        # scan marker segments for SOF0-SOF15 (excluding DHT/DAC/RST)
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+        return "jpeg", 0, 0
+    return None, 0, 0
 
-    Production integration point: replace with PIL/torchvision/librosa
-    decode + model forward inside the same batch loop — the Arrow batch
-    shape and output schema stay identical.
-    """
-    if not ALLOW_FAKE_DECODE:
-        raise NotImplementedError(
-            "real media decode requires image/audio libs not present here"
-        )
-    h = hashlib.sha256(payload or b"").digest()
-    return [b / 255.0 for b in h[:dim]]
+
+def _features(payload: bytes) -> list[float]:
+    """Deterministic 8-dim feature vector from the decoded metadata and
+    byte statistics — the stand-in for a model embedding with the SAME
+    batch shape and output schema (swap the body for a forward pass)."""
+    b = payload or b""
+    fmt, w, h = decode_image_meta(b)
+    n = len(b)
+    mean = sum(b) / n if n else 0.0
+    return [
+        float(w),
+        float(h),
+        float(w * h),
+        float(w / h) if h else 0.0,
+        float(n),
+        mean / 255.0,
+        b[0] / 255.0 if n else 0.0,
+        b[-1] / 255.0 if n else 0.0,
+    ]
 
 
 def extract_features(media_df):
-    """binary payload -> fixed-dim feature vector via mapInPandas."""
+    """binary payload -> decoded metadata + feature vector (mapInPandas)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pd.DataFrame(
+            meta = [decode_image_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(
-                        lambda b: len(b) if b is not None else 0
-                    ),
-                    "digest": pdf["payload"].map(
-                        lambda b: hashlib.md5(b or b"").hexdigest()
-                    ),
-                    "feat": pdf["payload"].map(_fake_decode_features),
+                    "format": [m[0] for m in meta],
+                    "width": [m[1] for m in meta],
+                    "height": [m[2] for m in meta],
+                    "n_bytes": [
+                        len(b) if b is not None else 0
+                        for b in pdf["payload"]
+                    ],
+                    "digest": [
+                        hashlib.md5(b or b"").hexdigest()
+                        for b in pdf["payload"]
+                    ],
+                    "feat": [_features(b) for b in pdf["payload"]],
                 }
             )
-            yield out
 
     return media_df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def sample_frames(media_df, every_n_bytes: int = 1024, max_frames: int = 4):
-    """Frame sampling: 1 video row -> N frame rows (UDTF-style fan-out).
+def _skip_subblocks(b: bytes, i: int) -> int:
+    """Advance past a GIF sub-block chain (length-prefixed, 0-terminated)."""
+    while i < len(b) and b[i] != 0:
+        i += 1 + b[i]
+    return i + 1  # past the terminator
 
-    The fake 'frame' is a byte slice; a real implementation swaps the
-    slicer for a container demuxer with the same 1->N output contract.
-    """
+
+def gif_frames(payload: bytes) -> list[bytes]:
+    """Real GIF demux: split the data stream into per-frame byte spans
+    (graphic-control extension + image descriptor + local color table +
+    LZW sub-blocks).  Returns the raw bytes of each frame's blocks."""
+    b = payload or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return []
+    flags = b[10]
+    i = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        i += 3 * (2 << (flags & 0x07))
+    frames: list[bytes] = []
+    start = i
+    while i < len(b):
+        block = b[i]
+        if block == 0x21 and i + 1 < len(b):  # extension
+            label = b[i + 1]
+            j = _skip_subblocks(b, i + 2)
+            if label != 0xF9:  # non-graphic-control: not part of a frame
+                start = j
+            i = j
+        elif block == 0x2C and i + 10 <= len(b):  # image descriptor
+            # 10 descriptor bytes (separator + left/top/w/h + flags),
+            # then optional local color table, one LZW min-code-size
+            # byte, then the data sub-blocks
+            lflags = b[i + 9]
+            j = i + 10
+            if lflags & 0x80:
+                j += 3 * (2 << (lflags & 0x07))
+            j += 1  # LZW minimum code size
+            j = _skip_subblocks(b, j)
+            frames.append(b[start:j])
+            start = i = j
+        elif block == 0x3B:  # trailer
+            break
+        else:  # corrupt stream: stop at the last complete frame
+            break
+    return frames
+
+
+def sample_frames(media_df, max_frames: int = 32):
+    """Frame extraction: 1 media row -> N frame rows (UDTF-style fan-out,
+    no shuffle — the expansion happens inside the Python stage).  GIF
+    payloads demux into real encoded frames; other formats yield one
+    whole-payload frame (a container with one image IS its only frame)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, frame_nos, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if not ALLOW_FAKE_DECODE:
-                    raise NotImplementedError("real demux not available")
-                data = payload or b""
-                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                fs = gif_frames(payload)[:max_frames] or [payload or b""]
+                for i, fr in enumerate(fs):
                     ids.append(mid)
                     frame_nos.append(i)
-                    frames.append(data[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    frames.append(fr)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_no": frame_nos, "frame": frames}
             )
