@@ -44,20 +44,23 @@ def q_s1_scan_prune(spark, sf):
 
 
 def q_p3_whitelist(spark, sf):
+    """Per-row whitelist filter output (not just the per-lang counts):
+    3-row aggregates were flagged as thin driver evidence in r02 — the
+    surviving rows themselves hash every filtered value."""
     return (
         load(spark, sf, "documents")
         .filter(F.col("lang").isin("en", "fr", "de"))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("doc_id", "lang", "source")
     )
 
 
 def q_p6_numeric_shape(spark, sf):
+    """Per-row shape-predicate output (r02: the 3-row aggregate form was
+    thin evidence)."""
     return (
         load(spark, sf, "lineitem")
         .filter(F.col("l_orderkey").cast("string").rlike("4$"))
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
     )
 
 
@@ -854,11 +857,8 @@ def q_d2_page0_dispatch(spark, sf):
         .when(page0.contains("data"), "data_doc")
         .otherwise("other")
     )
-    return (
-        d.withColumn("doc_class", cls)
-        .groupBy("doc_class")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+    # per-document classes, not the 3-row count rollup (r02: thin evidence)
+    return d.withColumn("doc_class", cls).select("doc_id", "doc_class")
 
 
 def q_d3_header_variant(spark, sf):
@@ -1388,13 +1388,12 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"
     ),
     "p3_whitelist": (
-        "SELECT lang, COUNT(*) AS n_docs FROM documents "
-        "WHERE lang IN ('en','fr','de') GROUP BY lang"
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE lang IN ('en','fr','de')"
     ),
     "p6_numeric_shape": (
-        "SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem "
-        "WHERE regexp_matches(CAST(l_orderkey AS VARCHAR), '4$') "
-        "GROUP BY l_returnflag"
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+        "WHERE regexp_matches(CAST(l_orderkey AS VARCHAR), '4$')"
     ),
     "p7_junk_drop": (
         "SELECT source, COUNT(*) AS n_docs FROM documents "
@@ -1757,12 +1756,10 @@ ORACLE_SQL: dict[str, str] = {
         "AS after_the FROM documents"
     ),
     "d2_page0_dispatch": (
-        "SELECT doc_class, COUNT(*) AS n_docs FROM ("
-        "  SELECT CASE WHEN substr(text, 1, 80) LIKE '%spark%' "
-        "    THEN 'spark_doc' "
-        "  WHEN substr(text, 1, 80) LIKE '%data%' THEN 'data_doc' "
-        "  ELSE 'other' END AS doc_class FROM documents) "
-        "GROUP BY doc_class"
+        "SELECT doc_id, CASE WHEN substr(text, 1, 80) LIKE '%spark%' "
+        "  THEN 'spark_doc' "
+        "WHEN substr(text, 1, 80) LIKE '%data%' THEN 'data_doc' "
+        "ELSE 'other' END AS doc_class FROM documents"
     ),
     "d3_header_variant": (
         "WITH l AS (SELECT s_suppkey, "
