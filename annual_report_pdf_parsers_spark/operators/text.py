@@ -82,8 +82,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         (count_occurrences(c, m) for m in EN_MARKERS + FR_MARKERS),
         F.lit(0.0),
     )
-    stop_ratio = stop_hits / n_tokens
-    alpha_ratio = (n_chars - punct - spaces) / n_chars
+    # empty-doc guards: ANSI mode makes x/0 an ERROR, and one empty text
+    # row at corpus scale must not kill the job — score it 0.0
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0)
+    alpha_ratio = F.when(
+        n_chars > 0, (n_chars - punct - spaces) / n_chars
+    ).otherwise(0.0)
     len_norm = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
     score = F.round(
         0.4 * stop_ratio + 0.3 * alpha_ratio + 0.3 * len_norm, 6
@@ -91,6 +95,130 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", n_tokens)
         .withColumn("quality", score)
+    )
+
+
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """NON-distinct, order-preserving word n-grams via an array lambda —
+    no explode/shuffle.  Same attribute-form requirement as
+    dedup.shingles_from_tokens: ``toks`` must be a materialized column,
+    not an inline expression (Catalyst re-evaluates inline children at
+    every lambda reference — measured O(len^2) otherwise)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, parts)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (the standard
+    webtext training-data filters for machine-generated/spammy text),
+    adapted to newline-free corpus text: token- and n-gram-level
+    repetition rather than line-level.
+
+    Per document:
+      n_tokens        whitespace token count
+      dup_word_frac   (n_tokens - distinct_tokens) / n_tokens
+      dup_ngram_frac  (n_grams - distinct_ngrams) / n_grams
+      max_ngram_frac  occurrences of the most frequent n-gram / n_grams
+
+    100 TB shape: the dup fractions are pure per-row higher-order-function
+    expressions (no shuffle); max_ngram_frac is a two-level partial
+    aggregation keyed by (id, gram) then id — doc-scoped keys, so no
+    global hotspot — joined back on id.  A per-row HOF form of the max
+    frequency would be O(n_grams^2) per doc and melts on 100k-token
+    documents; the relational form is the scale path.
+
+    Determinism: integer counts with a single final division ROUND()ed
+    to 6 decimals — bit-identical across Spark and DuckDB.
+    """
+    from ..functions.numeric import pin
+
+    base = df.withColumn("_tk", pin(tokens(F.col(text_col)))).withColumn(
+        "_ng", pin(ngrams_from_tokens(F.col("_tk"), n))
+    )
+    ntok = F.size(F.col("_tk"))
+    ngr = F.size(F.col("_ng"))
+    per_doc = base.select(
+        F.col(id_col),
+        ntok.cast("long").alias("n_tokens"),
+        ngr.cast("long").alias("_n_grams"),
+        F.when(
+            ntok > 0,
+            F.round((ntok - F.size(F.array_distinct(F.col("_tk")))) / ntok, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.when(
+            ngr > 0,
+            F.round((ngr - F.size(F.array_distinct(F.col("_ng")))) / ngr, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+    )
+    gram_max = (
+        base.select(F.col(id_col), F.explode(F.col("_ng")).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_max_c"))
+    )
+    return (
+        per_doc.join(gram_max, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_word_frac",
+            "dup_ngram_frac",
+            F.when(
+                F.col("_n_grams") > 0,
+                F.round(F.col("_max_c") / F.col("_n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("max_ngram_frac"),
+        )
+    )
+
+
+def source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    min_mean_quality: float = 0.45,
+) -> DataFrame:
+    """Per-source (domain-level) corpus statistics + keep decision — the
+    CCNet/C4-style move of filtering by DOMAIN statistics rather than
+    only per-document scores (a spam domain's individual pages can each
+    look plausible; its aggregate stats give it away).
+
+    One partial-aggregated shuffle keyed by source.  mean_quality is an
+    exact decimal(18,6) sum divided once and rounded — the quality score
+    is itself rounded to 6 decimals, so the decimal sum is exact and the
+    result is bit-identical across engines (doubles summed in partition
+    order would not be).
+    """
+    q = quality_score(df)
+    return q.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.round(
+            (
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("mean_quality"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    ).withColumn(
+        "keep", F.col("mean_quality") >= F.lit(min_mean_quality)
     )
 
 

@@ -1232,6 +1232,21 @@ def q_corpus_text_filter(spark, sf):
     )
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition filters over the documents table (task
+    brief: quality scoring): duplicate-token fraction, duplicate-3-gram
+    fraction, and top-3-gram mass — the standard signals for
+    machine-generated/spammy webtext."""
+    return text.repetition_stats(load(spark, sf, "documents"))
+
+
+def q_corpus_source_stats(spark, sf):
+    """Domain-level (per-source) corpus statistics + keep decision —
+    CCNet/C4-style filtering on aggregate domain stats rather than only
+    per-document scores."""
+    return text.source_stats(load(spark, sf, "documents"))
+
+
 def q_pipeline_extract(spark, sf):
     """Flagship: the full extraction pipeline on the synthetic pages
     corpus (rows-only check: no SQL oracle can express the Arrow-batch
@@ -1320,7 +1335,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
     "corpus_text_filter": q_corpus_text_filter,
+    "corpus_source_stats": q_corpus_source_stats,
     "pipeline_extract": q_pipeline_extract,
 }
 
@@ -1881,8 +1898,10 @@ ORACLE_SQL: dict[str, str] = {
         "    + (length(t) - length(replace(t, ' des ', ''))) / 5 AS fr_hits, "
         "  n_chars, spaces, punct FROM c), "
         "q AS (SELECT doc_id, lang, n_tokens, en_hits, fr_hits, "
-        "  ROUND(0.4 * ((en_hits + fr_hits) / n_tokens) "
-        "    + 0.3 * ((n_chars - punct - spaces) / n_chars) "
+        "  ROUND(0.4 * (CASE WHEN n_tokens > 0 THEN "
+        "    (en_hits + fr_hits) / n_tokens ELSE 0.0 END) "
+        "    + 0.3 * (CASE WHEN n_chars > 0 THEN "
+        "    (n_chars - punct - spaces) / n_chars ELSE 0.0 END) "
         "    + 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality FROM s) "
         "SELECT doc_id, n_tokens, quality FROM q "
         "WHERE CASE WHEN en_hits = 0 AND fr_hits = 0 THEN 'unknown' "
@@ -2005,7 +2024,7 @@ ORACLE_SQL: dict[str, str] = {
         "    ' ' || lower(text) || ' ' AS t "
         "  FROM documents) "
         "SELECT doc_id, n_tokens, "
-        "ROUND(0.4 * ((0.0 "
+        "ROUND(0.4 * (CASE WHEN n_tokens > 0 THEN (0.0 "
         "  + (length(t) - length(replace(t, ' the ', ''))) / 5 "
         "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
         "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
@@ -2014,8 +2033,9 @@ ORACLE_SQL: dict[str, str] = {
         "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
         "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
         "  + (length(t) - length(replace(t, ' des ', ''))) / 5) "
-        "  / n_tokens) "
-        "+ 0.3 * ((n_chars - punct - spaces) / n_chars) "
+        "  / n_tokens ELSE 0.0 END) "
+        "+ 0.3 * (CASE WHEN n_chars > 0 THEN "
+        "  (n_chars - punct - spaces) / n_chars ELSE 0.0 END) "
         "+ 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality "
         "FROM q"
     ),
@@ -2031,6 +2051,78 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
         "list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp "
         "FROM documents"
+    ),
+    # text_repetition: 3-grams built exactly like the engine's
+    # ngrams_from_tokens (1-based list windows, space-joined); integer
+    # counts, one final division, ROUND 6 — bit-identical doubles.
+    "text_repetition": (
+        "WITH tks AS ("
+        "  SELECT doc_id, "
+        "    list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+        "  FROM documents), "
+        "base AS ("
+        "  SELECT doc_id, len(tk) AS n_tokens, "
+        "    len(list_distinct(tk)) AS n_dtok, "
+        "    greatest(len(tk) - 2, 0) AS n_grams "
+        "  FROM tks), "
+        "g2 AS ("
+        "  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g "
+        "  FROM tks, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) "
+        "    AS u(i) "
+        "  WHERE len(tk) >= 3), "
+        "gd AS ("
+        "  SELECT doc_id, COUNT(DISTINCT g) AS n_dg, MAX(c) AS max_c "
+        "  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 "
+        "        GROUP BY doc_id, g) GROUP BY doc_id) "
+        "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, "
+        "CASE WHEN b.n_tokens > 0 THEN "
+        "  ROUND((b.n_tokens - b.n_dtok) / b.n_tokens, 6) "
+        "  ELSE 0.0 END AS dup_word_frac, "
+        "CASE WHEN b.n_grams > 0 THEN "
+        "  ROUND((b.n_grams - gd.n_dg) / b.n_grams, 6) "
+        "  ELSE 0.0 END AS dup_ngram_frac, "
+        "CASE WHEN b.n_grams > 0 THEN ROUND(gd.max_c / b.n_grams, 6) "
+        "  ELSE 0.0 END AS max_ngram_frac "
+        "FROM base b LEFT JOIN gd ON b.doc_id = gd.doc_id"
+    ),
+    # corpus_source_stats: quality restated per-doc (same expression as
+    # text_quality), then per-source aggregation with an exact
+    # decimal(18,6) sum and one final division (mirrors source_stats).
+    "corpus_source_stats": (
+        "WITH q AS ("
+        "  SELECT doc_id, source, "
+        "    length(text) AS n_chars, "
+        "    len(list_filter(string_split(text,' '), x -> x <> '')) "
+        "      AS n_tokens, "
+        "    length(text) - length(replace(text, ' ', '')) AS spaces, "
+        "    length(text) - length(regexp_replace(text, "
+        "      '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
+        "    ' ' || lower(text) || ' ' AS t "
+        "  FROM documents), "
+        "s AS ("
+        "  SELECT doc_id, source, n_tokens, "
+        "  ROUND(0.4 * (CASE WHEN n_tokens > 0 THEN (0.0 "
+        "    + (length(t) - length(replace(t, ' the ', ''))) / 5 "
+        "    + (length(t) - length(replace(t, ' a ', ''))) / 3 "
+        "    + (length(t) - length(replace(t, ' of ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' and ', ''))) / 5 "
+        "    + (length(t) - length(replace(t, ' le ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' la ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' et ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' des ', ''))) / 5) "
+        "    / n_tokens ELSE 0.0 END) "
+        "  + 0.3 * (CASE WHEN n_chars > 0 THEN "
+        "    (n_chars - punct - spaces) / n_chars ELSE 0.0 END) "
+        "  + 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality "
+        "  FROM q) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+        "ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) "
+        "  / COUNT(*), 6) AS mean_quality, "
+        "MIN(quality) AS min_quality, MAX(quality) AS max_quality, "
+        "ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) "
+        "  / COUNT(*), 6) >= 0.45 AS keep "
+        "FROM s GROUP BY source"
     ),
     "dedup_embedding_cosine": (
         "WITH e AS (SELECT vec_id, embedding FROM embeddings "

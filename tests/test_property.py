@@ -185,3 +185,53 @@ def test_hard_clean_matches_reference_chain(spark, cases):
     for s, row in zip(cases, got):
         want = hard_clean_ref(s)
         assert row.v == want, f"s={s!r}: spark={row.v!r} python={want!r}"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+_rep_word = st.sampled_from(["a", "b", "c", "aa", "x y".replace(" ", ""), ""])
+_rep_text = st.lists(_rep_word, min_size=0, max_size=24).map(" ".join)
+
+
+def _rep_model(text: str, n: int = 3):
+    toks = [t for t in text.split(" ") if t != ""]
+    grams = [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ] if len(toks) >= n else []
+    nt, ng = len(toks), len(grams)
+    dup_w = round((nt - len(set(toks))) / nt, 6) if nt else 0.0
+    dup_g = round((ng - len(set(grams))) / ng, 6) if ng else 0.0
+    max_g = (
+        round(max(grams.count(g) for g in set(grams)) / ng, 6) if ng else 0.0
+    )
+    return nt, dup_w, dup_g, max_g
+
+
+@SETTINGS
+@given(st.lists(_rep_text, min_size=1, max_size=30))
+def test_repetition_stats_matches_python_model(spark, texts):
+    """operators/text.py::repetition_stats (HOF fractions + relational
+    max-gram frequency) vs a direct Python model on adversarial token
+    streams: empty docs, all-duplicate docs, sub-n-gram-length docs."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in repetition_stats(df).collect()
+    }
+    for i, t in enumerate(texts):
+        nt, dup_w, dup_g, max_g = _rep_model(t)
+        r = got[i]
+        assert (
+            r.n_tokens,
+            r.dup_word_frac,
+            r.dup_ngram_frac,
+            r.max_ngram_frac,
+        ) == (nt, dup_w, dup_g, max_g), f"doc={t!r}: {r} vs {(nt, dup_w, dup_g, max_g)}"
