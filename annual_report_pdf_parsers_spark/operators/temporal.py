@@ -1,0 +1,150 @@
+"""Event-time relational operators: distributed as-of join and gap
+sessionization.
+
+Spark has no ASOF JOIN operator (task brief lists it as a canonical
+custom-operator case).  The standard range-join encoding
+(``l JOIN r ON l.key = r.key AND r.ts <= l.ts`` + keep max r.ts) explodes
+to O(|l| * |r|) rows per key before pruning; the union+window form here
+stays linear:
+
+    tag left rows side=1, right rows side=0 (carrying the value columns,
+    left's as NULL) -> UNION -> window last(value, ignorenulls=True)
+    over (PARTITION BY key ORDER BY ts, side) -> keep side=1 rows.
+
+At any left row the window has seen exactly the right rows with
+``r.ts < l.ts`` plus (side ordering 0 before 1) the right row at
+``r.ts == l.ts`` — the pandas ``merge_asof(allow_exact_matches=True)``
+semantics.  The same in-batch trick backs the pipeline's ToC interval
+join (operators/extract.py, J2); this is the distributed general form.
+
+100 TB shape: ONE shuffle+sort keyed by the `by` columns — no range
+explosion, no broadcast.  Hot keys (a bot user with 10^8 events) land in
+one partition: pre-split such keys by time range and as-of join each
+range seeded with the previous range's last value (same pattern as the
+pipeline's host-salting note, SCALE.md §3).
+
+Determinism: ties inside a side must be impossible for the result to be
+engine-independent — callers aggregate the right side to one row per
+(key, ts) first (see queries.py::q_events_asof).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    value_cols: Sequence[str] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the value columns of the latest right
+    row with ``right.on <= left.on`` within the same `by` group (NULL
+    when no such row).  Backward as-of, exact matches allowed."""
+    by = list(by)
+    carried = [f"{c}{suffix}" for c in value_cols]
+    lhs = left.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(n)
+          for c, n in zip(value_cols, carried)],
+        *[c for c in left.columns if c not in by and c != on],
+    )
+    rhs = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(n) for c, n in zip(value_cols, carried)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by and c != on],
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(F.col(n), ignorenulls=True).over(w).alias(f"_f_{n}")
+            for n in carried
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *by,
+        on,
+        *[c for c in left.columns if c not in by and c != on],
+        *[F.col(f"_f_{n}").alias(n) for n in carried],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event in the same `by` group exceeds the gap.  Session
+    numbers are 1-based per group (BIGINT row-number-free cumsum — the
+    new-session indicator summed over the ordered window).
+
+    100 TB shape: one shuffle+sort keyed by `by`; the per-session
+    aggregation below it reuses the same clustering (subset rule).
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(F.col(on).asc())
+    # gaps in INTEGER microseconds (timestampdiff): exact, and — unlike
+    # a cast to double epoch — independent of the session/JVM timezone
+    # for TIMESTAMP_NTZ event times
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    prev = F.lag(F.col(on)).over(w)
+    staged = events.withColumn("_prev", prev)
+    new_session = F.when(
+        F.col("_prev").isNull()
+        | (
+            F.expr(f"timestampdiff(MICROSECOND, _prev, {on})")
+            > F.lit(gap_us)
+        ),
+        1,
+    ).otherwise(0)
+    return staged.withColumn(
+        "session_no",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    ).drop("_prev")
+
+
+def session_stats(
+    events: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    gap_minutes: float = 30.0,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session aggregates over sessionize(): event count, exact
+    decimal value sum (partition-order-independent), start/end, duration
+    seconds.  GroupBy keys extend the window's clustering, so Catalyst
+    plans the aggregation without a second exchange."""
+    s = sessionize(events, on=on, by=by, gap_minutes=gap_minutes)
+    return s.groupBy(*by, "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.min(on).alias("t_start"),
+        F.max(on).alias("t_end"),
+        F.round(
+            F.expr(f"timestampdiff(MICROSECOND, min({on}), max({on}))")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("duration_sec"),
+    )

@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, similarity, text
+from .operators import dedup, similarity, temporal, text
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -1247,6 +1247,36 @@ def q_corpus_source_stats(spark, sf):
     return text.source_stats(load(spark, sf, "documents"))
 
 
+def q_events_asof(spark, sf):
+    """Distributed as-of join (task brief: a canonical operator Spark
+    lacks) via the linear union+window form — each purchase event joined
+    to the same user's latest click at-or-before it.  The DuckDB oracle
+    uses the native ASOF JOIN operator, a fully independent
+    implementation of the semantics."""
+    e = load(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return temporal.asof_join(
+        purchases, clicks, on="ts", by=("user_id",),
+        value_cols=("click_value",),
+    )
+
+
+def q_events_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity) + per-session stats:
+    one shuffle keyed by user; the session aggregation reuses the window
+    sort's clustering (subset rule — no second exchange)."""
+    return temporal.session_stats(
+        load(spark, sf, "events"), gap_minutes=30.0
+    )
+
+
 def q_pipeline_extract(spark, sf):
     """Flagship: the full extraction pipeline on the synthetic pages
     corpus (rows-only check: no SQL oracle can express the Arrow-batch
@@ -1338,6 +1368,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "corpus_text_filter": q_corpus_text_filter,
     "corpus_source_stats": q_corpus_source_stats,
+    "events_asof_join": q_events_asof,
+    "events_sessionize": q_events_sessionize,
     "pipeline_extract": q_pipeline_extract,
 }
 
@@ -2084,6 +2116,41 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN b.n_grams > 0 THEN ROUND(gd.max_c / b.n_grams, 6) "
         "  ELSE 0.0 END AS max_ngram_frac "
         "FROM base b LEFT JOIN gd ON b.doc_id = gd.doc_id"
+    ),
+    # events_asof_join: DuckDB's NATIVE ASOF JOIN — an independent
+    # implementation of the backward/exact-match semantics the engine
+    # builds from union+window.  Clicks pre-aggregated to one row per
+    # (user, ts) so ties cannot make either engine nondeterministic.
+    "events_asof_join": (
+        "WITH p AS (SELECT user_id, ts, event_id, value FROM events "
+        "  WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, MAX(value) AS click_value FROM events "
+        "  WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT p.user_id, p.ts, p.event_id, p.value, "
+        "c.click_value AS click_value_asof "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+    # events_sessionize: gaps/durations in INTEGER microseconds
+    # (epoch_us differences == Spark's timestampdiff(MICROSECOND) on
+    # TIMESTAMP_NTZ, timezone-free), one final division; value sums via
+    # exact decimal(18,2).
+    "events_sessionize": (
+        "WITH o AS (SELECT user_id, ts, value, "
+        "  CASE WHEN lag(ts) OVER w IS NULL "
+        "    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+        "  THEN 1 ELSE 0 END AS ns "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, value, "
+        "  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts "
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM o) "
+        "SELECT user_id, session_no, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, "
+        "MIN(ts) AS t_start, MAX(ts) AS t_end, "
+        "ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6) "
+        "  AS duration_sec "
+        "FROM s GROUP BY user_id, session_no"
     ),
     # corpus_source_stats: quality restated per-doc (same expression as
     # text_quality), then per-source aggregation with an exact

@@ -235,3 +235,104 @@ def test_repetition_stats_matches_python_model(spark, texts):
             r.dup_ngram_frac,
             r.max_ngram_frac,
         ) == (nt, dup_w, dup_g, max_g), f"doc={t!r}: {r} vs {(nt, dup_w, dup_g, max_g)}"
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs pandas merge_asof; sessionization vs a Python model
+# ---------------------------------------------------------------------------
+
+_ts_us = st.integers(min_value=0, max_value=3_600_000_000)
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 3), _ts_us), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(st.integers(0, 3), _ts_us, st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """operators/temporal.py::asof_join (union+window form) vs pandas
+    merge_asof (backward, exact matches allowed) — a third, independent
+    implementation besides the DuckDB native ASOF JOIN oracle."""
+    import pandas as pd
+
+    from annual_report_pdf_parsers_spark.operators.temporal import asof_join
+
+    # dedupe (key, ts) on both sides: as-of ties within a side are
+    # undefined across engines (documented in the module doc)
+    lrows = list({(k, t): (k, t) for k, t in lrows}.values())
+    rrows = list({(k, t): (k, t, v) for k, t, v in rrows}.values())
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {"user_id": [k for k, _ in lrows],
+         "ts": [base + pd.Timedelta(microseconds=t) for _, t in lrows]}
+    )
+    rpdf = pd.DataFrame(
+        {"user_id": [k for k, _, _ in rrows],
+         "ts": [base + pd.Timedelta(microseconds=t) for _, t, _ in rrows],
+         "val": [float(v) for _, _, v in rrows]}
+    ).astype({"user_id": "int64", "val": "float64"})
+    rpdf["ts"] = pd.to_datetime(rpdf["ts"])
+    want = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    ldf = spark.createDataFrame(lpdf)
+    rdf = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "user_id long, ts timestamp, val double")
+    )
+    got = asof_join(
+        ldf, rdf, on="ts", by=("user_id",), value_cols=("val",)
+    ).toPandas()
+    wmap = {
+        (r.user_id, r.ts): None if pd.isna(r.val) else r.val
+        for r in want.itertuples()
+    }
+    assert len(got) == len(lpdf)
+    for r in got.itertuples():
+        gv = None if pd.isna(r.val_asof) else r.val_asof
+        assert gv == wmap[(r.user_id, r.ts)], (
+            f"({r.user_id},{r.ts}): spark={gv} pandas={wmap[(r.user_id, r.ts)]}"
+        )
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 2), _ts_us), min_size=1, max_size=30)
+)
+def test_sessionize_matches_python_model(spark, rows):
+    """operators/temporal.py::sessionize gap semantics vs a direct Python
+    model (30s gap over microsecond timestamps)."""
+    import pandas as pd
+
+    from annual_report_pdf_parsers_spark.operators.temporal import sessionize
+
+    rows = list({(k, t): (k, t) for k, t in rows}.values())
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {"user_id": [k for k, _ in rows],
+         "ts": [base + pd.Timedelta(microseconds=t) for _, t in rows]}
+    )
+    got = {
+        (r.user_id, r.ts): r.session_no
+        for r in sessionize(
+            spark.createDataFrame(pdf), gap_minutes=0.5
+        ).collect()
+    }
+    gap_us = int(0.5 * 60 * 1_000_000)
+    for uid, grp in pdf.sort_values("ts").groupby("user_id"):
+        sno, prev = 0, None
+        for r in grp.itertuples():
+            if prev is None or (r.ts - prev).value // 1000 > gap_us:
+                sno += 1
+            prev = r.ts
+            assert got[(uid, r.ts)] == sno, (uid, r.ts, got[(uid, r.ts)], sno)
