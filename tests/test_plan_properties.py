@@ -149,3 +149,58 @@ def test_filters_stay_on_attributes(spark, corpus_paths):
             assert "translate(" not in ln, (
                 "normalize chain leaked into a Filter:\n" + ln[:300]
             )
+
+
+# ---------------------------------------------------------------------------
+# new-operator plan shapes (round 3): the scale claims in their docstrings
+# ---------------------------------------------------------------------------
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _qplan(spark, name: str) -> str:
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    df = QUERIES[name](spark, SF001)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sessionize_single_exchange(spark):
+    """session_stats: ONE hash exchange (user key), ONE sort — the
+    per-session aggregation must reuse the window sort's clustering
+    (subset rule), not re-shuffle (temporal.py docstring)."""
+    plan = _qplan(spark, "events_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert "SortAggregate" not in plan
+
+
+def test_asof_join_no_range_explosion(spark):
+    """asof_join: the union+window form — no join operator at all on the
+    event path (the range-join encoding would plan a SortMergeJoin or
+    BroadcastNestedLoopJoin), ONE sort, and only doc-scoped exchanges
+    (the window's user key + the click pre-aggregation's (user, ts))."""
+    plan = _qplan(spark, "events_asof_join")
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Sort [") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_source_stats_partial_agg(spark):
+    """source_stats: ONE shuffle keyed by source with map-side partial
+    aggregation (HashAggregate below AND above the exchange)."""
+    plan = _qplan(spark, "corpus_source_stats")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert "SortAggregate" not in plan
+
+
+def test_repetition_stats_doc_scoped(spark):
+    """repetition_stats: the max-gram aggregation is relational —
+    partial-aggregated exchanges keyed by (id, gram) then id, never a
+    sort-based aggregate or a cross product."""
+    plan = _qplan(spark, "text_repetition")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortAggregate" not in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
