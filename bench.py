@@ -95,6 +95,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "text_fingerprint",
+    # round-3 additions (appended — earlier keys stay comparable across
+    # rounds)
+    "text_repetition",
+    "events_asof_join",
+    "events_sessionize",
 ]
 
 
