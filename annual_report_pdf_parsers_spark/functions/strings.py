@@ -102,11 +102,28 @@ def hard_clean_crelan(col: Column) -> Column:
     ``'nan'`` maps to ``'_'`` (the reference's NaN cell sentinel).  Java
     regex supports the lookarounds natively; the DuckDB oracle (no
     lookarounds in RE2) reproduces each pass as a per-character keep
-    predicate over the same input — see queries._hard_clean_pass_sql."""
-    p1 = F.regexp_replace(col, r"(?<!\d)%|[a-z]|%(?! )", "")
-    p2 = F.regexp_replace(p1, r"(?<=\d)[a-zA-Z](?! )|(?<=\.)[a-zA-Z](?! )", "")
-    p3 = F.regexp_replace(p2, r"(?<=[0-9/]) (?=[0-9/])", "")
+    predicate over the same input — see queries._hard_clean_pass_sql.
+
+    The passes are exposed individually (hard_clean_pass1/2/3) so
+    cleanup.clean_names can stage them as named cells — composing them
+    inside CASE branches re-evaluates every upstream expression per
+    reference (no cross-branch CSE)."""
+    p3 = hard_clean_pass3(hard_clean_pass2(hard_clean_pass1(col)))
     return F.when(col == "nan", F.lit("_")).otherwise(p3)
+
+
+def hard_clean_pass1(col: Column) -> Column:
+    return F.regexp_replace(col, r"(?<!\d)%|[a-z]|%(?! )", "")
+
+
+def hard_clean_pass2(col: Column) -> Column:
+    return F.regexp_replace(
+        col, r"(?<=\d)[a-zA-Z](?! )|(?<=\.)[a-zA-Z](?! )", ""
+    )
+
+
+def hard_clean_pass3(col: Column) -> Column:
+    return F.regexp_replace(col, r"(?<=[0-9/]) (?=[0-9/])", "")
 
 
 def collapse_ws(col: Column) -> Column:
@@ -128,10 +145,14 @@ def clean_holding_name(
 
     ``strip_leading`` / ``deep_clean`` / ``hard_clean`` are boolean
     Columns (per-row, set by the dispatch stage per archetype) so the
-    whole corpus stays one plan.  The conditional branches duplicate the
-    upstream chain inside the CASE (no CSE across branches) — acceptable:
-    each row evaluates one branch, and the chains are a few small
-    regexes.
+    whole corpus stays one plan.
+
+    This composed single-expression form is the CONTRACT, not the hot
+    path: the conditional branches substitute the upstream chain into
+    every CASE reference (no cross-branch CSE), so the pipeline runs the
+    staged named-cell form in ``operators.cleanup.clean_names`` instead.
+    ``tests/test_property.py::test_staged_clean_names_matches_composed``
+    pins the two forms equal on adversarial inputs.
     """
     stripped = F.when(strip_leading, drop_leading_token(col)).otherwise(col)
     base = strip_isin(stripped)

@@ -31,8 +31,6 @@ from ..functions.numeric import (
     normalize_number_str,
     pin,
 )
-from ..functions.strings import clean_holding_name
-
 ORDER_COLS = ["page_no", "row_idx"]
 PART_COLS = ["url", "fund_name_report"]
 
@@ -250,15 +248,69 @@ def clean_names(
     df: DataFrame, strip_leading, deep_clean=None, hard_clean=None
 ) -> DataFrame:
     """F9/F13 (+F10/F11 deep clean, + crelan hard clean) /F18 + P5/P8 name
-    predicates (pinned: the length filters must not re-inline the regex
-    chain)."""
-    cleaned = pin(
-        clean_holding_name(
-            F.col("holding_name"), strip_leading, deep_clean, hard_clean
-        )
+    predicates.
+
+    STAGED named cells, not one composed expression: Catalyst performs no
+    CSE across CASE branches, so composing
+    ``hard(CASE deep(CASE base))`` substitutes the entire upstream chain
+    into every reference inside each branch — the plan dump showed the
+    base ISIN chain repeated ~10x and the composed projection ran 7.8x
+    slower than the staged form (4M rows, local[8], min of 3; same root
+    cause as the extractor's named-cell refactor, NOTES.md gotcha 2).
+    Each stage below computes ONCE per row into a pin()-ned column (the
+    pin stops CollapseProject from re-inlining the stages into one
+    another and the length filters from re-inlining the chain).
+    Branch-only inputs (the deep purge, the hard passes) are computed
+    under ``F.when(flag, ...)`` so non-branch rows pay nothing.
+    """
+    from ..functions.strings import (
+        collapse_ws,
+        drop_leading_token,
+        hard_clean_pass1,
+        hard_clean_pass2,
+        hard_clean_pass3,
+        strip_isin,
+        truncate_multi_percent_aviva,
+        purge_charset,
     )
+
+    n0 = F.col("holding_name")
+    stages: list[tuple[str, object]] = [
+        ("_n1", F.when(strip_leading, drop_leading_token(n0)).otherwise(n0)),
+        ("_n2", strip_isin(F.col("_n1"))),
+    ]
+    prev = "_n2"
+    if deep_clean is not None:
+        stages += [
+            ("_dp", F.when(deep_clean, purge_charset(F.col(prev)))),
+            (
+                "_n3",
+                F.when(
+                    deep_clean, truncate_multi_percent_aviva(F.col("_dp"))
+                ).otherwise(F.col(prev)),
+            ),
+        ]
+        prev = "_n3"
+    if hard_clean is not None:
+        stages += [
+            ("_h1", F.when(hard_clean, hard_clean_pass1(F.col(prev)))),
+            ("_h2", F.when(hard_clean, hard_clean_pass2(F.col("_h1")))),
+            (
+                "_n4",
+                F.when(
+                    hard_clean & (F.col(prev) == "nan"), F.lit("_")
+                )
+                .when(hard_clean, hard_clean_pass3(F.col("_h2")))
+                .otherwise(F.col(prev)),
+            ),
+        ]
+        prev = "_n4"
+    out = df
+    for name, expr in stages:
+        out = out.withColumn(name, pin(expr))
+    out = out.withColumn("holding_name", pin(collapse_ws(F.col(prev))))
     return (
-        df.withColumn("holding_name", cleaned)
+        out.drop(*[name for name, _ in stages])
         .filter(
             (F.length("holding_name") > 0) & (F.length("holding_name") < 90)
         )

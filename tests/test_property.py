@@ -188,6 +188,85 @@ def test_hard_clean_matches_reference_chain(spark, cases):
 
 
 # ---------------------------------------------------------------------------
+# staged clean_names (the hot path) vs the composed contract expression
+# ---------------------------------------------------------------------------
+
+_NAME_ALPHABET = "abzABZ0123456789%./,() –é  "
+_clean_name = st.one_of(
+    st.just("nan"),
+    st.just("FR0000120271 TOTAL SA"),  # embedded ISIN
+    st.just("1.234 ACME % 5 % 6/2"),  # multi-%, digit-space runs
+    st.text(alphabet=_NAME_ALPHABET, min_size=0, max_size=24),
+)
+# deep_clean and hard_clean never co-occur in an archetype (the dispatch
+# stage sets at most one), so generate flags from the 6 legal combos.
+_clean_flags = st.sampled_from(
+    [
+        (False, False, False),
+        (True, False, False),
+        (False, True, False),
+        (True, True, False),
+        (False, False, True),
+        (True, False, True),
+    ]
+)
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(_clean_name, _clean_flags), min_size=1, max_size=40)
+)
+def test_staged_clean_names_matches_composed(spark, cases):
+    """operators/cleanup.py::clean_names stages the F13/F9/deep/hard/F18
+    chain as pin()-ned named cells (no cross-branch CSE in Catalyst makes
+    the composed form re-evaluate the upstream chain per CASE reference).
+    The staged plan must keep AND filter rows exactly like the composed
+    contract expression (strings.clean_holding_name + the P5/P8 length
+    predicates)."""
+    from annual_report_pdf_parsers_spark.functions.strings import (
+        clean_holding_name,
+    )
+    from annual_report_pdf_parsers_spark.operators.cleanup import clean_names
+
+    rows = [
+        (i, name, strip, deep, hard)
+        for i, (name, (strip, deep, hard)) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, holding_name string, strip boolean, "
+        "deep boolean, hard boolean",
+    )
+    staged = {
+        r.id: r.holding_name
+        for r in clean_names(
+            df, F.col("strip"), F.col("deep"), F.col("hard")
+        ).collect()
+    }
+    composed = {
+        r.id: r.holding_name
+        for r in df.withColumn(
+            "holding_name",
+            clean_holding_name(
+                F.col("holding_name"),
+                F.col("strip"),
+                F.col("deep"),
+                F.col("hard"),
+            ),
+        )
+        .filter(
+            (F.length("holding_name") > 0) & (F.length("holding_name") < 90)
+        )
+        .collect()
+    }
+    assert staged == composed, {
+        i: (staged.get(i), composed.get(i))
+        for i in set(staged) ^ set(composed)
+        | {i for i in staged if staged.get(i) != composed.get(i)}
+    }
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition stats vs a pure-Python model
 # ---------------------------------------------------------------------------
 
