@@ -304,3 +304,96 @@ def simhash_bits(
 def simhash16(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     """16-bit SimHash (sandbox-friendly width; see simhash_bits)."""
     return simhash_bits(df, 16, text_col, id_col)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> ``(node,
+    cluster_id)`` with ``cluster_id`` = the smallest node id in the
+    component (deterministic regardless of execution order).
+
+    Pairwise candidate lists (minhash_lsh_pairs / ngram_jaccard_pairs)
+    are not yet a dedup DECISION: near-duplication is transitive in
+    practice (A~B, B~C => one cluster), and keeping "the lower id of
+    each pair" over-deletes chains.  The shipped decision is one
+    canonical survivor per component.
+
+    Algorithm: iterative min-label propagation.  Each round is ONE
+    hash-partitioned aggregation — messages (edge endpoint, neighbor
+    label) union'd with the current labels, ``min`` per node — i.e. the
+    standard Pregel formulation with map-side partial aggregation and no
+    driver-side data.  Convergence detection is O(1) driver traffic:
+    labels only ever decrease, so ``sum(label)`` is strictly monotonic
+    and a repeated sum == fixpoint (no change-count join needed).
+
+    100 TB shape: rounds are diameter-bounded; near-dup components are
+    shallow (dup clusters, not social graphs), so 3-5 rounds typical.
+    ``localCheckpoint`` truncates the per-round lineage so the plan does
+    not grow quadratically with iterations (on a cluster, use a reliable
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` instead —
+    localCheckpoint ties recovery to executor storage).  For adversarial
+    long-chain graphs swap the propagation body for alternating
+    large-star/small-star (O(log n) rounds, same per-round shape).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lbl")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def cluster_keep_decision(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document dedup decision from a pair graph: ``(doc_id,
+    cluster_id, keep)`` over the WHOLE corpus — singletons (docs in no
+    pair) form their own cluster, and exactly the smallest id per
+    component survives.  One broadcast-size-independent left join on id
+    (the components table is |nodes-in-pairs| rows, far smaller than the
+    corpus, but still corpus-scaling — so no broadcast hint; Catalyst/AQE
+    decide)."""
+    cc = connected_components(pairs)
+    return (
+        corpus.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(
+            cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            (
+                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )

@@ -1,0 +1,74 @@
+"""Deterministic corpus sampling operators (training-data pipeline ops).
+
+At 100 TB, ``df.sample()`` is the wrong tool for corpus subsetting: its
+selection depends on partition layout and seed plumbing, so a re-run
+after a repartition (or a resume after failure) selects DIFFERENT rows —
+a training set that cannot be reproduced or resumed.  Both operators
+here derive the decision from row CONTENT (a stable key), so any engine,
+any partitioning, any rerun selects the identical subset, and the
+driver's DuckDB oracle can reproduce it exactly.
+
+  hash_mod_sample       content-hash Bernoulli sampling (rate = k/256)
+  quota_topk_per_group  per-group top-k (quality quota per source/domain)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_mod_sample(
+    df: DataFrame,
+    key_col: str,
+    keep_hex: str = "3f",
+    salt: str = "s0",
+) -> DataFrame:
+    """Keep rows whose ``md5(key || '|' || salt)`` first-two-hex-digit
+    prefix is <= ``keep_hex`` — rate = (int(keep_hex,16)+1)/256 (``"3f"``
+    = 25%).  The hex-prefix comparison is pure lexicographic string
+    ordering, identical in every engine (no integer conversion needed).
+
+    ``salt`` decorrelates independent samples of the same corpus (e.g.
+    a held-out split uses a different salt, guaranteeing the two samples
+    are independent but each individually reproducible).
+
+    100 TB shape: a pure narrow filter — no shuffle, no state; composes
+    with scan pruning (the filter sits directly above the scan).
+    """
+    digest = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
+    )
+    return df.filter(F.substring(digest, 1, 2) <= F.lit(keep_hex))
+
+
+def quota_topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group quota: the top ``k`` rows by ``order_col`` (descending)
+    within each ``group_col`` — the CCNet/RefinedWeb-style move of
+    capping any single domain's contribution to the training mix while
+    keeping its best documents.
+
+    Tie-break is explicit and total (``order_col`` desc, then ``id_col``
+    asc) so the selected set is deterministic and oracle-reproducible —
+    a bare ``ORDER BY quality DESC LIMIT k`` is partition-order lottery
+    on ties.
+
+    100 TB shape: one hash exchange on ``group_col`` + a window sort
+    within partitions (rank state is one counter per group, spillable).
+    Skewed mega-domains degrade to disk in WindowExec, never OOM; if one
+    domain dominates the corpus, pre-aggregate a per-(group, coarse
+    order bucket) count first and only window the candidate bucket.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

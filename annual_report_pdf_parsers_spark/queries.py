@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup, similarity, temporal, text
+from .operators import scrub as _scrub
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -1247,6 +1248,78 @@ def q_corpus_source_stats(spark, sf):
     return text.source_stats(load(spark, sf, "documents"))
 
 
+def q_dedup_cluster_cc(spark, sf):
+    """The transitive-closure dedup decision: MinHash-LSH candidate
+    pairs -> connected components (iterative min-label propagation) ->
+    one canonical survivor per cluster.  Pairwise keep-lower-id
+    decisions over-delete chains (A~B, B~C deletes C even when A~C is
+    false); components are the decision a corpus pipeline actually
+    ships.  The oracle computes the same components with a recursive
+    CTE — an independent fixpoint implementation."""
+    corpus = _corpus_with_dupes(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(corpus)
+    return dedup.cluster_keep_decision(corpus, pairs)
+
+
+def q_corpus_sample_hash(spark, sf):
+    """Deterministic content-hash sampling at 25% (md5 2-hex-digit
+    prefix <= '3f').  df.sample() selects different rows after any
+    repartition/resume; the hash-mod rule reselects the identical subset
+    on any engine — which is exactly what lets the oracle check it."""
+    from .operators.sampling import hash_mod_sample
+
+    return hash_mod_sample(
+        load(spark, sf, "documents"), "doc_id", keep_hex="3f"
+    ).select("doc_id", "lang", "source")
+
+
+def q_corpus_quota_topk(spark, sf):
+    """Per-source quality quota: top 12 documents by quality score per
+    source (domain contribution cap with explicit total tie-break)."""
+    from .operators.sampling import quota_topk_per_group
+
+    d = text.quality_score(load(spark, sf, "documents"))
+    return quota_topk_per_group(
+        d, group_col="source", order_col="quality", id_col="doc_id", k=12
+    ).select("doc_id", "source", "quality", "rnk")
+
+
+def q_text_pii_scrub(spark, sf):
+    """PII scrubbing (emails / IPv4 / phones -> typed placeholders) with
+    per-category redaction counts.  The corpus text carries no organic
+    PII, so the query first INJECTS deterministic doc_id-derived PII
+    into a rotating third of the documents (including none — the
+    zero-redaction case is exercised); both engines apply the identical
+    injection, then the identical three sequential scrub passes."""
+    from .operators.scrub import scrub_pii
+
+    d = load(spark, sf, "documents")
+    k = F.col("doc_id")
+    suffix = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), k, F.lit("@example.com now")
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit(" srv 10.0."), (k % 256).cast("string"),
+                F.lit(".7 tel +33 555 01"),
+                F.lpad((k % 100).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    injected = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return scrub_pii(injected).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "text"
+    )
+
+
 def q_events_asof(spark, sf):
     """Distributed as-of join (task brief: a canonical operator Spark
     lacks) via the linear union+window form — each purchase event joined
@@ -1357,6 +1430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_corpus_keep": q_dedup_corpus_keep,
+    "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_url_canonical": q_dedup_url_canonical,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1368,6 +1442,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "corpus_text_filter": q_corpus_text_filter,
     "corpus_source_stats": q_corpus_source_stats,
+    "corpus_sample_hash": q_corpus_sample_hash,
+    "corpus_quota_topk": q_corpus_quota_topk,
+    "text_pii_scrub": q_text_pii_scrub,
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
     "pipeline_extract": q_pipeline_extract,
@@ -1972,6 +2049,112 @@ ORACLE_SQL: dict[str, str] = {
         "  WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5) "
         "SELECT doc_id FROM surv "
         "WHERE doc_id NOT IN (SELECT id_b FROM dropd)"
+    ),
+    # dedup_cluster_cc: same minhash-LSH candidate pairs as
+    # dedup_minhash_lsh, then connected components via a RECURSIVE CTE
+    # (set-semantics fixpoint) — an independent implementation of the
+    # engine's iterative min-label propagation.  cluster_id = MIN id
+    # reachable through the symmetric edge closure; singletons fall back
+    # to their own id in the final left join.
+    "dedup_cluster_cc": (
+        f"WITH RECURSIVE {_DUPES}, {_TOKS}, {_SHINGLES}, "
+        "mh AS (SELECT doc_id, "
+        + ", ".join(
+            f"MIN(substr(md5(shingle || ':{i}'), 1, 8)) AS h{i}"
+            for i in range(8)
+        )
+        + " FROM sh GROUP BY doc_id), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_no, "
+            f"h{2 * b} || '|' || h{2 * b + 1} AS band_val FROM mh"
+            for b in range(4)
+        )
+        + "), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "  FROM bands a JOIN bands b "
+        "  ON a.band_no = b.band_no AND a.band_val = b.band_val "
+        "  WHERE a.doc_id < b.doc_id), "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+        "  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
+        "reach AS (SELECT DISTINCT s AS node, s AS r FROM edges "
+        "  UNION "
+        "  SELECT e.s AS node, reach.r FROM edges e "
+        "  JOIN reach ON reach.node = e.d), "
+        "comp AS (SELECT node, MIN(r) AS cluster_id FROM reach "
+        "  GROUP BY node) "
+        "SELECT c.doc_id, "
+        "COALESCE(comp.cluster_id, c.doc_id) AS cluster_id, "
+        "COALESCE(comp.cluster_id, c.doc_id) = c.doc_id AS keep "
+        "FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id"
+    ),
+    "corpus_sample_hash": (
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 2) "
+        "<= '3f'"
+    ),
+    # corpus_quota_topk: quality restated per-doc (same expression as
+    # text_quality), ROW_NUMBER with the engine's explicit total
+    # tie-break (quality DESC, doc_id ASC), BIGINT rank.
+    "corpus_quota_topk": (
+        "WITH q AS ("
+        "  SELECT doc_id, source, "
+        "    length(text) AS n_chars, "
+        "    len(list_filter(string_split(text,' '), x -> x <> '')) "
+        "      AS n_tokens, "
+        "    length(text) - length(replace(text, ' ', '')) AS spaces, "
+        "    length(text) - length(regexp_replace(text, "
+        "      '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
+        "    ' ' || lower(text) || ' ' AS t "
+        "  FROM documents), "
+        "s AS ("
+        "  SELECT doc_id, source, "
+        "  ROUND(0.4 * (CASE WHEN n_tokens > 0 THEN (0.0 "
+        "    + (length(t) - length(replace(t, ' the ', ''))) / 5 "
+        "    + (length(t) - length(replace(t, ' a ', ''))) / 3 "
+        "    + (length(t) - length(replace(t, ' of ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' and ', ''))) / 5 "
+        "    + (length(t) - length(replace(t, ' le ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' la ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' et ', ''))) / 4 "
+        "    + (length(t) - length(replace(t, ' des ', ''))) / 5) "
+        "    / n_tokens ELSE 0.0 END) "
+        "  + 0.3 * (CASE WHEN n_chars > 0 THEN "
+        "    (n_chars - punct - spaces) / n_chars ELSE 0.0 END) "
+        "  + 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality "
+        "  FROM q), "
+        "r AS (SELECT doc_id, source, quality, "
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rnk "
+        "  FROM s) "
+        "SELECT doc_id, source, quality, rnk FROM r WHERE rnk <= 12"
+    ),
+    # text_pii_scrub: injection + three SEQUENTIAL scrub passes, each
+    # count on that pass's INPUT; patterns are the very same strings the
+    # engine uses (operators/scrub.py constants — Java/RE2-shared syntax).
+    "text_pii_scrub": (
+        "WITH inj AS (SELECT doc_id, text || "
+        "  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+        "    CAST(doc_id AS VARCHAR) || '@example.com now' "
+        "  WHEN doc_id % 3 = 1 THEN ' srv 10.0.' || "
+        "    CAST(doc_id % 256 AS VARCHAR) || '.7 tel +33 555 01' || "
+        "    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
+        "  ELSE '' END AS text FROM documents), "
+        "p1 AS (SELECT doc_id, "
+        "  CAST(len(regexp_extract_all(text, '" + _scrub.EMAIL_RE + "')) "
+        "    AS BIGINT) AS n_emails, "
+        "  regexp_replace(text, '" + _scrub.EMAIL_RE + "', "
+        "    '<EMAIL>', 'g') AS t1 FROM inj), "
+        "p2 AS (SELECT doc_id, n_emails, "
+        "  CAST(len(regexp_extract_all(t1, '" + _scrub.IPV4_RE + "')) "
+        "    AS BIGINT) AS n_ips, "
+        "  regexp_replace(t1, '" + _scrub.IPV4_RE + "', '<IP>', 'g') "
+        "    AS t2 FROM p1) "
+        "SELECT doc_id, n_emails, n_ips, "
+        "CAST(len(regexp_extract_all(t2, '" + _scrub.PHONE_RE + "')) "
+        "  AS BIGINT) AS n_phones, "
+        "regexp_replace(t2, '" + _scrub.PHONE_RE + "', '<PHONE>', 'g') "
+        "  AS text FROM p2"
     ),
     "dedup_simhash64": (
         "WITH t AS ("

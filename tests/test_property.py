@@ -267,6 +267,106 @@ def test_staged_clean_names_matches_composed(spark, cases):
 
 
 # ---------------------------------------------------------------------------
+# connected components vs a pure-Python union-find
+# ---------------------------------------------------------------------------
+
+_edge = st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+    lambda e: e[0] != e[1]
+)
+
+
+@SETTINGS
+@given(st.lists(_edge, min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """operators/dedup.py::connected_components (iterative min-label
+    propagation with sum-fixpoint detection) vs a sequential union-find
+    on random multigraphs — chains, cycles, self-dup edges, singleton
+    absence."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    for n in parent:
+        want.setdefault(find(n), []).append(n)
+    expected = {
+        n: min(members) for members in want.values() for n in members
+    }
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# PII scrub vs the Python re chain
+# ---------------------------------------------------------------------------
+
+_pii_fragment = st.one_of(
+    st.text(alphabet="ab @.+-0123456789", min_size=0, max_size=12),
+    st.just("bob.smith+x@mail-hub.example.org"),
+    st.just("10.0.255.7"),
+    st.just("999.999.999.999"),  # shape-valid ipv4 (scrubbers take it)
+    st.just("+44 123 4567"),
+    st.just("a@b.c"),  # single-letter TLD: NOT an email per the pattern
+    st.just("1.2.3.4.5"),  # 5 octets: \b boundaries pick the first 4
+)
+_pii_text = st.lists(_pii_fragment, min_size=0, max_size=6).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(_pii_text, min_size=1, max_size=30))
+def test_pii_scrub_matches_python_re(spark, texts):
+    """operators/scrub.py::scrub_pii (Java regex) vs the identical
+    sequential re.sub/findall chain in Python — adversarial adjacency,
+    malformed near-misses, multiple hits per doc, count-on-pass-input
+    semantics."""
+    import re as _re
+
+    from annual_report_pdf_parsers_spark.operators.scrub import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        scrub_pii,
+    )
+
+    def model(t):
+        ne = len(_re.findall(EMAIL_RE, t))
+        t1 = _re.sub(EMAIL_RE, "<EMAIL>", t)
+        ni = len(_re.findall(IPV4_RE, t1))
+        t2 = _re.sub(IPV4_RE, "<IP>", t1)
+        np_ = len(_re.findall(PHONE_RE, t2))
+        return ne, ni, np_, _re.sub(PHONE_RE, "<PHONE>", t2)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    for i, t in enumerate(texts):
+        ne, ni, np_, clean = model(t)
+        r = got[i]
+        assert (
+            r.n_emails, r.n_ips, r.n_phones, r.text
+        ) == (ne, ni, np_, clean), f"t={t!r}: {tuple(r)} vs {(ne, ni, np_, clean)}"
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition stats vs a pure-Python model
 # ---------------------------------------------------------------------------
 
