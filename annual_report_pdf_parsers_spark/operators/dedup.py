@@ -351,6 +351,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -363,8 +364,18 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning partial labels would silently split components
+        # (multiple keep=True survivors inside one cluster — duplicates
+        # leaking into the corpus); fail loudly instead.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter or "
+            "switch the round body to large-star/small-star"
+        )
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 

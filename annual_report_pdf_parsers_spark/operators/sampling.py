@@ -36,6 +36,13 @@ def hash_mod_sample(
     100 TB shape: a pure narrow filter — no shuffle, no state; composes
     with scan pruning (the filter sits directly above the scan).
     """
+    keep_hex = keep_hex.lower()
+    if len(keep_hex) != 2 or any(c not in "0123456789abcdef" for c in keep_hex):
+        # md5 output is lowercase hex: an uppercase threshold compares
+        # below every a-f prefix and silently under-samples.
+        raise ValueError(
+            f"keep_hex must be two lowercase hex digits, got {keep_hex!r}"
+        )
     digest = F.md5(
         F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
     )
@@ -48,6 +55,7 @@ def quota_topk_per_group(
     order_col: str,
     id_col: str,
     k: int,
+    rank_col: str = "rnk",
 ) -> DataFrame:
     """Per-group quota: the top ``k`` rows by ``order_col`` (descending)
     within each ``group_col`` — the CCNet/RefinedWeb-style move of
@@ -57,7 +65,8 @@ def quota_topk_per_group(
     Tie-break is explicit and total (``order_col`` desc, then ``id_col``
     asc) so the selected set is deterministic and oracle-reproducible —
     a bare ``ORDER BY quality DESC LIMIT k`` is partition-order lottery
-    on ties.
+    on ties.  ``rank_col`` names the emitted rank column (refuses to
+    clobber an existing column).
 
     100 TB shape: one hash exchange on ``group_col`` + a window sort
     within partitions (rank state is one counter per group, spillable).
@@ -65,10 +74,15 @@ def quota_topk_per_group(
     domain dominates the corpus, pre-aggregate a per-(group, coarse
     order bucket) count first and only window the candidate bucket.
     """
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} already exists in the input — pass a "
+            "different name instead of silently overwriting it"
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.col(order_col).desc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
     )

@@ -1509,6 +1509,76 @@ sh AS (
 )
 """
 
+# MinHash signatures -> bands -> candidate pairs, shared verbatim by the
+# dedup_minhash_lsh and dedup_cluster_cc oracles (one site to mirror if
+# the engine's n_hashes/band_size/seed format ever changes).
+_MH_PAIRS = (
+    "mh AS (SELECT doc_id, "
+    + ", ".join(
+        f"MIN(substr(md5(shingle || ':{i}'), 1, 8)) AS h{i}"
+        for i in range(8)
+    )
+    + " FROM sh GROUP BY doc_id), "
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, "
+        f"h{2 * b} || '|' || h{2 * b + 1} AS band_val FROM mh"
+        for b in range(4)
+    )
+    + "), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "  FROM bands a JOIN bands b "
+    "  ON a.band_no = b.band_no AND a.band_val = b.band_val "
+    "  WHERE a.doc_id < b.doc_id)"
+)
+
+# Per-document quality score (mirrors operators/text.py::quality_score
+# exactly — single-chain stopword fold, guarded divisions, ROUND 6),
+# shared by the text_quality / corpus_source_stats / corpus_quota_topk
+# oracles.  corpus_text_filter keeps its split en/fr form because its
+# lang-guess needs the per-family sums.  NOTES.md item 13: a quality fix
+# must be mirrored here and in the split form — this fragment is now the
+# only other site.
+_STOP_SUM = (
+    "(0.0 "
+    "+ (length(t) - length(replace(t, ' the ', ''))) / 5 "
+    "+ (length(t) - length(replace(t, ' a ', ''))) / 3 "
+    "+ (length(t) - length(replace(t, ' of ', ''))) / 4 "
+    "+ (length(t) - length(replace(t, ' and ', ''))) / 5 "
+    "+ (length(t) - length(replace(t, ' le ', ''))) / 4 "
+    "+ (length(t) - length(replace(t, ' la ', ''))) / 4 "
+    "+ (length(t) - length(replace(t, ' et ', ''))) / 4 "
+    "+ (length(t) - length(replace(t, ' des ', ''))) / 5)"
+)
+_QUALITY_EXPR = (
+    "ROUND(0.4 * (CASE WHEN n_tokens > 0 THEN "
+    + _STOP_SUM
+    + " / n_tokens ELSE 0.0 END) "
+    "+ 0.3 * (CASE WHEN n_chars > 0 THEN "
+    "(n_chars - punct - spaces) / n_chars ELSE 0.0 END) "
+    "+ 0.3 * LEAST(n_tokens / 100.0, 1.0), 6)"
+)
+
+
+def _quality_cte(carry: str) -> str:
+    """CTE pair computing ``qdoc(<carry>, n_tokens, quality)`` over the
+    documents table, carrying the named columns through."""
+    return (
+        "qraw AS (SELECT " + carry + ", "
+        "  length(text) AS n_chars, "
+        "  len(list_filter(string_split(text,' '), x -> x <> '')) "
+        "    AS n_tokens, "
+        "  length(text) - length(replace(text, ' ', '')) AS spaces, "
+        "  length(text) - length(regexp_replace(text, "
+        "    '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
+        "  ' ' || lower(text) || ' ' AS t "
+        "  FROM documents), "
+        "qdoc AS (SELECT " + carry + ", n_tokens, "
+        + _QUALITY_EXPR
+        + " AS quality FROM qraw)"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "s1_scan_prune": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"
@@ -1950,24 +2020,8 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5"
     ),
     "dedup_minhash_lsh": (
-        f"WITH {_DUPES}, {_TOKS}, {_SHINGLES}, "
-        "mh AS (SELECT doc_id, "
-        + ", ".join(
-            f"MIN(substr(md5(shingle || ':{i}'), 1, 8)) AS h{i}"
-            for i in range(8)
-        )
-        + " FROM sh GROUP BY doc_id), "
-        "bands AS ("
-        + " UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_no, "
-            f"h{2 * b} || '|' || h{2 * b + 1} AS band_val FROM mh"
-            for b in range(4)
-        )
-        + ") "
-        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "FROM bands a JOIN bands b "
-        "ON a.band_no = b.band_no AND a.band_val = b.band_val "
-        "WHERE a.doc_id < b.doc_id"
+        f"WITH {_DUPES}, {_TOKS}, {_SHINGLES}, {_MH_PAIRS} "
+        "SELECT id_a, id_b FROM pairs"
     ),
     "dedup_simhash": (
         "WITH t AS ("
@@ -2057,24 +2111,7 @@ ORACLE_SQL: dict[str, str] = {
     # reachable through the symmetric edge closure; singletons fall back
     # to their own id in the final left join.
     "dedup_cluster_cc": (
-        f"WITH RECURSIVE {_DUPES}, {_TOKS}, {_SHINGLES}, "
-        "mh AS (SELECT doc_id, "
-        + ", ".join(
-            f"MIN(substr(md5(shingle || ':{i}'), 1, 8)) AS h{i}"
-            for i in range(8)
-        )
-        + " FROM sh GROUP BY doc_id), "
-        "bands AS ("
-        + " UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_no, "
-            f"h{2 * b} || '|' || h{2 * b + 1} AS band_val FROM mh"
-            for b in range(4)
-        )
-        + "), "
-        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "  FROM bands a JOIN bands b "
-        "  ON a.band_no = b.band_no AND a.band_val = b.band_val "
-        "  WHERE a.doc_id < b.doc_id), "
+        f"WITH RECURSIVE {_DUPES}, {_TOKS}, {_SHINGLES}, {_MH_PAIRS}, "
         "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
         "  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
         "reach AS (SELECT DISTINCT s AS node, s AS r FROM edges "
@@ -2093,40 +2130,15 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 2) "
         "<= '3f'"
     ),
-    # corpus_quota_topk: quality restated per-doc (same expression as
-    # text_quality), ROW_NUMBER with the engine's explicit total
-    # tie-break (quality DESC, doc_id ASC), BIGINT rank.
+    # corpus_quota_topk: shared quality fragment, ROW_NUMBER with the
+    # engine's explicit total tie-break (quality DESC, doc_id ASC),
+    # BIGINT rank.
     "corpus_quota_topk": (
-        "WITH q AS ("
-        "  SELECT doc_id, source, "
-        "    length(text) AS n_chars, "
-        "    len(list_filter(string_split(text,' '), x -> x <> '')) "
-        "      AS n_tokens, "
-        "    length(text) - length(replace(text, ' ', '')) AS spaces, "
-        "    length(text) - length(regexp_replace(text, "
-        "      '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
-        "    ' ' || lower(text) || ' ' AS t "
-        "  FROM documents), "
-        "s AS ("
-        "  SELECT doc_id, source, "
-        "  ROUND(0.4 * (CASE WHEN n_tokens > 0 THEN (0.0 "
-        "    + (length(t) - length(replace(t, ' the ', ''))) / 5 "
-        "    + (length(t) - length(replace(t, ' a ', ''))) / 3 "
-        "    + (length(t) - length(replace(t, ' of ', ''))) / 4 "
-        "    + (length(t) - length(replace(t, ' and ', ''))) / 5 "
-        "    + (length(t) - length(replace(t, ' le ', ''))) / 4 "
-        "    + (length(t) - length(replace(t, ' la ', ''))) / 4 "
-        "    + (length(t) - length(replace(t, ' et ', ''))) / 4 "
-        "    + (length(t) - length(replace(t, ' des ', ''))) / 5) "
-        "    / n_tokens ELSE 0.0 END) "
-        "  + 0.3 * (CASE WHEN n_chars > 0 THEN "
-        "    (n_chars - punct - spaces) / n_chars ELSE 0.0 END) "
-        "  + 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality "
-        "  FROM q), "
+        f"WITH {_quality_cte('doc_id, source')}, "
         "r AS (SELECT doc_id, source, quality, "
         "  CAST(ROW_NUMBER() OVER (PARTITION BY source "
         "    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rnk "
-        "  FROM s) "
+        "  FROM qdoc) "
         "SELECT doc_id, source, quality, rnk FROM r WHERE rnk <= 12"
     ),
     # text_pii_scrub: injection + three SEQUENTIAL scrub passes, each
@@ -2228,31 +2240,8 @@ ORACLE_SQL: dict[str, str] = {
         "FROM c"
     ),
     "text_quality": (
-        "WITH q AS ("
-        "  SELECT doc_id, text, "
-        "    length(text) AS n_chars, "
-        "    len(list_filter(string_split(text,' '), x -> x <> '')) "
-        "      AS n_tokens, "
-        "    length(text) - length(replace(text, ' ', '')) AS spaces, "
-        "    length(text) - length(regexp_replace(text, "
-        "      '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
-        "    ' ' || lower(text) || ' ' AS t "
-        "  FROM documents) "
-        "SELECT doc_id, n_tokens, "
-        "ROUND(0.4 * (CASE WHEN n_tokens > 0 THEN (0.0 "
-        "  + (length(t) - length(replace(t, ' the ', ''))) / 5 "
-        "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
-        "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' and ', ''))) / 5 "
-        "  + (length(t) - length(replace(t, ' le ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' des ', ''))) / 5) "
-        "  / n_tokens ELSE 0.0 END) "
-        "+ 0.3 * (CASE WHEN n_chars > 0 THEN "
-        "  (n_chars - punct - spaces) / n_chars ELSE 0.0 END) "
-        "+ 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality "
-        "FROM q"
+        f"WITH {_quality_cte('doc_id')} "
+        "SELECT doc_id, n_tokens, quality FROM qdoc"
     ),
     "text_tokens": (
         "SELECT doc_id, "
@@ -2339,32 +2328,7 @@ ORACLE_SQL: dict[str, str] = {
     # text_quality), then per-source aggregation with an exact
     # decimal(18,6) sum and one final division (mirrors source_stats).
     "corpus_source_stats": (
-        "WITH q AS ("
-        "  SELECT doc_id, source, "
-        "    length(text) AS n_chars, "
-        "    len(list_filter(string_split(text,' '), x -> x <> '')) "
-        "      AS n_tokens, "
-        "    length(text) - length(replace(text, ' ', '')) AS spaces, "
-        "    length(text) - length(regexp_replace(text, "
-        "      '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
-        "    ' ' || lower(text) || ' ' AS t "
-        "  FROM documents), "
-        "s AS ("
-        "  SELECT doc_id, source, n_tokens, "
-        "  ROUND(0.4 * (CASE WHEN n_tokens > 0 THEN (0.0 "
-        "    + (length(t) - length(replace(t, ' the ', ''))) / 5 "
-        "    + (length(t) - length(replace(t, ' a ', ''))) / 3 "
-        "    + (length(t) - length(replace(t, ' of ', ''))) / 4 "
-        "    + (length(t) - length(replace(t, ' and ', ''))) / 5 "
-        "    + (length(t) - length(replace(t, ' le ', ''))) / 4 "
-        "    + (length(t) - length(replace(t, ' la ', ''))) / 4 "
-        "    + (length(t) - length(replace(t, ' et ', ''))) / 4 "
-        "    + (length(t) - length(replace(t, ' des ', ''))) / 5) "
-        "    / n_tokens ELSE 0.0 END) "
-        "  + 0.3 * (CASE WHEN n_chars > 0 THEN "
-        "    (n_chars - punct - spaces) / n_chars ELSE 0.0 END) "
-        "  + 0.3 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality "
-        "  FROM q) "
+        f"WITH {_quality_cte('doc_id, source')} "
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
         "ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) "
@@ -2372,7 +2336,7 @@ ORACLE_SQL: dict[str, str] = {
         "MIN(quality) AS min_quality, MAX(quality) AS max_quality, "
         "ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) "
         "  / COUNT(*), 6) >= 0.45 AS keep "
-        "FROM s GROUP BY source"
+        "FROM qdoc GROUP BY source"
     ),
     "dedup_embedding_cosine": (
         "WITH e AS (SELECT vec_id, embedding FROM embeddings "

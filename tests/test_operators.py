@@ -407,3 +407,54 @@ def test_multimodal_gif_demux(spark):
         assert bytes(r.frame).count(b"\x2c") >= 1  # one descriptor each
     assert len(by_media[2]) == 1
     assert bytes(by_media[2][0].frame) == png
+
+
+def test_hash_mod_sample_guards_and_rate(spark):
+    """sampling.hash_mod_sample normalizes/validates keep_hex: md5 output
+    is lowercase, so an uppercase threshold would silently under-sample
+    ('3F' < 'a'-'f' prefixes) — it must normalize; junk must raise."""
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        hash_mod_sample,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    lower = hash_mod_sample(df, "k", keep_hex="3f")
+    upper = hash_mod_sample(df, "k", keep_hex="3F")
+    assert lower.count() == upper.count()  # normalized, not lex-compared
+    # ~25% of 2000 with binomial noise
+    assert 400 < lower.count() < 600
+    with pytest.raises(ValueError):
+        hash_mod_sample(df, "k", keep_hex="zz")
+    with pytest.raises(ValueError):
+        hash_mod_sample(df, "k", keep_hex="3f0")
+
+
+def test_quota_topk_refuses_rank_collision(spark):
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        quota_topk_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5, 9)], "id long, g string, q double, rnk long"
+    )
+    with pytest.raises(ValueError):
+        quota_topk_per_group(df, "g", "q", "id", 3)
+    out = quota_topk_per_group(df, "g", "q", "id", 3, rank_col="_r")
+    assert out.columns[-1] == "_r" and out.count() == 1
+
+
+def test_connected_components_raises_without_fixpoint(spark):
+    """A 6-node chain has diameter 5: min-label propagation cannot reach
+    the fixpoint in 1 round, and returning partial labels would split
+    the component (duplicate 'survivors') — it must raise instead."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iter=1)
+    ok = {r.node: r.cluster_id for r in connected_components(chain).collect()}
+    assert set(ok.values()) == {0}
