@@ -311,10 +311,12 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph -> ``(node,
     cluster_id)`` with ``cluster_id`` = the smallest node id in the
-    component (deterministic regardless of execution order).
+    component (deterministic regardless of execution order or
+    algorithm).
 
     Pairwise candidate lists (minhash_lsh_pairs / ngram_jaccard_pairs)
     are not yet a dedup DECISION: near-duplication is transitive in
@@ -322,23 +324,35 @@ def connected_components(
     each pair" over-deletes chains.  The shipped decision is one
     canonical survivor per component.
 
-    Algorithm: iterative min-label propagation.  Each round is ONE
-    hash-partitioned aggregation — messages (edge endpoint, neighbor
-    label) union'd with the current labels, ``min`` per node — i.e. the
-    standard Pregel formulation with map-side partial aggregation and no
-    driver-side data.  Convergence detection is O(1) driver traffic:
-    labels only ever decrease, so ``sum(label)`` is strictly monotonic
-    and a repeated sum == fixpoint (no change-count join needed).
+    ``algorithm="label"`` (default): iterative min-label propagation.
+    Each round is ONE hash-partitioned aggregation — messages (edge
+    endpoint, neighbor label) union'd with the current labels, ``min``
+    per node — i.e. the standard Pregel formulation with map-side
+    partial aggregation and no driver-side data.  Convergence detection
+    is O(1) driver traffic: labels only ever decrease, so ``sum(label)``
+    is strictly monotonic and a repeated sum == fixpoint (no
+    change-count join needed).  Rounds are DIAMETER-bounded — the right
+    default for near-dup graphs, whose components are shallow dup
+    clusters (3-5 rounds typical), and the cheapest per round.
 
-    100 TB shape: rounds are diameter-bounded; near-dup components are
-    shallow (dup clusters, not social graphs), so 3-5 rounds typical.
-    ``localCheckpoint`` truncates the per-round lineage so the plan does
-    not grow quadratically with iterations (on a cluster, use a reliable
+    ``algorithm="star"``: alternating large-star/small-star
+    (`connected_components_star`) — O(log n) rounds regardless of
+    diameter; pick it when components can be adversarially chain-shaped
+    (e.g. templated page sequences where page_i ~ page_{i+1} only).
+
+    Both raise rather than return partial labels when the round cap is
+    hit (a silently split component means multiple keep=True survivors
+    — duplicates leaking into the corpus).
+
+    100 TB shape: ``localCheckpoint`` truncates the per-round lineage so
+    the plan does not grow with iterations (on a cluster, use a reliable
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` instead —
-    localCheckpoint ties recovery to executor storage).  For adversarial
-    long-chain graphs swap the propagation body for alternating
-    large-star/small-star (O(log n) rounds, same per-round shape).
+    localCheckpoint ties recovery to executor storage).
     """
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
@@ -374,9 +388,100 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} rounds "
             "(component diameter exceeds max_iter) — raise max_iter or "
-            "switch the round body to large-star/small-star"
+            "use algorithm='star' (O(log n) rounds)"
         )
     return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over canonical (a < b) edges: every node's
+    STRICTLY LARGER neighbors re-point to the minimum of its closed
+    neighborhood.  Output stays canonical (the new target m <= u < v)."""
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.least(F.col("mn"), F.col("u")).alias("a"),
+            F.col("v").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over canonical (a < b) edges: every node's
+    smaller-or-equal neighborhood (plus itself) re-points to its
+    minimum.  Canonical edges group their smaller endpoints by ``b``, so
+    N(u)'s smaller side is exactly the ``a`` values of u's ``b`` rows."""
+    mins = e.groupBy("b").agg(F.min("a").alias("mn"))
+    child = e.join(mins, "b").select(
+        F.col("mn").alias("a"), F.col("a").alias("b")
+    )
+    hub = mins.select(F.col("mn").alias("a"), F.col("b"))
+    return (
+        child.unionByName(hub)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds REGARDLESS of component diameter, where
+    min-label propagation needs diameter rounds.  Same output contract
+    as `connected_components`: ``(node, cluster_id=component min)``.
+
+    Each round is two grouped aggregations + a distinct over the edge
+    set (all hash-partitioned by node id, map-side partial agg);
+    convergence = the canonical edge set is a fixpoint of the round,
+    checked set-exactly (count equality both sides + union-distinct
+    count — not a collision-prone sum signature).  At the fixpoint the
+    edge set is a star forest: every edge is (component-min, member).
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_rounds):
+        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_old, n_new = e.count(), e_new.count()
+        if n_old == n_new:
+            n_union = e.unionByName(e_new).distinct().count()
+            if n_union == n_new:
+                converged = True
+                e = e_new
+                break
+        e = e_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_rounds} "
+            "rounds — raise max_rounds"
+        )
+    # star forest: a = center (component min), b = member
+    members = e.select(
+        F.col("b").alias("node"), F.col("a").alias("cluster_id")
+    )
+    centers = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    return members.unionByName(centers)
 
 
 def cluster_keep_decision(

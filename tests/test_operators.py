@@ -458,3 +458,22 @@ def test_connected_components_raises_without_fixpoint(spark):
         connected_components(chain, max_iter=1)
     ok = {r.node: r.cluster_id for r in connected_components(chain).collect()}
     assert set(ok.values()) == {0}
+
+
+def test_connected_components_star_long_chain(spark):
+    """The O(log n) path: a 300-node chain (diameter 299) is exactly the
+    shape that exhausts diameter-bounded label propagation; large-star/
+    small-star must resolve it to ONE cluster well within its default
+    round cap — and a reversed/interleaved edge order must not matter."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 300
+    edges = [(i + 1, i) if i % 2 else (i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert len(got) == n and set(got.values()) == {0}

@@ -312,6 +312,11 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(pairs).collect()
     }
     assert got == expected
+    got_star = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert got_star == expected
 
 
 # ---------------------------------------------------------------------------
