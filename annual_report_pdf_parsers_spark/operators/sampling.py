@@ -68,11 +68,12 @@ def quota_topk_per_group(
     on ties.  ``rank_col`` names the emitted rank column (refuses to
     clobber an existing column).
 
-    100 TB shape: one hash exchange on ``group_col`` + a window sort
-    within partitions (rank state is one counter per group, spillable).
-    Skewed mega-domains degrade to disk in WindowExec, never OOM; if one
-    domain dominates the corpus, pre-aggregate a per-(group, coarse
-    order bucket) count first and only window the candidate bucket.
+    100 TB shape: one hash exchange on ``group_col``, and because the
+    ``rank <= k`` filter is visible to Catalyst, the WindowGroupLimit
+    rule plans a PARTIAL top-k prune on the map side — at most k rows
+    per (group, map partition) transit the exchange, so a mega-domain
+    cannot skew the shuffle (plan-pinned:
+    tests/test_plan_properties.py::test_quota_topk_single_exchange).
     """
     if rank_col in df.columns:
         raise ValueError(

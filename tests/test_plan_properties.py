@@ -204,3 +204,46 @@ def test_repetition_stats_doc_scoped(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "SortAggregate" not in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_sample_hash_narrow_no_shuffle(spark):
+    """hash_mod_sample: a pure narrow filter — ZERO exchanges, no Python
+    eval, the md5-prefix predicate sits directly above the scan
+    (sampling.py '100 TB shape')."""
+    plan = _qplan(spark, "corpus_sample_hash")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_quota_topk_single_exchange(spark):
+    """quota_topk_per_group: ONE hash exchange (the group key), and —
+    the load-bearing scale property — Catalyst's WindowGroupLimit
+    push-down fires in Partial/Final form: each MAP partition prunes to
+    its own top-k per group BEFORE the shuffle, so at most k rows per
+    (group, map partition) transit the exchange regardless of how hot a
+    domain is (the rank<=k filter is visible to the optimizer because
+    row_number uses the plain rank filter idiom)."""
+    plan = _qplan(spark, "corpus_quota_topk")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "Partial" in plan and "Final" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pii_scrub_narrow_no_shuffle(spark):
+    """scrub_pii: per-row projection only — ZERO exchanges, no Python
+    eval; the three regex passes are JVM expressions (scrub.py)."""
+    plan = _qplan(spark, "text_pii_scrub")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_cluster_cc_no_cross_product(spark):
+    """dedup_cluster_cc: the final keep-decision join and every
+    propagation round are equi-joins — no cartesian/nested-loop anywhere
+    in the final plan, and the corpus-side join is NOT a driver-built
+    broadcast of the (corpus-scaling) labels... the labels ARE
+    broadcast-eligible here only because sf0.001 is tiny; the decision
+    join itself must remain an equi-join."""
+    plan = _qplan(spark, "dedup_cluster_cc")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
