@@ -100,6 +100,10 @@ HEADLINE = [
     "text_repetition",
     "events_asof_join",
     "events_sessionize",
+    "dedup_cluster_cc",
+    "corpus_sample_hash",
+    "corpus_quota_topk",
+    "text_pii_scrub",
 ]
 
 
