@@ -10,6 +10,7 @@ driver's DuckDB oracle can reproduce it exactly.
 
   hash_mod_sample       content-hash Bernoulli sampling (rate = k/256)
   quota_topk_per_group  per-group top-k (quality quota per source/domain)
+  shard_shuffle         deterministic training-order shuffle into shards
 """
 
 from __future__ import annotations
@@ -87,3 +88,45 @@ def quota_topk_per_group(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    prefix_len: int = 2,
+    salt: str = "sh0",
+) -> DataFrame:
+    """Deterministic training-order shuffle: assign every row a
+    ``shard`` (the first ``prefix_len`` hex digits of the salted key
+    md5 — 16^prefix_len shards) and a ``pos`` (its rank within the
+    shard, ordered by the full digest then the key).  Reading shards in
+    name order, each by ``pos``, replays one fixed pseudo-random
+    permutation of the corpus — the property training-data loaders need
+    (epoch order must be reproducible and resumable; ``orderBy(rand())``
+    gives a different order every run and cannot be resumed).
+
+    ``salt`` selects the permutation (a new training run re-shuffles by
+    changing the salt, each still fully reproducible).
+
+    100 TB shape: one hash exchange keyed by shard + a per-shard sort —
+    i.e. exactly the cost of writing the output partitioned by shard.
+    ``prefix_len`` sizes shards to the corpus (2 -> 256 shards, ok to a
+    few TB; 4 -> 65k shards at CC scale).  For a pure write path, skip
+    the rank column and use ``df.repartition("shard")
+    .sortWithinPartitions("_dg")`` — same plan minus the window state;
+    the ``pos`` form here is the oracle-checkable contract.
+    """
+    if not 1 <= prefix_len <= 8:
+        raise ValueError("prefix_len must be in [1, 8]")
+    dg = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+    from ..functions.numeric import pin
+
+    out = df.withColumn("_dg", pin(dg)).withColumn(
+        "shard", F.substring(F.col("_dg"), 1, prefix_len)
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_dg").asc(), F.col(key_col).asc()
+    )
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("_dg")

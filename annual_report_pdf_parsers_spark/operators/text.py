@@ -222,6 +222,33 @@ def source_stats(
     )
 
 
+# accent-fold table: each folded char maps 1:1 (translate semantics);
+# the pairs below cover Latin-1 + common Latin Extended-A lowercase
+# forms (uppercase is handled by lowercasing FIRST).  One documented
+# 1-char approximation: 'ß' -> 's' (not 'ss') and 'æ'/'œ' -> 'a'/'o',
+# since translate cannot expand.
+ACCENT_SRC = "àáâãäåāăçćčèéêëēĕìíîïīñńòóôõöøōùúûüūýÿźżßæœðþ"
+ACCENT_DST = "aaaaaaaaccceeeeeeiiiiinnooooooouuuuuyyzzsaodt"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenization text normalization: lowercase -> accent fold
+    (translate, 1:1) -> whitespace collapse+trim.  The standard
+    canonicalization before tokenizing / fingerprinting multilingual
+    webtext, kept to expressions every engine shares (lower/translate/
+    regexp_replace) so the fold is bit-identical in the DuckDB oracle —
+    a full ICU NFKC pass would need a UDF and an engine-specific
+    library.
+
+    100 TB shape: narrow per-row projection, no shuffle, whole-stage
+    codegen.
+    """
+    t = F.lower(F.col(text_col))
+    t = F.translate(t, ACCENT_SRC, ACCENT_DST)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(text_col, t)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     order-insensitive content hash (bag-of-words identity), the cheap

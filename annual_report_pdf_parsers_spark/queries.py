@@ -1320,6 +1320,34 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_corpus_shard_shuffle(spark, sf):
+    """Deterministic training-order shuffle: every doc gets a (shard,
+    pos) so replaying shards in order reproduces ONE fixed pseudo-random
+    permutation across reruns — orderBy(rand()) cannot (different order
+    every run, not resumable)."""
+    from .operators.sampling import shard_shuffle
+
+    return shard_shuffle(
+        load(spark, sf, "documents"), "doc_id"
+    ).select("doc_id", "shard", "pos")
+
+
+def q_text_normalize(spark, sf):
+    """Pre-tokenization normalization (lowercase + accent fold + ws
+    collapse).  The corpus text is already lowercase ASCII, so the query
+    injects deterministic accented/uppercase suffixes (both injection
+    branches exercised) — both engines apply the identical injection
+    then the identical fold."""
+    d = load(spark, sf, "documents")
+    suffix = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("  Café DÉJÀ-VU Ñandú ß")
+    ).otherwise(F.lit(" ÉLÈVE naïve  øre Œuf"))
+    injected = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return text.normalize_text(injected).select("doc_id", "text")
+
+
 def q_events_asof(spark, sf):
     """Distributed as-of join (task brief: a canonical operator Spark
     lacks) via the linear union+window form — each purchase event joined
@@ -1444,7 +1472,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_stats": q_corpus_source_stats,
     "corpus_sample_hash": q_corpus_sample_hash,
     "corpus_quota_topk": q_corpus_quota_topk,
+    "corpus_shard_shuffle": q_corpus_shard_shuffle,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_normalize": q_text_normalize,
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
     "pipeline_extract": q_pipeline_extract,
@@ -2129,6 +2159,25 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, lang, source FROM documents "
         "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 2) "
         "<= '3f'"
+    ),
+    "corpus_shard_shuffle": (
+        "WITH h AS (SELECT doc_id, "
+        "  md5(CAST(doc_id AS VARCHAR) || '|sh0') AS dg FROM documents) "
+        "SELECT doc_id, substr(dg, 1, 2) AS shard, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY substr(dg, 1, 2) "
+        "  ORDER BY dg ASC, doc_id ASC) AS BIGINT) AS pos FROM h"
+    ),
+    # text_normalize: injection + the same lower/translate/collapse
+    # chain; the fold tables are the engine's own constants so the two
+    # sites cannot drift.
+    "text_normalize": (
+        "WITH inj AS (SELECT doc_id, text || "
+        "  CASE WHEN doc_id % 2 = 0 THEN '  Café DÉJÀ-VU Ñandú ß' "
+        "  ELSE ' ÉLÈVE naïve  øre Œuf' END AS text FROM documents) "
+        "SELECT doc_id, "
+        "trim(regexp_replace(translate(lower(text), '"
+        + text.ACCENT_SRC + "', '" + text.ACCENT_DST + "'), "
+        "'\\s+', ' ', 'g')) AS text FROM inj"
     ),
     # corpus_quota_topk: shared quality fragment, ROW_NUMBER with the
     # engine's explicit total tie-break (quality DESC, doc_id ASC),

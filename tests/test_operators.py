@@ -477,3 +477,46 @@ def test_connected_components_star_long_chain(spark):
         for r in connected_components(pairs, algorithm="star").collect()
     }
     assert len(got) == n and set(got.values()) == {0}
+
+
+def test_shard_shuffle_is_reproducible_permutation(spark):
+    """shard_shuffle: per-shard pos is contiguous 1..n, the assignment
+    is identical across invocations (reproducible), and a different
+    salt yields a different permutation of the same rows."""
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        shard_shuffle,
+    )
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = shard_shuffle(df, "k").select("k", "shard", "pos")
+    rows = a.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    again = {(r.k, r.shard, r.pos) for r in shard_shuffle(df, "k").collect()}
+    assert again == {(r.k, r.shard, r.pos) for r in rows}
+    other = {
+        (r.k, r.shard, r.pos)
+        for r in shard_shuffle(df, "k", salt="sh1").collect()
+    }
+    assert other != again and {k for k, _, _ in other} == {
+        k for k, _, _ in again
+    }
+    with pytest.raises(ValueError):
+        shard_shuffle(df, "k", prefix_len=0)
+
+
+def test_normalize_text_folds(spark):
+    from annual_report_pdf_parsers_spark.operators.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "  Déjà   VU  Ñandú ß Œuf øre "), (2, "plain ascii")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert got[1] == "deja vu nandu s ouf ore"
+    assert got[2] == "plain ascii"

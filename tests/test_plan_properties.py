@@ -247,3 +247,21 @@ def test_cluster_cc_no_cross_product(spark):
     join itself must remain an equi-join."""
     plan = _qplan(spark, "dedup_cluster_cc")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_shard_shuffle_single_exchange(spark):
+    """shard_shuffle: ONE hash exchange (shard key) + the per-shard
+    digest sort — exactly the cost of writing output partitioned by
+    shard; no Python eval."""
+    plan = _qplan(spark, "corpus_shard_shuffle")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_normalize_text_narrow(spark):
+    """normalize_text: per-row projection only — zero exchanges, no
+    Python eval (lower/translate/regexp_replace stay in codegen)."""
+    plan = _qplan(spark, "text_normalize")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
