@@ -104,6 +104,8 @@ HEADLINE = [
     "corpus_sample_hash",
     "corpus_quota_topk",
     "text_pii_scrub",
+    "corpus_shard_shuffle",
+    "text_normalize",
 ]
 
 
