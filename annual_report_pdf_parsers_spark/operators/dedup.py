@@ -488,6 +488,7 @@ def cluster_keep_decision(
     corpus: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Per-document dedup decision from a pair graph: ``(doc_id,
     cluster_id, keep)`` over the WHOLE corpus — singletons (docs in no
@@ -495,8 +496,9 @@ def cluster_keep_decision(
     component survives.  One broadcast-size-independent left join on id
     (the components table is |nodes-in-pairs| rows, far smaller than the
     corpus, but still corpus-scaling — so no broadcast hint; Catalyst/AQE
-    decide)."""
-    cc = connected_components(pairs)
+    decide).  ``algorithm`` passes through to `connected_components`
+    ("label" | "star")."""
+    cc = connected_components(pairs, algorithm=algorithm)
     return (
         corpus.select(F.col(id_col).cast("long").alias("doc_id"))
         .join(
