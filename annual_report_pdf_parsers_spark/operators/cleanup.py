@@ -305,6 +305,12 @@ def clean_names(
             ),
         ]
         prev = "_n4"
+    collisions = {name for name, _ in stages} & set(df.columns)
+    if collisions:
+        raise ValueError(
+            f"clean_names stage columns {sorted(collisions)} already "
+            "exist in the input — rename them before cleanup"
+        )
     out = df
     for name, expr in stages:
         out = out.withColumn(name, pin(expr))

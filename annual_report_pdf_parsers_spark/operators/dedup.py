@@ -364,23 +364,55 @@ def connected_components(
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        edges.schema["src"].dataType, NumericType
+    )
     prev_sum = None
+    prev_labels = None
     converged = False
     for _ in range(max_iter):
         msgs = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "lbl")
-        labels = (
+        new_labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            # DECIMAL(38,0) sum: a BIGINT sum overflows at ~10^9 nodes
+            # with 64-bit hash-derived ids (ANSI mode would throw every
+            # round — the operator could never converge at exactly its
+            # design scale).  Labels only decrease, so an unchanged sum
+            # IS the fixpoint — no change-count join needed.
+            cur_sum = new_labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if cur_sum == prev_sum:
+                converged = True
+                labels = new_labels
+                break
+            prev_sum = cur_sum
+        else:
+            # string/other orderable ids: no sum exists, so pay one
+            # extra equi-join per round for the exact changed count
+            prev_labels = labels
+            changed = (
+                new_labels.join(
+                    prev_labels.withColumnRenamed("lbl", "_prev"),
+                    "node",
+                )
+                .filter(F.col("lbl") != F.col("_prev"))
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                labels = new_labels
+                break
+        labels = new_labels
     if not converged:
         # returning partial labels would silently split components
         # (multiple keep=True survivors inside one cluster — duplicates
@@ -459,16 +491,17 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     converged = False
+    n_old = e.count()
     for _ in range(max_rounds):
         e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        n_old, n_new = e.count(), e_new.count()
+        n_new = e_new.count()
         if n_old == n_new:
             n_union = e.unionByName(e_new).distinct().count()
             if n_union == n_new:
                 converged = True
                 e = e_new
                 break
-        e = e_new
+        e, n_old = e_new, n_new
     if not converged:
         raise RuntimeError(
             f"connected_components_star: no fixpoint after {max_rounds} "
@@ -497,10 +530,13 @@ def cluster_keep_decision(
     (the components table is |nodes-in-pairs| rows, far smaller than the
     corpus, but still corpus-scaling — so no broadcast hint; Catalyst/AQE
     decide).  ``algorithm`` passes through to `connected_components`
-    ("label" | "star")."""
+    ("label" | "star").  ``id_col`` is used AS-IS (no cast): string doc
+    ids are valid keys — min-label semantics only need a total order —
+    and an unconditional long cast would throw (ANSI) or NULL out the
+    whole corpus (non-ANSI) on them."""
     cc = connected_components(pairs, algorithm=algorithm)
     return (
-        corpus.select(F.col(id_col).cast("long").alias("doc_id"))
+        corpus.select(F.col(id_col).alias("doc_id"))
         .join(
             cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
         )

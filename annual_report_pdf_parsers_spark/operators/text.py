@@ -243,10 +243,11 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     100 TB shape: narrow per-row projection, no shuffle, whole-stage
     codegen.
     """
+    from ..functions.strings import collapse_ws
+
     t = F.lower(F.col(text_col))
     t = F.translate(t, ACCENT_SRC, ACCENT_DST)
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
-    return df.withColumn(text_col, t)
+    return df.withColumn(text_col, collapse_ws(t))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -520,3 +520,40 @@ def test_normalize_text_folds(spark):
     got = {r.doc_id: r.text for r in normalize_text(df).collect()}
     assert got[1] == "deja vu nandu s ouf ore"
     assert got[2] == "plain ascii"
+
+
+def test_connected_components_string_ids(spark):
+    """String doc ids (url hashes) are valid CC keys: min-label needs
+    only a total order.  The label algorithm's convergence check must
+    not rely on a numeric sum (it switches to an exact changed-count
+    join), and cluster_keep_decision must not cast ids."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        cluster_keep_decision,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    for algo in ("label", "star"):
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == {
+            "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+            "doc-x": "doc-x", "doc-y": "doc-x",
+        }, (algo, got)
+    corpus = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-z",)], "doc_id string"
+    )
+    dec = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in cluster_keep_decision(corpus, pairs).collect()
+    }
+    assert dec == {
+        "doc-a": ("doc-a", True),
+        "doc-b": ("doc-a", False),
+        "doc-z": ("doc-z", True),
+    }
