@@ -306,6 +306,57 @@ def simhash16(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     return simhash_bits(df, 16, text_col, id_col)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_overlap`` distinct k-word shingles with an evaluation set —
+    the standard pre-training hygiene step (a training doc that
+    contains benchmark text inflates eval scores).
+
+    Returns ``(doc_id, n_overlap, contaminated)`` for EVERY corpus doc
+    (n_overlap = 0 rows included: the decision table is the contract,
+    not just the hit list).
+
+    100 TB shape: the benchmark side is aggregated to its DISTINCT
+    shingle set and broadcast — correct here, unlike the manifest/
+    lineage joins this repo de-broadcast, because an eval suite is
+    bounded by construction (thousands of questions, not corpus-
+    growing); the corpus side then needs NO shuffle for the join, and
+    the per-doc overlap count partial-aggregates map-side into one
+    exchange on doc id.
+    """
+    doc_sh = doc_shingles(corpus, text_col, id_col, k)
+    bench_sh = (
+        with_shingles(benchmark, text_col, k)
+        .select(F.explode(F.col("_sh")).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits.withColumnRenamed("sid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap
+            ).alias("contaminated"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

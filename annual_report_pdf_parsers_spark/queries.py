@@ -1320,6 +1320,17 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_corpus_decontaminate(spark, sf):
+    """Benchmark decontamination: every 40th document's text stands in
+    as the eval set; docs sharing >= 2 distinct 3-shingles with it are
+    flagged.  The eval members themselves flag (full self-overlap) and
+    organically-similar docs flag too — both engines compute the same
+    decision table over ALL docs, zeros included."""
+    d = load(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 40 == 0).select("text")
+    return dedup.decontaminate(d, bench)
+
+
 def q_corpus_shard_shuffle(spark, sf):
     """Deterministic training-order shuffle: every doc gets a (shard,
     pos) so replaying shards in order reproduces ONE fixed pseudo-random
@@ -1473,6 +1484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample_hash": q_corpus_sample_hash,
     "corpus_quota_topk": q_corpus_quota_topk,
     "corpus_shard_shuffle": q_corpus_shard_shuffle,
+    "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
     "text_normalize": q_text_normalize,
     "events_asof_join": q_events_asof,
@@ -2159,6 +2171,25 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, lang, source FROM documents "
         "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 2) "
         "<= '3f'"
+    ),
+    # corpus_decontaminate: distinct per-doc 3-shingles (same 1-based
+    # window build as _SHINGLES) vs the distinct shingle set of the
+    # doc_id%40 benchmark subset; left join keeps zero-overlap rows.
+    "corpus_decontaminate": (
+        "WITH toks AS (SELECT doc_id, "
+        "  list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+        "  FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, "
+        "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
+        "  FROM toks, UNNEST(generate_series(1, "
+        "    greatest(len(tk) - 2, 0))) AS g(i) WHERE len(tk) >= 3), "
+        "bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 40 = 0), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n FROM sh "
+        "  JOIN bsh USING (shingle) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) "
+        "  AS n_overlap, "
+        "COALESCE(hits.n, 0) >= 2 AS contaminated "
+        "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id"
     ),
     "corpus_shard_shuffle": (
         "WITH h AS (SELECT doc_id, "

@@ -106,6 +106,7 @@ HEADLINE = [
     "text_pii_scrub",
     "corpus_shard_shuffle",
     "text_normalize",
+    "corpus_decontaminate",
 ]
 
 

@@ -557,3 +557,32 @@ def test_connected_components_string_ids(spark):
         "doc-b": ("doc-a", False),
         "doc-z": ("doc-z", True),
     }
+
+
+def test_decontaminate_counts_distinct_overlap(spark):
+    """decontaminate: n_overlap counts DISTINCT shared shingles (repeats
+    inside a doc count once), zero-overlap docs appear with
+    contaminated=False, and the threshold is >= min_overlap."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shares 'a b c' + 'b c d' -> 2
+            (2, "a b c a b c"),        # repeats: distinct overlap = 1
+            (3, "x y z w"),            # no overlap
+            (4, "too short"),          # < k tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("a b c d q",)], "text string"
+    )
+    got = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in decontaminate(corpus, bench, min_overlap=2).collect()
+    }
+    assert got == {
+        1: (2, True), 2: (1, False), 3: (0, False), 4: (0, False)
+    }, got

@@ -265,3 +265,14 @@ def test_normalize_text_narrow(spark):
     plan = _qplan(spark, "text_normalize")
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """decontaminate: the benchmark shingle set joins as a BROADCAST
+    (bounded by construction — the one case where broadcast is right,
+    unlike the corpus-growing manifest/lineage tables), and no join in
+    the plan degenerates to a cartesian/nested-loop."""
+    plan = _qplan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
