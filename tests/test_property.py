@@ -372,6 +372,109 @@ def test_pii_scrub_matches_python_re(spark, texts):
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling / shard shuffle / decontamination vs Python models
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(0, 10**12), min_size=1, max_size=60, unique=True),
+    st.sampled_from(["00", "3f", "7f", "ff"]),
+    st.sampled_from(["s0", "alt"]),
+)
+def test_hash_mod_sample_matches_hashlib(spark, keys, keep_hex, salt):
+    """sampling.hash_mod_sample vs hashlib.md5: the kept set must be
+    exactly the rows whose digest prefix clears the threshold — any id
+    range, any threshold, any salt."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        hash_mod_sample,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k for r in hash_mod_sample(df, "k", keep_hex, salt).collect()
+    }
+    want = {
+        k
+        for k in keys
+        if hashlib.md5(f"{k}|{salt}".encode()).hexdigest()[:2] <= keep_hex
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True))
+def test_shard_shuffle_matches_hashlib(spark, keys):
+    """sampling.shard_shuffle vs hashlib.md5: shard = digest prefix and
+    pos = 1-based rank within the shard under (digest, key) order."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        shard_shuffle,
+    )
+
+    dg = {k: hashlib.md5(f"{k}|sh0".encode()).hexdigest() for k in keys}
+    want = {}
+    by_shard = {}
+    for k in keys:
+        by_shard.setdefault(dg[k][:2], []).append(k)
+    for shard, ks in by_shard.items():
+        for pos, k in enumerate(
+            sorted(ks, key=lambda k: (dg[k], k)), start=1
+        ):
+            want[k] = (shard, pos)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: (r.shard, r.pos) for r in shard_shuffle(df, "k").collect()
+    }
+    assert got == want
+
+
+_decon_text = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+    min_size=0,
+    max_size=10,
+).map(" ".join)
+
+
+@SETTINGS
+@given(
+    st.lists(_decon_text, min_size=1, max_size=25),
+    st.lists(_decon_text, min_size=1, max_size=5),
+    st.integers(1, 3),
+)
+def test_decontaminate_matches_python_model(spark, docs, bench, thresh):
+    """dedup.decontaminate vs a direct Python shingle-set model on a
+    tiny alphabet (dense organic overlap): distinct-overlap counts and
+    the threshold decision for EVERY doc, zeros included."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    def sh(t):
+        tk = [w for w in t.split(" ") if w]
+        return {
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        }
+
+    bench_sh = set().union(*(sh(t) for t in bench)) if bench else set()
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame([(t,) for t in bench], "text string")
+    got = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in decontaminate(corpus, bdf, min_overlap=thresh).collect()
+    }
+    for i, t in enumerate(docs):
+        n = len(sh(t) & bench_sh)
+        assert got[i] == (n, n >= thresh), (i, t, got[i], n)
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition stats vs a pure-Python model
 # ---------------------------------------------------------------------------
 
