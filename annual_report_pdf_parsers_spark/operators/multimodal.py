@@ -18,6 +18,10 @@ no image libraries are required and nothing is stubbed:
                       fans out to one row per encoded frame
   sample_frames       mapInPandas 1->N fan-out over gif_frames; non-GIF
                       payloads yield a single whole-payload frame
+  decode_audio_meta   RIFF/WAVE chunk walk: sample rate, channels, bit
+                      depth, PCM sample count from the fmt/data chunks
+  extract_audio_features  mapInPandas: audio payload -> typed metadata
+                      + duration (the audio leg of the same batch loop)
 
 A production embedder (model forward pass) slots into the same batch
 loop; the Arrow batch shape, schema, and fan-out contract are what the
@@ -127,6 +131,68 @@ def extract_features(media_df):
             )
 
     return media_df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, format string, sample_rate int, channels int, "
+    "bits int, n_samples long, duration_sec double, digest string"
+)
+
+
+def decode_audio_meta(
+    payload: bytes,
+) -> tuple[str | None, int, int, int, int]:
+    """(format, sample_rate, channels, bits_per_sample, n_samples) from
+    a real RIFF/WAVE chunk walk (fmt + data chunks, word-aligned).
+    (None, 0, 0, 0, 0) for unrecognized/truncated payloads — same
+    graceful-degrade contract as decode_image_meta."""
+    b = payload or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, 0, 0, 0, 0
+    sr = ch = bits = block_align = 0
+    data_len = 0
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            _tag, ch, sr, _byte_rate, block_align, bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            data_len = min(clen, max(len(b) - i - 8, 0))
+        i += 8 + clen + (clen & 1)  # chunks are 16-bit word aligned
+    n_samples = data_len // block_align if block_align else 0
+    return "wav", sr, ch, bits, n_samples
+
+
+def extract_audio_features(media_df):
+    """audio payload -> typed metadata + duration (mapInPandas) — the
+    audio leg of the multimodal batch loop; a production featurizer
+    (spectrogram/embedding) slots into the same batch body."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [decode_audio_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [m[0] for m in meta],
+                    "sample_rate": [m[1] for m in meta],
+                    "channels": [m[2] for m in meta],
+                    "bits": [m[3] for m in meta],
+                    "n_samples": [m[4] for m in meta],
+                    "duration_sec": [
+                        m[4] / m[1] if m[1] else 0.0 for m in meta
+                    ],
+                    "digest": [
+                        hashlib.md5(b or b"").hexdigest()
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media_df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
 def _skip_subblocks(b: bytes, i: int) -> int:

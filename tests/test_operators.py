@@ -586,3 +586,48 @@ def test_decontaminate_counts_distinct_overlap(spark):
     assert got == {
         1: (2, True), 2: (1, False), 3: (0, False), 4: (0, False)
     }, got
+
+
+def test_multimodal_wav_decode(spark):
+    """decode_audio_meta walks real RIFF/WAVE chunks: a constructed
+    16-bit stereo 8 kHz PCM file (with an extra LIST chunk before fmt)
+    yields exact (rate, channels, bits, samples, duration); garbage and
+    truncated payloads degrade to (None, 0...) rows, never raise."""
+    import struct as st
+
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    def wav(sr, ch, bits, n_samples, extra_chunk=False):
+        block = ch * bits // 8
+        data = bytes(n_samples * block)
+        fmt = st.pack("<HHIIHH", 1, ch, sr, sr * block, block, bits)
+        chunks = b""
+        if extra_chunk:
+            chunks += b"LIST" + st.pack("<I", 4) + b"INFO"
+        chunks += b"fmt " + st.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + st.pack("<I", len(data)) + data
+        return b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rows = [
+        (1, "audio", wav(8000, 2, 16, 4000), None, None),
+        (2, "audio", wav(44100, 1, 8, 441, extra_chunk=True), None, None),
+        (3, "audio", b"not a wav at all", None, None),
+        (4, "audio", b"RIFF\x00\x00\x00\x00WAVE", None, None),  # truncated
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int",
+    )
+    got = {r.media_id: r for r in extract_audio_features(df).collect()}
+    assert (
+        got[1].format, got[1].sample_rate, got[1].channels, got[1].bits,
+        got[1].n_samples, got[1].duration_sec,
+    ) == ("wav", 8000, 2, 16, 4000, 0.5)
+    assert (
+        got[2].format, got[2].sample_rate, got[2].channels,
+        got[2].n_samples, got[2].duration_sec,
+    ) == ("wav", 44100, 1, 441, 0.01)
+    assert got[3].format is None and got[3].sample_rate == 0
+    assert got[4].format == "wav" and got[4].n_samples == 0
