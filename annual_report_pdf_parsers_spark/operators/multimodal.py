@@ -22,6 +22,12 @@ no image libraries are required and nothing is stubbed:
                       depth, PCM sample count from the fmt/data chunks
   extract_audio_features  mapInPandas: audio payload -> typed metadata
                       + duration (the audio leg of the same batch loop)
+  decode_video_meta   ISO-BMFF (MP4/MOV) box walk: brand from ftyp,
+                      timescale/duration from moov.mvhd, presentation
+                      width/height (16.16 fixed) from the first
+                      moov.trak.tkhd, track count
+  extract_video_features  mapInPandas: video payload -> typed metadata
+                      + duration (the video leg of the batch loop)
 
 A production embedder (model forward pass) slots into the same batch
 loop; the Arrow batch shape, schema, and fan-out contract are what the
@@ -193,6 +199,111 @@ def extract_audio_features(media_df):
             )
 
     return media_df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "timescale long, duration_sec double, n_tracks int, digest string"
+)
+
+
+def _iter_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    b[start:end]; handles 64-bit largesize; stops on malformed sizes."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        btype = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def decode_video_meta(
+    payload: bytes,
+) -> tuple[str | None, int, int, int, int, int]:
+    """(format, width, height, timescale, duration_units, n_tracks)
+    from a real ISO-BMFF box walk: brand from ``ftyp``, movie timescale
+    and duration from ``moov.mvhd`` (v0 and v1 layouts), presentation
+    width/height from the FIRST ``moov.trak.tkhd`` with nonzero
+    dimensions (16.16 fixed point), track count = number of ``trak``
+    boxes.  (None, 0...) for non-BMFF payloads; truncated boxes degrade
+    to whatever was parsed before the damage."""
+    b = payload or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None, 0, 0, 0, 0, 0
+    fmt = b[8:12].decode("ascii", "replace").strip() or "mp4"
+    width = height = timescale = duration = n_tracks = 0
+    for btype, s, e in _iter_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in _iter_boxes(b, s, e):
+            if ityp == b"mvhd" and is_ + 4 <= ie:
+                ver = b[is_]
+                if ver == 1 and is_ + 32 <= ie:
+                    timescale = struct.unpack(
+                        ">I", b[is_ + 20 : is_ + 24]
+                    )[0]
+                    duration = struct.unpack(
+                        ">Q", b[is_ + 24 : is_ + 32]
+                    )[0]
+                elif ver == 0 and is_ + 20 <= ie:
+                    timescale, duration = struct.unpack(
+                        ">II", b[is_ + 12 : is_ + 20]
+                    )
+            elif ityp == b"trak":
+                n_tracks += 1
+                for ttyp, ts, te in _iter_boxes(b, is_, ie):
+                    if ttyp != b"tkhd" or ts + 4 > te:
+                        continue
+                    # body-relative: v0 = 4 hdr + 20 times/ids + 16
+                    # reserved/layer/volume + 36 matrix = 76; v1 adds
+                    # 12 for the 64-bit ctime/mtime/duration
+                    off = ts + (88 if b[ts] == 1 else 76)
+                    if off + 8 <= te and not (width or height):
+                        w_fx, h_fx = struct.unpack(
+                            ">II", b[off : off + 8]
+                        )
+                        width, height = w_fx >> 16, h_fx >> 16
+    return fmt, width, height, timescale, duration, n_tracks
+
+
+def extract_video_features(media_df):
+    """video payload -> typed metadata + duration (mapInPandas) — the
+    video leg of the multimodal batch loop; a production frame sampler
+    or embedder slots into the same batch body."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [decode_video_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [m[0] for m in meta],
+                    "width": [m[1] for m in meta],
+                    "height": [m[2] for m in meta],
+                    "timescale": [m[3] for m in meta],
+                    "duration_sec": [
+                        m[4] / m[3] if m[3] else 0.0 for m in meta
+                    ],
+                    "n_tracks": [m[5] for m in meta],
+                    "digest": [
+                        hashlib.md5(b or b"").hexdigest()
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media_df.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)
 
 
 def _skip_subblocks(b: bytes, i: int) -> int:

@@ -631,3 +631,63 @@ def test_multimodal_wav_decode(spark):
     ) == ("wav", 44100, 1, 441, 0.01)
     assert got[3].format is None and got[3].sample_rate == 0
     assert got[4].format == "wav" and got[4].n_samples == 0
+
+
+def test_multimodal_mp4_decode(spark):
+    """decode_video_meta walks real ISO-BMFF boxes: hand-built MP4s
+    (mvhd v0 and v1, two tracks where only the second carries video
+    dimensions) yield exact (brand, w, h, timescale, duration, tracks);
+    non-BMFF and truncated payloads degrade, never raise."""
+    import struct as st
+
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        extract_video_features,
+    )
+
+    def box(btype, body):
+        return st.pack(">I", 8 + len(body)) + btype + body
+
+    def tkhd(w, h, version=0):
+        if version:
+            body = bytes([1, 0, 0, 0]) + b"\x00" * 84
+        else:
+            body = bytes(76)
+        return box(b"tkhd", body + st.pack(">II", w << 16, h << 16))
+
+    def mvhd(ts, dur, version=0):
+        if version:
+            body = (bytes([1, 0, 0, 0]) + b"\x00" * 16
+                    + st.pack(">I", ts) + st.pack(">Q", dur))
+        else:
+            body = bytes(12) + st.pack(">II", ts, dur)
+        return box(b"mvhd", body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # v0: audio track (0x0) first, then the 640x360 video track
+    moov0 = box(b"moov", mvhd(1000, 2500)
+                + box(b"trak", tkhd(0, 0))
+                + box(b"trak", tkhd(640, 360)))
+    # v1: 64-bit times, single 1920x1080 track
+    moov1 = box(b"moov", mvhd(90000, 90000 * 7, version=1)
+                + box(b"trak", tkhd(1920, 1080, version=1)))
+    rows = [
+        (1, "video", ftyp + moov0, None, None),
+        (2, "video", ftyp + moov1, None, None),
+        (3, "video", b"RIFF not bmff", None, None),
+        (4, "video", ftyp + box(b"moov", b"\x00\x00\x00\xffbad!"), None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int",
+    )
+    got = {r.media_id: r for r in extract_video_features(df).collect()}
+    assert (
+        got[1].format, got[1].width, got[1].height, got[1].timescale,
+        got[1].duration_sec, got[1].n_tracks,
+    ) == ("isom", 640, 360, 1000, 2.5, 2)
+    assert (
+        got[2].format, got[2].width, got[2].height, got[2].duration_sec,
+        got[2].n_tracks,
+    ) == ("isom", 1920, 1080, 7.0, 1)
+    assert got[3].format is None and got[3].n_tracks == 0
+    assert got[4].format == "isom" and got[4].n_tracks == 0
