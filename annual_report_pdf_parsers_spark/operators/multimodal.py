@@ -111,36 +111,48 @@ def _features(payload: bytes) -> list[float]:
     ]
 
 
-def extract_features(media_df):
-    """binary payload -> decoded metadata + feature vector (mapInPandas)."""
+def _feature_batches(media_df, schema: str, build_cols):
+    """Shared mapInPandas scaffolding for the per-modality extractors:
+    ``build_cols(pdf) -> dict`` supplies the modality columns; the batch
+    loop, None-payload normalization, and md5 digest live HERE once
+    (columns match the schema by name, so dict order is free)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = [decode_image_meta(b) for b in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "format": [m[0] for m in meta],
-                    "width": [m[1] for m in meta],
-                    "height": [m[2] for m in meta],
-                    "n_bytes": [
-                        len(b) if b is not None else 0
-                        for b in pdf["payload"]
-                    ],
-                    "digest": [
-                        hashlib.md5(b or b"").hexdigest()
-                        for b in pdf["payload"]
-                    ],
-                    "feat": [_features(b) for b in pdf["payload"]],
-                }
-            )
+            cols = build_cols(pdf)
+            cols["media_id"] = pdf["media_id"]
+            cols["digest"] = [
+                hashlib.md5(b or b"").hexdigest() for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(cols)
 
-    return media_df.mapInPandas(batches, FEATURE_SCHEMA)
+    return media_df.mapInPandas(batches, schema)
 
 
+def extract_features(media_df):
+    """binary payload -> decoded metadata + feature vector (mapInPandas)."""
+
+    def build(pdf: pd.DataFrame) -> dict:
+        meta = [decode_image_meta(b) for b in pdf["payload"]]
+        return {
+            "kind": pdf["kind"],
+            "format": [m[0] for m in meta],
+            "width": [m[1] for m in meta],
+            "height": [m[2] for m in meta],
+            "n_bytes": [
+                len(b) if b is not None else 0 for b in pdf["payload"]
+            ],
+            "feat": [_features(b) for b in pdf["payload"]],
+        }
+
+    return _feature_batches(media_df, FEATURE_SCHEMA, build)
+
+
+# sample_rate is LONG: the fmt chunk carries a u32, and an adversarial
+# rate above 2^31-1 must surface as its true value, not wrap negative
+# through an int32 Arrow cast (channels/bits are u16 — int is safe)
 AUDIO_FEATURE_SCHEMA = (
-    "media_id long, format string, sample_rate int, channels int, "
+    "media_id long, format string, sample_rate long, channels int, "
     "bits int, n_samples long, duration_sec double, digest string"
 )
 
@@ -177,28 +189,20 @@ def extract_audio_features(media_df):
     audio leg of the multimodal batch loop; a production featurizer
     (spectrogram/embedding) slots into the same batch body."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            meta = [decode_audio_meta(b) for b in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "format": [m[0] for m in meta],
-                    "sample_rate": [m[1] for m in meta],
-                    "channels": [m[2] for m in meta],
-                    "bits": [m[3] for m in meta],
-                    "n_samples": [m[4] for m in meta],
-                    "duration_sec": [
-                        m[4] / m[1] if m[1] else 0.0 for m in meta
-                    ],
-                    "digest": [
-                        hashlib.md5(b or b"").hexdigest()
-                        for b in pdf["payload"]
-                    ],
-                }
-            )
+    def build(pdf: pd.DataFrame) -> dict:
+        meta = [decode_audio_meta(b) for b in pdf["payload"]]
+        return {
+            "format": [m[0] for m in meta],
+            "sample_rate": [m[1] for m in meta],
+            "channels": [m[2] for m in meta],
+            "bits": [m[3] for m in meta],
+            "n_samples": [m[4] for m in meta],
+            "duration_sec": [
+                m[4] / m[1] if m[1] else 0.0 for m in meta
+            ],
+        }
 
-    return media_df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+    return _feature_batches(media_df, AUDIO_FEATURE_SCHEMA, build)
 
 
 VIDEO_FEATURE_SCHEMA = (
@@ -282,28 +286,20 @@ def extract_video_features(media_df):
     video leg of the multimodal batch loop; a production frame sampler
     or embedder slots into the same batch body."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            meta = [decode_video_meta(b) for b in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "format": [m[0] for m in meta],
-                    "width": [m[1] for m in meta],
-                    "height": [m[2] for m in meta],
-                    "timescale": [m[3] for m in meta],
-                    "duration_sec": [
-                        m[4] / m[3] if m[3] else 0.0 for m in meta
-                    ],
-                    "n_tracks": [m[5] for m in meta],
-                    "digest": [
-                        hashlib.md5(b or b"").hexdigest()
-                        for b in pdf["payload"]
-                    ],
-                }
-            )
+    def build(pdf: pd.DataFrame) -> dict:
+        meta = [decode_video_meta(b) for b in pdf["payload"]]
+        return {
+            "format": [m[0] for m in meta],
+            "width": [m[1] for m in meta],
+            "height": [m[2] for m in meta],
+            "timescale": [m[3] for m in meta],
+            "duration_sec": [
+                m[4] / m[3] if m[3] else 0.0 for m in meta
+            ],
+            "n_tracks": [m[5] for m in meta],
+        }
 
-    return media_df.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)
+    return _feature_batches(media_df, VIDEO_FEATURE_SCHEMA, build)
 
 
 def _skip_subblocks(b: bytes, i: int) -> int:

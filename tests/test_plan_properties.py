@@ -271,8 +271,20 @@ def test_decontaminate_broadcasts_benchmark(spark):
     """decontaminate: the benchmark shingle set joins as a BROADCAST
     (bounded by construction — the one case where broadcast is right,
     unlike the corpus-growing manifest/lineage tables), and no join in
-    the plan degenerates to a cartesian/nested-loop."""
-    plan = _qplan(spark, "corpus_decontaminate")
-    assert "BroadcastHashJoin" in plan, plan
+    the plan degenerates to a cartesian/nested-loop.
+
+    autoBroadcastJoinThreshold is disabled for the check: at the test sf
+    the stats-based rule would broadcast BOTH small join sides anyway,
+    and a bare 'BroadcastHashJoin present' assertion could not detect
+    loss of the explicit hint (the property that matters at 100 TB,
+    where only the benchmark side stays broadcast-sized)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _qplan(spark, "corpus_decontaminate")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # exactly the hinted benchmark-side broadcast survives
+    assert plan.count("BroadcastHashJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
