@@ -16,8 +16,11 @@ no image libraries are required and nothing is stubbed:
   gif_frames          a real GIF data-stream demuxer (extensions, image
                       descriptors, LZW sub-blocks) — one payload row
                       fans out to one row per encoded frame
-  sample_frames       mapInPandas 1->N fan-out over gif_frames; non-GIF
-                      payloads yield a single whole-payload frame
+  mp4_samples         real MP4 sample extraction: stsz/stsc/stco(co64)
+                      sample-table walk -> per-sample byte ranges
+  sample_frames       mapInPandas 1->N fan-out over gif_frames /
+                      mp4_samples; other payloads yield a single
+                      whole-payload frame
   decode_audio_meta   RIFF/WAVE chunk walk: sample rate, channels, bit
                       depth, PCM sample count from the fmt/data chunks
   extract_audio_features  mapInPandas: audio payload -> typed metadata
@@ -349,17 +352,115 @@ def gif_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+def mp4_samples(payload: bytes, max_samples: int = 32) -> list[bytes]:
+    """Real MP4 sample extraction: walk the first track's sample table
+    (``stsz`` sizes, ``stsc`` chunk mapping, ``stco``/``co64`` chunk
+    offsets) and slice the media samples' byte ranges out of the file —
+    the ISO-BMFF analogue of the GIF demuxer.  Samples whose declared
+    range falls outside the payload are skipped (truncated files yield
+    the frames that exist).  Returns [] for non-BMFF payloads or tracks
+    with incomplete tables."""
+    b = payload or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return []
+
+    def find(path: list[bytes], s: int, e: int):
+        for btype, bs, be in _iter_boxes(b, s, e):
+            if btype == path[0]:
+                if len(path) == 1:
+                    return bs, be
+                return find(path[1:], bs, be)
+        return None
+
+    moov = find([b"moov"], 0, len(b))
+    if not moov:
+        return []
+    for ttyp, ts, te in _iter_boxes(b, *moov):
+        if ttyp != b"trak":
+            continue
+        stbl = find([b"mdia", b"minf", b"stbl"], ts, te)
+        if not stbl:
+            continue
+        sizes: list[int] = []
+        chunk_offs: list[int] = []
+        stsc: list[tuple[int, int]] = []  # (first_chunk, per_chunk)
+        for styp, ss, se in _iter_boxes(b, *stbl):
+            if styp == b"stsz" and ss + 12 <= se:
+                uniform, count = struct.unpack(">II", b[ss + 4 : ss + 12])
+                if uniform:
+                    sizes = [uniform] * count
+                else:
+                    n = min(count, (se - ss - 12) // 4)
+                    sizes = [
+                        struct.unpack(">I", b[ss + 12 + 4 * i : ss + 16 + 4 * i])[0]
+                        for i in range(n)
+                    ]
+            elif styp == b"stsc" and ss + 8 <= se:
+                n = min(
+                    struct.unpack(">I", b[ss + 4 : ss + 8])[0],
+                    (se - ss - 8) // 12,
+                )
+                stsc = [
+                    struct.unpack(
+                        ">II", b[ss + 8 + 12 * i : ss + 16 + 12 * i]
+                    )
+                    for i in range(n)
+                ]
+            elif styp in (b"stco", b"co64") and ss + 8 <= se:
+                w = 4 if styp == b"stco" else 8
+                fmt = ">I" if w == 4 else ">Q"
+                n = min(
+                    struct.unpack(">I", b[ss + 4 : ss + 8])[0],
+                    (se - ss - 8) // w,
+                )
+                chunk_offs = [
+                    struct.unpack(
+                        fmt, b[ss + 8 + w * i : ss + 8 + w * (i + 1)]
+                    )[0]
+                    for i in range(n)
+                ]
+        if not (sizes and chunk_offs and stsc):
+            continue
+        out: list[bytes] = []
+        si = 0
+        for ci, coff in enumerate(chunk_offs):
+            # samples-per-chunk for 1-based chunk ci+1: last stsc entry
+            # whose first_chunk <= ci+1
+            spc = 0
+            for first, per in stsc:
+                if first <= ci + 1:
+                    spc = per
+                else:
+                    break
+            off = coff
+            for _ in range(spc):
+                if si >= len(sizes) or len(out) >= max_samples:
+                    return out
+                sz = sizes[si]
+                if off + sz <= len(b):
+                    out.append(b[off : off + sz])
+                off += sz
+                si += 1
+        return out
+    return []
+
+
 def sample_frames(media_df, max_frames: int = 32):
     """Frame extraction: 1 media row -> N frame rows (UDTF-style fan-out,
     no shuffle — the expansion happens inside the Python stage).  GIF
-    payloads demux into real encoded frames; other formats yield one
+    payloads demux into real encoded frames, MP4 payloads into real
+    media samples via the track's sample table; other formats yield one
     whole-payload frame (a container with one image IS its only frame)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, frame_nos, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                fs = gif_frames(payload)[:max_frames] or [payload or b""]
+                fs = (
+                    gif_frames(payload)[:max_frames]
+                    or mp4_samples(payload, max_frames)
+                    or [payload or b""]
+                )
                 for i, fr in enumerate(fs):
                     ids.append(mid)
                     frame_nos.append(i)

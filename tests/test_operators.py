@@ -691,3 +691,54 @@ def test_multimodal_mp4_decode(spark):
     ) == ("isom", 1920, 1080, 7.0, 1)
     assert got[3].format is None and got[3].n_tracks == 0
     assert got[4].format == "isom" and got[4].n_tracks == 0
+
+
+def test_multimodal_mp4_sample_extraction(spark):
+    """mp4_samples walks the real sample tables: a hand-built MP4 whose
+    stsc maps 2 samples to chunk 1 and 1 sample to chunk 2, with
+    per-sample stsz sizes and stco offsets into mdat, yields exactly
+    the three known byte spans through sample_frames; a sample range
+    beyond EOF is skipped, not raised."""
+    import struct as st
+
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    def box(t, body):
+        return st.pack(">I", 8 + len(body)) + t + body
+
+    s1, s2, s3 = b"AAAA", b"BBBBBB", b"CC"
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x00isom")
+    # mdat samples: chunk1 = s1+s2 back to back, chunk2 = s3 after a gap
+    mdat_body = s1 + s2 + b"__gap__" + s3
+    # compute absolute offsets after we know header sizes: build stbl
+    # with placeholders sized identically, then patch
+    def build(c1_off, c2_off):
+        # full boxes carry a version/flags word before their payloads
+        stsz = box(b"stsz", st.pack(">IIII", 0, 0, 3, len(s1))
+                   + st.pack(">II", len(s2), len(s3)))
+        stsc = box(b"stsc", st.pack(">II", 0, 2)
+                   + st.pack(">III", 1, 2, 1) + st.pack(">III", 2, 1, 1))
+        stco = box(b"stco", st.pack(">II", 0, 2)
+                   + st.pack(">II", c1_off, c2_off))
+        stbl = box(b"stbl", stsz + stsc + stco)
+        trak = box(b"trak", box(b"mdia", box(b"minf", stbl)))
+        moov = box(b"moov", trak)
+        mdat = box(b"mdat", mdat_body)
+        return ftyp + moov + mdat
+
+    probe = build(0, 0)
+    mdat_start = len(probe) - len(mdat_body)
+    mp4 = build(mdat_start, mdat_start + len(s1) + len(s2) + 7)
+    truncated = mp4[: len(mp4) - len(s3)]  # third sample range past EOF
+
+    df = spark.createDataFrame(
+        [(1, "video", mp4, None, None), (2, "video", truncated, None, None)],
+        "media_id long, kind string, payload binary, width int, height int",
+    )
+    by_media = {}
+    for r in sample_frames(df).collect():
+        by_media.setdefault(r.media_id, []).append(bytes(r.frame))
+    assert by_media[1] == [s1, s2, s3]
+    assert by_media[2] == [s1, s2]
