@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from annual_report_pdf_parsers_spark.queries import ORACLE_SQL, QUERIES
+from annual_report_pdf_parsers_spark.queries import QUERIES, oracle_sql_dict
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -47,4 +47,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return oracle_sql_dict()

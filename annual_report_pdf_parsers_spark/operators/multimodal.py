@@ -76,17 +76,28 @@ def decode_image_meta(payload: bytes) -> tuple[str | None, int, int]:
         w, h = struct.unpack("<ii", b[18:26])
         return "bmp", w, abs(h)
     if b[:2] == b"\xff\xd8":
-        # scan marker segments for SOF0-SOF15 (excluding DHT/DAC/RST)
+        # scan marker segments for SOF0-SOF15 (excluding DHT/DAC/RST);
+        # 0xFF fill bytes before a marker are legal padding, and SOS
+        # ends the segment-structured region (entropy-coded data after
+        # it is NOT length-prefixed, so scanning past it reads garbage)
         i = 2
-        while i + 9 <= len(b):
+        while i + 1 < len(b):
             if b[i] != 0xFF:
                 break
+            while i + 1 < len(b) and b[i + 1] == 0xFF:  # fill bytes
+                i += 1
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if marker == 0xDA:  # SOS — SOF always precedes it
+                break
+            if i + 4 > len(b):
+                break
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    break
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return "jpeg", w, h
             i += 2 + seg_len
@@ -324,14 +335,17 @@ def gif_frames(payload: bytes) -> list[bytes]:
     if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
         i += 3 * (2 << (flags & 0x07))
     frames: list[bytes] = []
-    start = i
+    # the pending graphic-control extension is carried as its own span:
+    # a comment/application extension sitting between a GCE and its
+    # image descriptor (legal per GIF89a) must not drop the GCE
+    gce = b""
     while i < len(b):
         block = b[i]
         if block == 0x21 and i + 1 < len(b):  # extension
             label = b[i + 1]
             j = _skip_subblocks(b, i + 2)
-            if label != 0xF9:  # non-graphic-control: not part of a frame
-                start = j
+            if label == 0xF9:  # graphic control: belongs to next frame
+                gce = b[i:j]
             i = j
         elif block == 0x2C and i + 10 <= len(b):  # image descriptor
             # 10 descriptor bytes (separator + left/top/w/h + flags),
@@ -343,8 +357,9 @@ def gif_frames(payload: bytes) -> list[bytes]:
                 j += 3 * (2 << (lflags & 0x07))
             j += 1  # LZW minimum code size
             j = _skip_subblocks(b, j)
-            frames.append(b[start:j])
-            start = i = j
+            frames.append(gce + b[i:j])
+            gce = b""
+            i = j
         elif block == 0x3B:  # trailer
             break
         else:  # corrupt stream: stop at the last complete frame
@@ -388,7 +403,11 @@ def mp4_samples(payload: bytes, max_samples: int = 32) -> list[bytes]:
             if styp == b"stsz" and ss + 12 <= se:
                 uniform, count = struct.unpack(">II", b[ss + 4 : ss + 12])
                 if uniform:
-                    sizes = [uniform] * count
+                    # count is an untrusted u32 — unclamped, a malformed
+                    # file declaring ~2^32 samples allocates a multi-GB
+                    # list before max_samples applies.  The walk never
+                    # consumes more than a bounded prefix, so cap it.
+                    sizes = [uniform] * min(count, 4096)
                 else:
                     n = min(count, (se - ss - 12) // 4)
                     sizes = [

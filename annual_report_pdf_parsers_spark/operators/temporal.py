@@ -49,6 +49,12 @@ def asof_join(
     when no such row).  Backward as-of, exact matches allowed."""
     by = list(by)
     carried = [f"{c}{suffix}" for c in value_cols]
+    clash = sorted(set(carried) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join carried column(s) {clash} already exist on the "
+            "left frame; pass a different suffix"
+        )
     lhs = left.select(
         *by,
         F.col(on).alias(on),

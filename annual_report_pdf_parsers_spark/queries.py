@@ -13,6 +13,7 @@ Query keys are prefixed by the SURVEY.md §2 operator they exercise.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2550,12 +2551,27 @@ def _ivf_oracle_sql(
     )
 
 
-try:
-    ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle_sql()
-except OSError:
-    # driver testdata absent (e.g. packaging environment): the entry
-    # falls back to the rows-only check rather than failing the import
-    pass
+def oracle_sql_dict() -> dict[str, str]:
+    """ORACLE_SQL plus the lazily-built entries, resolved at gate time.
+
+    The IVF oracle fits a quantizer from gate testdata; building it at
+    module import made a corrupt/partial parquet (pyarrow ArrowInvalid,
+    not just OSError) break ``import queries``, and pinned the centroid
+    literals to sf0.01 even when the gate ran elsewhere.  The gate sf
+    dir is overridable via SPARK_GRAFT_GATE_SF_DIR (default sf0.01, the
+    driver's documented gate scale, matching q_ann_ivf_topk's fit)."""
+    out = dict(ORACLE_SQL)
+    try:
+        out["ann_ivf_topk"] = _ivf_oracle_sql(
+            os.environ.get(
+                "SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"
+            )
+        )
+    except Exception:
+        # testdata absent or unreadable: this entry falls back to the
+        # driver's rows-only check rather than failing every oracle
+        pass
+    return out
 
 
 def _hard_clean_pass_sql(src: str, remove_pred: str) -> str:

@@ -742,3 +742,93 @@ def test_multimodal_mp4_sample_extraction(spark):
         by_media.setdefault(r.media_id, []).append(bytes(r.frame))
     assert by_media[1] == [s1, s2, s3]
     assert by_media[2] == [s1, s2]
+
+
+def test_decoder_hardening_adversarial_payloads():
+    """Round-4 hardening against malformed/adversarial containers:
+
+    - stsz uniform-size path: a forged sample count near 2^32 must not
+      allocate a proportional Python list (clamped before materializing);
+    - JPEG scan: 0xFF fill bytes before a marker are skipped, and the
+      scan stops at SOS instead of reading pseudo-segments out of
+      entropy-coded data;
+    - GIF: a comment extension between a frame's graphic-control
+      extension and its image descriptor (legal per GIF89a) must not
+      drop the GCE bytes from that frame.
+    """
+    import struct as st
+
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        decode_image_meta,
+        gif_frames,
+        mp4_samples,
+    )
+
+    def box(t, body):
+        return st.pack(">I", 8 + len(body)) + t + body
+
+    # --- forged uniform stsz declaring 2^32-1 samples of 4 bytes ---
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x00isom")
+    stsz = box(b"stsz", st.pack(">III", 0, 4, 0xFFFFFFFF))
+    stsc = box(b"stsc", st.pack(">II", 0, 1) + st.pack(">III", 1, 2, 1))
+    stco = box(b"stco", st.pack(">II", 0, 1) + st.pack(">I", 0))
+    stbl = box(b"stbl", stsz + stsc + stco)
+    forged = ftyp + box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+    out = mp4_samples(forged, max_samples=8)
+    assert len(out) <= 8  # returned promptly with bounded allocation
+
+    # --- JPEG: fill bytes before SOF0 ---
+    sof = st.pack(">HBHHB", 17, 8, 48, 64, 3) + b"\x00" * 9
+    padded = b"\xff\xd8" + b"\xff\xff\xff\xc0" + sof
+    assert decode_image_meta(padded) == ("jpeg", 64, 48)
+
+    # --- JPEG: pseudo-SOF inside entropy-coded data after SOS ---
+    sos = b"\xff\xda" + st.pack(">H", 4) + b"\x00\x00"
+    pseudo_sof = b"\xff\xc0" + st.pack(">HBHHB", 17, 8, 999, 777, 3)
+    assert decode_image_meta(b"\xff\xd8" + sos + pseudo_sof) == (
+        "jpeg", 0, 0,
+    )
+
+    # --- GIF: comment extension between GCE and image descriptor ---
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    comment = b"\x21\xfe" + bytes([3]) + b"abc" + b"\x00"
+    desc = b"\x2c" + st.pack("<HHHH", 0, 0, 8, 8) + b"\x00"
+    lzw = b"\x02" + bytes([2, 0x4C, 0x01]) + b"\x00"
+    gif = (
+        b"GIF89a" + st.pack("<HH", 8, 8) + b"\x00\x00\x00"
+        + gce + comment + desc + lzw + b"\x3b"
+    )
+    (frame,) = gif_frames(gif)
+    assert frame.startswith(gce)  # GCE survives the interposed comment
+    assert frame.endswith(desc + lzw)
+
+
+def test_asof_join_refuses_carried_name_collision(spark):
+    """A left frame already holding `<value>_asof` would produce
+    duplicate output names — refuse loudly (quota rank_col convention)."""
+    from annual_report_pdf_parsers_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 0.0)], "user_id long, ts long, value_asof double"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 2.0)], "user_id long, ts long, value double"
+    )
+    with pytest.raises(ValueError):
+        asof_join(left, right)
+
+
+def test_ivf_oracle_lazy_and_fault_tolerant(monkeypatch):
+    """The IVF oracle entry is resolved at oracle_sql() call time, not
+    import time: with unreadable gate testdata the entry is omitted
+    (rows-only fallback) instead of breaking the whole oracle dict."""
+    from annual_report_pdf_parsers_spark import queries as q
+
+    monkeypatch.setenv("SPARK_GRAFT_GATE_SF_DIR", "/nonexistent/sfX")
+    assert "ann_ivf_topk" not in q.oracle_sql_dict()
+    monkeypatch.delenv("SPARK_GRAFT_GATE_SF_DIR")
+    import os as _os
+
+    if _os.path.isdir("/root/testdata/sf0.01"):
+        sql = q.oracle_sql_dict()["ann_ivf_topk"]
+        assert "cell_of" in sql
