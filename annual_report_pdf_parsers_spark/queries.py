@@ -1407,8 +1407,73 @@ def q_pipeline_extract(spark, sf):
 # registry + oracles
 # ---------------------------------------------------------------------------
 
+# ORDER MATTERS: the driver's CORRECTNESS gate snapshots the FIRST 50
+# keys.  Rounds 2-3 re-proved the same 50 §2 entries while every
+# training-data op sat past the window with no driver row (round-3
+# verdict item #1).  The first 50 slots therefore hold: every entry
+# that has never had a driver row (all dedup/ann/text/corpus/events
+# ops, the dedicated dispatch variants, pipeline_extract) plus a
+# backfill of 14 §2 entries with two-round green streaks.  The
+# remaining §2 entries follow — each carries green driver rows from
+# CORRECTNESS_r02/r03 and stays covered by the local gate emulation
+# (tests/test_oracle_parity.py runs ALL oracled entries).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- training-data ops: dedup family ------------------------------
+    "dedup_exact": q_dedup_exact,
+    "dedup_url_canonical": q_dedup_url_canonical,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash64": q_dedup_simhash64,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+    "dedup_cluster_cc": q_dedup_cluster_cc,
+    "dedup_corpus_keep": q_dedup_corpus_keep,
+    # -- ANN / similarity ---------------------------------------------
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    # -- text analysis ------------------------------------------------
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_normalize": q_text_normalize,
+    # -- corpus decisions ---------------------------------------------
+    "corpus_text_filter": q_corpus_text_filter,
+    "corpus_source_stats": q_corpus_source_stats,
+    "corpus_sample_hash": q_corpus_sample_hash,
+    "corpus_quota_topk": q_corpus_quota_topk,
+    "corpus_shard_shuffle": q_corpus_shard_shuffle,
+    "corpus_decontaminate": q_corpus_decontaminate,
+    # -- events / temporal --------------------------------------------
+    "events_asof_join": q_events_asof,
+    "events_sessionize": q_events_sessionize,
+    # -- dispatch variants + hard clean + flagship --------------------
+    "d4_shape_dispatch": q_d4_shape_dispatch,
+    "d5_fallback_chain": q_d5_fallback_chain,
+    "d1_manifest_routing": q_d1_manifest_routing,
+    "f_hard_name_clean": q_f_hard_name_clean,
+    "pipeline_extract": q_pipeline_extract,
+    # -- §2 backfill (longest green streaks, driver rows r02+r03) -----
     "s1_scan_prune": q_s1_scan_prune,
+    "s4_page_explode": q_s4_page_explode,
+    "s5_grid_slice": q_s5_grid_slice,
+    "s7_gap_split": q_s7_gap_split,
+    "j1_broadcast_join": q_j1_broadcast_join,
+    "j2_interval_join": q_j2_interval_join,
+    "w1_ffill": q_w1_ffill,
+    "w5_toc_repair": q_w5_toc_repair,
+    "p9_first_occurrence_drop": q_p9_first_occurrence_drop,
+    "a1_mode": q_a1_mode,
+    "a3_threshold_retry": q_a3_threshold_retry,
+    "f_numeric_chain": q_f_numeric_chain,
+    "f_name_clean": q_f_name_clean,
+    "d1_dispatch": q_d1_dispatch,
+    # ---- driver window boundary (entries below: green driver rows in
+    # ---- r02/r03 + permanent local-gate coverage) -------------------
     "p3_whitelist": q_p3_whitelist,
     "p6_numeric_shape": q_p6_numeric_shape,
     "p7_junk_drop": q_p7_junk_drop,
@@ -1419,23 +1484,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o4_bounded_tail": q_o4_bounded_tail,
     "u1_union": q_u1_union,
     "u2_distinct": q_u2_distinct,
-    "j1_broadcast_join": q_j1_broadcast_join,
-    "j2_interval_join": q_j2_interval_join,
     "j5_anti_join": q_j5_anti_join,
-    "w1_ffill": q_w1_ffill,
     "w3_block_fusion": q_w3_block_fusion,
     "w4_lead": q_w4_lead,
     "w6_first_seed": q_w6_first_seed,
-    "p9_first_occurrence_drop": q_p9_first_occurrence_drop,
-    "a1_mode": q_a1_mode,
     "a2_group_agg": q_a2_group_agg,
     "a5_keep_last": q_a5_keep_last,
-    "f_numeric_chain": q_f_numeric_chain,
-    "f_name_clean": q_f_name_clean,
-    "d1_dispatch": q_d1_dispatch,
-    "s4_page_explode": q_s4_page_explode,
-    "s5_grid_slice": q_s5_grid_slice,
-    "s7_gap_split": q_s7_gap_split,
     "u3_two_up_split": q_u3_two_up_split,
     "p1_realign": q_p1_realign,
     "p2_projection": q_p2_projection,
@@ -1443,9 +1497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p5_null_blank": q_p5_null_blank,
     "p10_sentinel": q_p10_sentinel,
     "w2_name_ffill": q_w2_name_ffill,
-    "w5_toc_repair": q_w5_toc_repair,
     "o2_page_sort": q_o2_page_sort,
-    "a3_threshold_retry": q_a3_threshold_retry,
     "a4_counts": q_a4_counts,
     "f2_en_normalize": q_f2_en_normalize,
     "f3_format_infer": q_f3_format_infer,
@@ -1458,39 +1510,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f17_regex_extract": q_f17_regex_extract,
     "d2_page0_dispatch": q_d2_page0_dispatch,
     "d3_header_variant": q_d3_header_variant,
-    "d4_shape_dispatch": q_d4_shape_dispatch,
-    "d5_fallback_chain": q_d5_fallback_chain,
-    "d1_manifest_routing": q_d1_manifest_routing,
-    "f_hard_name_clean": q_f_hard_name_clean,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash64": q_dedup_simhash64,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
-    "dedup_corpus_keep": q_dedup_corpus_keep,
-    "dedup_cluster_cc": q_dedup_cluster_cc,
-    "dedup_url_canonical": q_dedup_url_canonical,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "text_langid": q_text_langid,
-    "text_quality": q_text_quality,
-    "text_tokens": q_text_tokens,
-    "text_fingerprint": q_text_fingerprint,
-    "text_repetition": q_text_repetition,
-    "corpus_text_filter": q_corpus_text_filter,
-    "corpus_source_stats": q_corpus_source_stats,
-    "corpus_sample_hash": q_corpus_sample_hash,
-    "corpus_quota_topk": q_corpus_quota_topk,
-    "corpus_shard_shuffle": q_corpus_shard_shuffle,
-    "corpus_decontaminate": q_corpus_decontaminate,
-    "text_pii_scrub": q_text_pii_scrub,
-    "text_normalize": q_text_normalize,
-    "events_asof_join": q_events_asof,
-    "events_sessionize": q_events_sessionize,
-    "pipeline_extract": q_pipeline_extract,
 }
 
 # shared SQL fragments -------------------------------------------------------
