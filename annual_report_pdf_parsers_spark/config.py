@@ -124,6 +124,13 @@ class ArchetypeConfig:
     # content; a non-None regex routes any document whose manifest names
     # match it to this archetype, taking priority over page-0 dispatch
     manifest_route_regex: str | None = None
+    # D5 token-rename retry (roth/parser.py:418-427): when the report
+    # name fails to match the manifest website name, retry with these
+    # (old, new) lowercase token renames applied to the website side —
+    # the reference's "Euro"->"Europe" rename-and-recurse; the output
+    # keeps the website's ORIGINAL spelling (it restores the name after
+    # the retry, roth/parser.py:428)
+    name_rename_retry: tuple[tuple[str, str], ...] = ()
 
 
 ARCHETYPES: dict[str, ArchetypeConfig] = {
@@ -265,6 +272,26 @@ ARCHETYPES: dict[str, ArchetypeConfig] = {
         number_locale="en",
         name_rewrites=((r"^PROVIDER_KEYWORD_EN\s+", ""),),
     ),
+    # roth family (roth/parser.py:395-445): ToC page intervals like the
+    # crelan family, but the manifest website name may spell "Euro"
+    # where the ToC says "Europe" — the reference retries its ToC match
+    # once with the token renamed (and restores the original spelling
+    # in the output).  Our relational form: the manifest-join residual
+    # gets a rename-retry alternative for this archetype
+    # (operators/joins.py::join_manifest).
+    "toc_rename_fr": ArchetypeConfig(
+        name="toc_rename_fr",
+        lang="fr",
+        classify_regex=r"^RAPPORT ANNUEL CONSOLIDE",
+        section_regex=r"Composition des actifs au",
+        grid=(0, 40, 48, 66),
+        shapes=(4,),
+        has_toc=True,
+        fund_regex=None,
+        number_locale="fr",
+        keep_list=("CREANCES ET DETTES DIVERSES", "AUTRES"),
+        name_rename_retry=(("euro ", "europe "),),
+    ),
     # crelan hard-clean family (crelan/parser.py:644-656, 736-763): the
     # page-0 title is the AMBIGUOUS "RAPPORT ANNUEL ..." (classify_regex
     # never fires — page-0 dispatch alone would misroute these documents
@@ -294,6 +321,7 @@ DISPATCH_ORDER: list[str] = [
     # shorter ones (anchored regexes make this robust either way)
     "reverse_scan_fr",
     "fragment_fusion_en",
+    "toc_rename_fr",   # ^RAPPORT ANNUEL CONSOLIDE before ^RAPPORT ANNUEL
     "toc_grid_fr",
     "keyword_scan_en_t2",
     "keyword_scan_en",

@@ -119,8 +119,27 @@ def join_manifest(
     )
     if hint:
         m = m.hint(hint)
-    cond = (holdings["url"] == m["_m_url"]) & (
+    name_match = (
         F.instr(F.lower(m["fund_name_website"]), holdings["fund_name_report"])
         > 0
     )
+    # D5 rename-retry (roth/parser.py:418-427): archetypes flagged with
+    # name_rename_retry get a second chance — the website name with the
+    # configured token renames applied ("Euro " -> "Europe ") may
+    # contain the report name; the OUTPUT keeps the website's original
+    # spelling, exactly the reference's post-retry restore.  Still an
+    # equi-join on url; the renames only widen the residual.
+    from ..config import ARCHETYPES
+
+    for cls_name, cfg in ARCHETYPES.items():
+        if not cfg.name_rename_retry:
+            continue
+        renamed = F.lower(m["fund_name_website"])
+        for old, new in cfg.name_rename_retry:
+            renamed = F.replace(renamed, F.lit(old), F.lit(new))
+        name_match = name_match | (
+            (holdings["doc_class"] == cls_name)
+            & (F.instr(renamed, holdings["fund_name_report"]) > 0)
+        )
+    cond = (holdings["url"] == m["_m_url"]) & name_match
     return holdings.join(m, on=cond, how="left").drop("_m_url")

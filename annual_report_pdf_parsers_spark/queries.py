@@ -936,6 +936,39 @@ def q_d5_fallback_chain(spark, sf):
     return d.select("doc_id", picked.alias("picked"))
 
 
+def q_d5_rename_retry(spark, sf):
+    """D5 token-rename retry through the REAL manifest join
+    (roth/parser.py:418-427 via operators/joins.py::join_manifest):
+    report names spelled 'europe' match website names spelled 'Euro '
+    ONLY for the toc_rename_fr archetype (the rename residual), and the
+    output keeps the website's original EURO spelling; the same mismatch
+    under a non-retry archetype stays NULL."""
+    from .operators.joins import join_manifest
+
+    c = load(spark, sf, "customer")
+    k = F.col("c_custkey")
+    h = c.filter(k < 240).select(
+        k.alias("hid"),
+        F.concat(F.lit("u"), (k % 40).cast("string")).alias("url"),
+        F.when(k % 2 == 0, F.lit("toc_rename_fr"))
+        .otherwise(F.lit("toc_grid_fr"))
+        .alias("doc_class"),
+        F.concat(
+            F.lit("europe fund "), (k % 40).cast("string")
+        ).alias("fund_name_report"),
+    )
+    man = c.filter(k < 40).select(
+        F.concat(
+            F.lit("Euro Fund "), k.cast("string"), F.lit(" - Cap")
+        ).alias("name"),
+        F.concat(F.lit("u"), k.cast("string")).alias("pdf_url"),
+        F.concat(F.lit("IS"), k.cast("string")).alias("isin"),
+    )
+    return join_manifest(h, man).select(
+        "hid", "url", "doc_class", "fund_name_website", "isin"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -1011,10 +1044,39 @@ def q_f_hard_name_clean(spark, sf):
     )
 
 
+def _ws_noise(k):
+    """doc_id-derived multi-whitespace suffix (tab / newline / NBSP /
+    CR / double spaces) injected into the token-consuming driver
+    queries so their oracles are NON-VACUOUS about the whitespace-run
+    split: a single-space tokenizer regression disagrees the moment
+    this text lands (round-3 verdict wrongness #1).  Mirrored byte for
+    byte by _WS_NOISE_SQL."""
+    return (
+        F.when(k % 3 == 0, F.lit("\tws\nprobe  end"))
+        .when(k % 3 == 1, F.lit(" nb\u00a0sp\r"))
+        .otherwise(F.lit(""))
+    )
+
+
+_WS_NOISE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN chr(9) || 'ws' || chr(10) || 'probe  end' "
+    "WHEN 1 THEN ' nb' || chr(160) || 'sp' || chr(13) ELSE '' END"
+)
+
+
+def _with_ws_noise(d):
+    """documents frame with the whitespace-probe suffix appended."""
+    return d.withColumn(
+        "text", F.concat(F.col("text"), _ws_noise(F.col("doc_id")))
+    )
+
+
 def _corpus_with_dupes(spark, sf):
-    """documents plus shifted copies of every 50th doc — deterministic
-    near/exact duplicates so dedup queries return non-trivial results."""
-    d = load(spark, sf, "documents")
+    """documents (with the whitespace probe of _ws_noise) plus shifted
+    copies of every 50th doc — deterministic near/exact duplicates so
+    dedup queries return non-trivial results.  The probe is applied
+    BEFORE the dup union, so exact copies stay exact."""
+    d = _with_ws_noise(load(spark, sf, "documents"))
     dup = d.filter(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -1044,16 +1106,38 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    return dedup.simhash16(load(spark, sf, "documents")).select(
-        F.col("sid").alias("doc_id"), "simhash"
-    )
+    return dedup.simhash16(
+        _with_ws_noise(load(spark, sf, "documents"))
+    ).select(F.col("sid").alias("doc_id"), "simhash")
 
 
 def q_dedup_simhash64(spark, sf):
     """64-bit SimHash — the 10^12-scale fingerprint width (16 bits is
     collision-prone as a near-dup key beyond ~10^5 docs)."""
-    return dedup.simhash_bits(load(spark, sf, "documents"), 64).select(
-        F.col("sid").alias("doc_id"), "simhash"
+    return dedup.simhash_bits(
+        _with_ws_noise(load(spark, sf, "documents")), 64
+    ).select(F.col("sid").alias("doc_id"), "simhash")
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    """SimHash banded near-dup pairing (64-bit, 8 bands — exact for
+    hamming <= 7 by pigeonhole).  The corpus is documents + exact
+    copies (+1e6, hamming 0) + one-token-appended near copies (+2e6,
+    a few tie-bits flip) of every 50th doc, so BOTH the zero and
+    nonzero Hamming verify paths return rows at any sf."""
+    d = _with_ws_noise(load(spark, sf, "documents")).select(
+        "doc_id", "text"
+    )
+    fifty = d.filter(F.col("doc_id") % 50 == 0)
+    exact = fifty.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = fifty.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" simprobe")).alias("text"),
+    )
+    return dedup.simhash_pairs(
+        d.unionByName(exact).unionByName(near), n_bits=64, n_bands=8
     )
 
 
@@ -1187,9 +1271,38 @@ def q_ann_ivf_topk(spark, sf):
     ).withColumn("rnk", F.col("rnk").cast("long"))
 
 
+# 5-language fixture sentences (pure doc_id-derived, mirrored verbatim
+# by the SQL oracle; every 17th doc gets trigram-free digits so the
+# 'unknown' branch is exercised too)
+_LANGID_SENTS = [
+    ("en", "the house and the garden of the old man going to the end "
+           "of the road"),
+    ("fr", "le chat et la maison des amis est dans le jardin avec les "
+           "enfants et le chien"),
+    ("de", "der hund und die katze sind in dem haus und die kinder "
+           "singen ein lied"),
+    ("es", "el perro y la casa de los amigos en el jardin con los "
+           "abuelos y el gato"),
+    ("it", "il cane e la casa di un amico nel giardino con il gatto "
+           "di una bella sera"),
+]
+_LANGID_UNKNOWN = "9876 54321 00"
+
+
 def q_text_langid(spark, sf):
-    return text.lang_id(load(spark, sf, "documents")).select(
-        "doc_id", "en_hits", "fr_hits", "lang_guess"
+    """Multi-language character-trigram ID (en/fr/de/es/it + unknown)
+    over a doc_id-derived 5-language fixture — the CC-scale extension
+    of the en/fr marker heuristic (which stays live in
+    corpus_text_filter).  The oracle regenerates the cosine scoring
+    from the SAME literal profile dict (LANG_TRIGRAM_PROFILES)."""
+    d = load(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    sent = F.when(k % 17 == 0, F.lit(_LANGID_UNKNOWN))
+    for i, (_, s) in enumerate(_LANGID_SENTS):
+        sent = sent.when(k % 5 == i, F.lit(s))
+    injected = d.withColumn("text", sent.otherwise(F.lit("")))
+    return text.lang_id_trigram(injected).select(
+        "doc_id", "lang_guess", "lang_score"
     )
 
 
@@ -1200,8 +1313,10 @@ def q_text_quality(spark, sf):
 
 
 def q_text_tokens(spark, sf):
-    """Token counting, whitespace + BPE-ish regex (task brief)."""
-    d = load(spark, sf, "documents")
+    """Token counting, whitespace + BPE-ish regex (task brief).  The
+    whitespace probe (_ws_noise) makes the whitespace-RUN split
+    non-vacuous: a single-space tokenizer would miscount these rows."""
+    d = _with_ws_noise(load(spark, sf, "documents"))
     return d.select(
         "doc_id",
         text.token_count(F.col("text")).cast("long").alias("ws_tokens"),
@@ -1210,9 +1325,9 @@ def q_text_tokens(spark, sf):
 
 
 def q_text_fingerprint(spark, sf):
-    return text.fingerprint(load(spark, sf, "documents")).select(
-        "doc_id", "fp"
-    )
+    return text.fingerprint(
+        _with_ws_noise(load(spark, sf, "documents"))
+    ).select("doc_id", "fp")
 
 
 def q_corpus_text_filter(spark, sf):
@@ -1425,6 +1540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
@@ -1454,6 +1570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- dispatch variants + hard clean + flagship --------------------
     "d4_shape_dispatch": q_d4_shape_dispatch,
     "d5_fallback_chain": q_d5_fallback_chain,
+    "d5_rename_retry": q_d5_rename_retry,
     "d1_manifest_routing": q_d1_manifest_routing,
     "f_hard_name_clean": q_f_hard_name_clean,
     "pipeline_extract": q_pipeline_extract,
@@ -1471,9 +1588,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_threshold_retry": q_a3_threshold_retry,
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
-    "d1_dispatch": q_d1_dispatch,
     # ---- driver window boundary (entries below: green driver rows in
     # ---- r02/r03 + permanent local-gate coverage) -------------------
+    "d1_dispatch": q_d1_dispatch,
     "p3_whitelist": q_p3_whitelist,
     "p6_numeric_shape": q_p6_numeric_shape,
     "p7_junk_drop": q_p7_junk_drop,
@@ -1545,19 +1662,24 @@ def _lsh_bucket_sql(
         signs.append(f"(CASE WHEN {fold} >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(signs)
 
-_DUPES = """
+# mirrors _corpus_with_dupes: whitespace probe FIRST, then dup union
+_DUPES = f"""
+wsbase AS (
+    SELECT doc_id, text || {_WS_NOISE_SQL} AS text, lang, source
+    FROM documents
+),
 corpus AS (
-    SELECT doc_id, text, lang, source FROM documents
+    SELECT doc_id, text, lang, source FROM wsbase
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text, lang, source
-    FROM documents WHERE doc_id % 50 = 0
+    FROM wsbase WHERE doc_id % 50 = 0
 )
 """
 
 _TOKS = """
 toks AS (
     SELECT doc_id, lang, source,
-           list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), t -> t <> '') AS tk
     FROM corpus
 )
 """
@@ -1594,6 +1716,100 @@ _MH_PAIRS = (
     "  WHERE a.doc_id < b.doc_id)"
 )
 
+def _simhash_fp_cte(src: str, n_bits: int = 64) -> str:
+    """CTE chain computing ``fps(doc_id, fp)`` — the n-bit SimHash
+    fingerprint string — over ``src`` (any (doc_id, text) relation),
+    mirroring operators/dedup.py::simhash_bits nibble for nibble.
+    Shared by the dedup_simhash64 and dedup_simhash_pairs oracles so a
+    fingerprint change mirrors to ONE site."""
+    assert n_bits <= 64
+    hcols = "md5(tok) AS h" + (
+        ", md5(tok || '#2') AS h2" if n_bits > 32 else ""
+    )
+
+    def nib(i: int) -> str:
+        return f"substr({'h' if i < 32 else 'h2'}, {i % 32 + 1}, 1)"
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN {nib(i)} >= '8' THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    fp = " || ".join(
+        f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(n_bits)
+    )
+    return (
+        f"simt AS (SELECT doc_id, {hcols} FROM ("
+        f"  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array("
+        f"text, '{text.WS_SPLIT_RE2}'), x -> x <> '')) AS tok "
+        f"FROM {src})), "
+        f"simv AS (SELECT doc_id, {votes} FROM simt GROUP BY doc_id), "
+        f"fps AS (SELECT doc_id, {fp} AS fp FROM simv)"
+    )
+
+
+def _langid_oracle_sql() -> str:
+    """Exact oracle for q_text_langid: regenerates the trigram-cosine
+    scoring from the SAME literal profile dict the engine uses
+    (operators/text.py::LANG_TRIGRAM_PROFILES) — counts via the
+    replace-trick, per-language dot folded in sorted-profile order,
+    one division, ROUND 6, GREATEST + first-at-max CASE — clause for
+    clause what lang_id_trigram builds in Spark."""
+    import math
+
+    from .operators.text import LANG_TRIGRAM_PROFILES as P
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vocab = sorted(set().union(*(p.keys() for p in P.values())))
+    gcol = {g: f"g{i}" for i, g in enumerate(vocab)}
+    sents = " ".join(
+        f"WHEN doc_id % 5 = {i} THEN '{esc(s)}'"
+        for i, (_, s) in enumerate(_LANGID_SENTS)
+    )
+    base = (
+        "base AS (SELECT doc_id, CASE "
+        f"WHEN doc_id % 17 = 0 THEN '{_LANGID_UNKNOWN}' "
+        + sents
+        + " ELSE '' END AS text FROM documents)"
+    )
+    cexprs = ", ".join(
+        f"(length(t) - length(replace(t, '{esc(g)}', ''))) / 3 "
+        f"AS {gcol[g]}"
+        for g in vocab
+    )
+    cnts = (
+        "c AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM base), "
+        f"n AS (SELECT doc_id, {cexprs} FROM c), "
+        "m AS (SELECT *, sqrt(0.0 + "
+        + " + ".join(f"{gcol[g]} * {gcol[g]}" for g in vocab)
+        + ") AS nd FROM n)"
+    )
+    ordered = sorted(P)
+    sexprs = []
+    for lang in ordered:
+        prof = P[lang]
+        dot = "0.0 + " + " + ".join(
+            f"{gcol[g]} * {float(w)!r}" for g, w in sorted(prof.items())
+        )
+        nl = math.sqrt(sum(w * w for w in prof.values()))
+        sexprs.append(
+            f"ROUND(CASE WHEN nd > 0 THEN ({dot}) / (nd * {nl!r}) "
+            f"ELSE 0.0 END, 6) AS s_{lang}"
+        )
+    sc = "sc AS (SELECT doc_id, " + ", ".join(sexprs) + " FROM m)"
+    mx = "GREATEST(" + ", ".join(f"s_{lang}" for lang in ordered) + ")"
+    guess = (
+        f"CASE WHEN {mx} <= 0 THEN 'unknown' "
+        + " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in ordered)
+        + " ELSE 'unknown' END"
+    )
+    return (
+        f"WITH {base}, {cnts}, {sc} "
+        f"SELECT doc_id, {guess} AS lang_guess, {mx} AS lang_score FROM sc"
+    )
+
+
 # Per-document quality score (mirrors operators/text.py::quality_score
 # exactly — single-chain stopword fold, guarded divisions, ROUND 6),
 # shared by the text_quality / corpus_source_stats / corpus_quota_topk
@@ -1628,7 +1844,7 @@ def _quality_cte(carry: str) -> str:
     return (
         "qraw AS (SELECT " + carry + ", "
         "  length(text) AS n_chars, "
-        "  len(list_filter(string_split(text,' '), x -> x <> '')) "
+        "  len(list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), x -> x <> '')) "
         "    AS n_tokens, "
         "  length(text) - length(replace(text, ' ', '')) AS spaces, "
         "  length(text) - length(regexp_replace(text, "
@@ -1664,7 +1880,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "p11_shape_filter": (
         "SELECT doc_id, n_tokens FROM ("
-        "  SELECT doc_id, len(list_filter(string_split(text,' '), "
+        "  SELECT doc_id, len(list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), "
         "         t -> t <> '')) AS n_tokens FROM documents) "
         "WHERE n_tokens BETWEEN 30 AND 60"
     ),
@@ -2057,6 +2273,25 @@ ORACLE_SQL: dict[str, str] = {
         "  THEN regexp_extract(text, 'the ([a-z]+)', 1) "
         "ELSE 'none' END AS picked FROM documents"
     ),
+    "d5_rename_retry": (
+        "WITH h AS (SELECT c_custkey AS hid, "
+        "  'u' || CAST(c_custkey % 40 AS VARCHAR) AS url, "
+        "  CASE WHEN c_custkey % 2 = 0 THEN 'toc_rename_fr' "
+        "    ELSE 'toc_grid_fr' END AS doc_class, "
+        "  'europe fund ' || CAST(c_custkey % 40 AS VARCHAR) AS report "
+        "  FROM customer WHERE c_custkey < 240), "
+        "m AS (SELECT "
+        "  'Euro Fund ' || CAST(c_custkey AS VARCHAR) || ' - Cap' AS name, "
+        "  'u' || CAST(c_custkey AS VARCHAR) AS pdf_url, "
+        "  'IS' || CAST(c_custkey AS VARCHAR) AS isin "
+        "  FROM customer WHERE c_custkey < 40) "
+        "SELECT h.hid, h.url, h.doc_class, "
+        "  m.name AS fund_name_website, m.isin "
+        "FROM h LEFT JOIN m ON m.pdf_url = h.url AND ("
+        "  strpos(lower(m.name), h.report) > 0 "
+        "  OR (h.doc_class = 'toc_rename_fr' AND strpos("
+        "    replace(lower(m.name), 'euro ', 'europe '), h.report) > 0))"
+    ),
     "dedup_exact": (
         f"WITH {_DUPES} "
         "SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, "
@@ -2088,8 +2323,9 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": (
         "WITH t AS ("
         "  SELECT doc_id, md5(tok) AS h FROM ("
-        "    SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), "
-        "      x -> x <> '')) AS tok FROM documents)), "
+        "    SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), "
+        "      x -> x <> '')) AS tok FROM (SELECT doc_id, "
+        "  text || " + _WS_NOISE_SQL + " AS text FROM documents))), "
         "v AS (SELECT doc_id, "
         + ", ".join(
             f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' "
@@ -2106,7 +2342,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_text_filter": (
         "WITH c AS (SELECT doc_id, lang, "
         "  length(text) AS n_chars, "
-        "  len(list_filter(string_split(text,' '), x -> x <> '')) "
+        "  len(list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), x -> x <> '')) "
         "    AS n_tokens, "
         "  length(text) - length(replace(text, ' ', '')) AS spaces, "
         "  length(text) - length(regexp_replace(text, "
@@ -2197,7 +2433,7 @@ ORACLE_SQL: dict[str, str] = {
     # doc_id%40 benchmark subset; left join keeps zero-overlap rows.
     "corpus_decontaminate": (
         "WITH toks AS (SELECT doc_id, "
-        "  list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+        "  list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), t -> t <> '') AS tk "
         "  FROM documents), "
         "sh AS (SELECT DISTINCT doc_id, "
         "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
@@ -2269,22 +2505,42 @@ ORACLE_SQL: dict[str, str] = {
         "  AS text FROM p2"
     ),
     "dedup_simhash64": (
-        "WITH t AS ("
-        "  SELECT doc_id, md5(tok) AS h, md5(tok || '#2') AS h2 FROM ("
-        "    SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), "
-        "      x -> x <> '')) AS tok FROM documents)), "
-        "v AS (SELECT doc_id, "
-        + ", ".join(
-            f"SUM(CASE WHEN substr({'h' if i < 32 else 'h2'}, "
-            f"{i % 32 + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{i}"
-            for i in range(64)
+        "WITH wsdocs AS (SELECT doc_id, text || " + _WS_NOISE_SQL
+        + " AS text FROM documents), "
+        + _simhash_fp_cte("wsdocs", 64)
+        + " SELECT doc_id, fp AS simhash FROM fps"
+    ),
+    # SimHash banded pairing: fingerprints over documents + exact
+    # copies (+1e6) + one-token near copies (+2e6) of every 50th doc,
+    # 8 bands of 8 bits, candidates on exact band match, verify =
+    # exact Hamming via BIT xor/bit_count (mirrors hamming_on_bits)
+    "dedup_simhash_pairs": (
+        "WITH wsdocs AS (SELECT doc_id, text || " + _WS_NOISE_SQL
+        + " AS text FROM documents), "
+        "shcorpus AS ("
+        "  SELECT doc_id, text FROM wsdocs "
+        "  UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+        "    FROM wsdocs WHERE doc_id % 50 = 0 "
+        "  UNION ALL SELECT doc_id + 2000000 AS doc_id, "
+        "    text || ' simprobe' AS text "
+        "    FROM wsdocs WHERE doc_id % 50 = 0), "
+        + _simhash_fp_cte("shcorpus", 64) + ", "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, fp, {b} AS band_no, "
+            f"substr(fp, {b * 8 + 1}, 8) AS bb FROM fps"
+            for b in range(8)
         )
-        + " FROM t GROUP BY doc_id) "
-        "SELECT doc_id, "
-        + " || ".join(
-            f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(64)
-        )
-        + " AS simhash FROM v"
+        + "), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "  a.fp AS fa, b.fp AS fb FROM bands a JOIN bands b "
+        "  ON a.band_no = b.band_no AND a.bb = b.bb "
+        "  AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, "
+        "  CAST(bit_count(xor(CAST(fa AS BIT), CAST(fb AS BIT))) AS INT) "
+        "    AS hamming "
+        "FROM cand "
+        "WHERE bit_count(xor(CAST(fa AS BIT), CAST(fb AS BIT))) <= 7"
     ),
     "dedup_embedding_cosine_lsh": (
         "WITH e AS (SELECT vec_id, embedding FROM embeddings "
@@ -2307,54 +2563,25 @@ ORACLE_SQL: dict[str, str] = {
         "  JOIN e eb ON eb.vec_id = id_b) "
         "SELECT id_a, id_b, cos FROM s WHERE cos >= 0.35"
     ),
-    "text_langid": (
-        "WITH c AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t "
-        "FROM documents) "
-        "SELECT doc_id, "
-        "0.0 + (length(t) - length(replace(t, ' the ', ''))) / 5 "
-        "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
-        "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' and ', ''))) / 5 AS en_hits, "
-        "0.0 + (length(t) - length(replace(t, ' le ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' des ', ''))) / 5 AS fr_hits, "
-        "CASE WHEN (0.0 + (length(t) - length(replace(t, ' the ', ''))) / 5 "
-        "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
-        "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' and ', ''))) / 5) = 0 AND "
-        "  (0.0 + (length(t) - length(replace(t, ' le ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' des ', ''))) / 5) = 0 "
-        "  THEN 'unknown' "
-        "WHEN (0.0 + (length(t) - length(replace(t, ' the ', ''))) / 5 "
-        "  + (length(t) - length(replace(t, ' a ', ''))) / 3 "
-        "  + (length(t) - length(replace(t, ' of ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' and ', ''))) / 5) >= "
-        "  (0.0 + (length(t) - length(replace(t, ' le ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' la ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' et ', ''))) / 4 "
-        "  + (length(t) - length(replace(t, ' des ', ''))) / 5) "
-        "  THEN 'en' ELSE 'fr' END AS lang_guess "
-        "FROM c"
-    ),
+    "text_langid": _langid_oracle_sql(),
     "text_quality": (
         f"WITH {_quality_cte('doc_id')} "
         "SELECT doc_id, n_tokens, quality FROM qdoc"
     ),
     "text_tokens": (
         "SELECT doc_id, "
-        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "CAST(len(list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), x -> x <> '')) "
         "  AS BIGINT) AS ws_tokens, "
         "CAST(len(regexp_extract_all(text, "
-        "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens "
-        "FROM documents"
+        "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0b]')) AS BIGINT) AS bpe_tokens "
+        "FROM (SELECT doc_id, text || " + _WS_NOISE_SQL
+        + " AS text FROM documents)"
     ),
     "text_fingerprint": (
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
-        "list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp "
-        "FROM documents"
+        "list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), x -> x <> ''))), ' ')) AS fp "
+        "FROM (SELECT doc_id, text || " + _WS_NOISE_SQL
+        + " AS text FROM documents)"
     ),
     # text_repetition: 3-grams built exactly like the engine's
     # ngrams_from_tokens (1-based list windows, space-joined); integer
@@ -2362,7 +2589,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_repetition": (
         "WITH tks AS ("
         "  SELECT doc_id, "
-        "    list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+        "    list_filter(regexp_split_to_array(text, '[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), t -> t <> '') AS tk "
         "  FROM documents), "
         "base AS ("
         "  SELECT doc_id, len(tk) AS n_tokens, "

@@ -40,6 +40,9 @@ from ..config import (
 
 PROVIDER_OF = {
     "toc_grid_fr": "PROVIDER_TOC_FR",
+    # roth family (roth/parser.py:395-445): ToC intervals + the
+    # Euro->Europe manifest rename retry
+    "toc_rename_fr": "PROVIDER_ROTH_FR",
     "header_grid_fr": "PROVIDER_BANQUE_FR",
     "keyword_scan_en": "PROVIDER_KEYWORD_EN",
     # the oddo-style within-provider type family (oddo/parser.py:427-435):
@@ -171,7 +174,7 @@ def _row_pages(cfg: ArchetypeConfig, n_rows: int) -> list[int]:
     """Page-table index of each fund row, mirroring _render_doc's chunking
     exactly (the P9 per-page country reset needs page identity in the
     oracle).  MUST stay in lockstep with _render_doc."""
-    if cfg.name == "toc_grid_fr":
+    if cfg.has_toc:
         return [i // 8 for i in range(n_rows)]
     if cfg.name == "two_up_fr":
         half = (n_rows + 1) // 2
@@ -571,6 +574,7 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
     # page 0: classification marker (D2)
     title = {
         "toc_grid_fr": f"RAPPORT ANNUEL {provider}",
+        "toc_rename_fr": f"RAPPORT ANNUEL CONSOLIDE {provider}",
         "header_grid_fr": f"ETATS FINANCIERS {provider}",
         "keyword_scan_en": f"ANNUAL REPORT {provider}",
         "keyword_scan_en_t2": f"SEMI-ANNUAL REPORT {provider}",
@@ -585,7 +589,7 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
     }[cfg.name]
     pages.append(title + "\n" + filler(1)[0])
 
-    if cfg.name == "toc_grid_fr":
+    if cfg.has_toc:
         # ToC page + per-fund sections; ToC pg values are 0-based page_no
         section_pages: list[str] = []
         toc_lines = ["SOMMAIRE"]
@@ -739,6 +743,13 @@ def _gen_doc(i: int, seed: int, classes: list[str] | None = None):
             name_width = 28  # fits both variant grids (30/34 name slots)
         for k in range(n_funds):
             title = f"{provider} {words[k]} FUND {k + 1}"
+            web_title = title
+            if doc_class == "toc_rename_fr" and k == 0:
+                # roth fixture: the ToC says EUROPE, the website says
+                # EURO — only the rename-retry join can match them; the
+                # output must keep the website's EURO spelling
+                title = f"{provider} EUROPE {words[k]} FUND {k + 1}"
+                web_title = f"{provider} EURO {words[k]} FUND {k + 1}"
             fund = Fund(title=title)
             # every 4th toc doc wraps its first fund's ToC entry (W5)
             fund.toc_wrap = (
@@ -758,7 +769,7 @@ def _gen_doc(i: int, seed: int, classes: list[str] | None = None):
                 )
                 for cls in share_cls:
                     fund.manifest.append(
-                        (f"{prefix}{title} - {cls}", _mk_isin(rng))
+                        (f"{prefix}{web_title} - {cls}", _mk_isin(rng))
                     )
             doc.funds.append(fund)
 

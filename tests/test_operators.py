@@ -832,3 +832,105 @@ def test_ivf_oracle_lazy_and_fault_tolerant(monkeypatch):
     if _os.path.isdir("/root/testdata/sf0.01"):
         sql = q.oracle_sql_dict()["ann_ivf_topk"]
         assert "cell_of" in sql
+
+
+def test_tokens_whitespace_runs_cross_engine(spark):
+    """tokens() splits on whitespace RUNS (tab/newline/CR/VT/FF, NBSP
+    and the other Zs separators, U+2028/29) — and the Java spelling
+    (WS_SPLIT_RE) and RE2 spelling (WS_SPLIT_RE2) denote the SAME
+    character set: every class member is swept through both engines."""
+    import duckdb
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        WS_SPLIT_RE2,
+        tokens,
+    )
+
+    ws_chars = (
+        "\t\n\x0b\x0c\r \xa0 "
+        + "".join(chr(c) for c in range(0x2000, 0x200B))
+        + "    　"
+    )
+    texts = [f"a{c}b{c}{c}c {c}" for c in ws_chars] + [
+        "", " ", "one", "a\tb\nc\rd e\x0bf", "  lead trail  ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: list(r.tk)
+        for r in df.select(
+            "i", tokens(F.col("text")).alias("tk")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT list_filter(regexp_split_to_array(?, '"
+            + WS_SPLIT_RE2
+            + "'), t -> t <> '')",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == want, (i, repr(t), got[i], want)
+    # the ws-char sweeps must all tokenize to [a, b, c]
+    for i in range(len(ws_chars)):
+        assert got[i] == ["a", "b", "c"], (i, repr(texts[i]))
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark):
+    """dedup.simhash_pairs (banded candidates + limb Hamming verify)
+    must return EXACTLY the brute-force pairs with hamming <= n_bands-1
+    — the pigeonhole guarantee says banding loses nothing inside that
+    radius, and the conv/XOR/bit_count limbs must agree with a direct
+    Python popcount."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        simhash_bits,
+        simhash_pairs,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = [
+        (i, " ".join(vocab[(i + j) % len(vocab)] for j in range(4 + i % 3)))
+        for i in range(36)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {
+        r.sid: r.simhash for r in simhash_bits(df, 64).collect()
+    }
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(fps[a], fps[b]))
+            if h <= 7:
+                want.add((a, b, h))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, n_bits=64, n_bands=8).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_lang_id_trigram_classifies_five_languages(spark):
+    """lang_id_trigram labels each 5-language fixture sentence with its
+    language (clear cosine margins) and digit-only text as unknown."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        lang_id_trigram,
+    )
+    from annual_report_pdf_parsers_spark.queries import (
+        _LANGID_SENTS,
+        _LANGID_UNKNOWN,
+    )
+
+    rows = [(i, s) for i, (_, s) in enumerate(_LANGID_SENTS)] + [
+        (99, _LANGID_UNKNOWN)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.lang_guess, r.lang_score)
+        for r in lang_id_trigram(df).collect()
+    }
+    for i, (lang, _) in enumerate(_LANGID_SENTS):
+        assert got[i][0] == lang, (i, got[i])
+        assert got[i][1] > 0.5
+    assert got[99] == ("unknown", 0.0)

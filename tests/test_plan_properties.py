@@ -130,7 +130,9 @@ def test_dedup_joins_shuffle_bounded(spark):
     """Candidate generation must be equi-joins — never a cross product."""
     from annual_report_pdf_parsers_spark.queries import QUERIES
 
-    for q in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+    for q in (
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs"
+    ):
         df = QUERIES[q](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, q

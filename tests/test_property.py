@@ -433,11 +433,37 @@ def test_shard_shuffle_matches_hashlib(spark, keys):
     assert got == want
 
 
-_decon_text = st.lists(
-    st.sampled_from(["a", "b", "c", "d", "e", "f"]),
-    min_size=0,
-    max_size=10,
-).map(" ".join)
+# Separators drawn from the engine's whitespace split class (Java \\s +
+# \\p{Zs} + U+2028/29): tokenization must agree with the model under
+# tabs, newlines, NBSP, and multi-space runs, not just single spaces.
+_WS_SEPS = [" ", "\t", "\n", "\r", "  ", " \t ", "\xa0", "\u2028"]
+
+
+def _model_tokens(text: str) -> list[str]:
+    import re
+
+    return [
+        t
+        for t in re.split("[ \t\n\r\x0b\x0c\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+", text)
+        if t
+    ]
+
+
+def _ws_joined(words):
+    _words, seps = words
+    return "".join(
+        w + s for w, s in zip(_words, seps)
+    )
+
+
+_decon_text = st.tuples(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=0,
+        max_size=10,
+    ),
+    st.lists(st.sampled_from(_WS_SEPS), min_size=10, max_size=10),
+).map(_ws_joined)
 
 
 @SETTINGS
@@ -455,7 +481,7 @@ def test_decontaminate_matches_python_model(spark, docs, bench, thresh):
     )
 
     def sh(t):
-        tk = [w for w in t.split(" ") if w]
+        tk = _model_tokens(t)
         return {
             " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
         }
@@ -479,11 +505,14 @@ def test_decontaminate_matches_python_model(spark, docs, bench, thresh):
 # ---------------------------------------------------------------------------
 
 _rep_word = st.sampled_from(["a", "b", "c", "aa", "x y".replace(" ", ""), ""])
-_rep_text = st.lists(_rep_word, min_size=0, max_size=24).map(" ".join)
+_rep_text = st.tuples(
+    st.lists(_rep_word, min_size=0, max_size=24),
+    st.lists(st.sampled_from(_WS_SEPS), min_size=24, max_size=24),
+).map(_ws_joined)
 
 
 def _rep_model(text: str, n: int = 3):
-    toks = [t for t in text.split(" ") if t != ""]
+    toks = _model_tokens(text)
     grams = [
         " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
     ] if len(toks) >= n else []
