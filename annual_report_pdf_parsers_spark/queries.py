@@ -1459,6 +1459,63 @@ def q_corpus_shard_shuffle(spark, sf):
     ).select("doc_id", "shard", "pos")
 
 
+def q_corpus_end_to_end(spark, sf):
+    """The full training-corpus decision chain composed as ONE query
+    (r03 verdict next #8): url-level dedup -> exact dedup -> MinHash-LSH
+    + connected-components clustering -> benchmark decontamination ->
+    per-source quality quota -> deterministic shard shuffle.  Every
+    stage is the already-oracle-checked operator; this entry proves the
+    operators COMPOSE (column contracts, join keys, no stage-boundary
+    surprises), with a full value-hash oracle assembled from the same
+    SQL fragments.
+
+    Fixture shape: base docs 490..499 share canonical urls with 0..9
+    (url stage fires), the +1e6 exact copies carry UNIQUE urls so they
+    survive to the exact-dedup stage (which drops them), and organic
+    near-dups fall to the MinHash+CC stage."""
+    from .operators.sampling import quota_topk_per_group, shard_shuffle
+    from .operators.urls import url_dedup
+
+    d = _corpus_with_dupes(spark, sf)
+    k = F.col("doc_id")
+    lid = (
+        F.when(k < 1000000, (k % 490)).otherwise(k)
+    ).cast("string")
+    v = k % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://corp-"), lid, F.lit(".com/d/"), lid))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://WWW.CORP-"), lid, F.lit(".COM/d/"), lid))
+        .when(v == 2, F.concat(
+            F.lit("https://corp-"), lid, F.lit(".com/d/"), lid,
+            F.lit("?utm_source=x")))
+        .otherwise(F.concat(
+            F.lit("https://corp-"), lid, F.lit(".com/d/"), lid,
+            F.lit("/#f")))
+    )
+    u = url_dedup(d.withColumn("url", url))
+    s1 = d.join(u.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    ex = dedup.exact_dedup(s1)
+    s2 = s1.join(ex.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    pairs = dedup.minhash_lsh_pairs(s2)
+    cc = dedup.cluster_keep_decision(s2, pairs)
+    s3 = s2.join(cc.filter(F.col("keep")).select("doc_id"), "doc_id")
+    bench = load(spark, sf, "documents").filter(k % 40 == 0).select(
+        "text"
+    )
+    dec = dedup.decontaminate(s3, bench)
+    s4 = s3.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    s5 = quota_topk_per_group(
+        text.quality_score(s4), "source", "quality", "doc_id", 12
+    )
+    return shard_shuffle(s5.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "shard", "pos"
+    )
+
+
 def q_text_normalize(spark, sf):
     """Pre-tokenization normalization (lowercase + accent fold + ws
     collapse).  The corpus text is already lowercase ASCII, so the query
@@ -1564,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quota_topk": q_corpus_quota_topk,
     "corpus_shard_shuffle": q_corpus_shard_shuffle,
     "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_end_to_end": q_corpus_end_to_end,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
@@ -1588,9 +1646,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_threshold_retry": q_a3_threshold_retry,
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
-    # ---- driver window boundary (entries below: green driver rows in
-    # ---- r02/r03 + permanent local-gate coverage) -------------------
     "d1_dispatch": q_d1_dispatch,
+    # ---- driver window boundary: d1_dispatch above is key #50 -------
+    # ---- (entries below: green driver rows in r02/r03 + permanent
+    # ---- local-gate coverage via tests/test_oracle_parity.py) -------
     "p3_whitelist": q_p3_whitelist,
     "p6_numeric_shape": q_p6_numeric_shape,
     "p7_junk_drop": q_p7_junk_drop,
@@ -1838,9 +1897,10 @@ _QUALITY_EXPR = (
 )
 
 
-def _quality_cte(carry: str) -> str:
-    """CTE pair computing ``qdoc(<carry>, n_tokens, quality)`` over the
-    documents table, carrying the named columns through."""
+def _quality_cte(carry: str, src: str = "documents") -> str:
+    """CTE pair computing ``qdoc(<carry>, n_tokens, quality)`` over
+    ``src`` (any relation with a text column), carrying the named
+    columns through."""
     return (
         "qraw AS (SELECT " + carry + ", "
         "  length(text) AS n_chars, "
@@ -1850,7 +1910,7 @@ def _quality_cte(carry: str) -> str:
         "  length(text) - length(regexp_replace(text, "
         "    '[^a-zA-Z0-9 ]', '', 'g')) AS punct, "
         "  ' ' || lower(text) || ' ' AS t "
-        "  FROM documents), "
+        "  FROM " + src + "), "
         "qdoc AS (SELECT " + carry + ", n_tokens, "
         + _QUALITY_EXPR
         + " AS quality FROM qraw)"
@@ -2453,6 +2513,60 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, substr(dg, 1, 2) AS shard, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY substr(dg, 1, 2) "
         "  ORDER BY dg ASC, doc_id ASC) AS BIGINT) AS pos FROM h"
+    ),
+    # corpus_end_to_end: the composed decision chain, each stage the
+    # SAME fragment its standalone oracle uses — url keep via the key
+    # arithmetic, md5 exact keep, _TOKS/_SHINGLES/_MH_PAIRS + recursive
+    # CC over the survivors, shingle-overlap decontamination vs the raw
+    # %40 benchmark, _quality_cte + quota window, md5 shard shuffle.
+    "corpus_end_to_end": (
+        f"WITH RECURSIVE {_DUPES}, "
+        "uurl AS (SELECT doc_id, CASE WHEN doc_id < 1000000 "
+        "  THEN doc_id % 490 ELSE doc_id END AS lid FROM corpus), "
+        "ukeep AS (SELECT MIN(doc_id) AS doc_id FROM uurl GROUP BY lid), "
+        "s1 AS (SELECT c.* FROM corpus c JOIN ukeep USING (doc_id)), "
+        "keepx AS (SELECT MIN(doc_id) AS doc_id FROM s1 "
+        "  GROUP BY md5(text)), "
+        "surv AS (SELECT s1.* FROM s1 JOIN keepx USING (doc_id)), "
+        + _TOKS.replace("FROM corpus", "FROM surv")
+        + ", " + _SHINGLES + ", " + _MH_PAIRS + ", "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+        "  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
+        "reach AS (SELECT DISTINCT s AS node, s AS r FROM edges "
+        "  UNION "
+        "  SELECT e.s AS node, reach.r FROM edges e "
+        "  JOIN reach ON reach.node = e.d), "
+        "comp AS (SELECT node, MIN(r) AS cluster_id FROM reach "
+        "  GROUP BY node), "
+        "s3 AS (SELECT surv.* FROM surv LEFT JOIN comp "
+        "  ON comp.node = surv.doc_id "
+        "  WHERE COALESCE(comp.cluster_id, surv.doc_id) = surv.doc_id), "
+        "dsh AS (SELECT sh.doc_id, sh.shingle FROM sh "
+        "  JOIN s3 USING (doc_id)), "
+        "btoks AS (SELECT doc_id, "
+        "  list_filter(regexp_split_to_array(text, "
+        "'[\\s\\p{Zs}\\x0b\\x{2028}\\x{2029}]+'), t -> t <> '') AS tk "
+        "  FROM documents WHERE doc_id % 40 = 0), "
+        "bsh AS (SELECT DISTINCT "
+        "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
+        "  FROM btoks, UNNEST(generate_series(1, "
+        "    greatest(len(tk) - 2, 0))) AS g(i) WHERE len(tk) >= 3), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n FROM dsh "
+        "  JOIN bsh USING (shingle) GROUP BY doc_id), "
+        "s4 AS (SELECT s3.* FROM s3 LEFT JOIN hits USING (doc_id) "
+        "  WHERE COALESCE(hits.n, 0) < 2), "
+        + _quality_cte("doc_id, source", "s4")
+        + ", "
+        "r AS (SELECT doc_id, source, "
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rnk "
+        "  FROM qdoc), "
+        "s5 AS (SELECT doc_id, source FROM r WHERE rnk <= 12), "
+        "hsh AS (SELECT doc_id, source, "
+        "  md5(CAST(doc_id AS VARCHAR) || '|sh0') AS dg FROM s5) "
+        "SELECT doc_id, source, substr(dg, 1, 2) AS shard, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY substr(dg, 1, 2) "
+        "  ORDER BY dg ASC, doc_id ASC) AS BIGINT) AS pos FROM hsh"
     ),
     # text_normalize: injection + the same lower/translate/collapse
     # chain; the fold tables are the engine's own constants so the two

@@ -290,3 +290,20 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_corpus_end_to_end_plan_bounded(spark):
+    """The composed corpus decision chain (url dedup -> exact ->
+    minhash+CC -> decontaminate -> quota -> shard shuffle) must stay a
+    pure equi-join/agg DAG: no cartesian/BNLJ anywhere, and the
+    exchange count bounded — the per-op pins guarantee each stage's
+    shape, this guards the COMPOSITION against re-planning blow-ups
+    (e.g. a stage chain planned twice by a broken column pin)."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    df = QUERIES["corpus_end_to_end"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 40, f"composed chain exchange blow-up: {n}"
