@@ -109,11 +109,16 @@ def lang_id_trigram(
     sorted order reaching the max score; 'unknown' when no profile
     trigram occurs at all.
 
-    100 TB shape: a pure narrow expression tree (~60 length/replace
-    pairs, JVM codegen, no UDF/shuffle) — exactly as cheap as a column
-    projection.
+    100 TB shape: a narrow two-projection tree (no UDF/shuffle).  The
+    trigram counts are STAGED as pin()-ed columns: inlined, every
+    count's length/replace pair re-evaluated once per reference (~6
+    references each through norm/dot/argmax — measured 12.3 s for 5k
+    docs at sf0.1; staged: ~40 counts computed once per row, the
+    scoring arithmetic runs on attributes).
     """
     import math
+
+    from ..functions.numeric import pin
 
     profs = (
         LANG_TRIGRAM_PROFILES
@@ -121,8 +126,20 @@ def lang_id_trigram(
         else {k: LANG_TRIGRAM_PROFILES[k] for k in langs}
     )
     vocab = sorted(set().union(*(p.keys() for p in profs.values())))
+    gcol = {g: f"_lg{i}" for i, g in enumerate(vocab)}
+    clash = sorted({"_lt", *gcol.values()} & set(df.columns))
+    if clash:
+        raise ValueError(f"lang_id_trigram staging columns clash: {clash}")
     t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    cnt = {g: count_occurrences(t, g) for g in vocab}
+    staged = df.withColumn("_lt", pin(t))
+    staged = staged.select(
+        "*",
+        *[
+            pin(count_occurrences(F.col("_lt"), g)).alias(gcol[g])
+            for g in vocab
+        ],
+    )
+    cnt = {g: F.col(gcol[g]) for g in vocab}
     norm_doc = F.sqrt(sum((cnt[g] * cnt[g] for g in vocab), F.lit(0.0)))
     ordered = sorted(profs)
     scores = {}
@@ -142,8 +159,10 @@ def lang_id_trigram(
     guess = F.when(mx <= 0, F.lit("unknown"))
     for lang in ordered:  # first language at the max wins (ties)
         guess = guess.when(scores[lang] == mx, F.lit(lang))
-    out = df.withColumn("lang_guess", guess.otherwise(F.lit("unknown")))
-    return out.withColumn("lang_score", mx)
+    out = staged.withColumn(
+        "lang_guess", guess.otherwise(F.lit("unknown"))
+    ).withColumn("lang_score", mx)
+    return out.drop("_lt", *gcol.values())
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

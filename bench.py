@@ -107,6 +107,10 @@ HEADLINE = [
     "corpus_shard_shuffle",
     "text_normalize",
     "corpus_decontaminate",
+    # round-4 additions (appended — earlier keys stay comparable)
+    "dedup_simhash_pairs",
+    "text_langid",
+    "corpus_end_to_end",
 ]
 
 
@@ -306,9 +310,18 @@ def main() -> None:
         load_samples = [wait_calm(max_wait=240.0)]
         runs4 = run_extraction("local[4]", pages_path, manifest_path)
         runs16 = run_extraction("local[16]", pages_path, manifest_path)
-        if (min(runs4) / min(runs16)) / 4 < 0.8 and (
-            time.time() - t_scaling < 800
+        # up to TWO re-measures of the primary pair (r03 verdict: the
+        # shipped artifact should be a calm-window run whose PRIMARY
+        # pair clears — one retry was not always enough to skip past a
+        # co-tenant burst; each retry still min-aggregates with all
+        # earlier attempts, so retries can only sharpen the estimate)
+        retries = 0
+        while (
+            (min(runs4) / min(runs16)) / 4 < 0.8
+            and retries < 2
+            and time.time() - t_scaling < 800
         ):
+            retries += 1
             load_samples.append(wait_calm(max_wait=120.0))
             runs4 += run_extraction("local[4]", pages_path, manifest_path)
             runs16 += run_extraction("local[16]", pages_path, manifest_path)
