@@ -1465,6 +1465,40 @@ def q_corpus_shard_shuffle(spark, sf):
     ).select("doc_id", "shard", "pos")
 
 
+def q_corpus_text_filter_ml(spark, sf):
+    """The corpus text-filter decision upgraded to MULTI-LANGUAGE ID
+    (r03 missing #3 said users of corpus_text_filter hit the en/fr
+    heuristic's limits first): trigram lang-guess must equal the
+    declared language, plus the quality floor and token bounds, over
+    the 5-language fixture.  The en/fr form stays as
+    corpus_text_filter; this is the ID-upgraded decision."""
+    d = load(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    sent = F.when(k % 17 == 0, F.lit(_LANGID_UNKNOWN))
+    declared = None
+    for i, (lang, s) in enumerate(_LANGID_SENTS):
+        sent = sent.when(k % 5 == i, F.lit(s))
+        declared = (
+            F.when(k % 5 == i, F.lit(lang))
+            if declared is None
+            else declared.when(k % 5 == i, F.lit(lang))
+        )
+    injected = d.withColumn("text", sent.otherwise(F.lit(""))).withColumn(
+        "lang", declared
+    )
+    scored = text.quality_score(text.lang_id_trigram(injected))
+    return scored.filter(
+        (F.col("lang_guess") == F.col("lang"))
+        & (F.col("quality") >= 0.3)
+        & F.col("n_tokens").between(12, 17)
+    ).select(
+        "doc_id",
+        "lang_guess",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+    )
+
+
 def q_corpus_end_to_end(spark, sf):
     """The full training-corpus decision chain composed as ONE query
     (r03 verdict next #8): url-level dedup -> exact dedup -> MinHash-LSH
@@ -1622,6 +1656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     # -- corpus decisions ---------------------------------------------
     "corpus_text_filter": q_corpus_text_filter,
+    "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "corpus_source_stats": q_corpus_source_stats,
     "corpus_sample_hash": q_corpus_sample_hash,
     "corpus_quota_topk": q_corpus_quota_topk,
@@ -1652,10 +1687,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_threshold_retry": q_a3_threshold_retry,
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
-    "d1_dispatch": q_d1_dispatch,
-    # ---- driver window boundary: d1_dispatch above is key #50 -------
+    # ---- driver window boundary: f_name_clean above is key #50 ------
     # ---- (entries below: green driver rows in r02/r03 + permanent
     # ---- local-gate coverage via tests/test_oracle_parity.py) -------
+    "d1_dispatch": q_d1_dispatch,
     "p3_whitelist": q_p3_whitelist,
     "p6_numeric_shape": q_p6_numeric_shape,
     "p7_junk_drop": q_p7_junk_drop,
@@ -1812,13 +1847,16 @@ def _simhash_fp_cte(src: str, n_bits: int = 64) -> str:
     )
 
 
-def _langid_oracle_sql() -> str:
-    """Exact oracle for q_text_langid: regenerates the trigram-cosine
-    scoring from the SAME literal profile dict the engine uses
-    (operators/text.py::LANG_TRIGRAM_PROFILES) — counts via the
+def _langid_parts() -> tuple[str, str, str]:
+    """(cte_chain, guess_expr, max_expr) for the trigram language ID —
+    regenerated from the SAME literal profile dict the engine uses
+    (operators/text.py::LANG_TRIGRAM_PROFILES): counts via the
     replace-trick, per-language dot folded in sorted-profile order,
     one division, ROUND 6, GREATEST + first-at-max CASE — clause for
-    clause what lang_id_trigram builds in Spark."""
+    clause what lang_id_trigram builds in Spark.  The chain defines
+    ``base(doc_id, text)`` (the 5-language fixture) through
+    ``sc(doc_id, s_<lang>...)``; guess/max are expressions over sc.
+    Shared by the text_langid and corpus_text_filter_ml oracles."""
     import math
 
     from .operators.text import LANG_TRIGRAM_PROFILES as P
@@ -1869,9 +1907,39 @@ def _langid_oracle_sql() -> str:
         + " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in ordered)
         + " ELSE 'unknown' END"
     )
+    return f"{base}, {cnts}, {sc}", guess, mx
+
+
+def _langid_oracle_sql() -> str:
+    cte, guess, mx = _langid_parts()
     return (
-        f"WITH {base}, {cnts}, {sc} "
+        f"WITH {cte} "
         f"SELECT doc_id, {guess} AS lang_guess, {mx} AS lang_score FROM sc"
+    )
+
+
+def _ctf_ml_oracle_sql() -> str:
+    """corpus_text_filter_ml: the trigram lang-ID CTE chain joined to
+    the shared quality fragment over the SAME fixture base, with the
+    identical keep predicate (guess == declared, quality floor, token
+    bounds)."""
+    cte, guess, _mx = _langid_parts()
+    decl = (
+        "CASE "
+        + " ".join(
+            f"WHEN sc.doc_id % 5 = {i} THEN '{lang}'"
+            for i, (lang, _) in enumerate(_LANGID_SENTS)
+        )
+        + " END"
+    )
+    return (
+        f"WITH {cte}, "
+        + _quality_cte("doc_id", "base")
+        + f" SELECT sc.doc_id, {guess} AS lang_guess, "
+        "qdoc.n_tokens, qdoc.quality "
+        "FROM sc JOIN qdoc ON qdoc.doc_id = sc.doc_id "
+        f"WHERE {guess} = {decl} AND qdoc.quality >= 0.3 "
+        "AND qdoc.n_tokens BETWEEN 12 AND 17"
     )
 
 
@@ -3003,6 +3071,8 @@ ORACLE_SQL["f_hard_name_clean"] = (
     "  CASE WHEN orig = 'nan' THEN '_' ELSE s END, "
     "  '\\s+', ' ', 'g')) AS name_clean FROM p3"
 )
+
+ORACLE_SQL["corpus_text_filter_ml"] = _ctf_ml_oracle_sql()
 
 ORACLE_SQL["d1_manifest_routing"] = (
     "WITH pages AS (SELECT DISTINCT "
