@@ -379,7 +379,7 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming), id_a < id_b, distinct.
     """
     if n_bits % n_bands:
-        raise ValueError("n_bits must divide evenly into n_bands")
+        raise ValueError("n_bands must divide n_bits evenly")
     if max_hamming is None:
         max_hamming = n_bands - 1
     w = n_bits // n_bands

@@ -128,11 +128,14 @@ def join_manifest(
     # configured token renames applied ("Euro " -> "Europe ") may
     # contain the report name; the OUTPUT keeps the website's original
     # spelling, exactly the reference's post-retry restore.  Still an
-    # equi-join on url; the renames only widen the residual.
+    # equi-join on url; the renames only widen the residual.  The
+    # retry needs the holdings' doc_class column — frames without it
+    # (non-pipeline callers) simply skip the retry rather than hitting
+    # an unresolved-column error caused by a config.py entry.
     from ..config import ARCHETYPES
 
     for cls_name, cfg in ARCHETYPES.items():
-        if not cfg.name_rename_retry:
+        if not cfg.name_rename_retry or "doc_class" not in holdings.columns:
             continue
         renamed = F.lower(m["fund_name_website"])
         for old, new in cfg.name_rename_retry:

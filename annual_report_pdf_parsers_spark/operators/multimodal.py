@@ -86,6 +86,8 @@ def decode_image_meta(payload: bytes) -> tuple[str | None, int, int]:
                 break
             while i + 1 < len(b) and b[i + 1] == 0xFF:  # fill bytes
                 i += 1
+            if i + 1 >= len(b):  # payload ends in fill bytes
+                break
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
@@ -406,8 +408,10 @@ def mp4_samples(payload: bytes, max_samples: int = 32) -> list[bytes]:
                     # count is an untrusted u32 — unclamped, a malformed
                     # file declaring ~2^32 samples allocates a multi-GB
                     # list before max_samples applies.  The walk never
-                    # consumes more than a bounded prefix, so cap it.
-                    sizes = [uniform] * min(count, 4096)
+                    # consumes more than a bounded prefix, so cap it —
+                    # honoring callers who legitimately ask for more
+                    # than the default bound.
+                    sizes = [uniform] * min(count, max(max_samples, 4096))
                 else:
                     n = min(count, (se - ss - 12) // 4)
                     sizes = [

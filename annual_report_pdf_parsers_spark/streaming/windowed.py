@@ -25,11 +25,22 @@ def windowed_event_counts(
     window_len: str = "5 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Tumbling-window counts + value sums per key, watermarked."""
+    """Tumbling-window counts + value sums per key, watermarked.
+
+    Accepts TIMESTAMP or TIMESTAMP_NTZ event time: Spark's watermark
+    only supports TIMESTAMP, so NTZ inputs are cast at the stream edge
+    and the window bounds cast back — value-preserving for any fixed
+    session timezone (tz offsets are 15-minute multiples, so 5-minute
+    epoch-aligned buckets shift consistently and the round-trip cast
+    restores the naive values exactly)."""
+    ntz = dict(events_stream.dtypes).get(ts_col) == "timestamp_ntz"
+    ts = F.col(ts_col).cast("timestamp") if ntz else F.col(ts_col)
+    out_t = "timestamp_ntz" if ntz else "timestamp"
     return (
-        events_stream.withWatermark(ts_col, watermark)
+        events_stream.withColumn("_evt", ts)
+        .withWatermark("_evt", watermark)
         .groupBy(
-            F.window(F.col(ts_col), window_len).alias("win"),
+            F.window(F.col("_evt"), window_len).alias("win"),
             F.col(key_col),
         )
         .agg(
@@ -39,8 +50,8 @@ def windowed_event_counts(
             .alias("sum_value"),
         )
         .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
+            F.col("win.start").cast(out_t).alias("win_start"),
+            F.col("win.end").cast(out_t).alias("win_end"),
             key_col,
             "n_events",
             "sum_value",

@@ -782,6 +782,10 @@ def test_decoder_hardening_adversarial_payloads():
     padded = b"\xff\xd8" + b"\xff\xff\xff\xc0" + sof
     assert decode_image_meta(padded) == ("jpeg", 64, 48)
 
+    # --- JPEG: payload ENDS in fill bytes (review finding: the skip
+    # loop must not read a marker past the buffer) ---
+    assert decode_image_meta(b"\xff\xd8\xff\xff") == ("jpeg", 0, 0)
+
     # --- JPEG: pseudo-SOF inside entropy-coded data after SOS ---
     sos = b"\xff\xda" + st.pack(">H", 4) + b"\x00\x00"
     pseudo_sof = b"\xff\xc0" + st.pack(">HBHHB", 17, 8, 999, 777, 3)
