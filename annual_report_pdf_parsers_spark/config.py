@@ -124,6 +124,15 @@ class ArchetypeConfig:
     # content; a non-None regex routes any document whose manifest names
     # match it to this archetype, taking priority over page-0 dispatch
     manifest_route_regex: str | None = None
+    # D2 family fallback (oddo/parser.py:427-435 ELSE branch): oddo's
+    # page-0 dispatch has a catch-all type — documents of the provider
+    # whose first page matches NO marker still parse, with type 3.  A
+    # non-None regex here routes a document to this archetype when its
+    # manifest names match AND the page-0 when-chain matched nothing
+    # (page-0 and explicit manifest routes take priority) — the
+    # provider-scoped default the reference's per-provider scripts get
+    # for free from their file layout.
+    manifest_fallback_regex: str | None = None
     # D5 token-rename retry (roth/parser.py:418-427): when the report
     # name fails to match the manifest website name, retry with these
     # (old, new) lowercase token renames applied to the website side —
@@ -272,6 +281,24 @@ ARCHETYPES: dict[str, ArchetypeConfig] = {
         number_locale="en",
         name_rewrites=((r"^PROVIDER_KEYWORD_EN\s+", ""),),
     ),
+    # oddo family THIRD type (oddo/parser.py:427-435 ELSE branch): same
+    # provider as keyword_scan_en/_t2, but these documents' first page
+    # carries NO recognizable marker — the reference still parses them
+    # via its catch-all type 3.  Routed by the family fallback: manifest
+    # names carry the provider token and page-0 matched nothing.
+    "keyword_scan_en_t3": ArchetypeConfig(
+        name="keyword_scan_en_t3",
+        lang="en",
+        classify_regex=r"(?!x)x",  # page-0 cannot identify these
+        section_regex=r"HOLDINGS AS OF",
+        grid=(0, 44, 52, 70),
+        shapes=(4,),
+        has_toc=False,
+        fund_regex=r"HOLDINGS AS OF - (.+?) *$",
+        number_locale="en",
+        name_rewrites=((r"^PROVIDER_KEYWORD_EN\s+", ""),),
+        manifest_fallback_regex="PROVIDER_KEYWORD_EN",
+    ),
     # roth family (roth/parser.py:395-445): ToC page intervals like the
     # crelan family, but the manifest website name may spell "Euro"
     # where the ToC says "Europe" — the reference retries its ToC match
@@ -329,6 +356,7 @@ DISPATCH_ORDER: list[str] = [
     "two_up_fr",
     "header_grid_fr",
     "manifest_grid_fr",
+    "keyword_scan_en_t3",  # family fallback only — classify never fires
 ]
 
 TWO_UP_SPLIT = 80  # char offset separating left/right halves (two_up_fr)

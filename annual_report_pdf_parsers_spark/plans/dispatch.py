@@ -34,10 +34,15 @@ from ..config import ARCHETYPES, DISPATCH_ORDER
 from ..sources.synthetic import PROVIDER_OF
 
 
-def route_map(manifest: DataFrame) -> DataFrame:
+def route_map(
+    manifest: DataFrame, attr: str = "manifest_route_regex"
+) -> DataFrame:
     """D1: (url, doc_class) for documents whose manifest names match an
     archetype's ``manifest_route_regex``.  min() makes the pick
     deterministic if share classes ever matched different archetypes.
+    ``attr`` selects the config regex — "manifest_route_regex" (D1
+    priority routing) or "manifest_fallback_regex" (the oddo-style
+    family default used when page-0 matches nothing).
 
     The aggregation runs on the route's DISPATCH_ORDER index, not the
     class STRING: min(int) plans as a HashAggregate while min(string)
@@ -46,7 +51,7 @@ def route_map(manifest: DataFrame) -> DataFrame:
     idx: Column | None = None
     routable: list[str] = []
     for name in DISPATCH_ORDER:
-        rx = ARCHETYPES[name].manifest_route_regex
+        rx = getattr(ARCHETYPES[name], attr)
         if rx is None:
             continue
         cond = F.col("name").rlike(rx)
@@ -81,11 +86,29 @@ def classify(
         cond = page0.rlike(ARCHETYPES[name].classify_regex)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     routes = route_map(manifest) if manifest is not None else None
-    if routes is None:
+    fb = (
+        route_map(manifest, "manifest_fallback_regex")
+        if manifest is not None
+        else None
+    )
+    if routes is None and fb is None:
         return pages.withColumn("doc_class", expr)
-    return pages.join(routes, "url", "left").withColumn(
-        "doc_class", F.coalesce(F.col("_route_class"), expr)
-    ).drop("_route_class")
+    out = pages
+    picks = []
+    if routes is not None:
+        out = out.join(routes, "url", "left")
+        picks.append(F.col("_route_class"))
+    picks.append(expr)
+    if fb is not None:
+        # family fallback LAST: page-0 and explicit routes win
+        # (oddo/parser.py:427-435 — the marker types take priority,
+        # the else-branch only catches unmarked documents)
+        fb = fb.withColumnRenamed("_route_class", "_fb_class")
+        out = out.join(fb, "url", "left")
+        picks.append(F.col("_fb_class"))
+    return out.withColumn("doc_class", F.coalesce(*picks)).drop(
+        "_route_class", "_fb_class"
+    )
 
 
 def provider_col() -> Column:

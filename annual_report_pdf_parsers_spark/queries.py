@@ -1010,6 +1010,42 @@ def q_d1_manifest_routing(spark, sf):
     return classify(pages, man).select("url", "doc_class")
 
 
+def q_d2_family_fallback(spark, sf):
+    """D2 family fallback through the REAL dispatch operator
+    (plans/dispatch.py::classify; oddo/parser.py:427-435 else-branch):
+    marked page-0 classifies by content and WINS over the family token;
+    unmarked page-0 with a family-token manifest falls back to
+    keyword_scan_en_t3; unmarked without the token stays NULL."""
+    from .plans.dispatch import classify
+
+    c = load(spark, sf, "customer")
+    k = F.col("c_custkey")
+    url = F.concat(F.lit("u"), (k % 60).cast("string"))
+    text_c = (
+        F.when(k % 3 == 0, F.lit("ANNUAL REPORT X\fbody"))
+        .when(k % 3 == 1, F.lit("FUND FACTS Y\fbody"))
+        .otherwise(F.lit("NEWSLETTER Z\fbody"))
+    )
+    # url determines k%60, which determines k%3 and parity: exact dedupe
+    pages = (
+        c.filter(k < 180)
+        .select(url.alias("url"), text_c.alias("text"))
+        .dropDuplicates(["url"])
+    )
+    man = c.filter(k < 300).select(
+        F.concat(F.lit("u"), (k % 60).cast("string")).alias("pdf_url"),
+        F.when(
+            (k % 60) % 2 == 0,
+            F.concat(
+                F.lit("PROVIDER_KEYWORD_EN FUND "), (k % 60).cast("string")
+            ),
+        )
+        .otherwise(F.concat(F.lit("OTHER FUND "), (k % 60).cast("string")))
+        .alias("name"),
+    )
+    return classify(pages, man).select("url", "doc_class")
+
+
 def q_f_hard_name_clean(spark, sf):
     """Crelan hard clean() (crelan/parser.py:644-656) over adversarial
     bond-code names built from part rows: lowercase purge, contextual '%'
@@ -1714,6 +1750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d5_fallback_chain": q_d5_fallback_chain,
     "d5_rename_retry": q_d5_rename_retry,
     "d1_manifest_routing": q_d1_manifest_routing,
+    "d2_family_fallback": q_d2_family_fallback,
     "f_hard_name_clean": q_f_hard_name_clean,
     "pipeline_extract": q_pipeline_extract,
     # -- §2 backfill (longest green streaks, driver rows r02+r03) -----
@@ -3136,6 +3173,19 @@ ORACLE_SQL["f_hard_name_clean"] = (
 )
 
 ORACLE_SQL["corpus_text_filter_ml"] = _ctf_ml_oracle_sql()
+
+# d2_family_fallback: page-0 marker wins; unmarked + family token ->
+# the catch-all type; unmarked without the token -> NULL (mirrors the
+# classify coalesce order route > page-0 > family fallback)
+ORACLE_SQL["d2_family_fallback"] = (
+    "WITH pages AS (SELECT DISTINCT "
+    "  'u' || CAST(c_custkey % 60 AS VARCHAR) AS url, "
+    "  c_custkey % 3 AS t3, (c_custkey % 60) % 2 AS par "
+    "  FROM customer WHERE c_custkey < 180) "
+    "SELECT url, CASE WHEN t3 = 0 THEN 'keyword_scan_en' "
+    "  WHEN par = 0 THEN 'keyword_scan_en_t3' END AS doc_class "
+    "FROM pages"
+)
 
 # events_stream_window: batch restatement of the streaming windowed agg
 # INCLUDING the append-mode emission rule (windows whose end <= final

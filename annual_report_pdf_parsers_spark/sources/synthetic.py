@@ -48,6 +48,10 @@ PROVIDER_OF = {
     # the oddo-style within-provider type family (oddo/parser.py:427-435):
     # a second page-0 type of the SAME provider, own grid/section marker
     "keyword_scan_en_t2": "PROVIDER_KEYWORD_EN",
+    # the family's catch-all type (oddo/parser.py:427-435 else-branch):
+    # page-0 carries no marker, dispatch comes from the manifest-name
+    # family fallback
+    "keyword_scan_en_t3": "PROVIDER_KEYWORD_EN",
     "reverse_scan_fr": "PROVIDER_REVERSE_FR",
     "gap_split_en": "PROVIDER_GAP_EN",
     "fragment_fusion_en": "PROVIDER_FRAGMENT_EN",
@@ -578,6 +582,9 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
         "header_grid_fr": f"ETATS FINANCIERS {provider}",
         "keyword_scan_en": f"ANNUAL REPORT {provider}",
         "keyword_scan_en_t2": f"SEMI-ANNUAL REPORT {provider}",
+        # NO recognizable marker on purpose — only the family fallback
+        # (manifest token) can dispatch these
+        "keyword_scan_en_t3": f"FUND FACTS {provider}",
         "reverse_scan_fr": f"RAPPORT ANNUEL REVISE {provider}",
         "gap_split_en": f"INTERIM REPORT {provider}",
         "fragment_fusion_en": f"AUDITED ANNUAL REPORT {provider}",
@@ -632,6 +639,7 @@ def _render_doc(doc: Doc, cfg: ArchetypeConfig, rng: random.Random) -> str:
         hdr_txt = {
             "keyword_scan_en": f"SCHEDULE OF INVESTMENTS - {f.title}",
             "keyword_scan_en_t2": f"INVESTMENT PORTFOLIO - {f.title}",
+            "keyword_scan_en_t3": f"HOLDINGS AS OF - {f.title}",
             "header_grid_fr": f"ETAT DU PATRIMOINE - {f.title}",
             "reverse_scan_fr": (
                 f"INVENTAIRE DETAILLE DES INSTRUMENTS FINANCIERS - {f.title}"

@@ -54,16 +54,16 @@ def test_single_wide_shuffle(spark, corpus_paths):
 
 
 def test_routed_plan_shape(spark, corpus_paths):
-    """Default plan (D1 manifest routing on): TWO hash exchanges — the
-    big-path url clustering plus the SMALL-side route-map aggregation of
-    the manifest — and the route map joins the scan side as a broadcast
-    (no exchange of the pages side).  The heavy columns still shuffle
-    exactly once."""
+    """Default plan (D1 manifest routing on): THREE hash exchanges — the
+    big-path url clustering plus TWO SMALL-side manifest aggregations
+    (the D1 route map and, since r04, the oddo-style family-fallback
+    map) — and all three manifest-derived joins (route, fallback,
+    manifest) hit the scan side as broadcasts (no exchange of the pages
+    side).  The heavy columns still shuffle exactly once."""
     plan = _plan(spark, corpus_paths)
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
     assert plan.count("MapInPandas") == 1
-    # routing join + manifest join are both broadcast on the default path
-    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan
 
 
