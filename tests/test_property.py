@@ -652,3 +652,70 @@ def test_sessionize_matches_python_model(spark, rows):
                 sno += 1
             prev = r.ts
             assert got[(uid, r.ts)] == sno, (uid, r.ts, got[(uid, r.ts)], sno)
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded pairing vs a pure-Python fingerprint + Hamming-ball model
+# ---------------------------------------------------------------------------
+
+_sh_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+_sh_text = st.tuples(
+    st.lists(_sh_word, min_size=1, max_size=10),
+    st.lists(st.sampled_from(_WS_SEPS), min_size=10, max_size=10),
+).map(_ws_joined)
+
+
+def _py_simhash(text: str, n_bits: int) -> str:
+    """Independent Python model of dedup.simhash_bits (md5 nibble
+    votes), sharing only the SPEC: nibble i of md5(tok) (md5(tok+'#2')
+    past 32) votes +1 when the hex digit >= '8'."""
+    import hashlib
+
+    toks = _model_tokens(text)
+    votes = [0] * n_bits
+    for tok in toks:
+        h = hashlib.md5(tok.encode()).hexdigest()
+        h2 = (
+            hashlib.md5((tok + "#2").encode()).hexdigest()
+            if n_bits > 32
+            else ""
+        )
+        for i in range(n_bits):
+            d = (h if i < 32 else h2)[i % 32]
+            votes[i] += 1 if d >= "8" else -1
+    return "".join("1" if v > 0 else "0" for v in votes)
+
+
+@SETTINGS
+@given(st.lists(_sh_text, min_size=2, max_size=14))
+def test_simhash_pairs_matches_python_model(spark, texts):
+    """simhash_pairs (integer-chunk votes, banded candidates, limb
+    Hamming) vs a from-scratch Python model: the returned pair set must
+    equal the brute-force Hamming ball of radius n_bands-1 over the
+    model fingerprints — on whitespace-noisy token streams (empty docs
+    produce no tokens and no fingerprint; they must simply be absent,
+    not crash)."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fps = {
+        i: _py_simhash(t, 32)
+        for i, t in enumerate(texts)
+        if _model_tokens(t)
+    }
+    want = set()
+    ids = sorted(fps)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            h = sum(p != q for p, q in zip(fps[a], fps[b]))
+            if h <= 3:
+                want.add((a, b, h))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, n_bits=32, n_bands=4).collect()
+    }
+    assert got == want
