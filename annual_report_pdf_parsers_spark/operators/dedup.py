@@ -727,3 +727,95 @@ def cluster_keep_decision(
             ).alias("keep"),
         )
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 8,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the window-hash
+    approximation of exact substring deduplication (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" family):
+    k-token windows taken at ``stride`` are hashed; a window whose hash
+    occurs in ANY OTHER document is a duplicated span.  Returns per
+    document::
+
+        (doc_id, n_windows, n_dup_windows, dup_frac)
+
+    with n_windows = 0 / dup_frac 0.0 for docs shorter than k tokens
+    (every doc present — decision-table contract).  dup_frac is the
+    train-time removal signal: docs above a threshold are boilerplate
+    or syndicated copies even when full-document hashes differ.
+
+    ``stride`` caveat (learned from the quoting unit test): windows are
+    taken on each document's OWN token grid, so with stride s > 1 a
+    span shared at different grid phases never collides — s > 1 only
+    catches grid-aligned duplication (full-document copies, fixed-
+    position boilerplate).  The default stride=1 GUARANTEES any shared
+    k-token span is caught in both docs; raise it only as a documented
+    subsampling trade for throughput.
+
+    100 TB shape: stride bounds the explode to ~n_tokens/stride rows
+    per doc (k/stride overlap factor, NOT k×); the cross-doc test is
+    min(id) != max(id) per hash — ONE exchange keyed by the window
+    hash with map-side partial agg (no count-distinct shuffle); the
+    verdict joins back by hash (same clustering) and the per-doc
+    rollup re-keys by id.  Window hashes are md5 of the space-joined
+    window, so the DuckDB oracle reproduces them byte for byte.
+    """
+    from ..functions.numeric import pin
+
+    if k < 1 or stride < 1:
+        raise ValueError("k and stride must be >= 1")
+    base = df.withColumn("_tk", pin(tokens(F.col(text_col))))
+    n = F.size(F.col("_tk"))
+    idx = F.sequence(F.lit(0), F.floor((n - k) / stride).cast("int"))
+    win = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("_tk"), i * stride + 1, k)
+            )
+        ),
+    )
+    spans = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(n >= k, win).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    cross = spans.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
+    )
+    per_doc = (
+        spans.join(cross, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                    / F.col("n_windows"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

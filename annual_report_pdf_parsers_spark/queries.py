@@ -1502,6 +1502,19 @@ def q_corpus_shard_shuffle(spark, sf):
     ).select("doc_id", "shard", "pos")
 
 
+def q_text_dup_spans(spark, sf):
+    """Cross-document duplicated-span stats — the window-hash
+    approximation of exact substring dedup (Lee et al. style) the
+    other dedup ops don't cover: full-document digests and shingle
+    Jaccard miss a unique document QUOTING a long span of another.
+    Over documents + exact copies: copied docs and their bases show
+    dup_frac 1.0, organic template overlap gives partial fractions,
+    sub-k-token docs stay at n_windows 0."""
+    return dedup.dup_span_stats(
+        _corpus_with_dupes(spark, sf), k=8, stride=1
+    )
+
+
 def q_corpus_text_filter_ml(spark, sf):
     """The corpus text-filter decision upgraded to MULTI-LANGUAGE ID
     (r03 missing #3 said users of corpus_text_filter hit the en/fr
@@ -1732,6 +1745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_normalize": q_text_normalize,
+    "text_dup_spans": q_text_dup_spans,
     # -- corpus decisions ---------------------------------------------
     "corpus_text_filter": q_corpus_text_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -3173,6 +3187,33 @@ ORACLE_SQL["f_hard_name_clean"] = (
 )
 
 ORACLE_SQL["corpus_text_filter_ml"] = _ctf_ml_oracle_sql()
+
+# text_dup_spans: k=8/stride=1 window hashes over the dupe corpus
+# (stride 1 = the guaranteed-detection grid, see dup_span_stats);
+# cross-doc test = MIN(doc) <> MAX(doc) per hash; decision table keeps
+# every doc (zeros for sub-k docs) — mirrors dedup.dup_span_stats
+ORACLE_SQL["text_dup_spans"] = (
+    f"WITH {_DUPES}, "
+    "tkx AS (SELECT doc_id, "
+    "  list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
+    "    t -> t <> '') AS tk FROM corpus), "
+    "w AS (SELECT doc_id, "
+    "  md5(array_to_string(tk[i+1 : i+8], ' ')) AS h "
+    "  FROM tkx, UNNEST(generate_series(0, len(tk) - 8)) AS g(i) "
+    "  WHERE len(tk) >= 8), "
+    "crossh AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS is_dup "
+    "  FROM w GROUP BY h), "
+    "pd AS (SELECT w.doc_id, COUNT(*) AS n_windows, "
+    "  SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_windows "
+    "  FROM w JOIN crossh USING (h) GROUP BY w.doc_id) "
+    "SELECT c.doc_id, "
+    "CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows, "
+    "CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows, "
+    "ROUND(CASE WHEN COALESCE(n_windows, 0) > 0 "
+    "  THEN COALESCE(n_dup_windows, 0) / n_windows "
+    "  ELSE 0.0 END, 6) AS dup_frac "
+    "FROM corpus c LEFT JOIN pd USING (doc_id)"
+)
 
 # d2_family_fallback: page-0 marker wins; unmarked + family token ->
 # the catch-all type; unmarked without the token -> NULL (mirrors the

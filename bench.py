@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "text_langid",
     "corpus_end_to_end",
+    "text_dup_spans",
 ]
 
 

@@ -938,3 +938,40 @@ def test_lang_id_trigram_classifies_five_languages(spark):
         assert got[i][0] == lang, (i, got[i])
         assert got[i][1] > 0.5
     assert got[99] == ("unknown", 0.0)
+
+
+def test_dup_span_stats_detects_quoting(spark):
+    """dup_span_stats (windowed exact-substring approximation): a doc
+    QUOTING an 8-token span of another is flagged on both sides even
+    though digests and full-shingle Jaccard would call them unrelated;
+    sub-k docs report zero windows, identical docs 1.0."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        dup_span_stats,
+    )
+
+    span = "one two three four five six seven eight"
+    rows = [
+        (1, f"{span} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"unrelated words entirely own text here now {span}"),
+        (3, "totally different content with no overlap at all today"),
+        (4, "short doc"),
+        (5, f"{span} alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_frac)
+        for r in dup_span_stats(df, k=8).collect()
+    }
+    # stride > 1 is grid-aligned-only: the doc-2 quote sits at a
+    # different phase and MUST be missed — the documented trade
+    coarse = {
+        r.doc_id: r.n_dup_windows
+        for r in dup_span_stats(df, k=8, stride=4).collect()
+    }
+    assert coarse[2] == 0 and coarse[1] > 0
+    assert got[4] == (0, 0, 0.0)              # sub-k: zero windows
+    assert got[3][1] == 0                      # no overlap
+    assert got[1] == got[5]                    # identical docs agree
+    assert got[1][2] == 1.0                    # full duplicate
+    assert got[2][1] >= 1                      # the quoted span flags
+    assert 0 < got[2][2] < 1.0
