@@ -377,3 +377,35 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return df.withColumn("fp", fp)
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-style reading-ease score from fully deterministic counts
+    (the classic quality signal alongside quality_score's ratios):
+
+        flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syll/words)
+
+    with sentences = runs of [.!?] (clamped to >= 1) and the standard
+    vowel-group syllable heuristic (runs of [aeiouy] in the lowered
+    text).  Integer counts, two single divisions, ROUND 6 — the exact
+    SQL restatement exists in any dialect.  Pure narrow expressions
+    (JVM regexp_count), no UDF/shuffle."""
+    t = F.col(text_col)
+    words = token_count(t).cast("long")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syl = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    score = F.round(
+        F.when(
+            words > 0,
+            206.835 - 1.015 * (words / sents) - 84.6 * (syl / words),
+        ).otherwise(0.0),
+        6,
+    )
+    return (
+        df.withColumn("n_words", words)
+        .withColumn("n_sentences", sents)
+        .withColumn("n_syllables", syl)
+        .withColumn("flesch", score)
+    )

@@ -1502,6 +1502,24 @@ def q_corpus_shard_shuffle(spark, sf):
     ).select("doc_id", "shard", "pos")
 
 
+def q_text_readability(spark, sf):
+    """Flesch-style readability over documents with injected sentence
+    punctuation (the synthetic text is unpunctuated, so without the
+    probe every doc would clamp to 1 sentence and the sentence count
+    would be vacuous): every other doc gains a three-sentence tail."""
+    d = load(spark, sf, "documents")
+    suffix = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit(" First probe sentence. Second one! Third?"),
+    ).otherwise(F.lit(""))
+    injected = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return text.readability(injected).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch"
+    )
+
+
 def q_text_dup_spans(spark, sf):
     """Cross-document duplicated-span stats — the window-hash
     approximation of exact substring dedup (Lee et al. style) the
@@ -1746,6 +1764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_normalize": q_text_normalize,
     "text_dup_spans": q_text_dup_spans,
+    "text_readability": q_text_readability,
     # -- corpus decisions ---------------------------------------------
     "corpus_text_filter": q_corpus_text_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -3187,6 +3206,29 @@ ORACLE_SQL["f_hard_name_clean"] = (
 )
 
 ORACLE_SQL["corpus_text_filter_ml"] = _ctf_ml_oracle_sql()
+
+# text_readability: punctuation-probe injection + the same integer
+# counts / single divisions — words via the shared ws split, sentences
+# = [.!?]+ runs clamped to 1, syllables = [aeiouy]+ runs
+ORACLE_SQL["text_readability"] = (
+    "WITH inj AS (SELECT doc_id, text || "
+    "  CASE WHEN doc_id % 2 = 0 "
+    "  THEN ' First probe sentence. Second one! Third?' "
+    "  ELSE '' END AS text FROM documents), "
+    "n AS (SELECT doc_id, "
+    "  CAST(len(list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
+    "    t -> t <> '')) AS BIGINT) AS n_words, "
+    "  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
+    "    AS BIGINT) AS n_sentences, "
+    "  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+    "    AS BIGINT) AS n_syllables "
+    "  FROM inj) "
+    "SELECT doc_id, n_words, n_sentences, n_syllables, "
+    "ROUND(CASE WHEN n_words > 0 THEN "
+    "  206.835 - 1.015 * (n_words / n_sentences) "
+    "  - 84.6 * (n_syllables / n_words) ELSE 0.0 END, 6) AS flesch "
+    "FROM n"
+)
 
 # text_dup_spans: k=8/stride=1 window hashes over the dupe corpus
 # (stride 1 = the guaranteed-detection grid, see dup_span_stats);
