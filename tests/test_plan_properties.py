@@ -307,3 +307,23 @@ def test_corpus_end_to_end_plan_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     n = plan.count("Exchange hashpartitioning")
     assert n <= 40, f"composed chain exchange blow-up: {n}"
+
+
+def test_dup_spans_and_langid_plan_shape(spark):
+    """text_dup_spans: TWO exchanges (window-hash agg + per-doc rollup;
+    the verdict join reuses the hash clustering) and the pinned token
+    chain plans at most twice — not once per window reference.
+    text_langid: a fully narrow expression tree (0 exchanges) with the
+    staged trigram counts holding (no split() re-inlining)."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    df = QUERIES["text_dup_spans"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert opt.count("split(") <= 2, opt.count("split(")
+
+    df = QUERIES["text_langid"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan
