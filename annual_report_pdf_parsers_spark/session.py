@@ -53,12 +53,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Batch sizing: the extract stage ships ONLY (url, text, lang) to
         # Python — html (the 10-100x bigger column) is pruned at the scan
-        # and never crosses Arrow.  At CC-like text sizes (~10-100 KB)
-        # 1024 rows/batch is ~10-100 MB per in-flight batch: safe, and
-        # measured 33% faster end-to-end than 256 (fewer batch
-        # boundaries -> less per-batch pandas overhead).  For corpora
-        # with multi-MB text columns pass a smaller value via extra_conf.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # and never crosses Arrow.  Batch-size sweep history: 256 -> 1024
+        # measured 33% faster end-to-end (r1); 1024 -> 4096 measured a
+        # further 17% at local[16] while local[4] was UNCHANGED (r4,
+        # 100k-doc corpus: t16 6.84 -> 5.71 s, t4 19.6 s both) — the
+        # per-batch overhead is a serial cost that binds only at high
+        # parallelism, so the larger batch directly lifts the N -> 4N
+        # scaling ratio.  8192 added nothing (5.66 s).  Memory bound:
+        # 4096 rows x ~10-100 KB text = 40-400 MB per in-flight batch
+        # per task; for corpora with multi-MB text columns pass a
+        # smaller value via extra_conf.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # --- scan sizing: one partition ~ 64MB of parquet keeps the
         # extract stage's per-task memory bounded even with blob columns
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
