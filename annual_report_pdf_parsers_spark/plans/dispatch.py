@@ -34,20 +34,16 @@ from ..config import ARCHETYPES, DISPATCH_ORDER
 from ..sources.synthetic import PROVIDER_OF
 
 
-def route_map(
-    manifest: DataFrame, attr: str = "manifest_route_regex"
-) -> DataFrame:
-    """D1: (url, doc_class) for documents whose manifest names match an
-    archetype's ``manifest_route_regex``.  min() makes the pick
-    deterministic if share classes ever matched different archetypes.
-    ``attr`` selects the config regex — "manifest_route_regex" (D1
-    priority routing) or "manifest_fallback_regex" (the oddo-style
-    family default used when page-0 matches nothing).
+# (config attr, output column) pairs the combined route map emits
+_ROUTE_ATTRS: tuple[tuple[str, str], ...] = (
+    ("manifest_route_regex", "_route_class"),       # D1 priority routing
+    ("manifest_fallback_regex", "_fb_class"),       # D2 family fallback
+)
 
-    The aggregation runs on the route's DISPATCH_ORDER index, not the
-    class STRING: min(int) plans as a HashAggregate while min(string)
-    falls back to a SortAggregate — two pointless sorts of the manifest
-    side (observed; test_pipeline_two_sorts pins the sort economy)."""
+
+def _route_idx(attr: str) -> tuple[Column | None, list[str]]:
+    """When-chain mapping manifest names to a DISPATCH_ORDER-indexed
+    route for one config attr; None when no archetype carries it."""
     idx: Column | None = None
     routable: list[str] = []
     for name in DISPATCH_ORDER:
@@ -58,18 +54,58 @@ def route_map(
         i = F.lit(len(routable))
         idx = F.when(cond, i) if idx is None else idx.when(cond, i)
         routable.append(name)
-    if idx is None:
+    return idx, routable
+
+
+def route_map(manifest: DataFrame) -> DataFrame | None:
+    """D1 priority routes AND D2 family-fallback routes from ONE manifest
+    aggregation: (url, _route_class, _fb_class).  min() makes each pick
+    deterministic if share classes ever matched different archetypes.
+
+    One pass on purpose: per-attr maps cost classify() a second
+    small-side exchange and a third broadcast join on every routed plan
+    even for corpora with no fallback-family documents (r04 advice);
+    both columns share the same (url)-grouped aggregation.
+
+    The aggregation runs on each route's DISPATCH_ORDER index, not the
+    class STRING: min(int) plans as a HashAggregate while min(string)
+    falls back to a SortAggregate — two pointless sorts of the manifest
+    side (observed; test_pipeline_two_sorts pins the sort economy)."""
+    parts: list[tuple[str, Column, list[str]]] = []
+    for attr, out_col in _ROUTE_ATTRS:
+        idx, routable = _route_idx(attr)
+        if idx is not None:
+            parts.append((out_col, idx, routable))
+    if not parts:
         return None
-    back: Column | None = None
-    for i, name in enumerate(routable):
-        cond = F.col("_ri") == i
-        back = F.when(cond, name) if back is None else back.when(cond, name)
+    # filter on the ALIASED index attributes (post-select the manifest's
+    # `name` column is gone), dropping manifest rows that route nowhere
+    keep = F.col("_i" + parts[0][0]).isNotNull()
+    for out_col, _idx, _r in parts[1:]:
+        keep = keep | F.col("_i" + out_col).isNotNull()
+    back_cols = []
+    for out_col, _idx, routable in parts:
+        back: Column | None = None
+        for i, name in enumerate(routable):
+            cond = F.col("_i" + out_col) == i
+            back = (
+                F.when(cond, name) if back is None else back.when(cond, name)
+            )
+        back_cols.append(back.alias(out_col))
     return (
-        manifest.select(F.col("pdf_url").alias("url"), idx.alias("_ri"))
-        .filter(F.col("_ri").isNotNull())
+        manifest.select(
+            F.col("pdf_url").alias("url"),
+            *[idx.alias("_i" + out_col) for out_col, idx, _r in parts],
+        )
+        .filter(keep)
         .groupBy("url")
-        .agg(F.min("_ri").alias("_ri"))
-        .select("url", back.alias("_route_class"))
+        .agg(
+            *[
+                F.min("_i" + out_col).alias("_i" + out_col)
+                for out_col, _idx, _r in parts
+            ]
+        )
+        .select("url", *back_cols)
     )
 
 
@@ -86,25 +122,18 @@ def classify(
         cond = page0.rlike(ARCHETYPES[name].classify_regex)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     routes = route_map(manifest) if manifest is not None else None
-    fb = (
-        route_map(manifest, "manifest_fallback_regex")
-        if manifest is not None
-        else None
-    )
-    if routes is None and fb is None:
+    if routes is None:
         return pages.withColumn("doc_class", expr)
-    out = pages
-    picks = []
-    if routes is not None:
-        out = out.join(routes, "url", "left")
+    # ONE left join against the combined route map; priority is
+    # explicit route > page-0 chain > family fallback — the fallback
+    # goes LAST (oddo/parser.py:427-435: the marker types take
+    # priority, the else-branch only catches unmarked documents)
+    out = pages.join(routes, "url", "left")
+    picks: list[Column] = []
+    if "_route_class" in routes.columns:
         picks.append(F.col("_route_class"))
     picks.append(expr)
-    if fb is not None:
-        # family fallback LAST: page-0 and explicit routes win
-        # (oddo/parser.py:427-435 — the marker types take priority,
-        # the else-branch only catches unmarked documents)
-        fb = fb.withColumnRenamed("_route_class", "_fb_class")
-        out = out.join(fb, "url", "left")
+    if "_fb_class" in routes.columns:
         picks.append(F.col("_fb_class"))
     return out.withColumn("doc_class", F.coalesce(*picks)).drop(
         "_route_class", "_fb_class"

@@ -1679,6 +1679,7 @@ def q_events_stream_window(spark, sf):
     (max event time - 10 min) are emitted — the oracle reproduces that
     exact emission rule in SQL, so the driver value-hash checks the
     streaming semantics, not just a batch lookalike."""
+    import atexit
     import shutil
     import tempfile
 
@@ -1686,6 +1687,11 @@ def q_events_stream_window(spark, sf):
 
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
     root = tempfile.mkdtemp(prefix="stream_win_")
+    # the sink dir must outlive the returned LAZY DataFrame (the driver
+    # collects it after this function returns), so cleanup is deferred
+    # to process exit rather than done here; repeated gate/parity runs
+    # in one process register one removal per invocation.
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     src_dir = os.path.join(root, "in")
     os.makedirs(src_dir)
     try:  # the file source requires a DIRECTORY
@@ -1705,7 +1711,13 @@ def q_events_stream_window(spark, sf):
         os.path.join(root, "ck"),
         schema,
     )
-    q.awaitTermination()
+    # AvailableNow over one file finishes in seconds; a stalled stream
+    # must FAIL the gate entry, not hang the whole driver run.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_window: stream did not finish within 300s"
+        )
     return spark.read.parquet(os.path.join(root, "out")).select(
         "win_start", "win_end", "event_type", "n_events", "sum_value"
     )

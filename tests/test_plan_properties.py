@@ -54,16 +54,17 @@ def test_single_wide_shuffle(spark, corpus_paths):
 
 
 def test_routed_plan_shape(spark, corpus_paths):
-    """Default plan (D1 manifest routing on): THREE hash exchanges — the
-    big-path url clustering plus TWO SMALL-side manifest aggregations
-    (the D1 route map and, since r04, the oddo-style family-fallback
-    map) — and all three manifest-derived joins (route, fallback,
-    manifest) hit the scan side as broadcasts (no exchange of the pages
-    side).  The heavy columns still shuffle exactly once."""
+    """Default plan (D1 manifest routing on): TWO hash exchanges — the
+    big-path url clustering plus ONE small-side manifest aggregation
+    (the COMBINED route map: D1 priority + oddo-style family fallback
+    come out of a single (url)-grouped pass since r05, r04 advice) —
+    and both manifest-derived joins (route map, manifest) hit the scan
+    side as broadcasts (no exchange of the pages side).  The heavy
+    columns still shuffle exactly once."""
     plan = _plan(spark, corpus_paths)
-    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("MapInPandas") == 1
-    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan
 
 
