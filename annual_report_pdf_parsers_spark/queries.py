@@ -1737,6 +1737,318 @@ def q_pipeline_extract(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# flagship with a FULL value-hash oracle (r04 verdict item #1)
+# ---------------------------------------------------------------------------
+
+# The fixture corpus both sides derive from documents.doc_id.  Word lists
+# deliberately avoid every dispatch/section/junk token (INTERIM, REPORT,
+# PORTFOLIO, STATEMENT, Total, METROPOLITAN, ...) and every COUNTRIES
+# entry, so each rendered row's path through the pipeline is exact.
+_PF_WORDS = [
+    "ALPHA", "BETA", "GAMMA", "DELTA", "OMEGA", "NOVA", "ORION", "VEGA",
+    "ATLAS", "TITAN", "SOLAR", "LUNAR", "POLAR", "AZURE", "COBALT", "AMBER",
+]
+_PF_SUFFIX = ["HOLDINGS", "CORP", "GROUP", "INDUSTRIES", "PARTNERS", "SA", "NV"]
+
+# gap-split lines join cells with TWO spaces; these constants are shared
+# by the renderer (they never reach the oracle: header repeat dies at P3,
+# the junk row at P7, the 100.00% row at P12)
+_PF_HDR_LINE = "Holding  Ccy  Market Value  %NAV"
+_PF_JUNK_LINE = "Total portfolio  EUR  1,234.56  9.99%"
+_PF_P12_LINE = "Net Assets  EUR  5,000.00  100.00%"
+_PF_LONG_NAME = "X" * 92  # P8: cleaned length >= 90 drops the row
+
+
+def _pf_hx(h, p: int, n: int = 1):
+    """Hex substring of an md5 column -> BIGINT (Spark side)."""
+    return F.conv(F.substring(h, p, n), 16, 10).cast("long")
+
+
+def _pf_el(arr, idx0):
+    """0-based element pick from a literal array column."""
+    return F.element_at(arr, (idx0 + 1).cast("int"))
+
+
+def _pipeline_fixture(spark, sf):
+    """Deterministic single-archetype (gap_split_en) pages + manifest,
+    every value a pure md5 function of documents.doc_id — the rendering
+    is Spark-side only; the oracle recomputes the EXPECTED output from
+    the same derivations (the doc_id-derived-fixture pattern of
+    text_langid / d2_family_fallback, applied to the whole pipeline).
+
+    Per holding (doc, fund, k in 0..7) the hash nibbles choose:
+      - dash row  (mv='-', na='0.00%')          -> F6 zero
+      - paren-negative market value             -> F4
+      - leading qty token (5-token gap line)    -> D4 shape shift
+      - embedded ISIN in the name cell          -> F9 strip
+      - k==7 long-name row                      -> P8 drop
+    plus per fund: a top + mid-table column-header repeat (P3 drop), a
+    'Total portfolio' row (P7 drop), a 100.00% summary row (P12 drop);
+    per doc: 1-2 funds (J2 section attribution), Cap(+Dis) share classes
+    (J4 fan-back), every 11th doc without manifest rows (J1 null path),
+    every 13th doc a 'nan'-url sentinel (P10)."""
+    from .config import CURRENCIES
+
+    words = F.array(*[F.lit(w) for w in _PF_WORDS])
+    sufs = F.array(*[F.lit(s) for s in _PF_SUFFIX])
+    curs = F.array(*[F.lit(c) for c in CURRENCIES[:8]])
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://host"), (d % 17).cast("string"),
+        F.lit(".example.org/gap/"), d.cast("string"), F.lit(".pdf"),
+    )
+
+    funds = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(d % 4 == 1, F.array(F.lit(1), F.lit(2))).otherwise(
+                F.array(F.lit(1))
+            )
+        ).alias("f"),
+    )
+    hdf = F.md5(
+        F.concat(
+            F.lit("pipet:"), d.cast("string"),
+            F.lit(":"), F.col("f").cast("string"),
+        )
+    )
+    funds = funds.withColumn("_hdf", hdf).withColumn(
+        "title",
+        F.concat(
+            _pf_el(words, _pf_hx(F.col("_hdf"), 1)),
+            F.lit(" FUND "), F.col("f").cast("string"),
+        ),
+    )
+
+    # ---- holding rows ----
+    hold = funds.select(
+        "doc_id", "f", "title",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+    ).withColumn(
+        "_h",
+        F.md5(
+            F.concat(
+                F.lit("pipe:"), d.cast("string"),
+                F.lit(":"), F.col("f").cast("string"),
+                F.lit(":"), F.col("k").cast("string"),
+            )
+        ),
+    )
+    hc = F.col("_h")
+    hold = (
+        hold.withColumn("_cents", _pf_hx(hc, 5, 6) % 19_999_000 + 1000)
+        .withColumn("_nac", _pf_hx(hc, 11, 3) % 9998 + 1)
+        .withColumn("_dash", _pf_hx(hc, 14) == 0)
+        .withColumn("_neg", (_pf_hx(hc, 14) != 0) & (_pf_hx(hc, 15) < 3))
+        .withColumn("_qty5", _pf_hx(hc, 16) < 4)
+        .withColumn("_isin", _pf_hx(hc, 18) == 15)
+        .withColumn("_long", (F.col("k") == 7) & (_pf_hx(hc, 20) < 2))
+    )
+    name3 = F.concat(
+        _pf_el(words, _pf_hx(hc, 1)), F.lit(" "),
+        _pf_el(words, _pf_hx(hc, 2)), F.lit(" "),
+        _pf_el(sufs, _pf_hx(hc, 3) % 7),
+    )
+    name_cell = F.when(F.col("_long"), F.lit(_PF_LONG_NAME)).otherwise(
+        F.when(
+            F.col("_isin"),
+            F.concat(
+                name3, F.lit(" LU"),
+                F.lpad(_pf_hx(hc, 21, 8).cast("string"), 10, "0"),
+            ),
+        ).otherwise(name3)
+    )
+    cents, nac = F.col("_cents"), F.col("_nac")
+    mv_core = F.concat(
+        F.format_number(F.floor(cents / 100), 0),
+        F.lit("."), F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    mv_cell = (
+        F.when(F.col("_dash"), F.lit("-"))
+        .when(F.col("_neg"), F.concat(F.lit("("), mv_core, F.lit(")")))
+        .otherwise(mv_core)
+    )
+    na_cell = F.when(F.col("_dash"), F.lit("0.00%")).otherwise(
+        F.concat(
+            F.floor(nac / 100).cast("string"), F.lit("."),
+            F.lpad((nac % 100).cast("string"), 2, "0"), F.lit("%"),
+        )
+    )
+    rest = F.concat_ws(
+        "  ", name_cell, _pf_el(curs, _pf_hx(hc, 4) % 8), mv_cell, na_cell
+    )
+    line = F.when(
+        F.col("_qty5"),
+        F.concat((_pf_hx(hc, 17, 3) % 999 + 1).cast("string"), F.lit("  "), rest),
+    ).otherwise(rest)
+    lines = hold.select(
+        "doc_id", "f", "title",
+        (F.col("k") * 2).alias("srt"), line.alias("line"),
+    )
+
+    # ---- per-fund special rows (header top + mid repeat, junk, 100%) ----
+    specials = funds.select(
+        "doc_id", "f", "title",
+        F.explode(
+            F.array(
+                F.struct(F.lit(-1).alias("srt"), F.lit(_PF_HDR_LINE).alias("line")),
+                F.struct(F.lit(7).alias("srt"), F.lit(_PF_HDR_LINE).alias("line")),
+                F.struct(F.lit(100).alias("srt"), F.lit(_PF_JUNK_LINE).alias("line")),
+                F.struct(F.lit(101).alias("srt"), F.lit(_PF_P12_LINE).alias("line")),
+            )
+        ).alias("s"),
+    ).select("doc_id", "f", "title", F.col("s.srt").alias("srt"), F.col("s.line").alias("line"))
+
+    body = (
+        lines.unionByName(specials)
+        .groupBy("doc_id", "f", "title")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("srt", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("body")
+        )
+    )
+    section = F.concat(
+        F.lit("PORTFOLIO STATEMENT - "), F.col("title"),
+        F.lit("\n"), F.col("body"),
+    )
+    doc_text = (
+        body.select("doc_id", F.struct("f", section.alias("page")).alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("fp")), lambda s: s["page"]
+                ),
+                "\f",
+            ).alias("secs")
+        )
+    )
+    pages = doc_text.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("INTERIM REPORT PROVIDER_GAP_EN\nquiet filler line\f"),
+            F.col("secs"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+    # ---- manifest: Cap (+Dis) share classes, null path, P10 sentinels ----
+    base = funds.filter(~(d % 11 == 7))
+    cap = base.select(
+        F.concat(F.col("title"), F.lit(" - Cap")).alias("name"),
+        url.alias("pdf_url"),
+        F.concat(
+            F.lit("LU"), F.lpad(_pf_hx(F.col("_hdf"), 5, 8).cast("string"), 10, "0")
+        ).alias("isin"),
+    )
+    dis = base.filter(_pf_hx(F.col("_hdf"), 13) < 4).select(
+        F.concat(F.col("title"), F.lit(" - Dis")).alias("name"),
+        url.alias("pdf_url"),
+        F.concat(
+            F.lit("LU"), F.lpad(_pf_hx(F.col("_hdf"), 14, 8).cast("string"), 10, "0")
+        ).alias("isin"),
+    )
+    sent = docs.filter(d % 13 == 5).select(
+        F.lit("ghost fund").alias("name"),
+        F.lit("nan").alias("pdf_url"),
+        F.lit(None).cast("string").alias("isin"),
+    )
+    return pages, cap.unionByName(dis).unionByName(sent)
+
+
+def q_pipeline_oracle(spark, sf):
+    """The flagship under a FULL value-hash oracle: the REAL run_pipeline
+    (classify -> Arrow-batch extract -> cleanup chain -> manifest join ->
+    9-column projection, plans/pipeline.py) over the doc_id-derived
+    gap_split_en fixture corpus; the DuckDB oracle recomputes the exact
+    expected output from the same md5 derivations."""
+    from .plans.pipeline import run_pipeline
+
+    pages, manifest = _pipeline_fixture(spark, sf)
+    return run_pipeline(pages, manifest)
+
+
+def _pf_hx_sql(col: str, p: int, n: int = 1) -> str:
+    return f"CAST(('0x' || substr({col}, {p}, {n})) AS BIGINT)"
+
+
+def _pf_list_sql(items: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in items) + "]"
+
+
+def _pipeline_oracle_sql() -> str:
+    """DuckDB restatement of the fixture's EXPECTED pipeline output,
+    regenerated from the same constants as the Spark renderer."""
+    from .config import CURRENCIES
+
+    w = _pf_list_sql(_PF_WORDS)
+    s = _pf_list_sql(_PF_SUFFIX)
+    c = _pf_list_sql(CURRENCIES[:8])
+    return f"""
+WITH funds AS (
+  SELECT doc_id, fx.f AS f,
+    md5('pipet:' || CAST(doc_id AS VARCHAR) || ':' || CAST(fx.f AS VARCHAR))
+      AS hdf
+  FROM documents, (SELECT UNNEST([1, 2]) AS f) fx
+  WHERE fx.f = 1 OR doc_id % 4 = 1
+), titled AS (
+  SELECT doc_id, f, hdf,
+    {w}[{_pf_hx_sql('hdf', 1)} + 1] || ' FUND ' || CAST(f AS VARCHAR)
+      AS title
+  FROM funds
+), hold AS (
+  SELECT doc_id, f, title, kx.k AS k,
+    md5('pipe:' || CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)
+        || ':' || CAST(kx.k AS VARCHAR)) AS h
+  FROM titled, (SELECT UNNEST(generate_series(0, 7)) AS k) kx
+), cells AS (
+  SELECT doc_id, f, title,
+    {w}[{_pf_hx_sql('h', 1)} + 1] || ' ' || {w}[{_pf_hx_sql('h', 2)} + 1]
+      || ' ' || {s}[{_pf_hx_sql('h', 3)} % 7 + 1] AS holding_name,
+    {c}[{_pf_hx_sql('h', 4)} % 8 + 1] AS currency,
+    ({_pf_hx_sql('h', 5, 6)} % 19999000 + 1000) AS cents,
+    ({_pf_hx_sql('h', 11, 3)} % 9998 + 1) AS na_c,
+    ({_pf_hx_sql('h', 14)} = 0) AS dash,
+    ({_pf_hx_sql('h', 14)} <> 0 AND {_pf_hx_sql('h', 15)} < 3) AS neg
+  FROM hold
+  WHERE NOT (k = 7 AND {_pf_hx_sql('h', 20)} < 2)   -- P8 long-name drop
+), vals AS (
+  SELECT doc_id, f, title, holding_name, currency,
+    CASE WHEN dash THEN 0.0 WHEN neg THEN -(cents / 100.0)
+         ELSE cents / 100.0 END AS market_value,
+    CASE WHEN dash THEN 0.0 ELSE na_c / 100.0 END AS net_assets
+  FROM cells
+), mani AS (
+  SELECT doc_id, f, title || ' - Cap' AS website,
+    'LU' || lpad(CAST({_pf_hx_sql('hdf', 5, 8)} AS VARCHAR), 10, '0') AS isin
+  FROM titled WHERE doc_id % 11 <> 7
+  UNION ALL
+  SELECT doc_id, f, title || ' - Dis',
+    'LU' || lpad(CAST({_pf_hx_sql('hdf', 14, 8)} AS VARCHAR), 10, '0')
+  FROM titled WHERE doc_id % 11 <> 7 AND {_pf_hx_sql('hdf', 13)} < 4
+)
+SELECT 'PROVIDER_GAP_EN' AS fund_provider,
+  lower(v.title) AS fund_name_report,
+  m.website AS fund_name_website,
+  m.isin AS isin,
+  v.holding_name AS holding_name,
+  v.market_value AS market_value,
+  v.currency AS currency,
+  v.net_assets AS net_assets,
+  'https://host' || CAST(v.doc_id % 17 AS VARCHAR) || '.example.org/gap/'
+    || CAST(v.doc_id AS VARCHAR) || '.pdf' AS pdf_url
+FROM vals v LEFT JOIN mani m ON m.doc_id = v.doc_id AND m.f = v.f
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1798,6 +2110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d2_family_fallback": q_d2_family_fallback,
     "f_hard_name_clean": q_f_hard_name_clean,
     "pipeline_extract": q_pipeline_extract,
+    "pipeline_oracle": q_pipeline_oracle,
     # -- §2 backfill (longest green streaks, driver rows r02+r03) -----
     "s1_scan_prune": q_s1_scan_prune,
     "s4_page_explode": q_s4_page_explode,
@@ -3296,6 +3609,8 @@ ORACLE_SQL["events_stream_window"] = (
     "FROM w, mx "
     "WHERE win_start + INTERVAL '5 minutes' <= m - INTERVAL '10 minutes'"
 )
+
+ORACLE_SQL["pipeline_oracle"] = _pipeline_oracle_sql()
 
 ORACLE_SQL["d1_manifest_routing"] = (
     "WITH pages AS (SELECT DISTINCT "
