@@ -431,6 +431,107 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_multiprobe(
+    df: DataFrame,
+    n_bits: int = 64,
+    n_blocks: int = 8,
+    key_blocks: int = 2,
+    max_hamming: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_key_freq: int | None = None,
+) -> DataFrame:
+    """Multi-probe SimHash pairing for LARGER Hamming radii (r04 verdict
+    next #5): ``simhash_pairs`` is pigeonhole-exact only to
+    ``n_bands - 1`` flips (3 at the web-scale 4x16 default), but
+    near-dup curation commonly wants hamming <= 6-8 — and simply using
+    more, narrower bands degenerates toward all-pairs (the measured
+    8-bit-band trap).  This is the standard block-combination /
+    permuted-table scheme (the Manku-Jain-Sarma "Detecting
+    Near-Duplicates for Web Crawling" table construction): split the
+    fingerprint into ``n_blocks`` blocks and join on every
+    ``key_blocks``-subset of blocks CONCATENATED as one wide key.
+
+    Pigeonhole guarantee: <= ``n_blocks - key_blocks`` flips leave at
+    least ``key_blocks`` blocks untouched, so some combination key
+    matches exactly — the default ``max_hamming = n_blocks -
+    key_blocks`` (6 at 64/8/2) is EXACT.  A larger radius is allowed
+    but the candidate stage is then approximate (documented, as in
+    simhash_pairs).
+
+    100 TB shape: ONE shuffle keyed by (combo_no, key_bits) — C(8,2) =
+    28 key tables of 16-bit keys, i.e. the same 2^16 bucket width that
+    survived the r04 skew measurements, never the 2^8 degenerate
+    bands; fingerprints ride the key rows so verify needs no second
+    join; exact Hamming is the same conv/XOR/bit_count limb form.
+    ``max_key_freq`` is the hot-key cap (window over the join's own
+    clustering, no extra exchange).  Row cost is C(n_blocks,
+    key_blocks) per doc — the documented price of the larger exact
+    radius (28x fingerprint rows vs 4x for the banded form).
+
+    Returns (id_a, id_b, hamming), id_a < id_b, distinct.
+    """
+    from itertools import combinations
+
+    if n_bits % n_blocks:
+        raise ValueError("n_blocks must divide n_bits evenly")
+    if not 1 <= key_blocks < n_blocks:
+        raise ValueError("key_blocks must be in [1, n_blocks)")
+    if max_hamming is None:
+        max_hamming = n_blocks - key_blocks
+    w = n_bits // n_blocks
+    fp = simhash_bits(df, n_bits, text_col, id_col)
+    combos = list(combinations(range(n_blocks), key_blocks))
+    keys = fp.select(
+        "sid",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(ci).alias("combo_no"),
+                    F.concat(*[
+                        F.substring("simhash", blk * w + 1, w)
+                        for blk in combo
+                    ]).alias("key_bits"),
+                )
+                for ci, combo in enumerate(combos)
+            ])
+        ).alias("kd"),
+    ).select("sid", "simhash", "kd.combo_no", "kd.key_bits")
+    if max_key_freq is not None:
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("combo_no", "key_bits")
+        keys = (
+            keys.withColumn("_kf", F.count(F.lit(1)).over(wnd))
+            .filter(F.col("_kf") <= max_key_freq)
+            .drop("_kf")
+        )
+    a = keys.select(
+        F.col("sid").alias("id_a"),
+        F.col("simhash").alias("fp_a"),
+        "combo_no",
+        "key_bits",
+    )
+    b = keys.select(
+        F.col("sid").alias("id_b"),
+        F.col("simhash").alias("fp_b"),
+        "combo_no",
+        "key_bits",
+    )
+    cand = (
+        a.join(b, ["combo_no", "key_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = hamming_on_bits(F.col("fp_a"), F.col("fp_b"), n_bits)
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -817,5 +918,114 @@ def dup_span_stats(
                 ).otherwise(0.0),
                 6,
             ).alias("dup_frac"),
+        )
+    )
+
+
+def excise_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level dedup EXCISION — the end state of the Lee et al.
+    exact-substring family: instead of flagging whole documents
+    (``dup_span_stats``), remove the duplicated k-token spans and keep
+    the residual text.  Each duplicated window hash has one canonical
+    owner (the min doc_id containing it); the owner keeps the span,
+    every other document has the covering token positions cut.  Exactly
+    one copy of each shared span survives the corpus.
+
+    Returns one row per input document::
+
+        (doc_id, text_excised, n_tokens, n_kept, n_excised)
+
+    ``text_excised`` is the space-join of the surviving tokens — the
+    output is token-stream residual for EVERY row (also docs with
+    nothing excised), so the column is uniformly whitespace-normalized.
+    Docs shorter than k tokens pass through whole; a doc that is
+    entirely shared spans (a pure copy of a lower-id doc) collapses to
+    the empty string.
+
+    100 TB shape: three bounded shuffles — (1) window-hash agg (map-side
+    partial; the join back reuses the clustering), (2) covered-position
+    distinct keyed (doc_id, pos) with the explode bounded by
+    k x n_excised_windows (duplicated windows only, never the whole
+    corpus), (3) the per-doc token regroup keyed by doc_id.  No
+    all-pairs step anywhere; hashes are md5 of the space-joined window
+    so the DuckDB oracle reproduces the cut byte for byte.  Within-doc
+    repeats of an owned hash all stay with the owner (ownership is per
+    hash, not per occurrence).
+    """
+    from ..functions.numeric import pin
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), pin(tokens(F.col(text_col))).alias("_tk")
+    )
+    n = F.size(F.col("_tk"))
+    idx = F.sequence(F.lit(0), (n - k).cast("int"))
+    win = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("i"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, k))
+            ).alias("h"),
+        ),
+    )
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= k, win).otherwise(
+                F.array().cast("array<struct<i:int,h:string>>")
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    owners = spans.groupBy("h").agg(
+        F.min("doc_id").alias("owner"),
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup"),
+    )
+    cut = (
+        spans.join(owners, "h")
+        .filter(F.col("is_dup") & (F.col("doc_id") != F.col("owner")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode(F.col("_tk")).alias("p", "tok")
+    )
+    kept = toks.join(cut, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_excised"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", n.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_excised"), F.lit("")).alias(
+                "text_excised"
+            ),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_excised"),
         )
     )

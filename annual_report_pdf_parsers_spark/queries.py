@@ -1184,6 +1184,40 @@ def q_dedup_simhash_pairs(spark, sf):
     )
 
 
+def q_dedup_simhash_pairs_mp(spark, sf):
+    """Multi-probe SimHash pairing at hamming <= 6 (r04 verdict next
+    #5): C(8,2) = 28 block-combination key tables of 16-bit keys —
+    larger exact radius than the 4-band form without the 8-bit-band
+    degeneracy.  The corpus adds a THIRD copy class (+3e6,
+    three-token-appended) so mid-radius pairs (hamming 4..6, invisible
+    to the radius-3 query) are represented at any sf.  The oracle is
+    the INDEPENDENT brute-force Hamming ball — valid because the
+    block-combination candidates are pigeonhole-exact at radius 6."""
+    d = _with_ws_noise(load(spark, sf, "documents")).select(
+        "doc_id", "text"
+    )
+    fifty = d.filter(F.col("doc_id") % 50 == 0)
+    exact = fifty.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = fifty.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" simprobe")).alias("text"),
+    )
+    far = fifty.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" simprobe midradius flip")
+        ).alias("text"),
+    )
+    return dedup.simhash_pairs_multiprobe(
+        d.unionByName(exact).unionByName(near).unionByName(far),
+        n_bits=64,
+        n_blocks=8,
+        key_blocks=2,
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup pairs above a threshold.
 
@@ -1531,6 +1565,17 @@ def q_text_dup_spans(spark, sf):
     return dedup.dup_span_stats(
         _corpus_with_dupes(spark, sf), k=8, stride=1
     )
+
+
+def q_text_dup_excise(spark, sf):
+    """Span-level dedup EXCISION (the Lee et al. family's end state —
+    r04 verdict item #3): duplicated k-token spans are REMOVED, not
+    just flagged; the min-id owner keeps each span, every other doc
+    keeps its residual text.  Over documents + exact copies: the +1e6
+    copies collapse to empty residuals (their base doc owns every
+    window), organic template overlap cuts partial spans, sub-k docs
+    pass through whole."""
+    return dedup.excise_dup_spans(_corpus_with_dupes(spark, sf), k=8)
 
 
 def q_corpus_text_filter_ml(spark, sf):
@@ -2071,6 +2116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
@@ -2088,6 +2134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_normalize": q_text_normalize,
     "text_dup_spans": q_text_dup_spans,
+    "text_dup_excise": q_text_dup_excise,
     "text_readability": q_text_readability,
     # -- corpus decisions ---------------------------------------------
     "corpus_text_filter": q_corpus_text_filter,
@@ -3182,6 +3229,29 @@ ORACLE_SQL: dict[str, str] = {
         "FROM cand "
         "WHERE bit_count(xor(CAST(fa AS BIT), CAST(fb AS BIT))) <= 3"
     ),
+    # dedup_simhash_pairs_mp: INDEPENDENT oracle — the brute-force
+    # Hamming ball at radius 6 (no candidate-stage restatement needed:
+    # the 8-block/2-key combination join is pigeonhole-exact there)
+    "dedup_simhash_pairs_mp": (
+        "WITH wsdocs AS (SELECT doc_id, text || " + _WS_NOISE_SQL
+        + " AS text FROM documents), "
+        "shcorpus AS ("
+        "  SELECT doc_id, text FROM wsdocs "
+        "  UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+        "    FROM wsdocs WHERE doc_id % 50 = 0 "
+        "  UNION ALL SELECT doc_id + 2000000 AS doc_id, "
+        "    text || ' simprobe' AS text "
+        "    FROM wsdocs WHERE doc_id % 50 = 0 "
+        "  UNION ALL SELECT doc_id + 3000000 AS doc_id, "
+        "    text || ' simprobe midradius flip' AS text "
+        "    FROM wsdocs WHERE doc_id % 50 = 0), "
+        + _simhash_fp_cte("shcorpus", 64) + " "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "  CAST(bit_count(xor(CAST(a.fp AS BIT), CAST(b.fp AS BIT))) "
+        "    AS INT) AS hamming "
+        "FROM fps a JOIN fps b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(CAST(a.fp AS BIT), CAST(b.fp AS BIT))) <= 6"
+    ),
     "dedup_embedding_cosine_lsh": (
         "WITH e AS (SELECT vec_id, embedding FROM embeddings "
         "WHERE vec_id < 200 "
@@ -3580,6 +3650,41 @@ ORACLE_SQL["text_dup_spans"] = (
     "  THEN COALESCE(n_dup_windows, 0) / n_windows "
     "  ELSE 0.0 END, 6) AS dup_frac "
     "FROM corpus c LEFT JOIN pd USING (doc_id)"
+)
+
+# text_dup_excise: the same window-hash build as text_dup_spans, then
+# per-hash ownership (min doc_id), covered-position cut for non-owners,
+# and an ordered string_agg reconstruction of the residual tokens
+ORACLE_SQL["text_dup_excise"] = (
+    f"WITH {_DUPES}, "
+    "tkx AS (SELECT doc_id, "
+    "  list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
+    "    t -> t <> '') AS tk FROM corpus), "
+    "w AS (SELECT doc_id, g.i AS i, "
+    "  md5(array_to_string(tk[g.i+1 : g.i+8], ' ')) AS h "
+    "  FROM tkx, UNNEST(generate_series(0, len(tk) - 8)) AS g(i) "
+    "  WHERE len(tk) >= 8), "
+    "own AS (SELECT h, MIN(doc_id) AS owner, "
+    "  MIN(doc_id) <> MAX(doc_id) AS is_dup FROM w GROUP BY h), "
+    "cut AS (SELECT DISTINCT w.doc_id, p.p "
+    "  FROM w JOIN own USING (h), "
+    "  UNNEST(generate_series(w.i, w.i + 7)) AS p(p) "
+    "  WHERE own.is_dup AND w.doc_id <> own.owner), "
+    "tp AS (SELECT doc_id, g.p AS p, tk[g.p+1] AS tok "
+    "  FROM tkx, UNNEST(generate_series(0, len(tk) - 1)) AS g(p) "
+    "  WHERE len(tk) > 0), "
+    "kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp "
+    "  ANTI JOIN cut ON tp.doc_id = cut.doc_id AND tp.p = cut.p), "
+    "agg AS (SELECT doc_id, "
+    "  string_agg(tok, ' ' ORDER BY p) AS text_excised, "
+    "  COUNT(*) AS n_kept FROM kept GROUP BY doc_id) "
+    "SELECT tkx.doc_id, "
+    "COALESCE(agg.text_excised, '') AS text_excised, "
+    "CAST(len(tkx.tk) AS BIGINT) AS n_tokens, "
+    "CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept, "
+    "CAST(len(tkx.tk) - COALESCE(agg.n_kept, 0) AS BIGINT) "
+    "  AS n_excised "
+    "FROM tkx LEFT JOIN agg USING (doc_id)"
 )
 
 # d2_family_fallback: page-0 marker wins; unmarked + family token ->

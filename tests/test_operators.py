@@ -915,6 +915,54 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
     assert got == want and len(want) > 0
 
 
+def test_simhash_multiprobe_complete_vs_bruteforce(spark):
+    """simhash_pairs_multiprobe at the 64/8/2 default must return
+    EXACTLY the brute-force Hamming ball at radius 6 — the block-
+    combination pigeonhole guarantee (<= n_blocks - key_blocks flips
+    leave some 2-block key untouched), at 16-bit key width rather than
+    the degenerate 8-bit bands."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        simhash_bits,
+        simhash_pairs_multiprobe,
+    )
+
+    # LONG docs (24+ tokens) so an appended token flips only a few
+    # low-margin bits — short docs jump straight from hamming 0 to 7+
+    # and would leave the 4..6 radius untested
+    vocab = [
+        "alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "omega", "nova", "orion", "vega", "atlas", "titan",
+    ]
+    docs = [
+        (i, " ".join(
+            vocab[(i * 3 + j * j) % len(vocab)] for j in range(24 + i % 5)
+        ))
+        for i in range(20)
+    ]
+    base = dict(docs)
+    for i in range(8):
+        docs.append((100 + i, base[i] + f" probe{i}"))
+        docs.append((200 + i, base[i] + f" probe{i} extra"))
+        docs.append((300 + i, base[i] + f" probe{i} extra tokens here"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {r.sid: r.simhash for r in simhash_bits(df, 64).collect()}
+    ids = sorted(fps)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(fps[a], fps[b]))
+            if h <= 6:
+                want.add((a, b, h))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_multiprobe(df).collect()
+    }
+    assert got == want and len(want) > 0
+    # the radius-6 ball must be strictly larger than the 4-band
+    # radius-3 result on this fixture (the green is about the RADIUS)
+    assert any(h in (4, 5, 6) for _, _, h in want)
+
+
 def test_lang_id_trigram_classifies_five_languages(spark):
     """lang_id_trigram labels each 5-language fixture sentence with its
     language (clear cosine margins) and digit-only text as unknown."""
@@ -975,3 +1023,34 @@ def test_dup_span_stats_detects_quoting(spark):
     assert got[1][2] == 1.0                    # full duplicate
     assert got[2][1] >= 1                      # the quoted span flags
     assert 0 < got[2][2] < 1.0
+
+
+def test_excise_dup_spans_removes_quote_from_one_side(spark):
+    """excise_dup_spans: the quoted span is cut from exactly ONE side —
+    the min-id owner keeps it, the quoting doc loses those tokens and
+    keeps its residual; an exact copy of a lower-id doc collapses to
+    the empty string; untouched and sub-k docs pass through whole."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        excise_dup_spans,
+    )
+
+    span = "one two three four five six seven eight"
+    rows = [
+        (1, f"{span} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"unrelated words entirely own text here now {span}"),
+        (3, "totally different content with no overlap at all today"),
+        (4, "short doc"),
+        (5, f"{span} alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_excised, r.n_tokens, r.n_kept, r.n_excised)
+        for r in excise_dup_spans(df, k=8).collect()
+    }
+    assert got[1] == (rows[0][1], 16, 16, 0)   # owner keeps the span
+    assert got[2] == (                          # quoter loses ONLY it
+        "unrelated words entirely own text here now", 15, 7, 8
+    )
+    assert got[5] == ("", 16, 0, 16)            # pure copy -> empty
+    assert got[3] == (rows[2][1], 9, 9, 0)
+    assert got[4] == ("short doc", 2, 2, 0)     # sub-k passes through
