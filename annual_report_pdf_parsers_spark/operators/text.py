@@ -89,6 +89,18 @@ LANG_TRIGRAM_PROFILES: dict[str, dict[str, int]] = {
         " di": 3, "di ": 2, " il": 2, "il ": 2, " co": 1, "to ": 2,
         "la ": 1, "re ": 1, "no ": 1, "ell": 2,
     },
+    "pt": {
+        " de": 3, "de ": 2, " qu": 1, "que": 2, "ão ": 3, " nã": 1,
+        "não": 2, "em ": 2, " em": 1, " pa": 1,
+    },
+    "nl": {
+        "het": 3, " he": 2, "van": 3, " va": 2, "een": 2, " ee": 2,
+        "en ": 3, " de": 2, "de ": 1, "aar": 1,
+    },
+    "sv": {
+        "och": 3, " oc": 2, "att": 2, " at": 1, "det": 2, " de": 2,
+        "som": 2, " är": 2, "är ": 1, "för": 2,
+    },
 }
 
 
@@ -127,7 +139,10 @@ def lang_id_trigram(
     )
     vocab = sorted(set().union(*(p.keys() for p in profs.values())))
     gcol = {g: f"_lg{i}" for i, g in enumerate(vocab)}
-    clash = sorted({"_lt", *gcol.values()} & set(df.columns))
+    scol = {lang: f"_ls_{lang}" for lang in profs}
+    clash = sorted(
+        {"_lt", "_lnd", *gcol.values(), *scol.values()} & set(df.columns)
+    )
     if clash:
         raise ValueError(f"lang_id_trigram staging columns clash: {clash}")
     t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
@@ -140,9 +155,17 @@ def lang_id_trigram(
         ],
     )
     cnt = {g: F.col(gcol[g]) for g in vocab}
-    norm_doc = F.sqrt(sum((cnt[g] * cnt[g] for g in vocab), F.lit(0.0)))
+    # the doc norm is itself pinned: inlined it is a ~70-term sum that
+    # re-expands into every score column and pushes the score
+    # projection past janino's 64KB method limit (whole-stage codegen
+    # silently falls back to interpreted — the NOTES gotcha #1)
+    staged = staged.withColumn(
+        "_lnd",
+        pin(F.sqrt(sum((cnt[g] * cnt[g] for g in vocab), F.lit(0.0)))),
+    )
+    norm_doc = F.col("_lnd")
     ordered = sorted(profs)
-    scores = {}
+    score_exprs = {}
     for lang in ordered:
         prof = profs[lang]
         dot = sum(
@@ -150,19 +173,38 @@ def lang_id_trigram(
             F.lit(0.0),
         )
         norm_l = math.sqrt(sum(w * w for w in prof.values()))
-        scores[lang] = F.round(
+        score_exprs[lang] = F.round(
             F.when(norm_doc > 0, dot / (norm_doc * F.lit(norm_l)))
             .otherwise(0.0),
             6,
         )
+    # scores are STAGED as pin()-ed columns like the counts: mx, the
+    # 8-branch guess CASE and the margin sort each reference every
+    # score, and Catalyst re-inlines multi-referenced aliases — with 8
+    # languages the composed projection grew past janino-friendly size
+    # (measured 12.8 s for 500 rows vs ~0.2 s staged)
+    staged = staged.select(
+        "*",
+        *[pin(score_exprs[lang]).alias(scol[lang]) for lang in ordered],
+    )
+    scores = {lang: F.col(scol[lang]) for lang in ordered}
     mx = F.greatest(*[scores[lang] for lang in ordered])
     guess = F.when(mx <= 0, F.lit("unknown"))
     for lang in ordered:  # first language at the max wins (ties)
         guess = guess.when(scores[lang] == mx, F.lit(lang))
-    out = staged.withColumn(
-        "lang_guess", guess.otherwise(F.lit("unknown"))
-    ).withColumn("lang_score", mx)
-    return out.drop("_lt", *gcol.values())
+    # margin = best - second-best score: the confident-vs-ambiguous
+    # routing signal (r04 verdict next #6).  Both engines sort the same
+    # ROUND-6 doubles, so the difference is bit-identical too.
+    srt = F.array_sort(F.array(*[scores[lang] for lang in ordered]))
+    margin = F.round(
+        mx - F.element_at(srt, len(ordered) - 1), 6
+    )
+    out = (
+        staged.withColumn("lang_guess", guess.otherwise(F.lit("unknown")))
+        .withColumn("lang_score", mx)
+        .withColumn("lang_margin", margin)
+    )
+    return out.drop("_lt", "_lnd", *gcol.values(), *scol.values())
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1362,24 +1362,39 @@ _LANGID_SENTS = [
            "abuelos y el gato"),
     ("it", "il cane e la casa di un amico nel giardino con il gatto "
            "di una bella sera"),
+    ("pt", "a casa de um amigo que não vai para o jardim em lisboa "
+           "não era de verão"),
+    ("nl", "het huis van de man en een vrouw in de tuin met een hond "
+           "van het kind"),
+    ("sv", "det är ett hus och en katt som är för barnen och det var "
+           "med en hund"),
 ]
+_N_LANGS = len(_LANGID_SENTS)
 _LANGID_UNKNOWN = "9876 54321 00"
+# deliberately MIXED es/it/fr phrasing: argmax is still es but the
+# margin lands ~0.236 — below the 0.3 confidence floor, so the
+# confident=false routing path is represented (non-vacuous) at any sf
+_LANGID_AMBIG = "de la casa de los amigos e il gatto de la sera era la"
+_LANGID_AMBIG_LANG = "es"
 
 
 def q_text_langid(spark, sf):
-    """Multi-language character-trigram ID (en/fr/de/es/it + unknown)
-    over a doc_id-derived 5-language fixture — the CC-scale extension
-    of the en/fr marker heuristic (which stays live in
-    corpus_text_filter).  The oracle regenerates the cosine scoring
-    from the SAME literal profile dict (LANG_TRIGRAM_PROFILES)."""
+    """Multi-language character-trigram ID (en/fr/de/es/it/pt/nl/sv +
+    unknown — widened from 5 to 8 languages, r04 verdict next #6) over
+    a doc_id-derived fixture, now emitting the best-vs-second score
+    MARGIN (the confident-vs-ambiguous routing signal).  The oracle
+    regenerates the cosine scoring AND the margin from the SAME
+    literal profile dict (LANG_TRIGRAM_PROFILES)."""
     d = load(spark, sf, "documents").select("doc_id")
     k = F.col("doc_id")
-    sent = F.when(k % 17 == 0, F.lit(_LANGID_UNKNOWN))
+    sent = F.when(k % 17 == 0, F.lit(_LANGID_UNKNOWN)).when(
+        k % 19 == 3, F.lit(_LANGID_AMBIG)
+    )
     for i, (_, s) in enumerate(_LANGID_SENTS):
-        sent = sent.when(k % 5 == i, F.lit(s))
+        sent = sent.when(k % _N_LANGS == i, F.lit(s))
     injected = d.withColumn("text", sent.otherwise(F.lit("")))
     return text.lang_id_trigram(injected).select(
-        "doc_id", "lang_guess", "lang_score"
+        "doc_id", "lang_guess", "lang_score", "lang_margin"
     )
 
 
@@ -1583,19 +1598,20 @@ def q_corpus_text_filter_ml(spark, sf):
     (r03 missing #3 said users of corpus_text_filter hit the en/fr
     heuristic's limits first): trigram lang-guess must equal the
     declared language, plus the quality floor and token bounds, over
-    the 5-language fixture.  The en/fr form stays as
-    corpus_text_filter; this is the ID-upgraded decision."""
+    the 8-language fixture.  Now margin-ROUTED (r04 verdict next #6):
+    surviving rows carry lang_margin and a confident flag (margin >=
+    0.3) — the %19==3 mixed-phrasing rows match their declared 'es'
+    but land below the floor, so both routing paths are represented.
+    The en/fr form stays as corpus_text_filter."""
     d = load(spark, sf, "documents").select("doc_id")
     k = F.col("doc_id")
-    sent = F.when(k % 17 == 0, F.lit(_LANGID_UNKNOWN))
-    declared = None
+    sent = F.when(k % 17 == 0, F.lit(_LANGID_UNKNOWN)).when(
+        k % 19 == 3, F.lit(_LANGID_AMBIG)
+    )
+    declared = F.when(k % 19 == 3, F.lit(_LANGID_AMBIG_LANG))
     for i, (lang, s) in enumerate(_LANGID_SENTS):
-        sent = sent.when(k % 5 == i, F.lit(s))
-        declared = (
-            F.when(k % 5 == i, F.lit(lang))
-            if declared is None
-            else declared.when(k % 5 == i, F.lit(lang))
-        )
+        sent = sent.when(k % _N_LANGS == i, F.lit(s))
+        declared = declared.when(k % _N_LANGS == i, F.lit(lang))
     injected = d.withColumn("text", sent.otherwise(F.lit(""))).withColumn(
         "lang", declared
     )
@@ -1609,6 +1625,11 @@ def q_corpus_text_filter_ml(spark, sf):
         "lang_guess",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "quality",
+        "lang_margin",
+        # margin-based routing (r04 verdict next #6): rows below the
+        # margin floor are kept but flagged ambiguous, so downstream
+        # can route them to a heavier classifier instead of dropping
+        (F.col("lang_margin") >= 0.3).alias("confident"),
     )
 
 
@@ -2339,16 +2360,17 @@ def _simhash_fp_cte(src: str, n_bits: int = 64) -> str:
     )
 
 
-def _langid_parts() -> tuple[str, str, str]:
-    """(cte_chain, guess_expr, max_expr) for the trigram language ID —
-    regenerated from the SAME literal profile dict the engine uses
-    (operators/text.py::LANG_TRIGRAM_PROFILES): counts via the
-    replace-trick, per-language dot folded in sorted-profile order,
-    one division, ROUND 6, GREATEST + first-at-max CASE — clause for
-    clause what lang_id_trigram builds in Spark.  The chain defines
-    ``base(doc_id, text)`` (the 5-language fixture) through
-    ``sc(doc_id, s_<lang>...)``; guess/max are expressions over sc.
-    Shared by the text_langid and corpus_text_filter_ml oracles."""
+def _langid_parts() -> tuple[str, str, str, str]:
+    """(cte_chain, guess_expr, max_expr, margin_expr) for the trigram
+    language ID — regenerated from the SAME literal profile dict the
+    engine uses (operators/text.py::LANG_TRIGRAM_PROFILES): counts via
+    the replace-trick, per-language dot folded in sorted-profile order,
+    one division, ROUND 6, GREATEST + first-at-max CASE, margin = max
+    minus second-best via a sorted score list — clause for clause what
+    lang_id_trigram builds in Spark.  The chain defines
+    ``base(doc_id, text)`` (the 8-language fixture) through
+    ``sc(doc_id, s_<lang>...)``; guess/max/margin are expressions over
+    sc.  Shared by the text_langid and corpus_text_filter_ml oracles."""
     import math
 
     from .operators.text import LANG_TRIGRAM_PROFILES as P
@@ -2359,12 +2381,13 @@ def _langid_parts() -> tuple[str, str, str]:
     vocab = sorted(set().union(*(p.keys() for p in P.values())))
     gcol = {g: f"g{i}" for i, g in enumerate(vocab)}
     sents = " ".join(
-        f"WHEN doc_id % 5 = {i} THEN '{esc(s)}'"
+        f"WHEN doc_id % {_N_LANGS} = {i} THEN '{esc(s)}'"
         for i, (_, s) in enumerate(_LANGID_SENTS)
     )
     base = (
         "base AS (SELECT doc_id, CASE "
         f"WHEN doc_id % 17 = 0 THEN '{_LANGID_UNKNOWN}' "
+        f"WHEN doc_id % 19 = 3 THEN '{esc(_LANGID_AMBIG)}' "
         + sents
         + " ELSE '' END AS text FROM documents)"
     )
@@ -2399,14 +2422,19 @@ def _langid_parts() -> tuple[str, str, str]:
         + " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in ordered)
         + " ELSE 'unknown' END"
     )
-    return f"{base}, {cnts}, {sc}", guess, mx
+    slist = "list_sort([" + ", ".join(
+        f"s_{lang}" for lang in ordered
+    ) + "])"
+    margin = f"ROUND({mx} - {slist}[{len(ordered) - 1}], 6)"
+    return f"{base}, {cnts}, {sc}", guess, mx, margin
 
 
 def _langid_oracle_sql() -> str:
-    cte, guess, mx = _langid_parts()
+    cte, guess, mx, margin = _langid_parts()
     return (
         f"WITH {cte} "
-        f"SELECT doc_id, {guess} AS lang_guess, {mx} AS lang_score FROM sc"
+        f"SELECT doc_id, {guess} AS lang_guess, {mx} AS lang_score, "
+        f"{margin} AS lang_margin FROM sc"
     )
 
 
@@ -2415,11 +2443,11 @@ def _ctf_ml_oracle_sql() -> str:
     the shared quality fragment over the SAME fixture base, with the
     identical keep predicate (guess == declared, quality floor, token
     bounds)."""
-    cte, guess, _mx = _langid_parts()
+    cte, guess, _mx, margin = _langid_parts()
     decl = (
-        "CASE "
+        f"CASE WHEN sc.doc_id % 19 = 3 THEN '{_LANGID_AMBIG_LANG}' "
         + " ".join(
-            f"WHEN sc.doc_id % 5 = {i} THEN '{lang}'"
+            f"WHEN sc.doc_id % {_N_LANGS} = {i} THEN '{lang}'"
             for i, (lang, _) in enumerate(_LANGID_SENTS)
         )
         + " END"
@@ -2428,7 +2456,9 @@ def _ctf_ml_oracle_sql() -> str:
         f"WITH {cte}, "
         + _quality_cte("doc_id", "base")
         + f" SELECT sc.doc_id, {guess} AS lang_guess, "
-        "qdoc.n_tokens, qdoc.quality "
+        "qdoc.n_tokens, qdoc.quality, "
+        f"{margin} AS lang_margin, "
+        f"{margin} >= 0.3 AS confident "
         "FROM sc JOIN qdoc ON qdoc.doc_id = sc.doc_id "
         f"WHERE {guess} = {decl} AND qdoc.quality >= 0.3 "
         "AND qdoc.n_tokens BETWEEN 12 AND 17"
