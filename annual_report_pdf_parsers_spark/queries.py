@@ -1633,6 +1633,43 @@ def q_corpus_text_filter_ml(spark, sf):
     )
 
 
+def q_corpus_curation(spark, sf):
+    """The quota analogue of corpus_end_to_end (r04 verdict next #7):
+    domain-level keep flags (source_stats), per-document readability
+    and quality, and the per-source quota top-k composed as ONE
+    curation decision — keep docs from healthy domains (mean quality
+    >= 0.45) that read like prose (flesch >= 30), capped at the 10
+    best per source.
+
+    100 TB shape: the domain stats are CORPUS-DERIVED, so unlike the
+    bounded benchmark-shingle broadcast they must NOT be broadcast —
+    the keep-flag join shuffles BOTH sides on source and the quota
+    window then reuses that same clustering (join + window, one
+    exchange of the big side; pinned by
+    test_corpus_curation_plan_shape)."""
+    from .operators.sampling import quota_topk_per_group
+
+    d = load(spark, sf, "documents").select("doc_id", "source", "text")
+    suffix = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit(" First probe sentence. Second one! Third?"),
+    ).otherwise(F.lit(""))
+    injected = d.withColumn(
+        "text", F.concat(F.col("text"), suffix)
+    )
+    scored = text.readability(text.quality_score(injected))
+    keep_sources = text.source_stats(
+        injected, min_mean_quality=0.45
+    ).select("source", "keep")
+    kept = (
+        scored.join(keep_sources.hint("shuffle_hash"), "source")
+        .filter(F.col("keep") & (F.col("flesch") >= 30.0))
+    )
+    return quota_topk_per_group(
+        kept, "source", "quality", "doc_id", k=10
+    ).select("doc_id", "source", "quality", "flesch", "rnk")
+
+
 def q_corpus_end_to_end(spark, sf):
     """The full training-corpus decision chain composed as ONE query
     (r03 verdict next #8): url-level dedup -> exact dedup -> MinHash-LSH
@@ -2166,20 +2203,42 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shard_shuffle": q_corpus_shard_shuffle,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_end_to_end": q_corpus_end_to_end,
+    "corpus_curation": q_corpus_curation,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
     "events_stream_window": q_events_stream_window,
-    # -- dispatch variants + hard clean + flagship --------------------
+    # -- flagship (pipeline_oracle = the oracled fixture form) --------
+    "pipeline_extract": q_pipeline_extract,
+    "pipeline_oracle": q_pipeline_oracle,
+    # -- §2 backfill, ROTATED each round (r05: the 11 entries with the
+    # -- OLDEST driver rows — P1-P8 + W2-W4, last driver-checked in
+    # -- r02/r03; next in line r06: U1-U3, O2-O3, A2/A4/A5, J5) -------
+    "p1_realign": q_p1_realign,
+    "p2_projection": q_p2_projection,
+    "p3_whitelist": q_p3_whitelist,
+    "p4_keep_anchor": q_p4_keep_anchor,
+    "p5_null_blank": q_p5_null_blank,
+    "p6_numeric_shape": q_p6_numeric_shape,
+    "p7_junk_drop": q_p7_junk_drop,
+    "p8_length_pred": q_p8_length_pred,
+    "w2_name_ffill": q_w2_name_ffill,
+    "w3_block_fusion": q_w3_block_fusion,
+    "w4_lead": q_w4_lead,
+    # ---- the driver's CORRECTNESS window is the FIRST 50 keys of this
+    # ---- dict: 37 training-data ops + 2 flagship + 11 rotated §2
+    # ---- backfill = 50 exactly.  Every entry from here down already
+    # ---- carries green driver rows from an earlier round (r04 for the
+    # ---- dispatch variants and the previous backfill set, r02/r03 for
+    # ---- the rest) plus permanent local-gate coverage
+    # ---- (tests/test_oracle_parity.py runs ALL oracled entries), so
+    # ---- sliding below the window as new ops land above is safe -----
     "d4_shape_dispatch": q_d4_shape_dispatch,
     "d5_fallback_chain": q_d5_fallback_chain,
     "d5_rename_retry": q_d5_rename_retry,
     "d1_manifest_routing": q_d1_manifest_routing,
     "d2_family_fallback": q_d2_family_fallback,
     "f_hard_name_clean": q_f_hard_name_clean,
-    "pipeline_extract": q_pipeline_extract,
-    "pipeline_oracle": q_pipeline_oracle,
-    # -- §2 backfill (longest green streaks, driver rows r02+r03) -----
     "s1_scan_prune": q_s1_scan_prune,
     "s4_page_explode": q_s4_page_explode,
     "s5_grid_slice": q_s5_grid_slice,
@@ -2193,16 +2252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_threshold_retry": q_a3_threshold_retry,
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
-    # ---- the driver's CORRECTNESS window is the FIRST 50 keys of this
-    # ---- dict; every §2 backfill entry from here down already carries
-    # ---- green driver rows from r02+r03 and permanent local-gate
-    # ---- coverage (tests/test_oracle_parity.py runs ALL entries), so
-    # ---- sliding below the window as new ops land above is safe -----
     "d1_dispatch": q_d1_dispatch,
-    "p3_whitelist": q_p3_whitelist,
-    "p6_numeric_shape": q_p6_numeric_shape,
-    "p7_junk_drop": q_p7_junk_drop,
-    "p8_length_pred": q_p8_length_pred,
     "p11_shape_filter": q_p11_shape_filter,
     "p12_value_filter": q_p12_value_filter,
     "o3_positional_slice": q_o3_positional_slice,
@@ -2210,18 +2260,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u1_union": q_u1_union,
     "u2_distinct": q_u2_distinct,
     "j5_anti_join": q_j5_anti_join,
-    "w3_block_fusion": q_w3_block_fusion,
-    "w4_lead": q_w4_lead,
     "w6_first_seed": q_w6_first_seed,
     "a2_group_agg": q_a2_group_agg,
     "a5_keep_last": q_a5_keep_last,
     "u3_two_up_split": q_u3_two_up_split,
-    "p1_realign": q_p1_realign,
-    "p2_projection": q_p2_projection,
-    "p4_keep_anchor": q_p4_keep_anchor,
-    "p5_null_blank": q_p5_null_blank,
     "p10_sentinel": q_p10_sentinel,
-    "w2_name_ffill": q_w2_name_ffill,
     "o2_page_sort": q_o2_page_sort,
     "a4_counts": q_a4_counts,
     "f2_en_normalize": q_f2_en_normalize,
@@ -3394,6 +3437,39 @@ ORACLE_SQL: dict[str, str] = {
     # corpus_source_stats: quality restated per-doc (same expression as
     # text_quality), then per-source aggregation with an exact
     # decimal(18,6) sum and one final division (mirrors source_stats).
+    # corpus_curation: the composed curation decision — the SAME probe
+    # injection and readability/quality/source-stats fragments as their
+    # standalone oracles, joined, then the quota window
+    "corpus_curation": (
+        "WITH inj AS (SELECT doc_id, source, text || "
+        "  CASE WHEN doc_id % 2 = 0 "
+        "  THEN ' First probe sentence. Second one! Third?' "
+        "  ELSE '' END AS text FROM documents), "
+        + _quality_cte("doc_id, source", "inj") + ", "
+        "rdn AS (SELECT doc_id, "
+        "  CAST(len(list_filter(regexp_split_to_array(text, " + _WSRE2
+        + "), t -> t <> '')) AS BIGINT) AS n_words, "
+        "  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
+        "    AS BIGINT) AS n_sentences, "
+        "  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+        "    AS BIGINT) AS n_syllables FROM inj), "
+        "rd AS (SELECT doc_id, ROUND(CASE WHEN n_words > 0 THEN "
+        "  206.835 - 1.015 * (n_words / n_sentences) "
+        "  - 84.6 * (n_syllables / n_words) ELSE 0.0 END, 6) AS flesch "
+        "  FROM rdn), "
+        "st AS (SELECT source, "
+        "  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) "
+        "    / COUNT(*), 6) >= 0.45 AS keep FROM qdoc GROUP BY source), "
+        "kept AS (SELECT qdoc.doc_id, qdoc.source, qdoc.quality, "
+        "  rd.flesch FROM qdoc JOIN rd USING (doc_id) "
+        "  JOIN st USING (source) WHERE st.keep AND rd.flesch >= 30.0), "
+        "r AS (SELECT doc_id, source, quality, flesch, "
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rnk "
+        "  FROM kept) "
+        "SELECT doc_id, source, quality, flesch, rnk FROM r "
+        "WHERE rnk <= 10"
+    ),
     "corpus_source_stats": (
         f"WITH {_quality_cte('doc_id, source')} "
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "

@@ -328,3 +328,22 @@ def test_dup_spans_and_langid_plan_shape(spark):
     df = QUERIES["text_langid"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_corpus_curation_plan_shape(spark):
+    """corpus_curation: the domain keep-flags are CORPUS-DERIVED (they
+    scale with the input, unlike the bounded benchmark shingles), so
+    they must NOT be broadcast — the keep join is a ShuffledHashJoin
+    with both sides keyed on source, and the quota window reuses that
+    clustering (Sort + WindowGroupLimit directly on the join output).
+    Exactly TWO hash exchanges total: the big side's source re-key and
+    the stats aggregation; a third would mean the window re-shuffled."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    df = QUERIES["corpus_curation"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
