@@ -193,7 +193,7 @@ def minhash_signature(sh: Column, n_hashes: int = 8):
     )
 
 
-def minhash_lsh_pairs(
+def band_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -201,10 +201,9 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     k: int = 3,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band of the MinHash signature become
-    candidate pairs.  n_hashes/band_size bands; the band value is the
-    concatenation of its minhashes.  One explode + one equi-join on
-    (band_no, band_val): shuffle-bounded, never all-pairs."""
+    """(sid, band_no, band_val) MinHash-LSH band rows — the candidate-key
+    expansion shared by within-corpus pairing (minhash_lsh_pairs) and
+    cross-corpus incremental dedup (incremental_lsh_flags)."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -225,7 +224,7 @@ def minhash_lsh_pairs(
     # minima below each reference it — inline, Catalyst would re-tokenize
     # and re-shingle the text once per hash (measured 10x query cost)
     sig = minhash_signature(F.col("_sh"), n_hashes)
-    exploded = (
+    return (
         with_shingles(df, text_col, k)
         .select(F.col(id_col).alias("sid"), "_sh")
         .select("sid", sig.alias("sig"))
@@ -238,6 +237,21 @@ def minhash_lsh_pairs(
                 F.col("b.band_val").alias("band_val"))
         .filter(F.col("band_val") != "")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the MinHash signature become
+    candidate pairs.  n_hashes/band_size bands; the band value is the
+    concatenation of its minhashes.  One explode + one equi-join on
+    (band_no, band_val): shuffle-bounded, never all-pairs."""
+    exploded = band_rows(df, text_col, id_col, n_hashes, band_size, k)
     a = exploded.select(
         F.col("sid").alias("id_a"), "band_no", "band_val"
     )
@@ -249,6 +263,70 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def incremental_lsh_flags(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Crawl-over-crawl dedup: flag documents of a NEW batch that are
+    MinHash-LSH candidates of any document in an existing REFERENCE
+    corpus — the incremental form every recurring ingest runs (crawl
+    N+1 dedups against crawl N without re-pairing crawl N with itself;
+    a within-corpus minhash_lsh_pairs over (new UNION ref) would redo
+    the quadratic-in-history work on every ingest).
+
+    Returns one row per flagged NEW document:
+      (doc_id, dup_of, n_ref_matches)
+    with ``dup_of`` the smallest matching reference id (deterministic)
+    and ``n_ref_matches`` the distinct reference docs sharing a band.
+    Band agreement is the standard LSH candidate signal — compose with
+    exact Jaccard verification where precision matters (the same
+    two-stage shape as dedup_embedding_cosine_lsh).
+
+    100 TB shape: each side's tokenize/shingle/signature chain runs
+    exactly once; candidates come from ONE equi-join on
+    (band_no, band_val), then a groupBy on the new id — never all-pairs,
+    and the reference side is never re-paired with itself.
+    ``max_band_freq`` caps a band value's REFERENCE frequency (the
+    historical corpus is the side that accumulates boilerplate): a band
+    shared by r reference docs emits r rows per matching new doc, so a
+    degenerate band is capped BEFORE the join via a window count over
+    the join's own (band_no, band_val) clustering — the same measured
+    mitigation as simhash near-dup pairing (hot bands are boilerplate
+    and carry no dedup signal).
+    """
+    newb = band_rows(new_df, text_col, id_col, n_hashes, band_size, k)
+    refb = band_rows(ref_df, text_col, id_col, n_hashes, band_size, k)
+    if max_band_freq is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_no", "band_val")
+        refb = (
+            refb.withColumn("_bf", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bf") <= max_band_freq)
+            .drop("_bf")
+        )
+    return (
+        newb.select(F.col("sid").alias(id_col), "band_no", "band_val")
+        .join(
+            refb.select(
+                F.col("sid").alias("_ref_id"), "band_no", "band_val"
+            ),
+            ["band_no", "band_val"],
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min("_ref_id").alias("dup_of"),
+            F.count_distinct(F.col("_ref_id")).alias("n_ref_matches"),
+        )
     )
 
 

@@ -9,6 +9,7 @@ any partitioning, any rerun selects the identical subset, and the
 driver's DuckDB oracle can reproduce it exactly.
 
   hash_mod_sample       content-hash Bernoulli sampling (rate = k/256)
+  stratified_sample     per-stratum hash rates (language/source mixing)
   quota_topk_per_group  per-group top-k (quality quota per source/domain)
   shard_shuffle         deterministic training-order shuffle into shards
 """
@@ -48,6 +49,63 @@ def hash_mod_sample(
         F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
     )
     return df.filter(F.substring(digest, 1, 2) <= F.lit(keep_hex))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, str],
+    key_col: str,
+    default_hex: str = "00",
+    salt: str = "st0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-MIXING primitive of
+    corpus assembly (e.g. keep 50% of en, 25% of fr, 6% of everything
+    else to hit a target language distribution).  ``rates`` maps a
+    stratum value to its two-hex-digit keep threshold exactly as in
+    hash_mod_sample (``"7f"`` = 50%, ``"3f"`` = 25%); strata absent from
+    the map fall back to ``default_hex`` (``"00"`` = keep ~0.4%, the
+    floor rate — pass ``None`` to DROP unlisted strata entirely).
+
+    The rate map is compiled into a literal CASE chain, so like
+    hash_mod_sample this is a pure narrow filter: no shuffle, no join
+    against a rates table, and the same row set survives under any
+    partitioning/resume.  The per-row decision reuses the SAME salted
+    digest as hash_mod_sample, so a stratified pass and a flat pass with
+    different salts stay independent.
+
+    100 TB shape: narrow filter above the scan; the CASE chain is
+    O(len(rates)) comparisons per row against a column attribute —
+    bounded by the stratum vocabulary (languages/sources), not the data.
+    """
+    rates = {s: v.lower() for s, v in rates.items()}
+    if default_hex is not None:
+        default_hex = default_hex.lower()
+    for v in list(rates.values()) + (
+        [default_hex] if default_hex is not None else []
+    ):
+        if len(v) != 2 or any(c not in "0123456789abcdef" for c in v):
+            raise ValueError(
+                f"rates must be two lowercase hex digits, got {v!r}"
+            )
+    digest = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
+    )
+    thresh = None
+    for stratum, hx in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        thresh = (
+            F.when(cond, F.lit(hx))
+            if thresh is None
+            else thresh.when(cond, F.lit(hx))
+        )
+    if thresh is None:
+        thresh = F.lit(default_hex)
+    elif default_hex is not None:
+        thresh = thresh.otherwise(F.lit(default_hex))
+    # NULL threshold (unlisted stratum, default_hex=None) fails the
+    # comparison -> row dropped, which is the documented semantics
+    return df.filter(F.substring(digest, 1, 2) <= thresh)
 
 
 def quota_topk_per_group(

@@ -347,6 +347,65 @@ def repetition_stats(
     )
 
 
+def line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style LINE-level repetition/format signals — the rules the
+    token/n-gram forms in repetition_stats cannot see (machine-generated
+    listicles and scraped nav menus repeat whole LINES and lead with
+    bullets; Rae et al.'s Gopher filters drop docs where >90% of lines
+    start with a bullet or >30% end with an ellipsis).
+
+    Lines are '\\n'-split, trimmed, blank lines dropped.  Per document:
+      n_lines        non-blank line count
+      bullet_frac    lines starting with '- ', '* ' or a bullet dot
+      ellipsis_frac  lines ending with '...' or the U+2026 ellipsis
+      dup_line_frac  (n_lines - distinct_lines) / n_lines
+
+    100 TB shape: pure per-row higher-order-function expressions over a
+    pin()-ned lines array — narrow, no shuffle, no UDF.  Determinism:
+    integer counts, single final divisions, ROUND 6.
+    """
+    from ..functions.numeric import pin
+
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n", -1), lambda l: F.trim(l)
+        ),
+        lambda l: l != "",
+    )
+    base = df.withColumn("_ln", pin(lines))
+    n = F.size(F.col("_ln"))
+
+    def frac(pred) -> Column:
+        return F.when(
+            n > 0, F.round(F.size(F.filter(F.col("_ln"), pred)) / n, 6)
+        ).otherwise(F.lit(0.0))
+
+    bullet = lambda l: (  # noqa: E731
+        F.substring(l, 1, 2).isin("- ", "* ")
+        | (F.substring(l, 1, 1) == "•")
+    )
+    ellipsis = lambda l: (  # noqa: E731
+        (F.substring(l, -3, 3) == "...")
+        | (F.substring(l, -1, 1) == "…")
+    )
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        frac(bullet).alias("bullet_frac"),
+        frac(ellipsis).alias("ellipsis_frac"),
+        F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(F.col("_ln")))) / n, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+
+
 def source_stats(
     df: DataFrame,
     source_col: str = "source",

@@ -68,7 +68,10 @@ Variance engineering additions (round 3):
     caps 4 -> 16 at ~0.73-0.78 even on an idle host).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_DOCS (scaling
-corpus size, default 400000), BENCH_SKIP_SCALING=1 for headline-only.
+corpus size, default 400000), BENCH_SKIP_SCALING=1 for headline-only,
+BENCH_ATTEMPT_BUDGET (max primary-pair re-measures when below target,
+default 2 — raise on a noisy host; each retry min-aggregates with all
+earlier attempts so extra budget can only sharpen the estimate).
 """
 
 from __future__ import annotations
@@ -82,6 +85,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "400000"))
+ATTEMPT_BUDGET = int(os.environ.get("BENCH_ATTEMPT_BUDGET", "2"))
 
 HEADLINE = [
     "a2_group_agg",
@@ -112,6 +116,10 @@ HEADLINE = [
     "text_langid",
     "corpus_end_to_end",
     "text_dup_spans",
+    # round-5 additions (appended — earlier keys stay comparable)
+    "dedup_simhash_pairs_mp",
+    "text_dup_excise",
+    "corpus_curation",
 ]
 
 
@@ -319,8 +327,10 @@ def main() -> None:
         retries = 0
         while (
             (min(runs4) / min(runs16)) / 4 < 0.8
-            and retries < 2
-            and time.time() - t_scaling < 800
+            and retries < ATTEMPT_BUDGET
+            and time.time() - t_scaling < 800 + 400 * max(
+                ATTEMPT_BUDGET - 2, 0
+            )
         ):
             retries += 1
             load_samples.append(wait_calm(max_wait=120.0))

@@ -429,6 +429,135 @@ def test_hash_mod_sample_guards_and_rate(spark):
         hash_mod_sample(df, "k", keep_hex="3f0")
 
 
+def test_stratified_sample_matches_python_model(spark):
+    """sampling.stratified_sample selects EXACTLY the rows a hashlib
+    model selects per stratum (content-derived decision, not a rate
+    approximation); unlisted strata fall back to default_hex, or are
+    dropped entirely when default_hex=None; junk thresholds raise."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    langs = ["en", "fr", "de", "xx"]
+    rows = [(i, langs[i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    rates = {"en": "7f", "fr": "3f"}
+
+    def model(default):
+        keep = []
+        for k, lang in rows:
+            hx = rates.get(lang, default)
+            if hx is None:
+                continue
+            d = hashlib.md5(f"{k}|st0".encode()).hexdigest()
+            if d[:2] <= hx:
+                keep.append(k)
+        return sorted(keep)
+
+    got = sorted(
+        r.k for r in stratified_sample(df, "lang", rates, "k").collect()
+    )
+    assert got == model("00") and len(got) > 0
+    got_drop = sorted(
+        r.k
+        for r in stratified_sample(
+            df, "lang", rates, "k", default_hex=None
+        ).collect()
+    )
+    assert got_drop == model(None)
+    # only listed strata survive the None default
+    kept_langs = {
+        r.lang
+        for r in stratified_sample(
+            df, "lang", rates, "k", default_hex=None
+        ).collect()
+    }
+    assert kept_langs <= {"en", "fr"}
+    # uppercase normalizes like hash_mod_sample; junk raises
+    up = stratified_sample(df, "lang", {"en": "7F"}, "k", default_hex=None)
+    assert sorted(r.k for r in up.collect()) == sorted(
+        r.k
+        for r in stratified_sample(
+            df, "lang", {"en": "7f"}, "k", default_hex=None
+        ).collect()
+    )
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": "zz"}, "k")
+
+
+def test_line_stats_counts_fixture(spark):
+    """text.line_stats: bullet/ellipsis/duplicate-line fractions over a
+    hand-built fixture — blank lines dropped, lines trimmed, each
+    fraction an exact single division."""
+    from annual_report_pdf_parsers_spark.operators.text import line_stats
+
+    rows = [
+        # 4 non-blank lines: 2 bullets, 1 ellipsis-end, dup pair
+        (1, "- first item\n  - second item  \n\nwait...\nwait..."),
+        (2, "plain text only"),
+        (3, ""),
+        # unicode bullet + unicode ellipsis + trimmed dup
+        (4, "• dot item\nmore…\n  plain \nplain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.bullet_frac, r.ellipsis_frac, r.dup_line_frac)
+        for r in line_stats(df).collect()
+    }
+    assert got[1] == (4, 0.5, 0.5, 0.25)
+    assert got[2] == (1, 0.0, 0.0, 0.0)
+    assert got[3] == (0, 0.0, 0.0, 0.0)
+    assert got[4] == (4, 0.25, 0.25, 0.25)
+
+
+def test_incremental_lsh_flags_cross_corpus(spark):
+    """dedup.incremental_lsh_flags: exact copies of reference docs are
+    flagged with dup_of = the smallest matching ref id; new docs with no
+    reference overlap are absent; the reference corpus is never paired
+    with itself; max_band_freq drops a boilerplate band shared by many
+    reference docs."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        incremental_lsh_flags,
+    )
+
+    base = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (20, "one two three four five six seven eight nine ten eleven"),
+        (30, "red orange yellow green blue indigo violet cyan magenta"),
+    ]
+    ref = spark.createDataFrame(base, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (100, base[0][1]),              # exact copy of 10
+            (101, base[1][1]),              # exact copy of 20
+            (102, "totally unrelated words carrying no shared shingles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_of, r.n_ref_matches)
+        for r in incremental_lsh_flags(new, ref).collect()
+    }
+    assert got[100] == (10, 1) and got[101] == (20, 1)
+    assert 102 not in got
+    # hot-band cap: a boilerplate text shared by MANY ref docs stops
+    # matching once its band frequency exceeds the cap
+    boiler = "shared boilerplate header repeated across the whole site yes"
+    ref_hot = spark.createDataFrame(
+        [(i, boiler) for i in range(50)], "doc_id long, text string"
+    )
+    new_hot = spark.createDataFrame(
+        [(900, boiler)], "doc_id long, text string"
+    )
+    assert incremental_lsh_flags(new_hot, ref_hot).count() == 1
+    assert (
+        incremental_lsh_flags(new_hot, ref_hot, max_band_freq=10).count()
+        == 0
+    )
+
+
 def test_quota_topk_refuses_rank_collision(spark):
     from annual_report_pdf_parsers_spark.operators.sampling import (
         quota_topk_per_group,
