@@ -1107,3 +1107,77 @@ def excise_dup_spans(
             .alias("n_excised"),
         )
     )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    max_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate LINE removal — the CCNet/C4-style
+    pass that deletes nav menus, cookie banners, and footer lines: any
+    non-blank line whose trimmed form appears in MORE than ``max_df``
+    distinct documents is removed from every document; everything else
+    (including blank lines) survives verbatim, in original order.
+
+    Line identity is the TRIMMED line (indentation variants of the same
+    menu collapse to one key) but removal cuts the raw line, so kept
+    text is byte-identical to the input minus whole dropped lines.
+
+    Returns one row per input document::
+
+        (doc_id, text, n_lines_kept, n_lines_dropped)
+
+    with ``text`` the newline-join of surviving raw lines ('' when every
+    line was boilerplate).
+
+    100 TB shape: posexplode -> distinct (line, doc) -> one map-side
+    partially aggregated count per trimmed line -> join back on the
+    line key -> one per-doc regroup.  Same agg-then-join same-key shape
+    as dup_span_stats: the hot keys ARE the boilerplate lines, so the
+    join relies on AQE skew splitting; blank lines (the hottest key of
+    all) are excluded from the count and the join condition entirely.
+    The per-doc collect is bounded by document size, never corpus size.
+    """
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("_t", F.trim(F.col("line")))
+    dfc = (
+        lines.filter(F.col("_t") != "")
+        .select("doc_id", "_t")
+        .distinct()
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    flagged = lines.join(dfc, "_t", "left").withColumn(
+        "_drop",
+        (F.col("_t") != "") & (F.col("line_df") > max_df),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"),
+                            F.struct("pos", "line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.sum(F.when(F.col("_drop"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )

@@ -54,3 +54,49 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id"):
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host with the leading ``www.`` stripped — the domain
+    key used by the blocklist filter and per-domain stats.  try_parse_url
+    (not parse_url — ANSI-strict in Spark 4) so junk urls yield NULL
+    instead of failing the job."""
+    return F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: list[str],
+    url_col: str = "url",
+    match_subdomains: bool = True,
+) -> DataFrame:
+    """Domain-blocklist filter — the first gate of every crawl pipeline
+    (spam/adult/SEO-farm domain lists à la UT1/Blacklists-for-C4): keep
+    rows whose url host is NOT on the blocklist.  ``match_subdomains``
+    also drops ``x.y.blocked.com`` (the usual semantics of domain
+    lists; suffix match is anchored at a dot so ``notblocked.com``
+    survives a ``blocked.com`` entry).
+
+    The list is compiled into literal predicates (isin + endswith), so
+    this is a pure narrow filter — no join, no shuffle, no broadcast
+    that scales with the corpus; the blocklist vocabulary is bounded by
+    curation, not by the data.  For million-entry lists, switch to a
+    broadcast anti-join on host; this literal form is the fast path for
+    the usual few-thousand-domain curated lists.
+
+    Rows whose url yields no parseable host are KEPT (they carry no
+    domain evidence; downstream quality filters handle them).
+    """
+    normalized = sorted(
+        {b.lower().lstrip(".").removeprefix("www.") for b in blocked if b}
+    )
+    if not normalized:
+        return df
+    host = host_of(F.col(url_col))
+    hit = host.isin(*normalized)
+    if match_subdomains:
+        for b in normalized:
+            hit = hit | host.endswith("." + b)
+    return df.filter(host.isNull() | ~hit)

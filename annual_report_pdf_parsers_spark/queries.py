@@ -1142,6 +1142,32 @@ def q_dedup_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(_corpus_with_dupes(spark, sf))
 
 
+def q_dedup_incremental(spark, sf):
+    """Crawl-over-crawl incremental dedup: a NEW batch (exact copies of
+    every 25th reference doc + fresh doc_id-derived documents sharing no
+    reference shingles) flagged against the REFERENCE corpus via
+    incremental_lsh_flags — the form a recurring ingest runs so the
+    history is never re-paired with itself.  max_band_freq=8 exercises
+    the reference-side hot-band cap on the same plan."""
+    ref = _with_ws_noise(load(spark, sf, "documents")).select(
+        "doc_id", "text"
+    )
+    copies = ref.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    fresh = ref.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh unseen document number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" standalone content block"),
+        ).alias("text"),
+    )
+    return dedup.incremental_lsh_flags(
+        copies.unionByName(fresh), ref, max_band_freq=8
+    )
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash16(
         _with_ws_noise(load(spark, sf, "documents"))
@@ -1449,6 +1475,38 @@ def q_text_repetition(spark, sf):
     return text.repetition_stats(load(spark, sf, "documents"))
 
 
+def q_text_line_stats(spark, sf):
+    """Gopher LINE-level signals (bullet-start / ellipsis-end /
+    duplicate-line fractions).  The synthetic corpus is single-line, so
+    the query first INJECTS a deterministic doc_id-derived line
+    structure (bullets, an indented duplicate, trailing ellipses, a
+    blank line, and one untouched class) — both engines build the same
+    multi-line text, then the oracle recomputes every fraction from
+    first principles over the split/trimmed/non-blank line list."""
+    d = load(spark, sf, "documents")
+    s1 = F.substring("text", 1, 15)
+    s2 = F.substring("text", 16, 15)
+    m = F.col("doc_id") % 4
+    injected = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("- "), s1, F.lit("\n"), s2,
+                F.lit("...\n\n  "), s2, F.lit("..."),
+            ),
+        )
+        .when(m == 1, F.concat(F.lit("* "), s1, F.lit("\n"), s2))
+        .when(
+            m == 2,
+            F.concat(F.lit("•"), s1, F.lit("\n"), s2, F.lit("…")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return text.line_stats(
+        d.select("doc_id", injected.alias("text"))
+    )
+
+
 def q_corpus_source_stats(spark, sf):
     """Domain-level (per-source) corpus statistics + keep decision —
     CCNet/C4-style filtering on aggregate domain stats rather than only
@@ -1478,6 +1536,84 @@ def q_corpus_sample_hash(spark, sf):
 
     return hash_mod_sample(
         load(spark, sf, "documents"), "doc_id", keep_hex="3f"
+    ).select("doc_id", "lang", "source")
+
+
+def q_corpus_domain_filter(spark, sf):
+    """Domain-blocklist filter (urls.filter_blocked_domains) over
+    doc_id-derived urls: blocked hosts and their subdomains drop, a
+    lookalike host that merely CONTAINS the blocked string survives,
+    blocklist entries normalize case/www.  The oracle reconstructs the
+    same host from the same arithmetic and restates the keep rule."""
+    from .operators.urls import filter_blocked_domains
+
+    d = load(spark, sf, "documents")
+    m = F.col("doc_id") % 5
+    host = (
+        F.when(m == 0, F.lit("spam-site.com"))
+        .when(m == 1, F.lit("ads.spam-site.com"))
+        .when(m == 2, F.lit("notspam-site.com"))
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("good-"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".org"),
+            ),
+        )
+        .otherwise(F.lit("tracker.net"))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    withu = d.select("doc_id", url.alias("url"))
+    return filter_blocked_domains(
+        withu, ["Spam-Site.com", "www.tracker.net"]
+    )
+
+
+def q_dedup_boilerplate_lines(spark, sf):
+    """Cross-document boilerplate LINE removal over a doc_id-derived
+    multi-line corpus: a site-wide nav line (two indentation variants —
+    trim-keyed identity) and a 5-doc group line exceed max_df=4 and are
+    cut; a unique line, a 2-doc line, and a blank line survive.  The
+    oracle recomputes line document-frequencies and reassembles the
+    residual text with an ordered string_agg."""
+    d = load(spark, sf, "documents")
+    m3 = F.col("doc_id") % 3
+    a = (
+        F.when(m3 == 0, F.lit("NAV HOME | ABOUT | CONTACT"))
+        .when(m3 == 1, F.lit("  NAV HOME | ABOUT | CONTACT "))
+        .otherwise(
+            F.concat(F.lit("solo "), F.col("doc_id").cast("string"))
+        )
+    )
+    b = F.concat(
+        F.lit("u"), F.col("doc_id").cast("string"), F.lit(" "),
+        F.substring("text", 1, 12),
+    )
+    c = F.concat(F.lit("G"), (F.col("doc_id") % 100).cast("string"))
+    e = F.concat(F.lit("H"), (F.col("doc_id") % 250).cast("string"))
+    injected = F.concat_ws("\n", a, b, c, F.lit(""), e)
+    return dedup.drop_boilerplate_lines(
+        d.select("doc_id", injected.alias("text")), max_df=4
+    )
+
+
+def q_corpus_stratified_sample(spark, sf):
+    """Per-stratum deterministic sampling — the data-MIXING primitive:
+    keep ~62.5% of en, ~37.5% of fr, ~18.75% of de, and a ~6.25% floor
+    for every other language, all via the same salted md5 rule as
+    corpus_sample_hash so the oracle reselects the identical rows."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf, "documents"),
+        strata_col="lang",
+        rates={"en": "9f", "fr": "5f", "de": "2f"},
+        key_col="doc_id",
+        default_hex="0f",
     ).select("doc_id", "lang", "source")
 
 
@@ -2179,6 +2315,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_corpus_keep": q_dedup_corpus_keep,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
     # -- ANN / similarity ---------------------------------------------
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2194,6 +2332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dup_spans": q_text_dup_spans,
     "text_dup_excise": q_text_dup_excise,
     "text_readability": q_text_readability,
+    "text_line_stats": q_text_line_stats,
     # -- corpus decisions ---------------------------------------------
     "corpus_text_filter": q_corpus_text_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -2204,6 +2343,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_curation": q_corpus_curation,
+    "corpus_stratified_sample": q_corpus_stratified_sample,
+    "corpus_domain_filter": q_corpus_domain_filter,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
@@ -2211,22 +2352,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
     "pipeline_oracle": q_pipeline_oracle,
-    # -- §2 backfill, ROTATED each round (r05: the 11 entries with the
-    # -- OLDEST driver rows — P1-P8 + W2-W4, last driver-checked in
-    # -- r02/r03; next in line r06: U1-U3, O2-O3, A2/A4/A5, J5) -------
+    # -- §2 backfill, ROTATED each round (r05: the 6 entries with the
+    # -- OLDEST driver rows — P1-P6, last driver-checked in r02/r03;
+    # -- next in line r06: P7-P8, W2-W4, U1-U3, O2-O3, A2/A4/A5, J5) --
     "p1_realign": q_p1_realign,
     "p2_projection": q_p2_projection,
     "p3_whitelist": q_p3_whitelist,
     "p4_keep_anchor": q_p4_keep_anchor,
     "p5_null_blank": q_p5_null_blank,
     "p6_numeric_shape": q_p6_numeric_shape,
-    "p7_junk_drop": q_p7_junk_drop,
-    "p8_length_pred": q_p8_length_pred,
-    "w2_name_ffill": q_w2_name_ffill,
-    "w3_block_fusion": q_w3_block_fusion,
-    "w4_lead": q_w4_lead,
     # ---- the driver's CORRECTNESS window is the FIRST 50 keys of this
-    # ---- dict: 37 training-data ops + 2 flagship + 11 rotated §2
+    # ---- dict: 42 training-data ops + 2 flagship + 6 rotated §2
     # ---- backfill = 50 exactly.  Every entry from here down already
     # ---- carries green driver rows from an earlier round (r04 for the
     # ---- dispatch variants and the previous backfill set, r02/r03 for
@@ -2246,6 +2382,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_broadcast_join": q_j1_broadcast_join,
     "j2_interval_join": q_j2_interval_join,
     "w1_ffill": q_w1_ffill,
+    "w2_name_ffill": q_w2_name_ffill,
+    "w3_block_fusion": q_w3_block_fusion,
+    "w4_lead": q_w4_lead,
     "w5_toc_repair": q_w5_toc_repair,
     "p9_first_occurrence_drop": q_p9_first_occurrence_drop,
     "a1_mode": q_a1_mode,
@@ -2253,6 +2392,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
     "d1_dispatch": q_d1_dispatch,
+    "p7_junk_drop": q_p7_junk_drop,
+    "p8_length_pred": q_p8_length_pred,
     "p11_shape_filter": q_p11_shape_filter,
     "p12_value_filter": q_p12_value_filter,
     "o3_positional_slice": q_o3_positional_slice,
@@ -3019,6 +3160,53 @@ ORACLE_SQL: dict[str, str] = {
         f"WITH {_DUPES}, {_TOKS}, {_SHINGLES}, {_MH_PAIRS} "
         "SELECT id_a, id_b FROM pairs"
     ),
+    # dedup_incremental: both sides' signatures computed over ONE union
+    # tagged by side, then new-side bands join ref-side bands (ref
+    # band frequency capped at 8 BEFORE the join, mirroring the
+    # engine's window count) — same minhash/band format as _MH_PAIRS.
+    "dedup_incremental": (
+        "WITH wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} AS text FROM documents), "
+        "newc AS ("
+        "  SELECT doc_id + 2000000 AS doc_id, text FROM wsbase "
+        "  WHERE doc_id % 25 = 0 "
+        "  UNION ALL "
+        "  SELECT doc_id + 3000000 AS doc_id, "
+        "    'fresh unseen document number ' || CAST(doc_id AS VARCHAR) "
+        "    || ' standalone content block' AS text "
+        "  FROM wsbase WHERE doc_id % 9 = 4), "
+        "allc AS (SELECT 'r' AS side, doc_id, text FROM wsbase "
+        "  UNION ALL SELECT 'n' AS side, doc_id, text FROM newc), "
+        "toks AS (SELECT side, doc_id, "
+        "  list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
+        "    t -> t <> '') AS tk FROM allc), "
+        "sh AS (SELECT DISTINCT side, doc_id, "
+        "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
+        "  FROM toks, UNNEST(generate_series(1, "
+        "    greatest(len(tk) - 2, 0))) AS g(i) WHERE len(tk) >= 3), "
+        "mh AS (SELECT side, doc_id, "
+        + ", ".join(
+            f"MIN(substr(md5(shingle || ':{i}'), 1, 8)) AS h{i}"
+            for i in range(8)
+        )
+        + " FROM sh GROUP BY side, doc_id), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT side, doc_id, {b} AS band_no, "
+            f"h{2 * b} || '|' || h{2 * b + 1} AS band_val FROM mh"
+            for b in range(4)
+        )
+        + "), "
+        "refb AS (SELECT doc_id, band_no, band_val, "
+        "  COUNT(*) OVER (PARTITION BY band_no, band_val) AS bf "
+        "  FROM bands WHERE side = 'r') "
+        "SELECT n.doc_id AS doc_id, MIN(r.doc_id) AS dup_of, "
+        "  COUNT(DISTINCT r.doc_id) AS n_ref_matches "
+        "FROM bands n JOIN refb r "
+        "  ON n.band_no = r.band_no AND n.band_val = r.band_val "
+        "WHERE n.side = 'n' AND r.bf <= 8 "
+        "GROUP BY n.doc_id"
+    ),
     "dedup_simhash": (
         "WITH t AS ("
         "  SELECT doc_id, md5(tok) AS h FROM ("
@@ -3126,6 +3314,91 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, lang, source FROM documents "
         "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 2) "
         "<= '3f'"
+    ),
+    # corpus_stratified_sample: the engine's per-stratum CASE chain of
+    # hex thresholds over the same salted digest rule as sample_hash.
+    "corpus_stratified_sample": (
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|st0'), 1, 2) <= "
+        "CASE lang WHEN 'en' THEN '9f' WHEN 'fr' THEN '5f' "
+        "WHEN 'de' THEN '2f' ELSE '0f' END"
+    ),
+    # corpus_domain_filter: rebuild the same doc_id-derived host, then
+    # restate the keep rule (blocked exact hosts + dot-anchored
+    # subdomain suffixes) directly.
+    "corpus_domain_filter": (
+        "WITH u AS (SELECT doc_id, CASE doc_id % 5 "
+        "  WHEN 0 THEN 'spam-site.com' "
+        "  WHEN 1 THEN 'ads.spam-site.com' "
+        "  WHEN 2 THEN 'notspam-site.com' "
+        "  WHEN 3 THEN 'good-' || CAST(doc_id % 50 AS VARCHAR) || '.org' "
+        "  ELSE 'tracker.net' END AS host FROM documents) "
+        "SELECT doc_id, 'https://' || host || '/p/' || "
+        "CAST(doc_id AS VARCHAR) AS url FROM u "
+        "WHERE NOT (host IN ('spam-site.com', 'tracker.net') "
+        "  OR host LIKE '%.spam-site.com' OR host LIKE '%.tracker.net')"
+    ),
+    # dedup_boilerplate_lines: same injected line structure; line
+    # document-frequencies over trimmed non-blank lines; residual text
+    # reassembled by ordered string_agg with an all-dropped spine join.
+    "dedup_boilerplate_lines": (
+        "WITH inj AS (SELECT doc_id, "
+        "  (CASE doc_id % 3 WHEN 0 THEN 'NAV HOME | ABOUT | CONTACT' "
+        "    WHEN 1 THEN '  NAV HOME | ABOUT | CONTACT ' "
+        "    ELSE 'solo ' || CAST(doc_id AS VARCHAR) END) "
+        "  || chr(10) || 'u' || CAST(doc_id AS VARCHAR) || ' ' || "
+        "  substr(text, 1, 12) "
+        "  || chr(10) || 'G' || CAST(doc_id % 100 AS VARCHAR) "
+        "  || chr(10) || chr(10) || 'H' || CAST(doc_id % 250 AS VARCHAR) "
+        "  AS text FROM documents), "
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS l "
+        "  FROM inj), "
+        "lines AS (SELECT doc_id, i AS pos, l[i] AS line FROM ls, "
+        "  UNNEST(generate_series(1, len(l))) AS g(i)), "
+        "dfc AS (SELECT trim(line) AS key, "
+        "  COUNT(DISTINCT doc_id) AS line_df FROM lines "
+        "  WHERE trim(line) <> '' GROUP BY 1), "
+        "keep AS (SELECT doc_id, pos, line FROM lines "
+        "  LEFT JOIN dfc ON dfc.key = trim(lines.line) "
+        "  WHERE trim(line) = '' OR line_df <= 4), "
+        "agg AS (SELECT doc_id, "
+        "  string_agg(line, chr(10) ORDER BY pos) AS text, "
+        "  COUNT(*) AS nk FROM keep GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, COUNT(*) AS nt FROM lines "
+        "  GROUP BY doc_id) "
+        "SELECT t.doc_id, COALESCE(a.text, '') AS text, "
+        "  CAST(COALESCE(a.nk, 0) AS BIGINT) AS n_lines_kept, "
+        "  CAST(t.nt - COALESCE(a.nk, 0) AS BIGINT) AS n_lines_dropped "
+        "FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id"
+    ),
+    # text_line_stats: rebuild the SAME doc_id-derived multi-line text,
+    # then recompute every fraction from first principles over the
+    # split -> trim -> drop-blank line list (single final divisions,
+    # ROUND 6, zero-line guard).
+    "text_line_stats": (
+        "WITH inj AS (SELECT doc_id, CASE doc_id % 4 "
+        "  WHEN 0 THEN '- ' || substr(text, 1, 15) || chr(10) || "
+        "    substr(text, 16, 15) || '...' || chr(10) || chr(10) || "
+        "    '  ' || substr(text, 16, 15) || '...' "
+        "  WHEN 1 THEN '* ' || substr(text, 1, 15) || chr(10) || "
+        "    substr(text, 16, 15) "
+        "  WHEN 2 THEN '•' || substr(text, 1, 15) || chr(10) || "
+        "    substr(text, 16, 15) || '…' "
+        "  ELSE text END AS text FROM documents), "
+        "ln AS (SELECT doc_id, list_filter(list_transform("
+        "  string_split(text, chr(10)), l -> trim(l)), l -> l <> '') "
+        "  AS ls FROM inj) "
+        "SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+        "CASE WHEN len(ls) > 0 THEN ROUND(len(list_filter(ls, "
+        "  l -> substr(l, 1, 2) IN ('- ', '* ') "
+        "  OR substr(l, 1, 1) = '•')) / len(ls), 6) "
+        "  ELSE 0.0 END AS bullet_frac, "
+        "CASE WHEN len(ls) > 0 THEN ROUND(len(list_filter(ls, "
+        "  l -> right(l, 3) = '...' OR right(l, 1) = '…')) "
+        "  / len(ls), 6) ELSE 0.0 END AS ellipsis_frac, "
+        "CASE WHEN len(ls) > 0 THEN ROUND((len(ls) - "
+        "  len(list_distinct(ls))) / len(ls), 6) ELSE 0.0 END "
+        "  AS dup_line_frac FROM ln"
     ),
     # corpus_decontaminate: distinct per-doc 3-shingles (same 1-based
     # window build as _SHINGLES) vs the distinct shingle set of the

@@ -120,6 +120,11 @@ HEADLINE = [
     "dedup_simhash_pairs_mp",
     "text_dup_excise",
     "corpus_curation",
+    "dedup_incremental",
+    "corpus_stratified_sample",
+    "text_line_stats",
+    "dedup_boilerplate_lines",
+    "corpus_domain_filter",
 ]
 
 

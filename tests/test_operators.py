@@ -1183,3 +1183,67 @@ def test_excise_dup_spans_removes_quote_from_one_side(spark):
     assert got[5] == ("", 16, 0, 16)            # pure copy -> empty
     assert got[3] == (rows[2][1], 9, 9, 0)
     assert got[4] == ("short doc", 2, 2, 0)     # sub-k passes through
+
+
+def test_filter_blocked_domains(spark):
+    """urls.filter_blocked_domains: blocked hosts and their subdomains
+    drop; a lookalike host that merely ends with the blocked string
+    survives; entries normalize case/leading www.; hostless urls are
+    kept; an empty blocklist is the identity."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        filter_blocked_domains,
+    )
+
+    rows = [
+        (1, "https://spam-site.com/x"),
+        (2, "https://ads.spam-site.com/y"),
+        (3, "https://notspam-site.com/z"),
+        (4, "https://www.spam-site.com/w"),
+        (5, "https://good.org/a"),
+        (6, "not a url"),
+        (7, "https://tracker.net/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(
+            df, ["Spam-Site.com", "www.tracker.net"]
+        ).collect()
+    )
+    assert got == [3, 5, 6]
+    # subdomain matching off: only the exact host drops
+    got_exact = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(
+            df, ["spam-site.com"], match_subdomains=False
+        ).collect()
+    )
+    assert got_exact == [2, 3, 5, 6, 7]
+    assert filter_blocked_domains(df, []).count() == len(rows)
+
+
+def test_drop_boilerplate_lines(spark):
+    """dedup.drop_boilerplate_lines: a line shared (modulo trim) by more
+    than max_df docs is cut from every doc; rarer shared lines, unique
+    lines, and blank lines survive verbatim; a doc of pure boilerplate
+    collapses to ''."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        drop_boilerplate_lines,
+    )
+
+    nav = "NAV | HOME | ABOUT"
+    rows = [(i, f"  {nav}  \nunique {i}\n\nshared pair") for i in range(3)]
+    rows += [(3, f"{nav}\nshared pair rare"), (4, nav)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in drop_boilerplate_lines(df, max_df=2).collect()
+    }
+    # nav appears in 5 docs (> 2) -> dropped everywhere, raw lines cut;
+    # 'shared pair' df=3 -> dropped; blank + unique survive
+    for i in range(3):
+        assert got[i] == (f"unique {i}\n", 2, 2)
+    assert got[3] == ("shared pair rare", 1, 1)
+    assert got[4] == ("", 0, 1)
+    with pytest.raises(ValueError):
+        drop_boilerplate_lines(df, max_df=0)
