@@ -1539,17 +1539,12 @@ def q_corpus_sample_hash(spark, sf):
     ).select("doc_id", "lang", "source")
 
 
-def q_corpus_domain_filter(spark, sf):
-    """Domain-blocklist filter (urls.filter_blocked_domains) over
-    doc_id-derived urls: blocked hosts and their subdomains drop, a
-    lookalike host that merely CONTAINS the blocked string survives,
-    blocklist entries normalize case/www.  The oracle reconstructs the
-    same host from the same arithmetic and restates the keep rule."""
-    from .operators.urls import filter_blocked_domains
-
-    d = load(spark, sf, "documents")
+def _doc_host():
+    """doc_id-derived host fixture shared by corpus_domain_filter and
+    corpus_ingest: blocked exact / blocked subdomain / lookalike /
+    clean / blocked rotation keyed on doc_id % 5."""
     m = F.col("doc_id") % 5
-    host = (
+    return (
         F.when(m == 0, F.lit("spam-site.com"))
         .when(m == 1, F.lit("ads.spam-site.com"))
         .when(m == 2, F.lit("notspam-site.com"))
@@ -1563,14 +1558,72 @@ def q_corpus_domain_filter(spark, sf):
         )
         .otherwise(F.lit("tracker.net"))
     )
-    url = F.concat(
-        F.lit("https://"), host, F.lit("/p/"),
+
+
+def _doc_url():
+    return F.concat(
+        F.lit("https://"), _doc_host(), F.lit("/p/"),
         F.col("doc_id").cast("string"),
     )
-    withu = d.select("doc_id", url.alias("url"))
-    return filter_blocked_domains(
-        withu, ["Spam-Site.com", "www.tracker.net"]
+
+
+_INGEST_BLOCKLIST = ["Spam-Site.com", "www.tracker.net"]
+
+
+def q_corpus_domain_filter(spark, sf):
+    """Domain-blocklist filter (urls.filter_blocked_domains) over
+    doc_id-derived urls: blocked hosts and their subdomains drop, a
+    lookalike host that merely CONTAINS the blocked string survives,
+    blocklist entries normalize case/www.  The oracle reconstructs the
+    same host from the same arithmetic and restates the keep rule."""
+    from .operators.urls import filter_blocked_domains
+
+    d = load(spark, sf, "documents")
+    withu = d.select("doc_id", _doc_url().alias("url"))
+    return filter_blocked_domains(withu, _INGEST_BLOCKLIST)
+
+
+def q_corpus_ingest(spark, sf):
+    """Composed CRAWL-INGEST decision — the ingest-time analogue of
+    corpus_end_to_end, chaining this round's new operators as ONE
+    query: a new batch (url-carrying copies of every doc_id%10==3
+    reference doc + fresh docs sharing no reference shingles) flows
+    through (1) domain-blocklist filter, (2) incremental cross-corpus
+    MinHash-LSH dedup against the full reference corpus (anti-join on
+    the flags), (3) per-language stratified sampling.  The copies all
+    carry clean hosts, so the dedup stage — not the blocklist — must
+    remove them; the oracle recomputes every stage from the shared
+    fragments."""
+    from .operators.sampling import stratified_sample
+    from .operators.urls import filter_blocked_domains
+
+    ref = _with_ws_noise(load(spark, sf, "documents"))
+    copies = ref.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "text", "lang", _doc_url().alias("url"),
     )
+    fresh = ref.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh unseen document number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" standalone content block"),
+        ).alias("text"),
+        "lang", _doc_url().alias("url"),
+    )
+    s1 = filter_blocked_domains(
+        copies.unionByName(fresh), _INGEST_BLOCKLIST
+    )
+    flags = dedup.incremental_lsh_flags(
+        s1.select("doc_id", "text"),
+        ref.select("doc_id", "text"),
+        max_band_freq=8,
+    )
+    s2 = s1.join(flags.select("doc_id"), "doc_id", "left_anti")
+    return stratified_sample(
+        s2, strata_col="lang", rates={"en": "bf", "fr": "7f"},
+        key_col="doc_id", default_hex="3f",
+    ).select("doc_id", "lang")
 
 
 def q_dedup_boilerplate_lines(spark, sf):
@@ -2345,6 +2398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
+    "corpus_ingest": q_corpus_ingest,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
@@ -2352,17 +2406,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
     "pipeline_oracle": q_pipeline_oracle,
-    # -- §2 backfill, ROTATED each round (r05: the 6 entries with the
-    # -- OLDEST driver rows — P1-P6, last driver-checked in r02/r03;
-    # -- next in line r06: P7-P8, W2-W4, U1-U3, O2-O3, A2/A4/A5, J5) --
+    # -- §2 backfill, ROTATED each round (r05: the 5 entries with the
+    # -- OLDEST driver rows — P1-P5, last driver-checked in r02/r03;
+    # -- next in line r06: P6-P8, W2-W4, U1-U3, O2-O3, A2/A4/A5, J5) --
     "p1_realign": q_p1_realign,
     "p2_projection": q_p2_projection,
     "p3_whitelist": q_p3_whitelist,
     "p4_keep_anchor": q_p4_keep_anchor,
     "p5_null_blank": q_p5_null_blank,
-    "p6_numeric_shape": q_p6_numeric_shape,
     # ---- the driver's CORRECTNESS window is the FIRST 50 keys of this
-    # ---- dict: 42 training-data ops + 2 flagship + 6 rotated §2
+    # ---- dict: 43 training-data ops + 2 flagship + 5 rotated §2
     # ---- backfill = 50 exactly.  Every entry from here down already
     # ---- carries green driver rows from an earlier round (r04 for the
     # ---- dispatch variants and the previous backfill set, r02/r03 for
@@ -2392,6 +2445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
     "d1_dispatch": q_d1_dispatch,
+    "p6_numeric_shape": q_p6_numeric_shape,
     "p7_junk_drop": q_p7_junk_drop,
     "p8_length_pred": q_p8_length_pred,
     "p11_shape_filter": q_p11_shape_filter,
@@ -2512,6 +2566,64 @@ _MH_PAIRS = (
     "  ON a.band_no = b.band_no AND a.band_val = b.band_val "
     "  WHERE a.doc_id < b.doc_id)"
 )
+
+# doc_id-derived host fixture + blocklist keep rule (the SQL mirror of
+# _doc_host / _INGEST_BLOCKLIST), shared by the corpus_domain_filter
+# and corpus_ingest oracles.
+_HOST_SQL = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN 'spam-site.com' "
+    "WHEN 1 THEN 'ads.spam-site.com' "
+    "WHEN 2 THEN 'notspam-site.com' "
+    "WHEN 3 THEN 'good-' || CAST(doc_id % 50 AS VARCHAR) || '.org' "
+    "ELSE 'tracker.net' END"
+)
+_HOST_KEEP_SQL = (
+    "NOT (host IN ('spam-site.com', 'tracker.net') "
+    "OR host LIKE '%.spam-site.com' OR host LIKE '%.tracker.net')"
+)
+
+
+# Incremental (cross-corpus) LSH chain: expects CTEs wsbase(doc_id,
+# text) [the REFERENCE corpus] and newc(doc_id, text) [the NEW batch]
+# to be defined upstream; emits allc..refb plus flags(doc_id, dup_of,
+# n_ref_matches) with the reference-side hot-band cap at 8 — mirrors
+# operators/dedup.py::incremental_lsh_flags band for band.  Shared by
+# the dedup_incremental and corpus_ingest oracles.
+_INC_LSH_CHAIN = (
+    "allc AS (SELECT 'r' AS side, doc_id, text FROM wsbase "
+    "  UNION ALL SELECT 'n' AS side, doc_id, text FROM newc), "
+    "itoks AS (SELECT side, doc_id, "
+    "  list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
+    "    t -> t <> '') AS tk FROM allc), "
+    "ish AS (SELECT DISTINCT side, doc_id, "
+    "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
+    "  FROM itoks, UNNEST(generate_series(1, "
+    "    greatest(len(tk) - 2, 0))) AS g(i) WHERE len(tk) >= 3), "
+    "imh AS (SELECT side, doc_id, "
+    + ", ".join(
+        f"MIN(substr(md5(shingle || ':{i}'), 1, 8)) AS h{i}"
+        for i in range(8)
+    )
+    + " FROM ish GROUP BY side, doc_id), "
+    "ibands AS ("
+    + " UNION ALL ".join(
+        f"SELECT side, doc_id, {b} AS band_no, "
+        f"h{2 * b} || '|' || h{2 * b + 1} AS band_val FROM imh"
+        for b in range(4)
+    )
+    + "), "
+    "refb AS (SELECT doc_id, band_no, band_val, "
+    "  COUNT(*) OVER (PARTITION BY band_no, band_val) AS bf "
+    "  FROM ibands WHERE side = 'r'), "
+    "flags AS (SELECT n.doc_id AS doc_id, MIN(r.doc_id) AS dup_of, "
+    "  COUNT(DISTINCT r.doc_id) AS n_ref_matches "
+    "FROM ibands n JOIN refb r "
+    "  ON n.band_no = r.band_no AND n.band_val = r.band_val "
+    "WHERE n.side = 'n' AND r.bf <= 8 "
+    "GROUP BY n.doc_id)"
+)
+
 
 def _simhash_fp_cte(src: str, n_bits: int = 64) -> str:
     """CTE chain computing ``fps(doc_id, fp)`` — the n-bit SimHash
@@ -3163,7 +3275,8 @@ ORACLE_SQL: dict[str, str] = {
     # dedup_incremental: both sides' signatures computed over ONE union
     # tagged by side, then new-side bands join ref-side bands (ref
     # band frequency capped at 8 BEFORE the join, mirroring the
-    # engine's window count) — same minhash/band format as _MH_PAIRS.
+    # engine's window count) — same minhash/band format as _MH_PAIRS;
+    # chain shared with the corpus_ingest oracle via _inc_lsh_chain.
     "dedup_incremental": (
         "WITH wsbase AS (SELECT doc_id, "
         f"text || {_WS_NOISE_SQL} AS text FROM documents), "
@@ -3175,37 +3288,8 @@ ORACLE_SQL: dict[str, str] = {
         "    'fresh unseen document number ' || CAST(doc_id AS VARCHAR) "
         "    || ' standalone content block' AS text "
         "  FROM wsbase WHERE doc_id % 9 = 4), "
-        "allc AS (SELECT 'r' AS side, doc_id, text FROM wsbase "
-        "  UNION ALL SELECT 'n' AS side, doc_id, text FROM newc), "
-        "toks AS (SELECT side, doc_id, "
-        "  list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
-        "    t -> t <> '') AS tk FROM allc), "
-        "sh AS (SELECT DISTINCT side, doc_id, "
-        "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
-        "  FROM toks, UNNEST(generate_series(1, "
-        "    greatest(len(tk) - 2, 0))) AS g(i) WHERE len(tk) >= 3), "
-        "mh AS (SELECT side, doc_id, "
-        + ", ".join(
-            f"MIN(substr(md5(shingle || ':{i}'), 1, 8)) AS h{i}"
-            for i in range(8)
-        )
-        + " FROM sh GROUP BY side, doc_id), "
-        "bands AS ("
-        + " UNION ALL ".join(
-            f"SELECT side, doc_id, {b} AS band_no, "
-            f"h{2 * b} || '|' || h{2 * b + 1} AS band_val FROM mh"
-            for b in range(4)
-        )
-        + "), "
-        "refb AS (SELECT doc_id, band_no, band_val, "
-        "  COUNT(*) OVER (PARTITION BY band_no, band_val) AS bf "
-        "  FROM bands WHERE side = 'r') "
-        "SELECT n.doc_id AS doc_id, MIN(r.doc_id) AS dup_of, "
-        "  COUNT(DISTINCT r.doc_id) AS n_ref_matches "
-        "FROM bands n JOIN refb r "
-        "  ON n.band_no = r.band_no AND n.band_val = r.band_val "
-        "WHERE n.side = 'n' AND r.bf <= 8 "
-        "GROUP BY n.doc_id"
+        + _INC_LSH_CHAIN
+        + " SELECT doc_id, dup_of, n_ref_matches FROM flags"
     ),
     "dedup_simhash": (
         "WITH t AS ("
@@ -3327,16 +3411,37 @@ ORACLE_SQL: dict[str, str] = {
     # restate the keep rule (blocked exact hosts + dot-anchored
     # subdomain suffixes) directly.
     "corpus_domain_filter": (
-        "WITH u AS (SELECT doc_id, CASE doc_id % 5 "
-        "  WHEN 0 THEN 'spam-site.com' "
-        "  WHEN 1 THEN 'ads.spam-site.com' "
-        "  WHEN 2 THEN 'notspam-site.com' "
-        "  WHEN 3 THEN 'good-' || CAST(doc_id % 50 AS VARCHAR) || '.org' "
-        "  ELSE 'tracker.net' END AS host FROM documents) "
+        f"WITH u AS (SELECT doc_id, {_HOST_SQL} AS host FROM documents) "
         "SELECT doc_id, 'https://' || host || '/p/' || "
         "CAST(doc_id AS VARCHAR) AS url FROM u "
-        "WHERE NOT (host IN ('spam-site.com', 'tracker.net') "
-        "  OR host LIKE '%.spam-site.com' OR host LIKE '%.tracker.net')"
+        f"WHERE {_HOST_KEEP_SQL}"
+    ),
+    # corpus_ingest: blocklist -> incremental LSH flags (shared chain)
+    # -> stratified rule, each stage restated from the same fragments.
+    "corpus_ingest": (
+        "WITH wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} AS text, lang FROM documents), "
+        f"hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM documents), "
+        "newall AS ("
+        "  SELECT w.doc_id + 2000000 AS doc_id, w.text, w.lang, h.host "
+        "  FROM wsbase w JOIN hosts h ON h.doc_id = w.doc_id "
+        "  WHERE w.doc_id % 10 = 3 "
+        "  UNION ALL "
+        "  SELECT w.doc_id + 3000000 AS doc_id, "
+        "    'fresh unseen document number ' || "
+        "    CAST(w.doc_id AS VARCHAR) || ' standalone content block' "
+        "    AS text, w.lang, h.host "
+        "  FROM wsbase w JOIN hosts h ON h.doc_id = w.doc_id "
+        "  WHERE w.doc_id % 3 = 1), "
+        "survivors AS (SELECT doc_id, text, lang FROM newall "
+        f"  WHERE {_HOST_KEEP_SQL}), "
+        "newc AS (SELECT doc_id, text FROM survivors), "
+        + _INC_LSH_CHAIN
+        + " SELECT s.doc_id, s.lang FROM survivors s "
+        "WHERE s.doc_id NOT IN (SELECT doc_id FROM flags) "
+        "AND substr(md5(CAST(s.doc_id AS VARCHAR) || '|st0'), 1, 2) <= "
+        "CASE s.lang WHEN 'en' THEN 'bf' WHEN 'fr' THEN '7f' "
+        "ELSE '3f' END"
     ),
     # dedup_boilerplate_lines: same injected line structure; line
     # document-frequencies over trimmed non-blank lines; residual text

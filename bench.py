@@ -125,6 +125,7 @@ HEADLINE = [
     "text_line_stats",
     "dedup_boilerplate_lines",
     "corpus_domain_filter",
+    "corpus_ingest",
 ]
 
 

@@ -347,3 +347,34 @@ def test_corpus_curation_plan_shape(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_corpus_ingest_plan_bounded(spark):
+    """The composed crawl-ingest chain (blocklist filter -> incremental
+    cross-corpus LSH anti-join -> stratified sample) stays a pure
+    equi-join/agg DAG: no cartesian/BNLJ, bounded exchanges, and the
+    blocklist stays a literal predicate (no extra join introduced for
+    the domain list)."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    df = QUERIES["corpus_ingest"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 12, f"ingest chain exchange blow-up: {n}"
+
+
+def test_boilerplate_lines_plan_shape(spark):
+    """dedup_boilerplate_lines: the line-df agg / join-back / per-doc
+    regroup plans with bounded exchanges, no cartesian, and exactly one
+    posexplode pair (the lines side and the count side — not one per
+    column reference)."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    df = QUERIES["dedup_boilerplate_lines"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 6, f"boilerplate exchange blow-up: {n}"
+    assert plan.count("Generate posexplode") <= 2, plan
