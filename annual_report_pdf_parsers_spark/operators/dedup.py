@@ -252,16 +252,31 @@ def minhash_lsh_pairs(
     concatenation of its minhashes.  One explode + one equi-join on
     (band_no, band_val): shuffle-bounded, never all-pairs."""
     exploded = band_rows(df, text_col, id_col, n_hashes, band_size, k)
-    a = exploded.select(
-        F.col("sid").alias("id_a"), "band_no", "band_val"
-    )
-    b = exploded.select(
-        F.col("sid").alias("id_b"), "band_no", "band_val"
-    )
+    # self-join via ALIASED VIEWS of the SAME plan, renames applied
+    # AFTER the join: both join children are then byte-identical, so
+    # the (band_no, band_val) exchange is planned ONCE and the second
+    # side becomes a ReusedExchange — the tokenize/shingle/signature
+    # chain (the dominant cost) computes once, not once per side
+    # (measured ~2x on the r05 bench; the old pre-join renames made
+    # the subtrees differ and defeated reuse).
+    # shuffle_hash hint: the candidate-key table GROWS WITH THE CORPUS,
+    # so AQE's local broadcast of it is a small-sf artifact (and a
+    # serial driver build — measured 2.7x the query cost at sf0.1);
+    # at 100 TB a corpus-scaled broadcast is simply wrong.  Same lesson
+    # as the round-2 manifest join (NOTES.md).
+    a, b = exploded.alias("a"), exploded.alias("b").hint("shuffle_hash")
     return (
-        a.join(b, ["band_no", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        a.join(
+            b,
+            [
+                F.col("a.band_no") == F.col("b.band_no"),
+                F.col("a.band_val") == F.col("b.band_val"),
+            ],
+        )
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b")
+        )
         .distinct()
     )
 
@@ -484,22 +499,27 @@ def simhash_pairs(
             .filter(F.col("_bf") <= max_band_freq)
             .drop("_bf")
         )
-    a = bands.select(
-        F.col("sid").alias("id_a"),
-        F.col("simhash").alias("fp_a"),
-        "band_no",
-        "band_bits",
-    )
-    b = bands.select(
-        F.col("sid").alias("id_b"),
-        F.col("simhash").alias("fp_b"),
-        "band_no",
-        "band_bits",
-    )
+    # aliased-view self-join (renames AFTER the join) so both children
+    # share one plan and the band exchange is reused — the fingerprint
+    # aggregation computes once, not per side (see minhash_lsh_pairs)
+    # shuffle_hash: the key table grows with the corpus — never let the
+    # planner broadcast it (see minhash_lsh_pairs; measured 2.7x)
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cand = (
-        a.join(b, ["band_no", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        a.join(
+            b,
+            [
+                F.col("a.band_no") == F.col("b.band_no"),
+                F.col("a.band_bits") == F.col("b.band_bits"),
+            ],
+        )
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
         .distinct()
     )
     ham = hamming_on_bits(F.col("fp_a"), F.col("fp_b"), n_bits)
@@ -585,22 +605,28 @@ def simhash_pairs_multiprobe(
             .filter(F.col("_kf") <= max_key_freq)
             .drop("_kf")
         )
-    a = keys.select(
-        F.col("sid").alias("id_a"),
-        F.col("simhash").alias("fp_a"),
-        "combo_no",
-        "key_bits",
-    )
-    b = keys.select(
-        F.col("sid").alias("id_b"),
-        F.col("simhash").alias("fp_b"),
-        "combo_no",
-        "key_bits",
-    )
+    # aliased-view self-join (renames AFTER the join) so both children
+    # share one plan and the combo-key exchange is reused — the
+    # fingerprint aggregation computes once, not per side (measured
+    # ~2x on the r05 bench; see minhash_lsh_pairs)
+    # shuffle_hash: the key table grows with the corpus — never let the
+    # planner broadcast it (see minhash_lsh_pairs; measured 2.7x)
+    a, b = keys.alias("a"), keys.alias("b").hint("shuffle_hash")
     cand = (
-        a.join(b, ["combo_no", "key_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        a.join(
+            b,
+            [
+                F.col("a.combo_no") == F.col("b.combo_no"),
+                F.col("a.key_bits") == F.col("b.key_bits"),
+            ],
+        )
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
         .distinct()
     )
     ham = hamming_on_bits(F.col("fp_a"), F.col("fp_b"), n_bits)

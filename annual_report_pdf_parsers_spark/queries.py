@@ -1112,12 +1112,22 @@ def _corpus_with_dupes(spark, sf):
     """documents (with the whitespace probe of _ws_noise) plus shifted
     copies of every 50th doc — deterministic near/exact duplicates so
     dedup queries return non-trivial results.  The probe is applied
-    BEFORE the dup union, so exact copies stay exact."""
+    BEFORE the dup union, so exact copies stay exact.
+
+    The corpus is repartitioned by doc_id: the sandbox testdata is ONE
+    parquet file, so the scan yields a single partition and every heavy
+    map stage above it (tokenize/shingle/fingerprint — the dominant
+    cost of the dedup family) would run serial (measured 6 s for the
+    64-bit fingerprint alone at sf0.1).  Production scans arrive in
+    thousands of splits; ONE narrow re-key of the raw text restores
+    that parallelism and is amortized by every downstream stage."""
     d = _with_ws_noise(load(spark, sf, "documents"))
     dup = d.filter(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
-    return d.unionByName(dup)
+    return d.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def q_dedup_exact(spark, sf):
@@ -1149,8 +1159,12 @@ def q_dedup_incremental(spark, sf):
     incremental_lsh_flags — the form a recurring ingest runs so the
     history is never re-paired with itself.  max_band_freq=8 exercises
     the reference-side hot-band cap on the same plan."""
-    ref = _with_ws_noise(load(spark, sf, "documents")).select(
-        "doc_id", "text"
+    ref = (
+        _with_ws_noise(load(spark, sf, "documents"))
+        .select("doc_id", "text")
+        # restore scan parallelism for the shingle/signature map stage
+        # (single-file sandbox layout — see _corpus_with_dupes)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     copies = ref.filter(F.col("doc_id") % 25 == 0).withColumn(
         "doc_id", F.col("doc_id") + 2000000
@@ -1202,8 +1216,12 @@ def q_dedup_simhash_pairs(spark, sf):
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" simprobe")).alias("text"),
     )
+    # repartition: restore scan parallelism for the fingerprint map
+    # stage (single-file sandbox layout — see _corpus_with_dupes)
     return dedup.simhash_pairs(
-        d.unionByName(exact).unionByName(near),
+        d.unionByName(exact)
+        .unionByName(near)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
         n_bits=64,
         n_bands=4,
         max_band_freq=50,
@@ -1236,8 +1254,13 @@ def q_dedup_simhash_pairs_mp(spark, sf):
             F.col("text"), F.lit(" simprobe midradius flip")
         ).alias("text"),
     )
+    # repartition: restore scan parallelism for the fingerprint map
+    # stage (single-file sandbox layout — see _corpus_with_dupes)
     return dedup.simhash_pairs_multiprobe(
-        d.unionByName(exact).unionByName(near).unionByName(far),
+        d.unionByName(exact)
+        .unionByName(near)
+        .unionByName(far)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
         n_bits=64,
         n_blocks=8,
         key_blocks=2,
@@ -1597,7 +1620,9 @@ def q_corpus_ingest(spark, sf):
     from .operators.sampling import stratified_sample
     from .operators.urls import filter_blocked_domains
 
-    ref = _with_ws_noise(load(spark, sf, "documents"))
+    ref = _with_ws_noise(load(spark, sf, "documents")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     copies = ref.filter(F.col("doc_id") % 10 == 3).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         "text", "lang", _doc_url().alias("url"),
