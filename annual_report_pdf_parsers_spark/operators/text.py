@@ -510,3 +510,197 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_syllables", syl)
         .withColumn("flesch", score)
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-CLASS Shannon entropy — the classic gibberish/binary-
+    junk signal (encrypted blobs and key-mash spam have near-uniform
+    character distributions; natural language sits in a narrow band):
+    classes are the 26 lowercase letters (text lowercased first), one
+    digit class, the space, and 'other'; H = -sum p*log2(p) over
+    non-zero classes, p = class_count / total_chars.
+
+    Determinism: integer class counts (length/replace — no regex scan
+    per letter), the p*log2(p) terms folded in a FIXED literal order
+    (a..z, digit, space, other) with one final ROUND 6 — the same
+    cross-engine discipline as lang_id_trigram.
+
+    100 TB shape: a narrow two-projection tree, no UDF/shuffle.  The
+    28 class counts are pin()-staged columns (the langid lesson:
+    inlined, each length/replace pair re-evaluates once per reference
+    through the entropy sum).
+
+    Returns (doc_id, n_chars, entropy).
+    """
+    from ..functions.numeric import pin
+
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    ccol = {ch: f"_ce_{ch}" for ch in letters}
+    clash = sorted(
+        {"_ce_txt", "_ce_dig", "_ce_sp", *ccol.values()}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(f"char_entropy staging columns clash: {clash}")
+    t = F.lower(F.col(text_col))
+    staged = df.withColumn("_ce_txt", pin(t))
+    lt = F.col("_ce_txt")
+    staged = staged.select(
+        "*",
+        *[
+            pin(
+                (
+                    F.length(lt)
+                    - F.length(F.replace(lt, F.lit(ch), F.lit("")))
+                ).cast("long")
+            ).alias(ccol[ch])
+            for ch in letters
+        ],
+        pin(
+            (
+                F.length(lt)
+                - F.length(
+                    F.regexp_replace(lt, F.lit("[0-9]"), F.lit(""))
+                )
+            ).cast("long")
+        ).alias("_ce_dig"),
+        pin(
+            (
+                F.length(lt)
+                - F.length(F.replace(lt, F.lit(" "), F.lit("")))
+            ).cast("long")
+        ).alias("_ce_sp"),
+    )
+    n = F.length(lt)
+    counts = [F.col(ccol[ch]) for ch in letters] + [
+        F.col("_ce_dig"),
+        F.col("_ce_sp"),
+    ]
+    other = n - sum(counts[1:], counts[0])
+    terms = F.lit(0.0)
+    for c in [*counts, other]:
+        p = c / n
+        terms = terms + F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.when(n > 0, F.round(terms, 6)).otherwise(F.lit(0.0)).alias(
+            "entropy"
+        ),
+    )
+
+
+# Literal unigram log10-probabilities for common English words — the
+# tiny interpolated LM behind unigram_logprob (a deterministic stand-in
+# for the KenLM-style perplexity filter of CCNet: real deployments swap
+# in a trained table, the OPERATOR SHAPE — literal map lookup + ordered
+# fold — is the production plan either way).  The oracle regenerates
+# its CASE chain from this same dict, so there is ONE site to edit.
+UNIGRAM_LOGPROBS = {
+    "the": -1.30, "of": -1.64, "and": -1.65, "to": -1.70, "a": -1.77,
+    "in": -1.84, "is": -2.10, "it": -2.24, "that": -2.26, "was": -2.37,
+    "for": -2.41, "on": -2.45, "are": -2.52, "as": -2.53, "with": -2.56,
+    "his": -2.60, "they": -2.67, "at": -2.70, "be": -2.72, "this": -2.74,
+    "have": -2.78, "from": -2.80, "or": -2.83, "one": -2.85, "had": -2.87,
+    "by": -2.89, "word": -4.20, "but": -2.93, "not": -2.95, "what": -3.00,
+    "all": -3.02, "were": -3.04, "we": -3.07, "when": -3.09, "your": -3.11,
+    "can": -3.13, "said": -3.15, "there": -3.17, "use": -3.60, "an": -3.20,
+}
+UNKNOWN_LOGPROB = -7.0
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model quality score — mean log10 probability per
+    token against the literal UNIGRAM_LOGPROBS table (unknown tokens at
+    the UNKNOWN_LOGPROB floor).  Higher = more natural English; random
+    strings sit near the floor.  The CCNet-family 'LM perplexity'
+    filter with a deterministic literal table (see the dict's note).
+
+    Determinism: every per-token term is a literal double (map lookup),
+    summed by an ORDERED left fold over the token array — identical
+    addition order in Spark's aggregate() and DuckDB's list_reduce — 
+    then one division and ROUND 6.
+
+    100 TB shape: narrow expression tree (map literal is constant-
+    folded; no UDF, no shuffle).  Returns
+    (doc_id, n_tokens, n_known, avg_logprob).
+    """
+    from ..functions.numeric import pin
+
+    lookup = F.create_map(
+        *[
+            F.lit(x)
+            for w, lp in sorted(UNIGRAM_LOGPROBS.items())
+            for x in (w, lp)
+        ]
+    )
+    tk = pin(
+        F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+    )
+    base = df.withColumn("_ul_tk", tk)
+    arr = F.col("_ul_tk")
+    n = F.size(arr)
+    total = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, w: acc
+        + F.coalesce(F.element_at(lookup, w), F.lit(UNKNOWN_LOGPROB)),
+    )
+    n_known = F.size(
+        F.filter(arr, lambda w: F.element_at(lookup, w).isNotNull())
+    )
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_known.cast("long").alias("n_known"),
+        F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0)).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def token_count_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-count DISTRIBUTION summary — the corpus-report
+    numbers every curation run publishes (how long are documents per
+    domain; where do the length filters bite): exact percentiles
+    (p25/p50/p90/p99, linear interpolation on the sorted values — the
+    same definition as DuckDB's quantile_cont, so the oracle matches
+    bit for bit), plus count/min/max/total.
+
+    100 TB shape: ONE shuffle keyed by source; Spark's exact percentile
+    buffers one source's counts per task (domain cardinality ~10^7 at
+    CC scale, counts are longs — small); for truly degenerate single
+    domains switch to approx_percentile (documented trade: the oracle
+    then cannot match exactly).
+    """
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.col(text_col), WS_SPLIT_RE, -1), lambda t: t != ""
+        )
+    ).cast("long")
+    d = df.withColumn("_tc", n_tokens)
+    pct = F.percentile(F.col("_tc"), F.array(*[
+        F.lit(x) for x in (0.25, 0.5, 0.9, 0.99)
+    ]))
+    return d.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tc").alias("total_tokens"),
+        F.min("_tc").alias("min_tokens"),
+        F.max("_tc").alias("max_tokens"),
+        F.round(pct[0], 6).alias("p25_tokens"),
+        F.round(pct[1], 6).alias("p50_tokens"),
+        F.round(pct[2], 6).alias("p90_tokens"),
+        F.round(pct[3], 6).alias("p99_tokens"),
+    )

@@ -1498,6 +1498,56 @@ def q_text_repetition(spark, sf):
     return text.repetition_stats(load(spark, sf, "documents"))
 
 
+def q_text_char_entropy(spark, sf):
+    """Character-class entropy over documents with a doc_id-derived
+    digit/punctuation probe appended to a rotating third (the raw
+    corpus is letters+spaces only, which would leave the digit and
+    'other' classes vacuously zero).  The oracle regenerates the
+    28-class count/fold chain from the same class list."""
+    d = load(spark, sf, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" 0123456789!!"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 42,42;"))
+        .otherwise(F.lit(""))
+    )
+    return text.char_entropy(
+        d.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        )
+    )
+
+
+def q_text_unigram_lm(spark, sf):
+    """Unigram-LM quality score over documents with a doc_id-derived
+    known-word probe (the synthetic corpus is mostly out-of-vocabulary,
+    which would put every doc at the unknown floor): rotating suffixes
+    mix known stopwords, unknowns, and nothing, so the mean log-prob
+    separates the classes.  The oracle regenerates the lookup CASE from
+    the same UNIGRAM_LOGPROBS dict."""
+    d = load(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit(" the of and to"))
+        .when(m == 1, F.lit(" The WAS unseenword"))
+        .when(m == 2, F.lit(" is"))
+        .otherwise(F.lit(""))
+    )
+    return text.unigram_logprob(
+        d.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        )
+    )
+
+
+def q_corpus_token_stats(spark, sf):
+    """Per-source token-count distribution summary (exact interpolated
+    percentiles p25/p50/p90/p99 + count/min/max/total) — the corpus
+    report every curation run publishes.  Spark's exact percentile and
+    DuckDB's quantile_cont share the same linear-interpolation
+    definition, so the oracle matches bit for bit."""
+    return text.token_count_stats(load(spark, sf, "documents"))
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -2411,6 +2461,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dup_excise": q_text_dup_excise,
     "text_readability": q_text_readability,
     "text_line_stats": q_text_line_stats,
+    "text_char_entropy": q_text_char_entropy,
+    "text_unigram_lm": q_text_unigram_lm,
     # -- corpus decisions ---------------------------------------------
     "corpus_text_filter": q_corpus_text_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -2424,6 +2476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_ingest": q_corpus_ingest,
+    "corpus_token_stats": q_corpus_token_stats,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
@@ -2431,16 +2484,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
     "pipeline_oracle": q_pipeline_oracle,
-    # -- §2 backfill, ROTATED each round (r05: the 5 entries with the
-    # -- OLDEST driver rows — P1-P5, last driver-checked in r02/r03;
-    # -- next in line r06: P6-P8, W2-W4, U1-U3, O2-O3, A2/A4/A5, J5) --
+    # -- §2 backfill, ROTATED each round (r05: the 2 entries with the
+    # -- OLDEST driver rows — P1-P2, last driver-checked in r02/r03;
+    # -- next in line r06: P3-P8, W2-W4, U1-U3, O2-O3, A2/A4/A5, J5) --
     "p1_realign": q_p1_realign,
     "p2_projection": q_p2_projection,
-    "p3_whitelist": q_p3_whitelist,
-    "p4_keep_anchor": q_p4_keep_anchor,
-    "p5_null_blank": q_p5_null_blank,
     # ---- the driver's CORRECTNESS window is the FIRST 50 keys of this
-    # ---- dict: 43 training-data ops + 2 flagship + 5 rotated §2
+    # ---- dict: 46 training-data ops + 2 flagship + 2 rotated §2
     # ---- backfill = 50 exactly.  Every entry from here down already
     # ---- carries green driver rows from an earlier round (r04 for the
     # ---- dispatch variants and the previous backfill set, r02/r03 for
@@ -2470,6 +2520,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
     "d1_dispatch": q_d1_dispatch,
+    "p3_whitelist": q_p3_whitelist,
+    "p4_keep_anchor": q_p4_keep_anchor,
+    "p5_null_blank": q_p5_null_blank,
     "p6_numeric_shape": q_p6_numeric_shape,
     "p7_junk_drop": q_p7_junk_drop,
     "p8_length_pred": q_p8_length_pred,
@@ -2607,6 +2660,77 @@ _HOST_KEEP_SQL = (
     "NOT (host IN ('spam-site.com', 'tracker.net') "
     "OR host LIKE '%.spam-site.com' OR host LIKE '%.tracker.net')"
 )
+
+
+def _entropy_oracle_sql() -> str:
+    """text_char_entropy oracle — regenerated from the SAME class list
+    the engine uses (a..z, digit, space, other; fixed fold order,
+    one ROUND 6), over the same doc_id-derived probe injection."""
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    cnts = [
+        f"CAST(length(t) - length(replace(t, '{ch}', '')) AS BIGINT) "
+        f"AS c{i}"
+        for i, ch in enumerate(letters)
+    ]
+    cnts.append(
+        "CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) "
+        "AS BIGINT) AS c26"
+    )
+    cnts.append(
+        "CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) AS c27"
+    )
+    total = " + ".join(f"c{i}" for i in range(28))
+    terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN -(c{i} / n) * log2(c{i} / n) "
+        f"ELSE 0.0 END)"
+        for i in range(29)
+    )
+    return (
+        "WITH inj AS (SELECT doc_id, text || CASE doc_id % 3 "
+        "  WHEN 0 THEN ' 0123456789!!' WHEN 1 THEN ' 42,42;' "
+        "  ELSE '' END AS text FROM documents), "
+        "lowered AS (SELECT doc_id, lower(text) AS t FROM inj), "
+        f"cc AS (SELECT doc_id, length(t) AS n, {', '.join(cnts)} "
+        "  FROM lowered), "
+        f"cc2 AS (SELECT *, n - ({total}) AS c28 FROM cc) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, "
+        f"CASE WHEN n > 0 THEN ROUND(0.0 + {terms}, 6) ELSE 0.0 END "
+        "AS entropy FROM cc2"
+    )
+
+
+def _unigram_oracle_sql() -> str:
+    """text_unigram_lm oracle — lookup CASE + known-set regenerated
+    from the SAME UNIGRAM_LOGPROBS dict; ordered left fold via
+    list_reduce over a 0.0-prepended list (identical addition order to
+    the engine's aggregate())."""
+    from .operators.text import UNIGRAM_LOGPROBS, UNKNOWN_LOGPROB
+
+    items = sorted(UNIGRAM_LOGPROBS.items())
+    # CAST each arm to DOUBLE: DuckDB types bare decimal literals as
+    # DECIMAL and the fold then sums (and overflows) in decimal
+    arms = " ".join(
+        f"WHEN '{w}' THEN CAST({lp!r} AS DOUBLE)" for w, lp in items
+    )
+    case = (
+        f"CASE w {arms} ELSE CAST({UNKNOWN_LOGPROB!r} AS DOUBLE) END"
+    )
+    known = ", ".join(f"'{w}'" for w, _ in items)
+    return (
+        "WITH inj AS (SELECT doc_id, text || CASE doc_id % 4 "
+        "  WHEN 0 THEN ' the of and to' "
+        "  WHEN 1 THEN ' The WAS unseenword' "
+        "  WHEN 2 THEN ' is' ELSE '' END AS text FROM documents), "
+        "tks AS (SELECT doc_id, list_transform(list_filter("
+        "  regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
+        "  w -> lower(w)) AS tk FROM inj) "
+        "SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+        f"CAST(len(list_filter(tk, w -> w IN ({known}))) AS BIGINT) "
+        "AS n_known, "
+        "CASE WHEN len(tk) > 0 THEN ROUND(list_reduce(list_prepend("
+        f"0.0, list_transform(tk, w -> {case})), (p, q) -> p + q) "
+        "/ len(tk), 6) ELSE 0.0 END AS avg_logprob FROM tks"
+    )
 
 
 # Incremental (cross-corpus) LSH chain: expects CTEs wsbase(doc_id,
@@ -3500,6 +3624,21 @@ ORACLE_SQL: dict[str, str] = {
         "  CAST(COALESCE(a.nk, 0) AS BIGINT) AS n_lines_kept, "
         "  CAST(t.nt - COALESCE(a.nk, 0) AS BIGINT) AS n_lines_dropped "
         "FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id"
+    ),
+    "text_char_entropy": _entropy_oracle_sql(),
+    "text_unigram_lm": _unigram_oracle_sql(),
+    "corpus_token_stats": (
+        "WITH d AS (SELECT source, CAST(len(list_filter("
+        "regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> '')) "
+        "AS BIGINT) AS tc FROM documents) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(tc) AS BIGINT) AS total_tokens, "
+        "MIN(tc) AS min_tokens, MAX(tc) AS max_tokens, "
+        "ROUND(quantile_cont(tc, 0.25), 6) AS p25_tokens, "
+        "ROUND(quantile_cont(tc, 0.5), 6) AS p50_tokens, "
+        "ROUND(quantile_cont(tc, 0.9), 6) AS p90_tokens, "
+        "ROUND(quantile_cont(tc, 0.99), 6) AS p99_tokens "
+        "FROM d GROUP BY source"
     ),
     # text_line_stats: rebuild the SAME doc_id-derived multi-line text,
     # then recompute every fraction from first principles over the

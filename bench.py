@@ -126,6 +126,9 @@ HEADLINE = [
     "dedup_boilerplate_lines",
     "corpus_domain_filter",
     "corpus_ingest",
+    "text_char_entropy",
+    "text_unigram_lm",
+    "corpus_token_stats",
 ]
 
 

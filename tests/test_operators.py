@@ -1247,3 +1247,61 @@ def test_drop_boilerplate_lines(spark):
     assert got[4] == ("", 0, 1)
     with pytest.raises(ValueError):
         drop_boilerplate_lines(df, max_df=0)
+
+
+def test_char_entropy_known_values(spark):
+    """text.char_entropy on hand-computable distributions: single-class
+    text has entropy 0, two equal classes 1 bit, four equal classes
+    2 bits; empty text guards to 0; uppercase folds first."""
+    from annual_report_pdf_parsers_spark.operators.text import char_entropy
+
+    rows = [(1, "aaaa"), (2, "AbaB"), (3, "ab1 "), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 1.0)
+    assert got[3] == (4, 2.0)
+    assert got[4] == (0, 0.0)
+    # staging-name clash guard (the letter column _ce_a)
+    clash = spark.createDataFrame([(1, "x", 0)], "doc_id long, text string, _ce_a int")
+    with pytest.raises(ValueError):
+        char_entropy(clash)
+
+
+def test_unigram_logprob_known_values(spark):
+    """text.unigram_logprob: known words read the literal table, unknown
+    tokens take the floor, mean is one rounded division; case folds."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        UNIGRAM_LOGPROBS, UNKNOWN_LOGPROB, unigram_logprob,
+    )
+
+    the = UNIGRAM_LOGPROBS["the"]
+    rows = [(1, "THE the zzzq"), (2, "zz qq"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_known, r.avg_logprob)
+        for r in unigram_logprob(df).collect()
+    }
+    assert got[1] == (3, 2, round((2 * the + UNKNOWN_LOGPROB) / 3, 6))
+    assert got[2] == (2, 0, UNKNOWN_LOGPROB)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_token_count_stats_matches_numpy_percentiles(spark):
+    """text.token_count_stats: exact interpolated percentiles equal
+    numpy's linear-interpolation percentile on the same counts."""
+    import numpy as np
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        token_count_stats,
+    )
+
+    rows = [(f"d{i}", "s1", " ".join(["w"] * (i + 1))) for i in range(10)]
+    rows += [("x", "s2", "one two three")]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {r.source: r.asDict() for r in token_count_stats(df).collect()}
+    counts = np.arange(1, 11)
+    for p, col in [(25, "p25_tokens"), (50, "p50_tokens"), (90, "p90_tokens"), (99, "p99_tokens")]:
+        assert got["s1"][col] == round(float(np.percentile(counts, p)), 6)
+    assert got["s1"]["n_docs"] == 10 and got["s1"]["total_tokens"] == 55
+    assert got["s2"]["p50_tokens"] == 3.0 and got["s2"]["min_tokens"] == 3
