@@ -1147,8 +1147,9 @@ def drop_boilerplate_lines(
     distinct documents is removed from every document; everything else
     (including blank lines) survives verbatim, in original order.
 
-    Line identity is the TRIMMED line (indentation variants of the same
-    menu collapse to one key) but removal cuts the raw line, so kept
+    Line identity is the SPACE-trimmed line (both engines' native
+    trim; indentation variants of the same menu collapse to one key,
+    a tab-only line counts as content) but removal cuts the raw line, so kept
     text is byte-identical to the input minus whole dropped lines.
 
     Returns one row per input document::

@@ -463,3 +463,56 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cos", "rnk")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    the corpus into k-means cells, then drop every document that has a
+    LOWER-id neighbor in its own cell with cosine >= threshold — the
+    embedding-space analogue of the MinHash keep decision, catching
+    paraphrases and re-renders that share no n-grams.
+
+    Returns one row per input vector: (vec_id, cell, keep).
+
+    100 TB shape: the pairwise cosine is confined WITHIN cells via one
+    equi-join on the cell id — with k sized to the corpus (k ~ n /
+    target_cell_size, the SemDeDup operating point) the per-cell
+    quadratic is bounded by target_cell_size² regardless of n.  The
+    cell assignment is a JVM-side fold over broadcast centroid
+    LITERALS (no shuffle), the self-join pins shuffle_hash (the
+    assigned table grows with the corpus — never broadcast it), and
+    both join children share one plan so the assignment computes once.
+    Cosine is rounded to 6 before the threshold compare so the
+    decision is engine-stable (DuckDB oracle reproduces the fold
+    bit for bit).
+    """
+    assigned = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("cell", _nearest_centroid(F.col("vec"), centroids))
+    a, b = assigned.alias("a"), assigned.alias("b").hint("shuffle_hash")
+    dup = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col("b.vid") < F.col("a.vid"))
+        .filter(
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("a.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup.withColumn("_dup", F.lit(True)), "vid", "left"
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

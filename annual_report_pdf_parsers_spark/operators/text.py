@@ -358,7 +358,9 @@ def line_stats(
     bullets; Rae et al.'s Gopher filters drop docs where >90% of lines
     start with a bullet or >30% end with an ellipsis).
 
-    Lines are '\\n'-split, trimmed, blank lines dropped.  Per document:
+    Lines are '\\n'-split, SPACE-trimmed (both engines' native trim —
+    a tab-only line counts as content), blank lines dropped.  Per
+    document:
       n_lines        non-blank line count
       bullet_frac    lines starting with '- ', '* ' or a bullet dot
       ellipsis_frac  lines ending with '...' or the U+2026 ellipsis

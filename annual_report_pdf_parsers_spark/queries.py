@@ -1267,6 +1267,24 @@ def q_dedup_simhash_pairs_mp(spark, sf):
     )
 
 
+def q_dedup_semantic(spark, sf):
+    """SemDeDup: k-means-cell bucketing (the same deterministic
+    ivf_fit_local quantizer as ann_ivf_topk, centroids embedded as
+    literals in BOTH engines) -> within-cell cosine >= 0.35 against any
+    lower id -> keep decision.  Exact copies of every 25th vector
+    guarantee dropped rows at any sf (cos 1.0 inside the same cell);
+    threshold 0.35 sits inside the natural pair distribution so
+    organic drops occur too (the dedup_embedding_cosine rationale)."""
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    dup = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    cents = similarity.ivf_fit_local(sf, n_cells=8, iters=2)
+    return similarity.semantic_dedup(
+        emb.unionByName(dup), cents, threshold=0.35
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup pairs above a threshold.
 
@@ -2445,6 +2463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_keep": q_dedup_corpus_keep,
     "dedup_incremental": q_dedup_incremental,
     "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+    "dedup_semantic": q_dedup_semantic,
     # -- ANN / similarity ---------------------------------------------
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2484,13 +2503,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
     "pipeline_oracle": q_pipeline_oracle,
-    # -- §2 backfill, ROTATED each round (r05: the 2 entries with the
-    # -- OLDEST driver rows — P1-P2, last driver-checked in r02/r03;
-    # -- next in line r06: P3-P8, W2-W4, U1-U3, O2-O3, A2/A4/A5, J5) --
+    # -- §2 backfill, ROTATED each round (r05: P1, the entry with the
+    # -- OLDEST driver row, last driver-checked in r02/r03; next in
+    # -- line r06: P2-P8, W2-W4, U1-U3, O2-O3, A2/A4/A5, J5) ---------
     "p1_realign": q_p1_realign,
-    "p2_projection": q_p2_projection,
     # ---- the driver's CORRECTNESS window is the FIRST 50 keys of this
-    # ---- dict: 46 training-data ops + 2 flagship + 2 rotated §2
+    # ---- dict: 47 training-data ops + 2 flagship + 1 rotated §2
     # ---- backfill = 50 exactly.  Every entry from here down already
     # ---- carries green driver rows from an earlier round (r04 for the
     # ---- dispatch variants and the previous backfill set, r02/r03 for
@@ -2520,6 +2538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_numeric_chain": q_f_numeric_chain,
     "f_name_clean": q_f_name_clean,
     "d1_dispatch": q_d1_dispatch,
+    "p2_projection": q_p2_projection,
     "p3_whitelist": q_p3_whitelist,
     "p4_keep_anchor": q_p4_keep_anchor,
     "p5_null_blank": q_p5_null_blank,
@@ -4155,6 +4174,54 @@ def _ivf_oracle_sql(
     )
 
 
+def _semantic_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_cells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+) -> str:
+    """Exact SQL oracle for dedup_semantic: the same ivf_fit_local
+    centroids as DOUBLE[] literals, the same argmax-cosine assignment
+    (first-wins = lowest cid on ties), within-cell lower-id pairing
+    with the ROUND-6 cosine threshold, LEFT-join keep flag."""
+    from .operators.similarity import ivf_fit_local
+
+    cents = ivf_fit_local(sf_dir, n_cells, iters)
+    vals = ", ".join(
+        "(" + str(cid) + ", ["
+        + ", ".join(repr(v) for v in vec)
+        + "]::DOUBLE[])"
+        for cid, vec in cents
+    )
+    return (
+        f"WITH cents(cid, cv) AS (VALUES {vals}), "
+        "e AS (SELECT vec_id, embedding FROM embeddings "
+        "  WHERE vec_id < 200 "
+        "  UNION ALL "
+        "  SELECT vec_id + 1000000 AS vec_id, embedding "
+        "  FROM embeddings WHERE vec_id < 200 AND vec_id % 25 = 0), "
+        "ca AS (SELECT e.vec_id, c.cid, "
+        f"  {_cos_arr_sql('e.embedding', 'c.cv')} AS ccos "
+        "  FROM e CROSS JOIN cents c), "
+        "cell_of AS (SELECT vec_id, cid AS cell FROM ("
+        "  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "    ORDER BY ccos DESC, cid ASC) AS rn FROM ca) WHERE rn = 1), "
+        "dup AS (SELECT DISTINCT a.vec_id FROM cell_of a "
+        "  JOIN cell_of b ON b.cell = a.cell AND b.vec_id < a.vec_id "
+        "  JOIN e ea ON ea.vec_id = a.vec_id "
+        "  JOIN e eb ON eb.vec_id = b.vec_id "
+        f"  WHERE ROUND({_cos_arr_sql('ea.embedding', 'eb.embedding')}, 6) "
+        f"    >= {threshold!r}) "
+        "SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep "
+        "FROM cell_of c LEFT JOIN dup d ON d.vec_id = c.vec_id"
+    )
+
+
+@_lru_cache(maxsize=4)
+def _semantic_oracle_cached(sf_dir: str) -> str:
+    return _semantic_oracle_sql(sf_dir)
+
+
 def oracle_sql_dict() -> dict[str, str]:
     """ORACLE_SQL plus the lazily-built entries, resolved at gate time.
 
@@ -4166,11 +4233,11 @@ def oracle_sql_dict() -> dict[str, str]:
     driver's documented gate scale, matching q_ann_ivf_topk's fit)."""
     out = dict(ORACLE_SQL)
     try:
-        out["ann_ivf_topk"] = _ivf_oracle_cached(
-            os.environ.get(
-                "SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"
-            )
+        gate_sf = os.environ.get(
+            "SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"
         )
+        out["ann_ivf_topk"] = _ivf_oracle_cached(gate_sf)
+        out["dedup_semantic"] = _semantic_oracle_cached(gate_sf)
     except (OSError, ValueError):
         # testdata absent or unreadable: this entry falls back to the
         # driver's rows-only check rather than failing every oracle.

@@ -129,6 +129,7 @@ HEADLINE = [
     "text_char_entropy",
     "text_unigram_lm",
     "corpus_token_stats",
+    "dedup_semantic",
 ]
 
 

@@ -1305,3 +1305,29 @@ def test_token_count_stats_matches_numpy_percentiles(spark):
         assert got["s1"][col] == round(float(np.percentile(counts, p)), 6)
     assert got["s1"]["n_docs"] == 10 and got["s1"]["total_tokens"] == 55
     assert got["s2"]["p50_tokens"] == 3.0 and got["s2"]["min_tokens"] == 3
+
+
+def test_semantic_dedup_cell_confined(spark):
+    """similarity.semantic_dedup: a near-duplicate with a lower-id
+    neighbor in the SAME cell is dropped; an equally-similar pair split
+    across cells is NOT paired (the SemDeDup trade); the lowest id of
+    each duplicate group survives."""
+    from annual_report_pdf_parsers_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [
+        (1, [1.0, 0.05]),   # cell 0
+        (2, [1.0, 0.06]),   # cell 0, ~identical to 1 -> dropped
+        (3, [0.05, 1.0]),   # cell 1
+        (4, [1.0, 0.9]),    # near the boundary, lands in ONE cell only
+        (5, [0.9, 1.0]),    # cos(4,5) is high but cells differ -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cell, r.keep) for r in
+           semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert got[1][1] is True and got[2] == (0, False)
+    assert got[3][1] is True
+    assert got[4][1] is True and got[5][1] is True
+    assert got[4][0] != got[5][0]

@@ -719,3 +719,99 @@ def test_simhash_pairs_matches_python_model(spark, texts):
         for r in simhash_pairs(df, n_bits=32, n_bands=4).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-line removal + line stats vs Python models
+# ---------------------------------------------------------------------------
+
+_line = st.one_of(
+    st.sampled_from(
+        ["NAV | MENU", "  NAV | MENU  ", "- item", "* item ",
+         "• dot", "end...", "more…", "", "   ", "plain words here"]
+    ),
+    st.text(
+        alphabet="ab -*.…•\t", min_size=0, max_size=12
+    ),
+)
+_mldoc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+
+
+@SETTINGS
+@given(st.lists(_mldoc, min_size=1, max_size=12), st.integers(1, 3))
+def test_drop_boilerplate_lines_matches_python_model(spark, docs, max_df):
+    """dedup.drop_boilerplate_lines vs a direct Python model: trim-keyed
+    cross-doc line DF, blank lines immune, raw lines cut, original
+    order preserved, all-dropped docs collapse to ''."""
+    from collections import defaultdict
+
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        drop_boilerplate_lines,
+    )
+
+    # SPACE-trim, not full whitespace-strip: both engines' native
+    # trim() strips ASCII spaces only, and the operator documents that
+    # choice (a tab-only line counts as content)
+    dfreq = defaultdict(set)
+    for i, d in enumerate(docs):
+        for ln in d.split("\n"):
+            if ln.strip(" "):
+                dfreq[ln.strip(" ")].add(i)
+
+    def model(i, d):
+        kept, dropped = [], 0
+        for ln in d.split("\n"):
+            t = ln.strip(" ")
+            if t and len(dfreq[t]) > max_df:
+                dropped += 1
+            else:
+                kept.append(ln)
+        return "\n".join(kept), len(kept), dropped
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in drop_boilerplate_lines(df, max_df=max_df).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == model(i, d), f"doc {i}: {d!r}"
+
+
+@SETTINGS
+@given(st.lists(_mldoc, min_size=1, max_size=12))
+def test_line_stats_matches_python_model(spark, docs):
+    """text.line_stats vs a direct Python model over adversarial line
+    mixes (blanks, pure-whitespace lines, unicode bullets/ellipses)."""
+    from annual_report_pdf_parsers_spark.operators.text import line_stats
+
+    def model(d):
+        # SPACE-trim: see test_drop_boilerplate_lines model note
+        ls = [ln.strip(" ") for ln in d.split("\n")]
+        ls = [ln for ln in ls if ln]
+        n = len(ls)
+        if not n:
+            return 0, 0.0, 0.0, 0.0
+        bullet = sum(
+            1 for ln in ls
+            if ln[:2] in ("- ", "* ") or ln[:1] == "•"
+        )
+        ell = sum(
+            1 for ln in ls if ln.endswith("...") or ln.endswith("…")
+        )
+        dup = n - len(set(ls))
+        return (
+            n, round(bullet / n, 6), round(ell / n, 6), round(dup / n, 6)
+        )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.bullet_frac, r.ellipsis_frac,
+                   r.dup_line_frac)
+        for r in line_stats(df).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == model(d), f"doc {i}: {d!r}"
