@@ -188,3 +188,86 @@ def shard_shuffle(
     return out.withColumn(
         "pos", F.row_number().over(w).cast("long")
     ).drop("_dg")
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+    salt: str = "mx0",
+) -> DataFrame:
+    """Temperature-based source REWEIGHTING + deterministic realization
+    — the data-mixing step that turns raw per-source counts into a
+    training mix (the "temperature sampling"
+    trick used by multilingual and multi-domain corpus builders, public
+    knowledge: sample source s with probability
+    proportional to n_s^alpha, alpha<1 upweights small sources).
+
+    Per source: w_s = floor(sqrt(n_s) * 1e6) at the default alpha=0.5
+    (sqrt is IEEE-correctly-rounded in every engine, so the integer
+    weights — and everything downstream — are bit-identical across
+    Spark and the DuckDB oracle; other alphas use pow() with a
+    documented cross-engine 1-ulp caveat).  The realized keep rate is
+    r_s = min(1, target_total * (w_s / W) / n_s) with W = sum(w_s)
+    (exact BIGINT sum — order-independent, unlike a double sum), and
+    each row keeps iff the first four hex digits of md5(key || '|' ||
+    salt) sit below floor(r_s * 65536) — the same content-hash
+    realization as hash_mod_sample, so the selected set is reproducible
+    under any partitioning/resume and independent across salts.
+
+    100 TB shape: ONE map-side-partial count agg over the corpus; the
+    per-source weight/threshold table is bounded by the source
+    vocabulary (not the data) and is broadcast back — the same
+    bounded-by-construction broadcast as decontaminate's benchmark
+    shingles; the keep decision itself is a narrow filter.  Returns the
+    kept rows as (key_col, source_col, src_n, src_w, keep_thr) — all
+    integers, fully hash-checkable.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if target_total <= 0:
+        raise ValueError("target_total must be positive")
+    n_dbl = F.col("_mx_n").cast("double")
+    pw = F.sqrt(n_dbl) if alpha == 0.5 else F.pow(n_dbl, F.lit(alpha))
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_mx_n"))
+        .withColumn("_mx_w", F.floor(pw * F.lit(1000000.0)).cast("long"))
+    )
+    total_w = counts.agg(F.sum("_mx_w").alias("_mx_tw"))
+    # threshold in fixed double op order: ((65536*T) * w / W) / n —
+    # every intermediate is IEEE-defined on exact integer inputs, so
+    # both engines floor the same value
+    thr = F.least(
+        F.floor(
+            F.lit(65536.0 * target_total)
+            * F.col("_mx_w").cast("double")
+            / F.col("_mx_tw").cast("double")
+            / F.col("_mx_n").cast("double")
+        ).cast("long"),
+        F.lit(65536).cast("long"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(total_w))
+        .withColumn("_mx_thr", thr)
+        .select(
+            source_col,
+            F.col("_mx_n").alias("src_n"),
+            F.col("_mx_w").alias("src_w"),
+            F.col("_mx_thr").alias("keep_thr"),
+        )
+    )
+    digest4 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
+        1,
+        4,
+    )
+    hex4 = F.lower(F.lpad(F.hex(F.col("keep_thr")), 4, "0"))
+    return (
+        df.select(key_col, source_col)
+        .join(F.broadcast(rates), on=source_col, how="inner")
+        .filter((F.col("keep_thr") >= 65536) | (digest4 < hex4))
+        .select(key_col, source_col, "src_n", "src_w", "keep_thr")
+    )

@@ -706,3 +706,89 @@ def token_count_stats(
         F.round(pct[2], 6).alias("p90_tokens"),
         F.round(pct[3], 6).alias("p99_tokens"),
     )
+
+
+# Hashed-feature linear quality classifier (fastText-style, public
+# knowledge: Joulin et al. 2016 "Bag of Tricks").  Features are lowered
+# word unigrams PLUS word bigrams, each hashed into a fixed bucket
+# table via the first two hex digits of md5 (256 buckets); the score is
+# the MEAN bucket weight plus a bias — exactly fastText's mean-pooled
+# 1-dim embedding + linear layer.  The weights here are deterministic
+# pseudo-weights from a fixed formula (a stand-in for a trained table,
+# like UNIGRAM_LOGPROBS above): real deployments swap the dict, the
+# OPERATOR SHAPE — hash, literal-map lookup, ordered fold, one division
+# — is the production plan either way.  The DuckDB oracle regenerates
+# its 256-arm CASE from this same dict, so there is ONE site to edit.
+CLASSIFIER_WEIGHTS = {
+    f"{i:02x}": round((((i * 37) % 101) - 50) / 100.0, 2)
+    for i in range(256)
+}
+CLASSIFIER_BIAS = 0.0
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = CLASSIFIER_BIAS,
+) -> DataFrame:
+    """fastText-style hashed bag-of-ngrams quality classifier — the
+    model-based document filter of the CCNet/LLaMA data pipelines,
+    expressed as a pure narrow Spark expression tree (no UDF).
+
+    score = bias + mean over features of W[md5(feature)[:2]], where the
+    features are the lowered whitespace tokens plus their adjacent
+    bigrams (fastText's word-ngram trick) and W is the 256-entry
+    CLASSIFIER_WEIGHTS literal map.  keep = score >= 0 on the UNROUNDED
+    value: the sum is an ordered left fold of literal doubles, so Spark
+    and the DuckDB oracle agree bit for bit and the comparison is safe.
+
+    Determinism: literal-map lookups summed by an ordered fold over
+    unigrams-then-bigrams (identical order in aggregate() and DuckDB's
+    list_reduce over the concatenated list), ONE final division, ROUND 6
+    only on the emitted score.
+
+    100 TB shape: narrow (map literal constant-folded, no shuffle, no
+    join); composes with scan pruning like every other text op.  Returns
+    (id_col, n_features, score, keep).
+    """
+    from ..functions.numeric import pin
+
+    lookup = F.create_map(
+        *[
+            F.lit(x)
+            for k, w in sorted(CLASSIFIER_WEIGHTS.items())
+            for x in (k, w)
+        ]
+    )
+    tk = pin(F.transform(tokens(F.col(text_col)), lambda w: F.lower(w)))
+    base = df.withColumn("_qc_tk", tk)
+    arr = F.col("_qc_tk")
+    n = F.size(arr)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = base.withColumn("_qc_bi", pin(bigrams))
+    feats = F.concat(F.col("_qc_tk"), F.col("_qc_bi"))
+    nf = F.size(F.col("_qc_tk")) + F.size(F.col("_qc_bi"))
+    total = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, w: acc
+        + F.element_at(lookup, F.substring(F.md5(w), 1, 2)),
+    )
+    score = F.when(nf > 0, F.lit(float(bias)) + total / nf).otherwise(
+        F.lit(float(bias))
+    )
+    staged = staged.withColumn("_qc_sc", pin(score))
+    return staged.select(
+        F.col(id_col),
+        nf.cast("long").alias("n_features"),
+        F.round(F.col("_qc_sc"), 6).alias("score"),
+        (F.col("_qc_sc") >= 0.0).alias("keep"),
+    )

@@ -1566,6 +1566,43 @@ def q_corpus_token_stats(spark, sf):
     return text.token_count_stats(load(spark, sf, "documents"))
 
 
+def q_text_quality_classifier(spark, sf):
+    """fastText-style hashed bag-of-ngrams quality classifier (task
+    brief: model-based quality scoring) over documents with the
+    whitespace probe — non-vacuous about BOTH the whitespace-run split
+    and the bigram construction (the probe's tab/newline-separated
+    words create bigrams a single-space split would never form).  The
+    oracle regenerates the 256-arm bucket CASE from the same
+    CLASSIFIER_WEIGHTS dict (one site to edit)."""
+    return text.quality_classifier(
+        _with_ws_noise(load(spark, sf, "documents"))
+    )
+
+
+def q_corpus_mixture_sample(spark, sf):
+    """Temperature-based (alpha=0.5) source reweighting + deterministic
+    realization — the data-mixing step.  The fixture skews the corpus
+    so sqrt reweighting is non-trivial: sources whose md5 first hex
+    digit is <= '7' get a doc_id-shifted duplicate block, <= '3' a
+    second one (so per-source counts come in 1x/2x/3x bands and the
+    realized keep rates differ across bands).  Output is all-integer
+    (doc_id, source, src_n, src_w, keep_thr) — fully hash-checkable."""
+    from .operators.sampling import mixture_sample
+
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    h = F.substring(F.md5(F.col("source")), 1, 1)
+    e1 = d.filter(h <= "7").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source"
+    )
+    e2 = d.filter(h <= "3").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "source"
+    )
+    corpus = d.unionByName(e1).unionByName(e2)
+    return mixture_sample(
+        corpus, "source", "doc_id", target_total=200, alpha=0.5
+    )
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -2475,24 +2512,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
-    "text_normalize": q_text_normalize,
     "text_dup_spans": q_text_dup_spans,
     "text_dup_excise": q_text_dup_excise,
     "text_readability": q_text_readability,
     "text_line_stats": q_text_line_stats,
     "text_char_entropy": q_text_char_entropy,
     "text_unigram_lm": q_text_unigram_lm,
+    "text_quality_classifier": q_text_quality_classifier,
     # -- corpus decisions ---------------------------------------------
     "corpus_text_filter": q_corpus_text_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "corpus_source_stats": q_corpus_source_stats,
-    "corpus_sample_hash": q_corpus_sample_hash,
     "corpus_quota_topk": q_corpus_quota_topk,
     "corpus_shard_shuffle": q_corpus_shard_shuffle,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_curation": q_corpus_curation,
     "corpus_stratified_sample": q_corpus_stratified_sample,
+    "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_ingest": q_corpus_ingest,
     "corpus_token_stats": q_corpus_token_stats,
@@ -2515,6 +2552,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the rest) plus permanent local-gate coverage
     # ---- (tests/test_oracle_parity.py runs ALL oracled entries), so
     # ---- sliding below the window as new ops land above is safe -----
+    # text_normalize / corpus_sample_hash rotated below in r05 to make
+    # room for text_quality_classifier / corpus_mixture_sample — both
+    # carry green r04 driver rows and are the simplest ops of their
+    # families (single narrow projection / single narrow filter)
+    "text_normalize": q_text_normalize,
+    "corpus_sample_hash": q_corpus_sample_hash,
     "d4_shape_dispatch": q_d4_shape_dispatch,
     "d5_fallback_chain": q_d5_fallback_chain,
     "d5_rename_retry": q_d5_rename_retry,
@@ -2750,6 +2793,71 @@ def _unigram_oracle_sql() -> str:
         f"0.0, list_transform(tk, w -> {case})), (p, q) -> p + q) "
         "/ len(tk), 6) ELSE 0.0 END AS avg_logprob FROM tks"
     )
+
+
+def _classifier_oracle_sql() -> str:
+    """text_quality_classifier oracle — the 256-arm md5-bucket CASE is
+    REGENERATED from the same CLASSIFIER_WEIGHTS dict the engine's
+    literal map is built from (one site to edit); unigrams-then-bigrams
+    concatenated into one list and summed by the same ordered left fold
+    as the engine's aggregate(), one division, keep on the UNROUNDED
+    score (bit-identical fold -> safe comparison)."""
+    from .operators.text import CLASSIFIER_BIAS, CLASSIFIER_WEIGHTS
+
+    arms = " ".join(
+        f"WHEN '{k}' THEN CAST({w!r} AS DOUBLE)"
+        for k, w in sorted(CLASSIFIER_WEIGHTS.items())
+    )
+    case = f"CASE substr(md5(w), 1, 2) {arms} END"
+    bias = f"CAST({float(CLASSIFIER_BIAS)!r} AS DOUBLE)"
+    return (
+        f"WITH inj AS (SELECT doc_id, text || {_WS_NOISE_SQL} AS text "
+        "  FROM documents), "
+        "tks AS (SELECT doc_id, list_transform(list_filter("
+        "  regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
+        "  w -> lower(w)) AS tk FROM inj), "
+        "big AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 2 THEN "
+        "  list_transform(generate_series(1, len(tk) - 1), "
+        "    i -> tk[i] || ' ' || tk[i + 1]) "
+        "  ELSE CAST([] AS VARCHAR[]) END AS bi FROM tks), "
+        "ft AS (SELECT doc_id, len(tk) + len(bi) AS nf, "
+        "  list_concat(tk, bi) AS feats FROM big), "
+        "sc AS (SELECT doc_id, nf, CASE WHEN nf > 0 THEN "
+        f"  {bias} + list_reduce(list_prepend(0.0, "
+        f"  list_transform(feats, w -> {case})), (p, q) -> p + q) / nf "
+        f"  ELSE {bias} END AS s FROM ft) "
+        "SELECT doc_id, CAST(nf AS BIGINT) AS n_features, "
+        "ROUND(s, 6) AS score, s >= 0.0 AS keep FROM sc"
+    )
+
+
+# corpus_mixture_sample oracle — mirrors operators/sampling.py::
+# mixture_sample arm for arm: integer sqrt-weights (floor(sqrt*1e6)),
+# exact BIGINT weight sum, the same fixed double op order for the
+# threshold ((65536*T) * w / W / n), and the same 4-hex-digit salted
+# digest realization.  13107200.0 = 65536.0 * target_total(200).
+_MIXTURE_ORACLE_SQL = (
+    "WITH base AS (SELECT doc_id, source FROM documents), "
+    "e1 AS (SELECT doc_id + 1000000 AS doc_id, source FROM base "
+    "  WHERE substr(md5(source), 1, 1) <= '7'), "
+    "e2 AS (SELECT doc_id + 2000000 AS doc_id, source FROM base "
+    "  WHERE substr(md5(source), 1, 1) <= '3'), "
+    "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM e1 "
+    "  UNION ALL SELECT * FROM e2), "
+    "cnt AS (SELECT source, COUNT(*) AS src_n, "
+    "  CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) "
+    "  AS src_w FROM corpus GROUP BY source), "
+    "tw AS (SELECT SUM(src_w) AS w FROM cnt), "
+    "rates AS (SELECT source, src_n, src_w, "
+    "  least(CAST(floor(13107200.0 * CAST(src_w AS DOUBLE) "
+    "    / CAST(w AS DOUBLE) / CAST(src_n AS DOUBLE)) AS BIGINT), "
+    "    65536) AS keep_thr FROM cnt, tw) "
+    "SELECT c.doc_id, c.source, r.src_n, r.src_w, r.keep_thr "
+    "FROM corpus c JOIN rates r USING (source) "
+    "WHERE r.keep_thr >= 65536 "
+    "OR substr(md5(CAST(c.doc_id AS VARCHAR) || '|mx0'), 1, 4) "
+    "   < printf('%04x', r.keep_thr)"
+)
 
 
 # Incremental (cross-corpus) LSH chain: expects CTEs wsbase(doc_id,
@@ -3646,6 +3754,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "text_char_entropy": _entropy_oracle_sql(),
     "text_unigram_lm": _unigram_oracle_sql(),
+    "text_quality_classifier": _classifier_oracle_sql(),
+    "corpus_mixture_sample": _MIXTURE_ORACLE_SQL,
     "corpus_token_stats": (
         "WITH d AS (SELECT source, CAST(len(list_filter("
         "regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> '')) "

@@ -130,6 +130,8 @@ HEADLINE = [
     "text_unigram_lm",
     "corpus_token_stats",
     "dedup_semantic",
+    "text_quality_classifier",
+    "corpus_mixture_sample",
 ]
 
 

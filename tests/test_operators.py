@@ -1331,3 +1331,73 @@ def test_semantic_dedup_cell_confined(spark):
     assert got[3][1] is True
     assert got[4][1] is True and got[5][1] is True
     assert got[4][0] != got[5][0]
+
+
+def test_quality_classifier_known_values(spark):
+    """text.quality_classifier: unigram+bigram bucket weights from the
+    literal table, mean + bias, keep on the unrounded score; empty and
+    single-token docs (no bigrams) degrade cleanly."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        CLASSIFIER_BIAS, CLASSIFIER_WEIGHTS, quality_classifier,
+    )
+
+    def wt(f):
+        return CLASSIFIER_WEIGHTS[hashlib.md5(f.encode()).hexdigest()[:2]]
+
+    rows = [(1, "The of"), (2, "solo"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_features, r.score, r.keep)
+        for r in quality_classifier(df).collect()
+    }
+    s1 = CLASSIFIER_BIAS + (
+        ((0.0 + wt("the")) + wt("of")) + wt("the of")
+    ) / 3
+    assert got[1] == (3, round(s1, 6), s1 >= 0.0)
+    s2 = CLASSIFIER_BIAS + wt("solo") / 1
+    assert got[2] == (1, round(s2, 6), s2 >= 0.0)
+    assert got[3] == (0, round(float(CLASSIFIER_BIAS), 6), CLASSIFIER_BIAS >= 0.0)
+
+
+def test_mixture_sample_thresholds_and_clamp(spark):
+    """sampling.mixture_sample: hand-checked sqrt reweighting — a 16-row
+    source and a 1-row source at target 4 give thresholds 13107 / 52428
+    (small source upweighted ~4x per row); a huge target clamps at
+    65536 and keeps EVERY row; invalid params raise."""
+    import hashlib
+
+    import pytest
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(16)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, "source", "doc_id", target_total=4).collect()
+    thr = {r.source: r.keep_thr for r in out}
+    # w_big = 4e6, w_tiny = 1e6, W = 5e6:
+    # thr_big  = floor(65536*4 * (4/5) / 16) = floor(13107.2) = 13107
+    # thr_tiny = floor(65536*4 * (1/5) / 1)  = floor(52428.8) = 52428
+    assert thr.get("big", 13107) == 13107  # may be absent if no row kept
+    assert thr.get("tiny", 52428) == 52428
+    kept = {r.doc_id for r in out}
+    want = {
+        k
+        for k, s in rows
+        if hashlib.md5(f"{k}|mx0".encode()).hexdigest()[:4]
+        < f"{13107 if s == 'big' else 52428:04x}"
+    }
+    assert kept == want
+    # clamp: target >= corpus size -> every source at 65536, all kept
+    full = mixture_sample(df, "source", "doc_id", target_total=1000)
+    assert full.count() == 17
+    assert set(
+        r.keep_thr for r in full.select("keep_thr").distinct().collect()
+    ) == {65536}
+    with pytest.raises(ValueError):
+        mixture_sample(df, "source", "doc_id", target_total=0)
+    with pytest.raises(ValueError):
+        mixture_sample(df, "source", "doc_id", 10, alpha=1.5)

@@ -386,3 +386,33 @@ def test_boilerplate_lines_plan_shape(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n <= 6, f"boilerplate exchange blow-up: {n}"
     assert plan.count("Generate posexplode") <= 2, plan
+
+
+def test_quality_classifier_narrow(spark):
+    """quality_classifier: a pure narrow projection — ZERO exchanges, no
+    Python eval (the 256-entry weight map is a constant-folded literal;
+    tokenize/bigram/fold all stay in JVM expressions)."""
+    plan = _qplan(spark, "text_quality_classifier")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_mixture_sample_plan_shape(spark):
+    """mixture_sample: the per-source rate table joins back to the
+    corpus as the hinted BROADCAST (bounded by the source vocabulary —
+    the decontaminate-style justified broadcast), the 1-row weight-sum
+    attach is the only nested-loop join (broadcast of literally one
+    row), and the only hash exchanges are the two tiny count/sum aggs —
+    the BIG side never shuffles.  autoBroadcastJoinThreshold is
+    disabled so the check detects loss of the explicit hints."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _qplan(spark, "corpus_mixture_sample")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "EvalPython" not in plan, plan

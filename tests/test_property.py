@@ -815,3 +815,121 @@ def test_line_stats_matches_python_model(spark, docs):
     }
     for i, d in enumerate(docs):
         assert got[i] == model(d), f"doc {i}: {d!r}"
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed classifier vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+_qc_text = st.tuples(
+    st.lists(
+        st.sampled_from(["a", "b", "cd", "THE", "zz", "Mixed"]),
+        min_size=0,
+        max_size=16,
+    ),
+    st.lists(st.sampled_from(_WS_SEPS), min_size=16, max_size=16),
+).map(_ws_joined)
+
+
+def _qc_model(text: str):
+    """Independent model of operators/text.py::quality_classifier:
+    lowered unigrams + adjacent bigrams, md5 2-hex bucket into
+    CLASSIFIER_WEIGHTS, ordered left-fold sum (Python floats ARE IEEE
+    doubles, so the fold matches Spark's bit for bit), one division."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        CLASSIFIER_BIAS, CLASSIFIER_WEIGHTS,
+    )
+
+    tk = [t.lower() for t in _model_tokens(text)]
+    feats = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+    total = 0.0
+    for f in feats:
+        total = total + CLASSIFIER_WEIGHTS[
+            hashlib.md5(f.encode()).hexdigest()[:2]
+        ]
+    nf = len(feats)
+    s = CLASSIFIER_BIAS + total / nf if nf else float(CLASSIFIER_BIAS)
+    return nf, round(s, 6), s >= 0.0
+
+
+@SETTINGS
+@given(st.lists(_qc_text, min_size=1, max_size=30))
+def test_quality_classifier_matches_python_model(spark, texts):
+    """operators/text.py::quality_classifier vs the model on
+    whitespace-noisy streams: empty docs, single-token docs (no
+    bigrams), case folding, and the exact keep boundary."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_features, r.score, r.keep)
+        for r in quality_classifier(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _qc_model(t), (i, t, got[i], _qc_model(t))
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture sampling vs hashlib + IEEE-ordered arithmetic
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.sampled_from(["s1", "s2", "s3", "hot"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 40),
+)
+def test_mixture_sample_matches_hashlib(spark, rows, target):
+    """sampling.mixture_sample vs an independent model: integer sqrt
+    weights, exact weight sum, the fixed-order double threshold, and
+    the 4-hex digest realization — the kept set and every emitted
+    integer column must match exactly."""
+    import hashlib
+    import math
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    counts: dict[str, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    w = {s: math.floor(math.sqrt(float(n)) * 1000000.0) for s, n in counts.items()}
+    tw = sum(w.values())
+    thr = {
+        s: min(
+            math.floor(65536.0 * target * float(w[s]) / float(tw) / float(n)),
+            65536,
+        )
+        for s, n in counts.items()
+    }
+    want = {
+        k: (s, counts[s], w[s], thr[s])
+        for k, s in rows
+        if thr[s] >= 65536
+        or hashlib.md5(f"{k}|mx0".encode()).hexdigest()[:4]
+        < f"{thr[s]:04x}"
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r.doc_id: (r.source, r.src_n, r.src_w, r.keep_thr)
+        for r in mixture_sample(
+            df, "source", "doc_id", target_total=target
+        ).collect()
+    }
+    assert got == want
