@@ -213,17 +213,61 @@ def lsh_bucket(vec: Column, n_planes: int = 4, dim: int = 64) -> Column:
     return F.concat(*[hyperplane_sign(vec, i, dim) for i in range(n_planes)])
 
 
-def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]):
-    """Argmax-cosine cell id against a broadcast list of centroids —
-    a fold over literal arrays, fully JVM-side."""
-    best_id, best_cos = F.lit(-1), F.lit(-2.0)
-    for cid, cvec in centroids:
+def _assign_nearest_centroid(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    out_col: str,
+) -> DataFrame:
+    """Argmax-cosine cell id against a broadcast list of centroid
+    literals, fully JVM-side — STAGED form (r05 perf fix, the NOTES
+    gotcha-#2 family): the per-centroid cosines are pin()-materialized
+    columns and only the argmax fold runs over them.
+
+    The previous Column-level fold nested ``when(c > best_cos, ...)``
+    with the full 64-dim literal cosine INLINED at every ``best_cos``
+    reference — the expression tree doubled per centroid (~2^k copies
+    of a ~400-node cosine at k=8), blowing the generated method past
+    janino's 64 KB limit into interpreted eval: dedup_semantic measured
+    15-16 s WARM on 210 rows at sf0.1.  Staged + LINEAR argmax it is
+    sub-second: the per-centroid cosines are materialized once, and
+    the argmax is ``array_max`` over (cos, -cid) structs — O(k) code,
+    so it also survives the large-k SemDeDup operating point (k ~
+    corpus/cell_size) where ANY sequential when-chain would blow up.
+
+    Tie/None semantics exactly mirror the old fold, ivf_fit_local, and
+    the DuckDB oracles: strict > with ascending-cid first-wins (struct
+    max breaks cos ties on the LARGER -cid = smaller cid); a null
+    cosine never wins (coalesced to -2.0, below the sentinel), and if
+    every cosine is null the sentinel yields cell -1."""
+    from ..functions.numeric import pin
+
+    names = [f"_nc_{j}" for j in range(len(centroids))]
+    for n in names:
+        if n in df.columns:
+            raise ValueError(
+                f"staging column {n!r} already exists in the input"
+            )
+    staged = df
+    for n, (cid, cvec) in zip(names, centroids):
         carr = F.array(*[F.lit(float(x)) for x in cvec])
-        c = cosine(vec, carr)
-        better = c > best_cos
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_cos = F.when(better, c).otherwise(best_cos)
-    return best_id
+        staged = staged.withColumn(
+            n, pin(cosine(F.col(vec_col), carr))
+        )
+    entries = [
+        F.struct(
+            F.coalesce(F.col(n), F.lit(-2.0)).alias("c"),
+            F.lit(-cid).alias("nid"),
+        )
+        for n, (cid, cvec) in zip(names, centroids)
+    ]
+    # sentinel: wins only when every real cosine is null (-2.0 < -1.5
+    # <= any real cosine is false — cosines live in [-1, 1])
+    entries.append(
+        F.struct(F.lit(-1.5).alias("c"), F.lit(1).alias("nid"))
+    )
+    best = F.array_max(F.array(*entries))
+    return staged.withColumn(out_col, best["nid"] * -1).drop(*names)
 
 
 def ivf_fit(
@@ -254,8 +298,8 @@ def ivf_fit(
     centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
     dim = len(centroids[0][1])
     for _ in range(iters):
-        assigned = corpus.withColumn(
-            "_cell", _nearest_centroid(F.col(vec_col), centroids)
+        assigned = _assign_nearest_centroid(
+            corpus, vec_col, centroids, "_cell"
         )
         agg = assigned.groupBy("_cell").agg(
             *[
@@ -350,10 +394,13 @@ def ivf_topk(
     cell — shuffle-bounded, candidate set ~ (n_probe / n_cells) of the
     corpus; recall < 1 by design (the scale path next to the brute-force
     baseline)."""
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_cv"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+    c = _assign_nearest_centroid(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+        ),
+        "_cv",
+        centroids,
+        "cell",
     )
     # n_probe nearest cells per query: rank the centroid list per query
     probe = None
@@ -492,9 +539,14 @@ def semantic_dedup(
     decision is engine-stable (DuckDB oracle reproduces the fold
     bit for bit).
     """
-    assigned = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("cell", _nearest_centroid(F.col("vec"), centroids))
+    assigned = _assign_nearest_centroid(
+        df.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        ),
+        "vec",
+        centroids,
+        "cell",
+    )
     a, b = assigned.alias("a"), assigned.alias("b").hint("shuffle_hash")
     dup = (
         a.join(b, F.col("a.cell") == F.col("b.cell"))
