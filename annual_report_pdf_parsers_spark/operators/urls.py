@@ -100,3 +100,68 @@ def filter_blocked_domains(
         for b in normalized:
             hit = hit | host.endswith("." + b)
     return df.filter(host.isNull() | ~hit)
+
+
+# Curated URL word weights for the SOFT url-quality score — the
+# RefinedWeb-style refinement of the binary blocklist (public
+# knowledge: Penedo et al. 2023 score URLs by weighted soft words
+# instead of dropping on any single hit).  Deterministic stand-in
+# table like CLASSIFIER_WEIGHTS/UNIGRAM_LOGPROBS: deployments swap the
+# dict, the operator shape — lowered-substring counts × literal
+# weights, fixed-order sum — is the production plan either way.  The
+# DuckDB oracle regenerates its arithmetic from this same dict.
+URL_WORD_WEIGHTS = {
+    "casino": -1.5, "porn": -2.0, "viagra": -2.0, "torrent": -1.0,
+    "coupon": -0.8, "login": -0.5, "signup": -0.4, "download": -0.3,
+    "tracker": -0.6, "popup": -0.7,
+    "wiki": 0.8, "docs": 0.6, "news": 0.5, "article": 0.5,
+    "blog": 0.3, "research": 0.7, "paper": 0.4, "tutorial": 0.4,
+}
+
+
+def url_quality_score(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    threshold: float = -0.5,
+) -> DataFrame:
+    """Soft URL-quality scoring: every curated word contributes
+    weight × occurrences over the LOWERED url (replace-trick substring
+    counts — exact small doubles, engine-portable), summed in fixed
+    sorted-word order; ``keep = score > threshold`` on the UNROUNDED
+    value (fixed-order IEEE sum -> bit-identical across engines), the
+    emitted ``url_score`` is ROUND 6.
+
+    Unlike ``filter_blocked_domains`` (binary, host-anchored) this
+    scores the whole url string, so one weak signal ('shop') cannot
+    kill a page that also carries strong positive path words — the
+    soft-filtering refinement web-scale pipelines layer on top of hard
+    blocklists.
+
+    100 TB shape: pure narrow projection+filter flags — no shuffle, no
+    join; the word vocabulary is bounded by curation, not data.
+    Returns (id_col, url_col, url_score, url_keep).
+    """
+    from ..functions.numeric import pin
+
+    if "_uq_low" in df.columns:
+        raise ValueError("staging column '_uq_low' already exists")
+    base = df.withColumn("_uq_low", pin(F.lower(F.col(url_col))))
+    low = F.col("_uq_low")
+    count = lambda w: (
+        F.length(low) - F.length(F.replace(low, F.lit(w), F.lit("")))
+    ) / len(w)
+    score = sum(
+        (
+            count(w) * F.lit(float(wt))
+            for w, wt in sorted(URL_WORD_WEIGHTS.items())
+        ),
+        F.lit(0.0),
+    )
+    staged = base.withColumn("_uq_sc", pin(score))
+    return staged.select(
+        F.col(id_col),
+        F.col(url_col),
+        F.round(F.col("_uq_sc"), 6).alias("url_score"),
+        (F.col("_uq_sc") > F.lit(float(threshold))).alias("url_keep"),
+    )

@@ -1711,6 +1711,30 @@ def q_corpus_domain_filter(spark, sf):
     return filter_blocked_domains(withu, _INGEST_BLOCKLIST)
 
 
+def q_corpus_url_quality(spark, sf):
+    """Soft URL-quality scoring (RefinedWeb-style word weights — the
+    layer ABOVE the binary blocklist) over doc_id-derived urls with a
+    rotating path suffix injecting negative, positive, and mixed
+    weighted words (the base hosts already carry 'tracker'/'popup'-free
+    spam strings, so both suffix and host contribute).  The oracle
+    regenerates the count-times-weight arithmetic from the same
+    URL_WORD_WEIGHTS dict."""
+    from .operators.urls import url_quality_score
+
+    d = load(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit("/casino/coupon-popup"))
+        .when(m == 1, F.lit("/wiki/research-article"))
+        .when(m == 2, F.lit("/blog/login"))
+        .otherwise(F.lit(""))
+    )
+    withu = d.select(
+        "doc_id", F.concat(_doc_url(), suffix).alias("url")
+    )
+    return url_quality_score(withu)
+
+
 def q_corpus_ingest(spark, sf):
     """Composed CRAWL-INGEST decision — the ingest-time analogue of
     corpus_end_to_end, chaining this round's new operators as ONE
@@ -2524,13 +2548,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "corpus_source_stats": q_corpus_source_stats,
     "corpus_quota_topk": q_corpus_quota_topk,
-    "corpus_shard_shuffle": q_corpus_shard_shuffle,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_curation": q_corpus_curation,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
+    "corpus_url_quality": q_corpus_url_quality,
     "corpus_ingest": q_corpus_ingest,
     "corpus_token_stats": q_corpus_token_stats,
     # -- events / temporal --------------------------------------------
@@ -2552,12 +2576,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the rest) plus permanent local-gate coverage
     # ---- (tests/test_oracle_parity.py runs ALL oracled entries), so
     # ---- sliding below the window as new ops land above is safe -----
-    # text_normalize / corpus_sample_hash rotated below in r05 to make
-    # room for text_quality_classifier / corpus_mixture_sample — both
-    # carry green r04 driver rows and are the simplest ops of their
-    # families (single narrow projection / single narrow filter)
+    # text_normalize / corpus_sample_hash / corpus_shard_shuffle rotated
+    # below in r05 to make room for text_quality_classifier /
+    # corpus_mixture_sample / corpus_url_quality — all three carry green
+    # r04 driver rows and are the simplest ops of their families (single
+    # narrow projection / single narrow filter / one keyed exchange)
     "text_normalize": q_text_normalize,
     "corpus_sample_hash": q_corpus_sample_hash,
+    "corpus_shard_shuffle": q_corpus_shard_shuffle,
     "d4_shape_dispatch": q_d4_shape_dispatch,
     "d5_fallback_chain": q_d5_fallback_chain,
     "d5_rename_retry": q_d5_rename_retry,
@@ -2722,6 +2748,34 @@ _HOST_KEEP_SQL = (
     "NOT (host IN ('spam-site.com', 'tracker.net') "
     "OR host LIKE '%.spam-site.com' OR host LIKE '%.tracker.net')"
 )
+
+
+def _url_quality_oracle_sql() -> str:
+    """corpus_url_quality oracle — the count×weight arithmetic is
+    REGENERATED from the same URL_WORD_WEIGHTS dict in the same sorted
+    word order (left-assoc 0.0-seeded sum, identical IEEE op sequence),
+    over the same host/suffix fixture arithmetic."""
+    from .operators.urls import URL_WORD_WEIGHTS
+
+    terms = " + ".join(
+        f"((length(u) - length(replace(u, '{w}', ''))) / {len(w)}) "
+        f"* CAST({float(wt)!r} AS DOUBLE)"
+        for w, wt in sorted(URL_WORD_WEIGHTS.items())
+    )
+    url_expr = (
+        "'https://' || " + _HOST_SQL + " || '/p/' || "
+        "CAST(doc_id AS VARCHAR) || CASE doc_id % 4 "
+        "WHEN 0 THEN '/casino/coupon-popup' "
+        "WHEN 1 THEN '/wiki/research-article' "
+        "WHEN 2 THEN '/blog/login' ELSE '' END"
+    )
+    return (
+        f"WITH urls AS (SELECT doc_id, {url_expr} AS url FROM documents), "
+        "low AS (SELECT doc_id, url, lower(url) AS u FROM urls), "
+        f"sc AS (SELECT doc_id, url, 0.0 + {terms} AS s FROM low) "
+        "SELECT doc_id, url, ROUND(s, 6) AS url_score, "
+        "s > CAST(-0.5 AS DOUBLE) AS url_keep FROM sc"
+    )
 
 
 def _entropy_oracle_sql() -> str:
@@ -3756,6 +3810,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_unigram_lm": _unigram_oracle_sql(),
     "text_quality_classifier": _classifier_oracle_sql(),
     "corpus_mixture_sample": _MIXTURE_ORACLE_SQL,
+    "corpus_url_quality": _url_quality_oracle_sql(),
     "corpus_token_stats": (
         "WITH d AS (SELECT source, CAST(len(list_filter("
         "regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> '')) "

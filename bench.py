@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_semantic",
     "text_quality_classifier",
     "corpus_mixture_sample",
+    "corpus_url_quality",
 ]
 
 

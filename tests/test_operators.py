@@ -1401,3 +1401,28 @@ def test_mixture_sample_thresholds_and_clamp(spark):
         mixture_sample(df, "source", "doc_id", target_total=0)
     with pytest.raises(ValueError):
         mixture_sample(df, "source", "doc_id", 10, alpha=1.5)
+
+
+def test_url_quality_score_known_values(spark):
+    """urls.url_quality_score: weighted word counts over the lowered
+    url, repeated hits count multiply, clean urls score 0.0 and keep."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        URL_WORD_WEIGHTS, url_quality_score,
+    )
+
+    rows = [
+        (1, "https://a.example/CASINO/casino"),   # 2 hits of -1.5
+        (2, "https://b.example/wiki/research"),   # +0.8 +0.7
+        (3, "https://c.example/plain"),           # no weighted words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.url_score, r.url_keep)
+        for r in url_quality_score(df).collect()
+    }
+    assert got[1] == (round(2 * URL_WORD_WEIGHTS["casino"], 6), False)
+    assert got[2] == (
+        round(URL_WORD_WEIGHTS["wiki"] + URL_WORD_WEIGHTS["research"], 6),
+        True,
+    )
+    assert got[3] == (0.0, True)

@@ -416,3 +416,12 @@ def test_mixture_sample_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_url_quality_narrow(spark):
+    """url_quality_score: pure narrow projection — zero exchanges, no
+    Python eval (replace-trick counts and the weighted sum stay in
+    codegen)."""
+    plan = _qplan(spark, "corpus_url_quality")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -933,3 +933,49 @@ def test_mixture_sample_matches_hashlib(spark, rows, target):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# soft URL-quality score vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+_url_piece = st.sampled_from(
+    ["casino", "wiki", "blog", "login", "x", "paper", "PORN", "Coupon",
+     "notspam", "research"]
+)
+_uq_url = st.lists(_url_piece, min_size=0, max_size=8).map(
+    lambda ps: "https://h.example/" + "-".join(ps)
+)
+
+
+def _uq_model(url: str):
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        URL_WORD_WEIGHTS,
+    )
+
+    u = url.lower()
+    s = 0.0
+    for w, wt in sorted(URL_WORD_WEIGHTS.items()):
+        s = s + ((len(u) - len(u.replace(w, ""))) / len(w)) * float(wt)
+    return round(s, 6), s > -0.5
+
+
+@SETTINGS
+@given(st.lists(_uq_url, min_size=1, max_size=40))
+def test_url_quality_matches_python_model(spark, urls):
+    """urls.url_quality_score vs the model: case folding, repeated and
+    overlapping-ish word hits, zero-hit urls, the exact keep boundary —
+    fixed-order IEEE sum must agree bit for bit."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        url_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: (r.url_score, r.url_keep)
+        for r in url_quality_score(df).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _uq_model(u), (i, u, got[i], _uq_model(u))
