@@ -224,11 +224,18 @@ def mixture_sample(
     shingles; the keep decision itself is a narrow filter.  Returns the
     kept rows as (key_col, source_col, src_n, src_w, keep_thr) — all
     integers, fully hash-checkable.
+
+    NULL-source rows carry no stratum evidence and are DROPPED — and
+    they are excluded from the weighting too: counting them into W
+    while the inner join discards them would silently deflate every
+    real source's keep rate (route such rows through a 'unknown'
+    constant upstream to keep them).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if target_total <= 0:
         raise ValueError("target_total must be positive")
+    df = df.filter(F.col(source_col).isNotNull())
     n_dbl = F.col("_mx_n").cast("double")
     pw = F.sqrt(n_dbl) if alpha == 0.5 else F.pow(n_dbl, F.lit(alpha))
     counts = (

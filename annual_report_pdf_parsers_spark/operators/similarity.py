@@ -235,11 +235,15 @@ def _assign_nearest_centroid(
     so it also survives the large-k SemDeDup operating point (k ~
     corpus/cell_size) where ANY sequential when-chain would blow up.
 
-    Tie/None semantics exactly mirror the old fold, ivf_fit_local, and
-    the DuckDB oracles: strict > with ascending-cid first-wins (struct
-    max breaks cos ties on the LARGER -cid = smaller cid); a null
-    cosine never wins (coalesced to -2.0, below the sentinel), and if
-    every cosine is null the sentinel yields cell -1."""
+    Tie rule: cos ties pick the SMALLEST cid (struct max breaks them
+    on the larger -cid) — independent of the list order the caller
+    passes.  For ascending-cid lists (every in-repo call site:
+    enumerate-seeded ivf_fit and the sorted ivf_fit_local output) this
+    is identical to the old first-in-list-wins when-fold and to the
+    DuckDB oracles; a caller passing a reordered list gets the
+    smallest-cid rule, not list order.  A null cosine never wins
+    (coalesced to -2.0, below the sentinel), and if every cosine is
+    null the sentinel yields cell -1 — the old fold's contract."""
     from ..functions.numeric import pin
 
     names = [f"_nc_{j}" for j in range(len(centroids))]

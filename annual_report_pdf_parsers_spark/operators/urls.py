@@ -143,17 +143,15 @@ def url_quality_score(
     Returns (id_col, url_col, url_score, url_keep).
     """
     from ..functions.numeric import pin
+    from .text import count_occurrences
 
     if "_uq_low" in df.columns:
         raise ValueError("staging column '_uq_low' already exists")
     base = df.withColumn("_uq_low", pin(F.lower(F.col(url_col))))
     low = F.col("_uq_low")
-    count = lambda w: (
-        F.length(low) - F.length(F.replace(low, F.lit(w), F.lit("")))
-    ) / len(w)
     score = sum(
         (
-            count(w) * F.lit(float(wt))
+            count_occurrences(low, w) * F.lit(float(wt))
             for w, wt in sorted(URL_WORD_WEIGHTS.items())
         ),
         F.lit(0.0),

@@ -1377,20 +1377,18 @@ def test_mixture_sample_thresholds_and_clamp(spark):
     rows = [(i, "big") for i in range(16)] + [(100, "tiny")]
     df = spark.createDataFrame(rows, "doc_id long, source string")
     out = mixture_sample(df, "source", "doc_id", target_total=4).collect()
-    thr = {r.source: r.keep_thr for r in out}
     # w_big = 4e6, w_tiny = 1e6, W = 5e6:
     # thr_big  = floor(65536*4 * (4/5) / 16) = floor(13107.2) = 13107
     # thr_tiny = floor(65536*4 * (1/5) / 1)  = floor(52428.8) = 52428
-    assert thr.get("big", 13107) == 13107  # may be absent if no row kept
-    assert thr.get("tiny", 52428) == 52428
-    kept = {r.doc_id for r in out}
     want = {
-        k
+        k: (s, 13107 if s == "big" else 52428)
         for k, s in rows
         if hashlib.md5(f"{k}|mx0".encode()).hexdigest()[:4]
         < f"{13107 if s == 'big' else 52428:04x}"
     }
-    assert kept == want
+    assert want, "fixture must keep at least one row to be non-vacuous"
+    got = {r.doc_id: (r.source, r.keep_thr) for r in out}
+    assert got == want
     # clamp: target >= corpus size -> every source at 65536, all kept
     full = mixture_sample(df, "source", "doc_id", target_total=1000)
     assert full.count() == 17
@@ -1401,6 +1399,21 @@ def test_mixture_sample_thresholds_and_clamp(spark):
         mixture_sample(df, "source", "doc_id", target_total=0)
     with pytest.raises(ValueError):
         mixture_sample(df, "source", "doc_id", 10, alpha=1.5)
+    # NULL-source rows: dropped AND excluded from the weighting — a
+    # corpus half-full of NULL sources must leave the real sources'
+    # thresholds untouched (review finding r05: counting NULLs into W
+    # while the join drops them silently deflated every keep rate)
+    with_null = rows + [(1000 + i, None) for i in range(17)]
+    dfn = spark.createDataFrame(
+        with_null, "doc_id long, source string"
+    )
+    outn = {
+        r.doc_id: (r.source, r.keep_thr)
+        for r in mixture_sample(
+            dfn, "source", "doc_id", target_total=4
+        ).collect()
+    }
+    assert outn == want
 
 
 def test_url_quality_score_known_values(spark):
