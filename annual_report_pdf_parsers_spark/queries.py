@@ -1711,6 +1711,45 @@ def q_corpus_domain_filter(spark, sf):
     return filter_blocked_domains(withu, _INGEST_BLOCKLIST)
 
 
+def q_corpus_span_ladder(spark, sf):
+    """Stride-LADDER span dedup decision (the NOTES r04 idea): two
+    dup_span_stats passes composed as one query — the exact short pass
+    (k=8, stride=1: GUARANTEES any shared 8-token span is caught) plus
+    a cheap grid-aligned long-boilerplate pass (k=16, stride=4: ~1/4
+    the windows, catches full copies and fixed-position boilerplate
+    only — the documented stride trade).  keep = short dup_frac < 0.5
+    AND no long-pass dup window; the exact copies in the dupe corpus
+    trip BOTH passes, organic template overlap only the short one, so
+    the decision is non-vacuous per arm.  The oracle restates both
+    window chains (generate_series step = stride)."""
+    c = _corpus_with_dupes(spark, sf)
+    short = dedup.dup_span_stats(c, k=8, stride=1)
+    long_ = dedup.dup_span_stats(c, k=16, stride=4)
+    return (
+        short.select(
+            "doc_id",
+            F.col("dup_frac").alias("short_frac"),
+        )
+        .join(
+            long_.select(
+                "doc_id",
+                F.col("dup_frac").alias("long_frac"),
+                F.col("n_dup_windows").alias("n_long_dup"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "short_frac",
+            "long_frac",
+            "n_long_dup",
+            (
+                (F.col("short_frac") < 0.5) & (F.col("n_long_dup") == 0)
+            ).alias("keep"),
+        )
+    )
+
+
 def q_corpus_url_quality(spark, sf):
     """Soft URL-quality scoring (RefinedWeb-style word weights — the
     layer ABOVE the binary blocklist) over doc_id-derived urls with a
@@ -2533,7 +2572,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
-    "text_fingerprint": q_text_fingerprint,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_dup_spans": q_text_dup_spans,
@@ -2555,6 +2593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_url_quality": q_corpus_url_quality,
+    "corpus_span_ladder": q_corpus_span_ladder,
     "corpus_ingest": q_corpus_ingest,
     "corpus_token_stats": q_corpus_token_stats,
     # -- events / temporal --------------------------------------------
@@ -2576,14 +2615,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the rest) plus permanent local-gate coverage
     # ---- (tests/test_oracle_parity.py runs ALL oracled entries), so
     # ---- sliding below the window as new ops land above is safe -----
-    # text_normalize / corpus_sample_hash / corpus_shard_shuffle rotated
-    # below in r05 to make room for text_quality_classifier /
-    # corpus_mixture_sample / corpus_url_quality — all three carry green
-    # r04 driver rows and are the simplest ops of their families (single
-    # narrow projection / single narrow filter / one keyed exchange)
+    # text_normalize / corpus_sample_hash / corpus_shard_shuffle /
+    # text_fingerprint rotated below in r05 to make room for
+    # text_quality_classifier / corpus_mixture_sample /
+    # corpus_url_quality / corpus_span_ladder — all four carry green
+    # r04 driver rows, permanent local-gate coverage, and are the
+    # simplest ops of their families (narrow projections / filters /
+    # one keyed exchange)
     "text_normalize": q_text_normalize,
     "corpus_sample_hash": q_corpus_sample_hash,
     "corpus_shard_shuffle": q_corpus_shard_shuffle,
+    "text_fingerprint": q_text_fingerprint,
     "d4_shape_dispatch": q_d4_shape_dispatch,
     "d5_fallback_chain": q_d5_fallback_chain,
     "d5_rename_retry": q_d5_rename_retry,
@@ -4530,6 +4572,45 @@ ORACLE_SQL["text_dup_spans"] = (
     "  THEN COALESCE(n_dup_windows, 0) / n_windows "
     "  ELSE 0.0 END, 6) AS dup_frac "
     "FROM corpus c LEFT JOIN pd USING (doc_id)"
+)
+
+# corpus_span_ladder: BOTH dup_span_stats window chains restated — the
+# exact k=8/stride=1 pass (as text_dup_spans) plus the grid-aligned
+# k=16/stride=4 long-boilerplate pass (generate_series step = stride,
+# window slice widened to 16) — joined per doc with the composed keep
+ORACLE_SQL["corpus_span_ladder"] = (
+    f"WITH {_DUPES}, "
+    "tkx AS (SELECT doc_id, "
+    "  list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
+    "    t -> t <> '') AS tk FROM corpus), "
+    "w8 AS (SELECT doc_id, "
+    "  md5(array_to_string(tk[i+1 : i+8], ' ')) AS h "
+    "  FROM tkx, UNNEST(generate_series(0, len(tk) - 8)) AS g(i) "
+    "  WHERE len(tk) >= 8), "
+    "c8 AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS is_dup "
+    "  FROM w8 GROUP BY h), "
+    "p8 AS (SELECT w8.doc_id, COUNT(*) AS nw, "
+    "  SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS nd "
+    "  FROM w8 JOIN c8 USING (h) GROUP BY w8.doc_id), "
+    "w16 AS (SELECT doc_id, "
+    "  md5(array_to_string(tk[i+1 : i+16], ' ')) AS h "
+    "  FROM tkx, UNNEST(generate_series(0, len(tk) - 16, 4)) AS g(i) "
+    "  WHERE len(tk) >= 16), "
+    "c16 AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS is_dup "
+    "  FROM w16 GROUP BY h), "
+    "p16 AS (SELECT w16.doc_id, COUNT(*) AS nw, "
+    "  SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS nd "
+    "  FROM w16 JOIN c16 USING (h) GROUP BY w16.doc_id), "
+    "base AS (SELECT c.doc_id, "
+    "  ROUND(CASE WHEN COALESCE(p8.nw, 0) > 0 "
+    "    THEN COALESCE(p8.nd, 0) / p8.nw ELSE 0.0 END, 6) AS short_frac, "
+    "  ROUND(CASE WHEN COALESCE(p16.nw, 0) > 0 "
+    "    THEN COALESCE(p16.nd, 0) / p16.nw ELSE 0.0 END, 6) AS long_frac, "
+    "  CAST(COALESCE(p16.nd, 0) AS BIGINT) AS n_long_dup "
+    "  FROM corpus c LEFT JOIN p8 USING (doc_id) "
+    "  LEFT JOIN p16 USING (doc_id)) "
+    "SELECT doc_id, short_frac, long_frac, n_long_dup, "
+    "(short_frac < 0.5 AND n_long_dup = 0) AS keep FROM base"
 )
 
 # text_dup_excise: the same window-hash build as text_dup_spans, then

@@ -133,6 +133,7 @@ HEADLINE = [
     "text_quality_classifier",
     "corpus_mixture_sample",
     "corpus_url_quality",
+    "corpus_span_ladder",
 ]
 
 

@@ -425,3 +425,14 @@ def test_url_quality_narrow(spark):
     plan = _qplan(spark, "corpus_url_quality")
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_span_ladder_plan_bounded(spark):
+    """corpus_span_ladder: two window-hash passes composed — every join
+    stays an equi-join (hash/window keys), no cartesian/nested-loop,
+    and the exchange count is bounded (two agg+joinback chains + the
+    per-doc join + fixture repartition)."""
+    plan = _qplan(spark, "corpus_span_ladder")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 12, plan
