@@ -278,3 +278,82 @@ def mixture_sample(
         .filter((F.col("keep_thr") >= 65536) | (digest4 < hex4))
         .select(key_col, source_col, "src_n", "src_w", "keep_thr")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    budget: int,
+    text_col: str = "text",
+    prefix_len: int = 2,
+    salt: str = "sh0",
+) -> DataFrame:
+    """Concat-and-split sequence PACKING — the step between a curated
+    corpus and a pretraining loader (public knowledge: GPT-style
+    pipelines concatenate documents in a fixed order and split every
+    ``budget`` tokens; documents may CROSS sequence boundaries).  Lays
+    documents out in the deterministic shard_shuffle order (salted-md5
+    shard, within-shard (digest, key) order), runs an exact token-count
+    cumsum per shard, and maps every document to the training sequences
+    it lands in: sequence boundaries fall every ``budget`` tokens from
+    the shard start.
+
+    Returns one row per document::
+
+        (key_col, shard, n_tokens, start_tok, seq_first, seq_last)
+
+    start_tok is the document's first token offset within its shard;
+    seq_first/seq_last the first/last sequence index it occupies
+    (equal when it fits inside one sequence; empty documents occupy no
+    tokens and report seq_first == seq_last at their offset).  All
+    columns integer/hex-string — fully hash-checkable, and a rerun
+    under ANY partitioning reproduces the identical packing (the
+    property resumable training loaders need; the frame is an explicit
+    ROWS window over a UNIQUE (digest, key) order, so no RANGE-frame
+    tie ambiguity exists in either engine).
+
+    100 TB shape: ONE hash exchange keyed by shard + the per-shard
+    sort — identical cost to shard_shuffle (packing rides the same
+    layout pass); the cumsum is a running ROWS frame, no second
+    shuffle.  Shards pack independently, exactly how per-worker
+    training loaders consume them; ``prefix_len`` sizes shards as in
+    shard_shuffle.
+    """
+    from ..functions.numeric import pin
+    from .text import tokens
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if not 1 <= prefix_len <= 8:
+        raise ValueError("prefix_len must be in [1, 8]")
+    for n in ("_pk_dg", "_pk_n", "_pk_cum"):
+        if n in df.columns:
+            raise ValueError(f"staging column {n!r} already exists")
+    dg = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+    base = (
+        df.withColumn("_pk_dg", pin(dg))
+        .withColumn("shard", F.substring(F.col("_pk_dg"), 1, prefix_len))
+        .withColumn(
+            "_pk_n", F.size(tokens(F.col(text_col))).cast("long")
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_pk_dg").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn("_pk_cum", F.sum("_pk_n").over(w))
+    start = F.col("_pk_cum") - F.col("_pk_n")
+    seq_first = F.floor(start / budget).cast("long")
+    seq_last = F.when(
+        F.col("_pk_n") > 0,
+        F.floor((F.col("_pk_cum") - 1) / budget),
+    ).otherwise(seq_first).cast("long")
+    return base.select(
+        F.col(key_col),
+        F.col("shard"),
+        F.col("_pk_n").alias("n_tokens"),
+        start.cast("long").alias("start_tok"),
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+    )

@@ -1711,6 +1711,21 @@ def q_corpus_domain_filter(spark, sf):
     return filter_blocked_domains(withu, _INGEST_BLOCKLIST)
 
 
+def q_corpus_pack_sequences(spark, sf):
+    """Concat-and-split sequence packing over the ws-probed documents:
+    shard by md5 first hex digit (16 shards -> ~30 docs each at the
+    gate sf, several 100-token sequences per shard, so boundary
+    CROSSINGS occur), exact per-shard token cumsum, and each doc's
+    first/last sequence index.  The oracle replays the same digest
+    order with an explicit ROWS window frame."""
+    from .operators.sampling import pack_sequences
+
+    d = _with_ws_noise(load(spark, sf, "documents"))
+    return pack_sequences(
+        d.select("doc_id", "text"), "doc_id", budget=100, prefix_len=1
+    )
+
+
 def q_corpus_span_ladder(spark, sf):
     """Stride-LADDER span dedup decision (the NOTES r04 idea): two
     dup_span_stats passes composed as one query — the exact short pass
@@ -2573,7 +2588,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_repetition": q_text_repetition,
-    "text_pii_scrub": q_text_pii_scrub,
     "text_dup_spans": q_text_dup_spans,
     "text_dup_excise": q_text_dup_excise,
     "text_readability": q_text_readability,
@@ -2594,6 +2608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_span_ladder": q_corpus_span_ladder,
+    "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_ingest": q_corpus_ingest,
     "corpus_token_stats": q_corpus_token_stats,
     # -- events / temporal --------------------------------------------
@@ -2616,16 +2631,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- (tests/test_oracle_parity.py runs ALL oracled entries), so
     # ---- sliding below the window as new ops land above is safe -----
     # text_normalize / corpus_sample_hash / corpus_shard_shuffle /
-    # text_fingerprint rotated below in r05 to make room for
-    # text_quality_classifier / corpus_mixture_sample /
-    # corpus_url_quality / corpus_span_ladder — all four carry green
-    # r04 driver rows, permanent local-gate coverage, and are the
-    # simplest ops of their families (narrow projections / filters /
-    # one keyed exchange)
+    # text_fingerprint / text_pii_scrub rotated below in r05 to make
+    # room for text_quality_classifier / corpus_mixture_sample /
+    # corpus_url_quality / corpus_span_ladder / corpus_pack_sequences —
+    # all five carry green r04 driver rows, permanent local-gate
+    # coverage, and are the simplest ops of their families (narrow
+    # projections / filters / one keyed exchange)
     "text_normalize": q_text_normalize,
     "corpus_sample_hash": q_corpus_sample_hash,
     "corpus_shard_shuffle": q_corpus_shard_shuffle,
     "text_fingerprint": q_text_fingerprint,
+    "text_pii_scrub": q_text_pii_scrub,
     "d4_shape_dispatch": q_d4_shape_dispatch,
     "d5_fallback_chain": q_d5_fallback_chain,
     "d5_rename_retry": q_d5_rename_retry,
@@ -4572,6 +4588,31 @@ ORACLE_SQL["text_dup_spans"] = (
     "  THEN COALESCE(n_dup_windows, 0) / n_windows "
     "  ELSE 0.0 END, 6) AS dup_frac "
     "FROM corpus c LEFT JOIN pd USING (doc_id)"
+)
+
+# corpus_pack_sequences: the shard_shuffle digest layout + a per-shard
+# exact token cumsum with an EXPLICIT ROWS frame (the (dg, doc_id)
+# order is unique, so RANGE==ROWS, but both engines state ROWS to kill
+# any tie-frame ambiguity), then the seq_first/seq_last floor-division
+# arithmetic of operators/sampling.py::pack_sequences (budget 100,
+# 1-hex shards — the q_corpus_pack_sequences fixture params)
+ORACLE_SQL["corpus_pack_sequences"] = (
+    f"WITH inj AS (SELECT doc_id, text || {_WS_NOISE_SQL} AS text "
+    "  FROM documents), "
+    "t AS (SELECT doc_id, "
+    "  md5(CAST(doc_id AS VARCHAR) || '|sh0') AS dg, "
+    "  CAST(len(list_filter(regexp_split_to_array(text, " + _WSRE2
+    + "), x -> x <> '')) AS BIGINT) AS n FROM inj), "
+    "s AS (SELECT doc_id, dg, substr(dg, 1, 1) AS shard, n FROM t), "
+    "c AS (SELECT doc_id, shard, n, SUM(n) OVER (PARTITION BY shard "
+    "  ORDER BY dg ASC, doc_id ASC "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+    "  FROM s) "
+    "SELECT doc_id, shard, n AS n_tokens, "
+    "CAST(cum - n AS BIGINT) AS start_tok, "
+    "CAST(floor((cum - n) / 100) AS BIGINT) AS seq_first, "
+    "CAST(CASE WHEN n > 0 THEN floor((cum - 1) / 100) "
+    "  ELSE floor((cum - n) / 100) END AS BIGINT) AS seq_last FROM c"
 )
 
 # corpus_span_ladder: BOTH dup_span_stats window chains restated — the

@@ -134,6 +134,7 @@ HEADLINE = [
     "corpus_mixture_sample",
     "corpus_url_quality",
     "corpus_span_ladder",
+    "corpus_pack_sequences",
 ]
 
 

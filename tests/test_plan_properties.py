@@ -436,3 +436,12 @@ def test_span_ladder_plan_bounded(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 12, plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """pack_sequences: ONE hash exchange (shard) + the per-shard sort —
+    packing rides the shard_shuffle layout pass; no Python eval."""
+    plan = _qplan(spark, "corpus_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert "EvalPython" not in plan, plan

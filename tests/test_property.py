@@ -979,3 +979,58 @@ def test_url_quality_matches_python_model(spark, urls):
     }
     for i, u in enumerate(urls):
         assert got[i] == _uq_model(u), (i, u, got[i], _uq_model(u))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing vs hashlib + exact cumsum model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.integers(0, 40),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 60),
+)
+def test_pack_sequences_matches_model(spark, rows, budget):
+    """sampling.pack_sequences vs an independent model: salted-digest
+    shard layout, per-shard exact cumsum in (digest, key) order, and
+    the floor-division sequence spans — including zero-token docs and
+    budget-1 packing."""
+    import hashlib
+    import math
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    dg = {k: hashlib.md5(f"{k}|sh0".encode()).hexdigest() for k, _ in rows}
+    by_shard: dict = {}
+    for k, n in rows:
+        by_shard.setdefault(dg[k][:1], []).append((k, n))
+    want = {}
+    for shard, ks in by_shard.items():
+        cum = 0
+        for k, n in sorted(ks, key=lambda t: (dg[t[0]], t[0])):
+            start = cum
+            cum += n
+            first = math.floor(start / budget)
+            last = math.floor((cum - 1) / budget) if n > 0 else first
+            want[k] = (shard, n, start, first, last)
+
+    texts = [(k, " ".join(["w"] * n)) for k, n in rows]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.start_tok, r.seq_first, r.seq_last)
+        for r in pack_sequences(
+            df, "doc_id", budget=budget, prefix_len=1
+        ).collect()
+    }
+    assert got == want
