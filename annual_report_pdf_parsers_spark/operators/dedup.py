@@ -940,6 +940,7 @@ def dup_span_stats(
     stride: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-span detection — the window-hash
     approximation of exact substring deduplication (the Lee et al.
@@ -975,14 +976,24 @@ def dup_span_stats(
 
     if k < 1 or stride < 1:
         raise ValueError("k and stride must be >= 1")
-    base = df.withColumn("_tk", pin(tokens(F.col(text_col))))
-    n = F.size(F.col("_tk"))
+    # tokens_col: callers composing several passes over the same corpus
+    # (corpus_span_ladder) tokenize ONCE upstream and pass the column
+    # name — the tokenize is the dominant map cost of the span family
+    if tokens_col is None:
+        base = df.withColumn("_tk", pin(tokens(F.col(text_col))))
+        tcol = "_tk"
+    else:
+        if tokens_col not in df.columns:
+            raise ValueError(f"tokens_col {tokens_col!r} not in input")
+        base = df
+        tcol = tokens_col
+    n = F.size(F.col(tcol))
     idx = F.sequence(F.lit(0), F.floor((n - k) / stride).cast("int"))
     win = F.transform(
         idx,
         lambda i: F.md5(
             F.concat_ws(
-                " ", F.slice(F.col("_tk"), i * stride + 1, k)
+                " ", F.slice(F.col(tcol), i * stride + 1, k)
             )
         ),
     )

@@ -16,8 +16,19 @@ driver's DuckDB oracle can reproduce it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _salted_digest(key_col: str, salt: str) -> Column:
+    """THE content-hash every sampling/layout decision derives from:
+    ``md5(key || '|' || salt)`` — single-sited (the _WSRE2 'ONE site'
+    convention) because every DuckDB oracle mirrors this format byte
+    for byte; a change here must be mirrored into the oracle SQL
+    fragments in queries.py."""
+    return F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
+    )
 
 
 def hash_mod_sample(
@@ -45,9 +56,7 @@ def hash_mod_sample(
         raise ValueError(
             f"keep_hex must be two lowercase hex digits, got {keep_hex!r}"
         )
-    digest = F.md5(
-        F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
-    )
+    digest = _salted_digest(key_col, salt)
     return df.filter(F.substring(digest, 1, 2) <= F.lit(keep_hex))
 
 
@@ -88,9 +97,7 @@ def stratified_sample(
             raise ValueError(
                 f"rates must be two lowercase hex digits, got {v!r}"
             )
-    digest = F.md5(
-        F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
-    )
+    digest = _salted_digest(key_col, salt)
     thresh = None
     for stratum, hx in sorted(rates.items()):
         cond = F.col(strata_col) == stratum
@@ -176,7 +183,7 @@ def shard_shuffle(
     """
     if not 1 <= prefix_len <= 8:
         raise ValueError("prefix_len must be in [1, 8]")
-    dg = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+    dg = _salted_digest(key_col, salt)
     from ..functions.numeric import pin
 
     out = df.withColumn("_dg", pin(dg)).withColumn(
@@ -266,11 +273,7 @@ def mixture_sample(
             F.col("_mx_thr").alias("keep_thr"),
         )
     )
-    digest4 = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
-        1,
-        4,
-    )
+    digest4 = F.substring(_salted_digest(key_col, salt), 1, 4)
     hex4 = F.lower(F.lpad(F.hex(F.col("keep_thr")), 4, "0"))
     return (
         df.select(key_col, source_col)
@@ -326,15 +329,25 @@ def pack_sequences(
         raise ValueError("budget must be >= 1")
     if not 1 <= prefix_len <= 8:
         raise ValueError("prefix_len must be in [1, 8]")
-    for n in ("_pk_dg", "_pk_n", "_pk_cum"):
+    for n in ("_pk_dg", "_pk_n", "_pk_cum", "shard"):
         if n in df.columns:
-            raise ValueError(f"staging column {n!r} already exists")
-    dg = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+            # 'shard' is an OUTPUT column: silently overwriting a
+            # caller's existing shard (e.g. shard_shuffle output fed
+            # back in) would hide a layout mismatch — same refuse-to-
+            # clobber convention as quota_topk_per_group's rank_col
+            raise ValueError(f"output/staging column {n!r} already exists")
+    dg = _salted_digest(key_col, salt)
     base = (
         df.withColumn("_pk_dg", pin(dg))
         .withColumn("shard", F.substring(F.col("_pk_dg"), 1, prefix_len))
         .withColumn(
-            "_pk_n", F.size(tokens(F.col(text_col))).cast("long")
+            # NULL text carries no tokens: coalesce keeps the cumsum
+            # exact and the all-integer output contract intact (size()
+            # of a NULL array would NULL every downstream column)
+            "_pk_n",
+            F.coalesce(
+                F.size(tokens(F.col(text_col))).cast("long"), F.lit(0)
+            ),
         )
     )
     w = (

@@ -1736,10 +1736,26 @@ def q_corpus_span_ladder(spark, sf):
     AND no long-pass dup window; the exact copies in the dupe corpus
     trip BOTH passes, organic template overlap only the short one, so
     the decision is non-vacuous per arm.  The oracle restates both
-    window chains (generate_series step = stride)."""
-    c = _corpus_with_dupes(spark, sf)
-    short = dedup.dup_span_stats(c, k=8, stride=1)
-    long_ = dedup.dup_span_stats(c, k=16, stride=4)
+    window chains (generate_series step = stride).
+
+    Plan shape: the corpus is tokenized ONCE and localCheckpoint-ed,
+    then both passes consume the shared tokens_col — the dominant
+    tokenize map cost is paid once, not per pass (review finding r05;
+    pinned by test_span_ladder_plan_bounded).  A pinned-column branch
+    point cannot rely on ReusedExchange (nondeterministic projections
+    don't canonicalize equal), so multi-pass composition MATERIALIZES
+    the shared intermediate — exactly the production pattern at scale
+    (write the tokenized corpus once, run every pass against it)."""
+    from .functions.numeric import pin as _pin
+    from .operators.text import tokens as _tokens
+
+    c = (
+        _corpus_with_dupes(spark, sf)
+        .withColumn("_tk0", _pin(_tokens(F.col("text"))))
+        .localCheckpoint()
+    )
+    short = dedup.dup_span_stats(c, k=8, stride=1, tokens_col="_tk0")
+    long_ = dedup.dup_span_stats(c, k=16, stride=4, tokens_col="_tk0")
     return (
         short.select(
             "doc_id",

@@ -1454,13 +1454,14 @@ def test_pack_sequences_boundary_crossing(spark):
     # single shard via one key-space: find keys landing in one shard
     # is fragile — instead use budget math on whatever shards appear
     rows = [(1, " ".join(["a"] * 7)), (2, " ".join(["b"] * 7)),
-            (3, ""), (4, " ".join(["c"] * 10))]
+            (3, ""), (4, " ".join(["c"] * 10)), (5, None)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in
            pack_sequences(df, "doc_id", budget=10, prefix_len=1).collect()}
+    assert all(v is not None for r in out.values() for v in r), out
     for k, txt in rows:
         r = out[k]
-        n = len([t for t in txt.split() if t])
+        n = len([t for t in txt.split() if t]) if txt else 0
         assert r.n_tokens == n
         assert r.seq_first == r.start_tok // 10
         if n > 0:

@@ -430,12 +430,18 @@ def test_url_quality_narrow(spark):
 def test_span_ladder_plan_bounded(spark):
     """corpus_span_ladder: two window-hash passes composed — every join
     stays an equi-join (hash/window keys), no cartesian/nested-loop,
-    and the exchange count is bounded (two agg+joinback chains + the
-    per-doc join + fixture repartition)."""
+    the exchange count is bounded (two agg+joinback chains + the
+    per-doc join), and the shared tokenized corpus is MATERIALIZED
+    once (localCheckpoint -> both branches scan the checkpointed RDD;
+    a pinned branch point can't use ReusedExchange), so the dominant
+    tokenize map cost is paid once — the plan must contain NO
+    tokenizing split() at all."""
     plan = _qplan(spark, "corpus_span_ladder")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 12, plan
+    assert "ExistingRDD" in plan, plan
+    assert "split(" not in plan, plan
 
 
 def test_pack_sequences_single_exchange(spark):
