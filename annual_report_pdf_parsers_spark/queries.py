@@ -1711,6 +1711,35 @@ def q_corpus_domain_filter(spark, sf):
     return filter_blocked_domains(withu, _INGEST_BLOCKLIST)
 
 
+def q_corpus_assemble(spark, sf):
+    """The corpus-to-LOADER assembly composed as ONE query — the
+    training-side capstone next to corpus_end_to_end (dedup side) and
+    corpus_ingest (crawl side): (1) fastText-style classifier keep,
+    (2) temperature mixture resampling of the survivors (target 60 at
+    the gate sf, so the mix actually cuts), (3) deterministic shard +
+    concat-and-split sequence packing of the mixed set.  The oracle
+    composes the SAME fragments (classifier CTE chain, mixture
+    arithmetic, packing window) stage for stage."""
+    from .operators.sampling import mixture_sample, pack_sequences
+
+    d = _with_ws_noise(load(spark, sf, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    cls = text.quality_classifier(d)
+    kept = d.join(
+        cls.filter(F.col("keep")).select("doc_id").hint("shuffle_hash"),
+        "doc_id",
+    )
+    mixed = mixture_sample(
+        kept.select("doc_id", "source"), "source", "doc_id",
+        target_total=60,
+    )
+    packed_in = kept.select("doc_id", "text").join(
+        mixed.select("doc_id").hint("shuffle_hash"), "doc_id"
+    )
+    return pack_sequences(packed_in, "doc_id", budget=50, prefix_len=1)
+
+
 def q_corpus_pack_sequences(spark, sf):
     """Concat-and-split sequence packing over the ws-probed documents:
     shard by md5 first hex digit (16 shards -> ~30 docs each at the
@@ -2606,7 +2635,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_dup_spans": q_text_dup_spans,
     "text_dup_excise": q_text_dup_excise,
-    "text_readability": q_text_readability,
     "text_line_stats": q_text_line_stats,
     "text_char_entropy": q_text_char_entropy,
     "text_unigram_lm": q_text_unigram_lm,
@@ -2625,6 +2653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_span_ladder": q_corpus_span_ladder,
     "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_assemble": q_corpus_assemble,
     "corpus_ingest": q_corpus_ingest,
     "corpus_token_stats": q_corpus_token_stats,
     # -- events / temporal --------------------------------------------
@@ -2647,17 +2676,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- (tests/test_oracle_parity.py runs ALL oracled entries), so
     # ---- sliding below the window as new ops land above is safe -----
     # text_normalize / corpus_sample_hash / corpus_shard_shuffle /
-    # text_fingerprint / text_pii_scrub rotated below in r05 to make
-    # room for text_quality_classifier / corpus_mixture_sample /
-    # corpus_url_quality / corpus_span_ladder / corpus_pack_sequences —
-    # all five carry green r04 driver rows, permanent local-gate
-    # coverage, and are the simplest ops of their families (narrow
-    # projections / filters / one keyed exchange)
+    # text_fingerprint / text_pii_scrub / text_readability rotated
+    # below in r05 to make room for text_quality_classifier /
+    # corpus_mixture_sample / corpus_url_quality / corpus_span_ladder /
+    # corpus_pack_sequences / corpus_assemble — all six carry green r04
+    # driver rows, permanent local-gate coverage, and are the simplest
+    # ops of their families (narrow projections / filters / one keyed
+    # exchange)
     "text_normalize": q_text_normalize,
     "corpus_sample_hash": q_corpus_sample_hash,
     "corpus_shard_shuffle": q_corpus_shard_shuffle,
     "text_fingerprint": q_text_fingerprint,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_readability": q_text_readability,
     "d4_shape_dispatch": q_d4_shape_dispatch,
     "d5_fallback_chain": q_d5_fallback_chain,
     "d5_rename_retry": q_d5_rename_retry,
@@ -2923,13 +2954,15 @@ def _unigram_oracle_sql() -> str:
     )
 
 
-def _classifier_oracle_sql() -> str:
-    """text_quality_classifier oracle — the 256-arm md5-bucket CASE is
-    REGENERATED from the same CLASSIFIER_WEIGHTS dict the engine's
-    literal map is built from (one site to edit); unigrams-then-bigrams
-    concatenated into one list and summed by the same ordered left fold
-    as the engine's aggregate(), one division, keep on the UNROUNDED
-    score (bit-identical fold -> safe comparison)."""
+def _classifier_ctes(src: str) -> str:
+    """The fastText-classifier CTE chain (tks -> big -> ft -> sc, with
+    sc(doc_id, nf, s)) over source CTE ``src`` — the 256-arm md5-bucket
+    CASE is REGENERATED from the same CLASSIFIER_WEIGHTS dict the
+    engine's literal map is built from (one site to edit);
+    unigrams-then-bigrams concatenated into one list and summed by the
+    same ordered left fold as the engine's aggregate(), one division.
+    Shared by the text_quality_classifier and corpus_assemble
+    oracles."""
     from .operators.text import CLASSIFIER_BIAS, CLASSIFIER_WEIGHTS
 
     arms = " ".join(
@@ -2939,11 +2972,9 @@ def _classifier_oracle_sql() -> str:
     case = f"CASE substr(md5(w), 1, 2) {arms} END"
     bias = f"CAST({float(CLASSIFIER_BIAS)!r} AS DOUBLE)"
     return (
-        f"WITH inj AS (SELECT doc_id, text || {_WS_NOISE_SQL} AS text "
-        "  FROM documents), "
-        "tks AS (SELECT doc_id, list_transform(list_filter("
+        f"tks AS (SELECT doc_id, list_transform(list_filter("
         "  regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
-        "  w -> lower(w)) AS tk FROM inj), "
+        f"  w -> lower(w)) AS tk FROM {src}), "
         "big AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 2 THEN "
         "  list_transform(generate_series(1, len(tk) - 1), "
         "    i -> tk[i] || ' ' || tk[i + 1]) "
@@ -2953,8 +2984,19 @@ def _classifier_oracle_sql() -> str:
         "sc AS (SELECT doc_id, nf, CASE WHEN nf > 0 THEN "
         f"  {bias} + list_reduce(list_prepend(0.0, "
         f"  list_transform(feats, w -> {case})), (p, q) -> p + q) / nf "
-        f"  ELSE {bias} END AS s FROM ft) "
-        "SELECT doc_id, CAST(nf AS BIGINT) AS n_features, "
+        f"  ELSE {bias} END AS s FROM ft)"
+    )
+
+
+def _classifier_oracle_sql() -> str:
+    """text_quality_classifier oracle — keep on the UNROUNDED score
+    (bit-identical fold -> safe comparison); chain shared via
+    _classifier_ctes."""
+    return (
+        f"WITH inj AS (SELECT doc_id, text || {_WS_NOISE_SQL} AS text "
+        "  FROM documents), "
+        + _classifier_ctes("inj")
+        + " SELECT doc_id, CAST(nf AS BIGINT) AS n_features, "
         "ROUND(s, 6) AS score, s >= 0.0 AS keep FROM sc"
     )
 
@@ -4604,6 +4646,45 @@ ORACLE_SQL["text_dup_spans"] = (
     "  THEN COALESCE(n_dup_windows, 0) / n_windows "
     "  ELSE 0.0 END, 6) AS dup_frac "
     "FROM corpus c LEFT JOIN pd USING (doc_id)"
+)
+
+# corpus_assemble: classifier keep (shared _classifier_ctes) ->
+# mixture over the survivors (same sqrt-weight/threshold arithmetic
+# as _MIXTURE_ORACLE_SQL, target 60) -> shard + pack (same window
+# chain as corpus_pack_sequences, budget 50) — the corpus->loader
+# capstone, every stage restated from the shared fragments
+ORACLE_SQL["corpus_assemble"] = (
+    f"WITH inj AS (SELECT doc_id, text || {_WS_NOISE_SQL} AS text, "
+    "  source FROM documents), "
+    + _classifier_ctes("inj")
+    + ", kept AS (SELECT i.doc_id, i.source, i.text FROM inj i "
+    "  JOIN sc USING (doc_id) WHERE sc.s >= 0.0), "
+    "cnt AS (SELECT source, COUNT(*) AS n, "
+    "  CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) "
+    "  AS w FROM kept GROUP BY source), "
+    "tw AS (SELECT SUM(w) AS tw FROM cnt), "
+    "rates AS (SELECT source, "
+    "  least(CAST(floor(3932160.0 * CAST(w AS DOUBLE) "
+    "    / CAST(tw AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT), "
+    "    65536) AS thr FROM cnt, tw), "
+    "mixed AS (SELECT k.doc_id, k.text FROM kept k "
+    "  JOIN rates r USING (source) WHERE r.thr >= 65536 "
+    "  OR substr(md5(CAST(k.doc_id AS VARCHAR) || '|mx0'), 1, 4) "
+    "     < printf('%04x', r.thr)), "
+    "t AS (SELECT doc_id, "
+    "  md5(CAST(doc_id AS VARCHAR) || '|sh0') AS dg, "
+    "  CAST(len(list_filter(regexp_split_to_array(text, " + _WSRE2
+    + "), x -> x <> '')) AS BIGINT) AS n FROM mixed), "
+    "s2 AS (SELECT doc_id, dg, substr(dg, 1, 1) AS shard, n FROM t), "
+    "c2 AS (SELECT doc_id, shard, n, SUM(n) OVER (PARTITION BY shard "
+    "  ORDER BY dg ASC, doc_id ASC "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+    "  FROM s2) "
+    "SELECT doc_id, shard, n AS n_tokens, "
+    "CAST(cum - n AS BIGINT) AS start_tok, "
+    "CAST(floor((cum - n) / 50) AS BIGINT) AS seq_first, "
+    "CAST(CASE WHEN n > 0 THEN floor((cum - 1) / 50) "
+    "  ELSE floor((cum - n) / 50) END AS BIGINT) AS seq_last FROM c2"
 )
 
 # corpus_pack_sequences: the shard_shuffle digest layout + a per-shard

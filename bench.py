@@ -135,6 +135,7 @@ HEADLINE = [
     "corpus_url_quality",
     "corpus_span_ladder",
     "corpus_pack_sequences",
+    "corpus_assemble",
 ]
 
 

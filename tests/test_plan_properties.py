@@ -451,3 +451,16 @@ def test_pack_sequences_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Sort [") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_assemble_plan_bounded(spark):
+    """corpus_assemble (classifier keep -> mixture -> shard+pack as ONE
+    query): every join is an equi-join except the single 1-row
+    weight-sum broadcast attach (mixture's), exchanges stay bounded,
+    and exactly one window sort (the per-shard pack) plus the join
+    machinery — no Python eval anywhere."""
+    plan = _qplan(spark, "corpus_assemble")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 12, plan
+    assert "EvalPython" not in plan, plan
