@@ -1219,3 +1219,81 @@ def drop_boilerplate_lines(
         .cast("long")
         .alias("n_lines_dropped"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus paragraph-level FIRST-OCCURRENCE dedup — CCNet's
+    actual dedup unit (Wenzek et al. 2019 dedup paragraph hashes, not
+    whole documents): every repeated paragraph keeps exactly its first
+    occurrence corpus-wide and is removed everywhere else (other docs
+    AND later repeats inside the same doc); the residual text is
+    reconstructed in original order.
+
+    Paragraph = literal ``\\n\\n`` split (left-to-right literal split
+    is lossless: joining the parts with the separator restores the
+    input byte-for-byte, so e.g. a ``\\n\\n\\n`` run leaves the odd
+    ``\\n`` attached to the next part).  Identity = the SPACE-trimmed
+    paragraph (same rule as ``drop_boilerplate_lines``: both engines'
+    native trim); blank-identity paragraphs are never dedup keys and
+    always survive.  First occurrence = smallest (doc_id, pos).
+
+    Returns one row per input document::
+
+        (doc_id, text, n_paras_kept, n_paras_dropped)
+
+    with ``text`` the ``\\n\\n``-join of surviving raw paragraphs (''
+    when everything was a later duplicate).
+
+    100 TB shape: skew-safe agg-then-join — ``min(struct(doc_id,
+    pos))`` per trimmed key is a map-side-combinable partial agg (the
+    hot keys ARE the boilerplate paragraphs; a windowed row_number
+    over the key would sort each hot key's copies in one task), then
+    one join back on the key (AQE skew split, blank keys excluded from
+    both sides) and one per-doc regroup.  The per-doc collect is
+    bounded by document size, never corpus size.
+    """
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n\n", -1)).alias(
+            "pos", "para"
+        ),
+    ).withColumn("_t", F.trim(F.col("para")))
+    firsts = (
+        paras.filter(F.col("_t") != "")
+        .groupBy("_t")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
+    )
+    flagged = paras.join(firsts, "_t", "left").withColumn(
+        "_drop",
+        (F.col("_t") != "")
+        & ~(
+            (F.col("_first.doc_id") == F.col("doc_id"))
+            & (F.col("_first.pos") == F.col("pos"))
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"),
+                            F.struct("pos", "para"),
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.sum(F.when(F.col("_drop"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_paras_kept"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_paras_dropped"),
+    )

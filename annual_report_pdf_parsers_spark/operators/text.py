@@ -619,6 +619,7 @@ def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Unigram language-model quality score — mean log10 probability per
     token against the literal UNIGRAM_LOGPROBS table (unknown tokens at
@@ -633,7 +634,9 @@ def unigram_logprob(
 
     100 TB shape: narrow expression tree (map literal is constant-
     folded; no UDF, no shuffle).  Returns
-    (doc_id, n_tokens, n_known, avg_logprob).
+    (doc_id, *keep_cols, n_tokens, n_known, avg_logprob) —
+    ``keep_cols`` are passed through untouched (e.g. the language
+    column for the tier split below).
     """
     from ..functions.numeric import pin
 
@@ -661,11 +664,73 @@ def unigram_logprob(
     )
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n.cast("long").alias("n_tokens"),
         n_known.cast("long").alias("n_known"),
         F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0)).alias(
             "avg_logprob"
         ),
+    )
+
+
+def ccnet_tiers(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail LM-quality routing per language
+    (Wenzek et al. 2019: split each language's corpus into perplexity
+    terciles; train on head+middle).  Score = ``unigram_logprob``'s
+    mean log10 probability (higher = more natural text); tier = which
+    side of the per-language tercile CUTOFFS the score falls on; keep
+    = head or middle.
+
+    Scale story — cutoffs, NOT per-document ranks: an NTILE(3) over
+    ``partition by lang order by score`` sorts each language's ENTIRE
+    corpus inside one task ('en' alone is half of CommonCrawl — the
+    canonical skew trap).  Instead ONE small aggregation computes the
+    two per-language cutoffs (exact percentile, linear interpolation —
+    the same definition as DuckDB's quantile_cont, ROUND 6 on both
+    sides), which broadcast back onto the scored rows; the big side
+    never shuffles beyond the agg's map-side partials.  At true
+    100 TB swap ``percentile`` for ``approx_percentile`` (documented
+    trade: the oracle can then no longer match bit-for-bit).
+
+    Boundary rule (deterministic): score >= head-cutoff (the 2/3
+    quantile) -> 'head'; else score >= tail-cutoff (the 1/3 quantile)
+    -> 'middle'; else 'tail'.  NULL languages form their own stratum
+    (null-safe join).  Returns
+    (doc_id, lang, avg_logprob, tier, keep).
+    """
+    scored = unigram_logprob(
+        df, text_col=text_col, id_col=id_col, keep_cols=(lang_col,)
+    ).select(id_col, lang_col, "avg_logprob")
+    cuts = scored.groupBy(lang_col).agg(
+        F.round(
+            F.percentile(F.col("avg_logprob"), F.lit(2.0 / 3.0)), 6
+        ).alias("_cut_head"),
+        F.round(
+            F.percentile(F.col("avg_logprob"), F.lit(1.0 / 3.0)), 6
+        ).alias("_cut_tail"),
+    )
+    joined = scored.alias("s").join(
+        F.broadcast(cuts.alias("c")),
+        F.col(f"s.{lang_col}").eqNullSafe(F.col(f"c.{lang_col}")),
+    )
+    tier = (
+        F.when(F.col("avg_logprob") >= F.col("_cut_head"), F.lit("head"))
+        .when(
+            F.col("avg_logprob") >= F.col("_cut_tail"), F.lit("middle")
+        )
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        F.col(f"s.{id_col}").alias(id_col),
+        F.col(f"s.{lang_col}").alias(lang_col),
+        F.col("avg_logprob"),
+        tier.alias("tier"),
+        (F.col("avg_logprob") >= F.col("_cut_tail")).alias("keep"),
     )
 
 

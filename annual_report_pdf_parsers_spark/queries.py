@@ -1566,6 +1566,31 @@ def q_corpus_token_stats(spark, sf):
     return text.token_count_stats(load(spark, sf, "documents"))
 
 
+def q_corpus_ccnet_tiers(spark, sf):
+    """CCNet head/middle/tail LM-quality routing per language — the
+    per-language tercile split CCNet trains on.  The unigram-LM probe
+    suffix (same rotation as text_unigram_lm) spreads scores so the
+    cutoffs separate real classes; the table's lang column is the
+    stratum.  The oracle recomputes the cutoffs with quantile_cont
+    (same linear interpolation as Spark's exact percentile, both
+    ROUND 6) and the same >= boundary rule."""
+    d = load(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit(" the of and to"))
+        .when(m == 1, F.lit(" The WAS unseenword"))
+        .when(m == 2, F.lit(" is"))
+        .otherwise(F.lit(""))
+    )
+    return text.ccnet_tiers(
+        d.select(
+            "doc_id",
+            "lang",
+            F.concat(F.col("text"), suffix).alias("text"),
+        )
+    )
+
+
 def q_text_quality_classifier(spark, sf):
     """fastText-style hashed bag-of-ngrams quality classifier (task
     brief: model-based quality scoring) over documents with the
@@ -1904,6 +1929,34 @@ def q_dedup_boilerplate_lines(spark, sf):
     injected = F.concat_ws("\n", a, b, c, F.lit(""), e)
     return dedup.drop_boilerplate_lines(
         d.select("doc_id", injected.alias("text")), max_df=4
+    )
+
+
+def q_dedup_paragraphs(spark, sf):
+    """Cross-corpus paragraph-level first-occurrence dedup (CCNet's
+    dedup unit).  Fixture paragraphs per doc: a corpus-wide shared
+    footer (indented variant on doc_id%3==1 — trims to the same key
+    but its RAW form differs, so reconstruction is probed), a unique
+    para, a small-modulus repeated para (first occurrence wins by
+    (doc_id, pos)), a blank para (always survives), and a within-doc
+    repeat of the unique para (dropped: same doc, later pos)."""
+    d = load(spark, sf, "documents")
+    m3 = F.col("doc_id") % 3
+    a = (
+        F.when(m3 == 0, F.lit("SHARED FOOTER PARAGRAPH"))
+        .when(m3 == 1, F.lit("  SHARED FOOTER PARAGRAPH "))
+        .otherwise(
+            F.concat(F.lit("solo "), F.col("doc_id").cast("string"))
+        )
+    )
+    b = F.concat(
+        F.lit("u"), F.col("doc_id").cast("string"), F.lit(" "),
+        F.substring("text", 1, 12),
+    )
+    c = F.concat(F.lit("rep"), (F.col("doc_id") % 9).cast("string"))
+    injected = F.concat_ws("\n\n", a, b, c, F.lit(""), b)
+    return dedup.dedup_paragraphs(
+        d.select("doc_id", injected.alias("text"))
     )
 
 
@@ -2623,6 +2676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_keep": q_dedup_corpus_keep,
     "dedup_incremental": q_dedup_incremental,
     "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_semantic": q_dedup_semantic,
     # -- ANN / similarity ---------------------------------------------
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2631,7 +2685,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- text analysis ------------------------------------------------
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
-    "text_tokens": q_text_tokens,
     "text_repetition": q_text_repetition,
     "text_dup_spans": q_text_dup_spans,
     "text_dup_excise": q_text_dup_excise,
@@ -2656,6 +2709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_assemble": q_corpus_assemble,
     "corpus_ingest": q_corpus_ingest,
     "corpus_token_stats": q_corpus_token_stats,
+    "corpus_ccnet_tiers": q_corpus_ccnet_tiers,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
@@ -2663,26 +2717,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
     "pipeline_oracle": q_pipeline_oracle,
-    # -- §2 backfill, ROTATED each round (r05: P1, the entry with the
-    # -- OLDEST driver row, last driver-checked in r02/r03; next in
-    # -- line r06: P2-P8, W2-W4, U1-U3, O2-O3, A2/A4/A5, J5) ---------
-    "p1_realign": q_p1_realign,
     # ---- the driver's CORRECTNESS window is the FIRST 50 keys of this
-    # ---- dict: 47 training-data ops + 2 flagship + 1 rotated §2
-    # ---- backfill = 50 exactly.  Every entry from here down already
-    # ---- carries green driver rows from an earlier round (r04 for the
-    # ---- dispatch variants and the previous backfill set, r02/r03 for
-    # ---- the rest) plus permanent local-gate coverage
-    # ---- (tests/test_oracle_parity.py runs ALL oracled entries), so
-    # ---- sliding below the window as new ops land above is safe -----
-    # text_normalize / corpus_sample_hash / corpus_shard_shuffle /
-    # text_fingerprint / text_pii_scrub / text_readability rotated
-    # below in r05 to make room for text_quality_classifier /
-    # corpus_mixture_sample / corpus_url_quality / corpus_span_ladder /
-    # corpus_pack_sequences / corpus_assemble — all six carry green r04
-    # driver rows, permanent local-gate coverage, and are the simplest
-    # ops of their families (narrow projections / filters / one keyed
-    # exchange)
+    # ---- dict: 48 training-data ops + 2 flagship = 50 exactly.  Every
+    # ---- entry from here down already carries green driver rows from
+    # ---- an earlier round (r04 for the dispatch variants and the
+    # ---- previous backfill set, r02/r03 for the rest) plus permanent
+    # ---- local-gate coverage (tests/test_oracle_parity.py runs ALL
+    # ---- oracled entries), so sliding below the window as new ops
+    # ---- land above is safe -----------------------------------------
+    # r06 rotation queue (OLDEST driver rows first): P1-P8, W2-W4,
+    # U1-U3, O2-O3, A2/A4/A5, J5 (r02/r03 greens), then the r05-rotated
+    # training ops below (all r04-green).
+    # p1_realign + text_tokens rotated below late in r05 to make room
+    # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
+    # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
+    # text_pii_scrub / text_readability rotated below earlier in r05 —
+    # all carry green r04 driver rows, permanent local-gate coverage,
+    # and are the simplest ops of their families (narrow projections /
+    # filters / one keyed exchange)
+    "p1_realign": q_p1_realign,
+    "text_tokens": q_text_tokens,
     "text_normalize": q_text_normalize,
     "corpus_sample_hash": q_corpus_sample_hash,
     "corpus_shard_shuffle": q_corpus_shard_shuffle,
@@ -2920,11 +2974,10 @@ def _entropy_oracle_sql() -> str:
     )
 
 
-def _unigram_oracle_sql() -> str:
-    """text_unigram_lm oracle — lookup CASE + known-set regenerated
-    from the SAME UNIGRAM_LOGPROBS dict; ordered left fold via
-    list_reduce over a 0.0-prepended list (identical addition order to
-    the engine's aggregate())."""
+def _unigram_fold_parts() -> tuple:
+    """(lookup CASE, known-word list) regenerated from the SAME
+    UNIGRAM_LOGPROBS dict the engine's literal map is built from —
+    shared by the text_unigram_lm and corpus_ccnet_tiers oracles."""
     from .operators.text import UNIGRAM_LOGPROBS, UNKNOWN_LOGPROB
 
     items = sorted(UNIGRAM_LOGPROBS.items())
@@ -2937,11 +2990,28 @@ def _unigram_oracle_sql() -> str:
         f"CASE w {arms} ELSE CAST({UNKNOWN_LOGPROB!r} AS DOUBLE) END"
     )
     known = ", ".join(f"'{w}'" for w, _ in items)
+    return case, known
+
+
+# the text_unigram_lm / corpus_ccnet_tiers probe suffix, mirrored from
+# the query-side rotation (known stopwords / case+unknown / short / none)
+_UNIGRAM_PROBE_SQL = (
+    "CASE doc_id % 4 "
+    "  WHEN 0 THEN ' the of and to' "
+    "  WHEN 1 THEN ' The WAS unseenword' "
+    "  WHEN 2 THEN ' is' ELSE '' END"
+)
+
+
+def _unigram_oracle_sql() -> str:
+    """text_unigram_lm oracle — lookup CASE + known-set from
+    _unigram_fold_parts; ordered left fold via list_reduce over a
+    0.0-prepended list (identical addition order to the engine's
+    aggregate())."""
+    case, known = _unigram_fold_parts()
     return (
-        "WITH inj AS (SELECT doc_id, text || CASE doc_id % 4 "
-        "  WHEN 0 THEN ' the of and to' "
-        "  WHEN 1 THEN ' The WAS unseenword' "
-        "  WHEN 2 THEN ' is' ELSE '' END AS text FROM documents), "
+        "WITH inj AS (SELECT doc_id, text || " + _UNIGRAM_PROBE_SQL +
+        " AS text FROM documents), "
         "tks AS (SELECT doc_id, list_transform(list_filter("
         "  regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
         "  w -> lower(w)) AS tk FROM inj) "
@@ -2951,6 +3021,38 @@ def _unigram_oracle_sql() -> str:
         "CASE WHEN len(tk) > 0 THEN ROUND(list_reduce(list_prepend("
         f"0.0, list_transform(tk, w -> {case})), (p, q) -> p + q) "
         "/ len(tk), 6) ELSE 0.0 END AS avg_logprob FROM tks"
+    )
+
+
+def _ccnet_tiers_oracle_sql() -> str:
+    """corpus_ccnet_tiers oracle — the same unigram fold carrying lang,
+    then per-language tercile cutoffs via quantile_cont (the same
+    linear-interpolation definition as Spark's exact percentile; both
+    sides ROUND 6) and the same >= boundary rule.  The 1/3 and 2/3
+    fractions are formatted from the identical Python doubles the
+    engine passes to F.lit."""
+    case, _ = _unigram_fold_parts()
+    q_head, q_tail = repr(2.0 / 3.0), repr(1.0 / 3.0)
+    return (
+        "WITH inj AS (SELECT doc_id, lang, text || "
+        + _UNIGRAM_PROBE_SQL + " AS text FROM documents), "
+        "tks AS (SELECT doc_id, lang, list_transform(list_filter("
+        "  regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
+        "  w -> lower(w)) AS tk FROM inj), "
+        "sc AS (SELECT doc_id, lang, "
+        "  CASE WHEN len(tk) > 0 THEN ROUND(list_reduce(list_prepend("
+        f"  0.0, list_transform(tk, w -> {case})), (p, q) -> p + q) "
+        "  / len(tk), 6) ELSE 0.0 END AS avg_logprob FROM tks), "
+        "cuts AS (SELECT lang, "
+        f"  ROUND(quantile_cont(avg_logprob, {q_head}), 6) AS ch, "
+        f"  ROUND(quantile_cont(avg_logprob, {q_tail}), 6) AS ct "
+        "  FROM sc GROUP BY lang) "
+        "SELECT s.doc_id, s.lang, s.avg_logprob, "
+        "  CASE WHEN s.avg_logprob >= c.ch THEN 'head' "
+        "       WHEN s.avg_logprob >= c.ct THEN 'middle' "
+        "       ELSE 'tail' END AS tier, "
+        "  s.avg_logprob >= c.ct AS keep "
+        "FROM sc s JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang"
     )
 
 
@@ -3922,8 +4024,41 @@ ORACLE_SQL: dict[str, str] = {
         "  CAST(t.nt - COALESCE(a.nk, 0) AS BIGINT) AS n_lines_dropped "
         "FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id"
     ),
+    # dedup_paragraphs: same injected paragraph structure; first
+    # occurrence per trimmed key via row_number over (doc_id, pos)
+    # (the oracle needn't be skew-safe); residual text reassembled by
+    # ordered string_agg (NULL = dropped; '' paragraphs survive).
+    "dedup_paragraphs": (
+        "WITH inj AS (SELECT doc_id, "
+        "  (CASE doc_id % 3 WHEN 0 THEN 'SHARED FOOTER PARAGRAPH' "
+        "    WHEN 1 THEN '  SHARED FOOTER PARAGRAPH ' "
+        "    ELSE 'solo ' || CAST(doc_id AS VARCHAR) END) "
+        "  || chr(10) || chr(10) || 'u' || CAST(doc_id AS VARCHAR) "
+        "  || ' ' || substr(text, 1, 12) "
+        "  || chr(10) || chr(10) || 'rep' || CAST(doc_id % 9 AS VARCHAR) "
+        "  || chr(10) || chr(10) "
+        "  || chr(10) || chr(10) || 'u' || CAST(doc_id AS VARCHAR) "
+        "  || ' ' || substr(text, 1, 12) "
+        "  AS text FROM documents), "
+        "ps AS (SELECT doc_id, "
+        "  string_split(text, chr(10) || chr(10)) AS p FROM inj), "
+        "paras AS (SELECT doc_id, i AS pos, p[i] AS para FROM ps, "
+        "  UNNEST(generate_series(1, len(p))) AS g(i)), "
+        "flag AS (SELECT doc_id, pos, para, "
+        "  CASE WHEN trim(para) = '' THEN 0 "
+        "       WHEN row_number() OVER (PARTITION BY trim(para) "
+        "         ORDER BY doc_id, pos) = 1 THEN 0 "
+        "       ELSE 1 END AS drp FROM paras) "
+        "SELECT doc_id, "
+        "  COALESCE(string_agg(CASE WHEN drp = 0 THEN para END, "
+        "    chr(10) || chr(10) ORDER BY pos), '') AS text, "
+        "  CAST(SUM(1 - drp) AS BIGINT) AS n_paras_kept, "
+        "  CAST(SUM(drp) AS BIGINT) AS n_paras_dropped "
+        "FROM flag GROUP BY doc_id"
+    ),
     "text_char_entropy": _entropy_oracle_sql(),
     "text_unigram_lm": _unigram_oracle_sql(),
+    "corpus_ccnet_tiers": _ccnet_tiers_oracle_sql(),
     "text_quality_classifier": _classifier_oracle_sql(),
     "corpus_mixture_sample": _MIXTURE_ORACLE_SQL,
     "corpus_url_quality": _url_quality_oracle_sql(),

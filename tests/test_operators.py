@@ -1474,3 +1474,58 @@ def test_pack_sequences_boundary_crossing(spark):
             assert r.seq_last == r.seq_first
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", budget=0)
+
+
+def test_dedup_paragraphs(spark):
+    """dedup.dedup_paragraphs: first occurrence of a repeated paragraph
+    (by trimmed key, ordered by (doc_id, pos)) survives; later copies —
+    in other docs, in the same doc, and indentation variants — are cut;
+    blank paragraphs always survive and reconstruction is byte-exact."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    rows = [
+        (0, "SHARED\n\nu0\n\nu0"),        # within-doc repeat of u0
+        (1, "  SHARED \n\nu1\n\n\n\nx"),  # trim-variant + blank para
+        (2, "SHARED\n\nu2"),
+        (3, ""),                          # one blank paragraph
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_paras_kept, r.n_paras_dropped)
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert got[0] == ("SHARED\n\nu0", 2, 1)
+    # the odd third newline stays attached to the next part (lossless
+    # literal split), so the kept text is byte-identical minus the cut
+    assert got[1] == ("u1\n\n\n\nx", 3, 1)
+    assert got[2] == ("u2", 1, 1)
+    assert got[3] == ("", 1, 0)
+
+
+def test_ccnet_tiers_fixture(spark):
+    """text.ccnet_tiers: per-language tercile routing — 6 docs with
+    strictly decreasing known-word fraction split head/head/middle/
+    middle/tail/tail (linear-interpolated cutoffs sit strictly between
+    adjacent scores); keep == (tier != 'tail'); a NULL language forms
+    its own stratum (its single score equals both cutoffs -> head)."""
+    from annual_report_pdf_parsers_spark.operators.text import ccnet_tiers
+
+    rows = [
+        (i, "en", " ".join(["the"] * (6 - i) + ["zzqx"] * i))
+        for i in range(6)
+    ]
+    rows.append((100, None, "the of and"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in ccnet_tiers(df).collect()}
+    assert [got[i].tier for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    assert all(
+        got[i].keep == (got[i].tier != "tail") for i in range(6)
+    )
+    scores = [got[i].avg_logprob for i in range(6)]
+    assert scores == sorted(scores, reverse=True)
+    assert got[100].lang is None
+    assert got[100].tier == "head" and got[100].keep

@@ -464,3 +464,32 @@ def test_corpus_assemble_plan_bounded(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert plan.count("Exchange hashpartitioning") <= 12, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_dedup_paragraphs_plan_shape(spark):
+    """dedup_paragraphs: the skew-safe agg-then-join form — NO window
+    over the paragraph key (a row_number would sort every hot
+    boilerplate key's copies in one task), no cartesian, bounded
+    exchanges, and the min-(doc,pos) agg is map-side partial."""
+    plan = _qplan(spark, "dedup_paragraphs")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 6, f"paragraph-dedup exchange blow-up: {n}"
+    assert plan.count("Generate posexplode") <= 2, plan
+    assert "partial_min" in plan, plan
+
+
+def test_ccnet_tiers_plan_shape(spark):
+    """corpus_ccnet_tiers: cutoffs (one tiny per-language agg) BROADCAST
+    back onto the scored rows — no per-document window/NTILE (the skew
+    trap: an 'order by score' per language sorts that language's whole
+    corpus in one task), no Python stage, and the only hash exchange is
+    the cutoff agg's own (the big side never shuffles)."""
+    plan = _qplan(spark, "corpus_ccnet_tiers")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"big-side shuffle crept in: {n}"

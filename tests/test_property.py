@@ -1034,3 +1034,108 @@ def test_pack_sequences_matches_model(spark, rows, budget):
         ).collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(st.lists(_mldoc, min_size=1, max_size=10))
+def test_dedup_paragraphs_matches_python_model(spark, docs):
+    """dedup.dedup_paragraphs vs a direct Python model: literal '\\n\\n'
+    split, space-trimmed identity, global first occurrence by
+    (doc_id, pos) wins (within-doc repeats included), blank-identity
+    paragraphs immune, raw paragraphs reassembled in order."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    first = {}
+    for i, d in enumerate(docs):
+        for p_idx, p in enumerate(d.split("\n\n")):
+            t = p.strip(" ")
+            if t and t not in first:
+                first[t] = (i, p_idx)
+
+    def model(i, d):
+        kept, dropped = [], 0
+        for p_idx, p in enumerate(d.split("\n\n")):
+            t = p.strip(" ")
+            if t and first[t] != (i, p_idx):
+                dropped += 1
+            else:
+                kept.append(p)
+        return "\n\n".join(kept), len(kept), dropped
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_paras_kept, r.n_paras_dropped)
+        for r in dedup_paragraphs(df).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == model(i, d), f"doc {i}: {d!r}"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", None]),
+            st.lists(
+                st.sampled_from(["the", "of", "and", "zzqx", "wqk"]),
+                min_size=0, max_size=6,
+            ).map(" ".join),
+        ),
+        min_size=1, max_size=14,
+    )
+)
+def test_ccnet_tiers_matches_python_model(spark, rows):
+    """text.ccnet_tiers vs a Python model using numpy's linear-
+    interpolated percentile (the same definition as Spark's exact
+    percentile and DuckDB's quantile_cont), round-6 on both the scores
+    and the cutoffs, NULL langs as their own stratum."""
+    import numpy as np
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        UNIGRAM_LOGPROBS,
+        UNKNOWN_LOGPROB,
+        ccnet_tiers,
+    )
+
+    def score(txt):
+        tk = [w.lower() for w in txt.split(" ") if w]
+        if not tk:
+            return 0.0
+        acc = 0.0
+        for w in tk:
+            acc += UNIGRAM_LOGPROBS.get(w, UNKNOWN_LOGPROB)
+        return round(acc / len(tk), 6)
+
+    by_lang = {}
+    scored = []
+    for i, (lang, txt) in enumerate(rows):
+        s = score(txt)
+        scored.append((i, lang, s))
+        by_lang.setdefault(lang, []).append(s)
+    cuts = {
+        lang: (
+            round(float(np.percentile(v, 100 * 2.0 / 3.0)), 6),
+            round(float(np.percentile(v, 100 * 1.0 / 3.0)), 6),
+        )
+        for lang, v in by_lang.items()
+    }
+
+    def model(lang, s):
+        ch, ct = cuts[lang]
+        tier = "head" if s >= ch else ("middle" if s >= ct else "tail")
+        return tier, s >= ct
+
+    df = spark.createDataFrame(
+        [(i, lang, txt) for i, (lang, txt) in enumerate(rows)],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r for r in ccnet_tiers(df).collect()}
+    assert len(got) == len(rows)
+    for i, lang, s in scored:
+        r = got[i]
+        assert r.avg_logprob == s, (i, r.avg_logprob, s)
+        assert (r.tier, r.keep) == model(lang, s), (i, lang, s, r)
