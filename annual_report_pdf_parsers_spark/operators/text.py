@@ -857,3 +857,96 @@ def quality_classifier(
         F.round(F.col("_qc_sc"), 6).alias("score"),
         (F.col("_qc_sc") >= 0.0).alias("keep"),
     )
+
+
+# C4 heuristic-cleanup constants (Raffel et al. 2020 "Exploring the
+# Limits of Transfer Learning" §2.2 — the public filter recipe).  The
+# real C4 used the "List of Dirty, Naughty, Obscene..." wordlist; this
+# is a clearly-marked PLACEHOLDER set with the same token-membership
+# semantics (swap the tuple for the curated list in production).
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_BAD_WORDS = ("badword", "nsfw", "obscene")
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style heuristic cleanup (Raffel et al. 2020 §2.2) — the other
+    canonical web-corpus filter family next to the Gopher rules in
+    ``repetition_stats``/``line_stats``.  Line level: keep only
+    SPACE-trimmed lines that end in terminal punctuation (. ! ? or a
+    closing double quote), contain at least ``min_words_per_line``
+    whitespace-run words, and do not mention 'javascript'
+    (case-insensitive).  Document level: drop the page when the kept
+    text has fewer than ``min_sentences`` sentences (terminal-punct
+    characters counted via the replace trick), or the ORIGINAL text
+    contains 'lorem ipsum' (case-insensitive), a '{' (code), or any
+    C4_BAD_WORDS token (lowered whitespace-token membership — a word
+    with punctuation attached does not match, same as splitting on
+    words).
+
+    Returns one row per input document::
+
+        (doc_id, text, n_lines_kept, n_lines_dropped, n_sentences, keep)
+
+    with ``text`` the newline-join of kept TRIMMED lines ('' when no
+    line survives).  NULL input text behaves as ''.  Blank lines count
+    as dropped (they fail every line rule), matching the model.
+
+    100 TB shape: pure narrow per-row higher-order functions over
+    pin()-staged arrays — no shuffle, no UDF, whole-stage codegen.  The
+    three pins stage (trimmed lines) -> (kept lines) -> (kept text) so
+    multi-reference aggregates never re-inline the split (the Catalyst
+    re-inline trap, NOTES.md).
+    """
+    from ..functions.numeric import pin
+
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+
+    def line_ok(t: Column) -> Column:
+        nwords = F.size(
+            F.filter(F.split(t, WS_SPLIT_RE), lambda w: w != "")
+        )
+        return (
+            (t != "")
+            & F.substring(t, -1, 1).isin(*C4_TERMINAL_PUNCT)
+            & (nwords >= F.lit(min_words_per_line))
+            & ~F.lower(t).contains(F.lit("javascript"))
+        )
+
+    base = df.withColumn(
+        "_c4l",
+        pin(F.transform(F.split(raw, "\n", -1), lambda l: F.trim(l))),
+    )
+    base = base.withColumn("_c4k", pin(F.filter(F.col("_c4l"), line_ok)))
+    base = base.withColumn("_c4t", pin(F.array_join(F.col("_c4k"), "\n")))
+
+    n_sent = sum(
+        (count_occurrences(F.col("_c4t"), p) for p in (".", "!", "?")),
+        F.lit(0.0),
+    ).cast("long")
+    low = F.lower(raw)
+    bad = F.arrays_overlap(
+        F.filter(F.split(low, WS_SPLIT_RE), lambda w: w != ""),
+        F.array(*[F.lit(w) for w in C4_BAD_WORDS]),
+    )
+    keep = (
+        (n_sent >= F.lit(min_sentences))
+        & ~low.contains(F.lit("lorem ipsum"))
+        & ~raw.contains(F.lit("{"))
+        & ~bad
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("_c4t").alias("text"),
+        F.size("_c4k").cast("long").alias("n_lines_kept"),
+        (F.size("_c4l") - F.size("_c4k"))
+        .cast("long")
+        .alias("n_lines_dropped"),
+        n_sent.alias("n_sentences"),
+        keep.alias("keep"),
+    )

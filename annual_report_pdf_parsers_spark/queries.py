@@ -1736,6 +1736,58 @@ def q_corpus_domain_filter(spark, sf):
     return filter_blocked_domains(withu, _INGEST_BLOCKLIST)
 
 
+def q_corpus_c4_filters(spark, sf):
+    """C4 heuristic cleanup (Raffel et al. 2020 §2.2) over a
+    doc_id-derived multi-line fixture exercising every rule: a kept
+    opening sentence (doc_id-unique), a too-short line, a
+    no-terminal-punct line, a javascript line, a tab-separated kept
+    line (whitespace-run word count — ws-noise built in), a blank
+    line, and a doc_id%5 tail: extra sentence (keep=true), lorem
+    ipsum, a '{', a bad word, or NO tail (kept text falls below
+    min_sentences).  concat_ws skips the NULL tail on both engines.
+    The oracle restates the line rules, the replace-trick sentence
+    count, and the doc-level flags."""
+    d = load(spark, sf, "documents")
+    m5 = F.col("doc_id") % 5
+    tail = (
+        F.when(
+            m5 == 0,
+            F.lit("An extra closing sentence rounds the document out."),
+        )
+        .when(
+            m5 == 1,
+            F.lit(
+                "Sadly this page contains lorem ipsum filler text"
+                " everywhere."
+            ),
+        )
+        .when(m5 == 2, F.lit("Some code follows in this page { not prose."))
+        .when(
+            m5 == 3,
+            F.lit(
+                "This document mentions a badword unfortunately for"
+                " everyone."
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    injected = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Document number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" begins with a clean opening sentence."),
+        ),
+        F.lit("Short line."),
+        F.lit("this line has no terminal punctuation at all"),
+        F.lit("Please enable javascript to continue viewing this page."),
+        F.lit("Tabs\there\tare\tstill\twords in this sentence!"),
+        F.lit(""),
+        tail,
+    )
+    return text.c4_filters(d.select("doc_id", injected.alias("text")))
+
+
 def q_corpus_assemble(spark, sf):
     """The corpus-to-LOADER assembly composed as ONE query — the
     training-side capstone next to corpus_end_to_end (dedup side) and
@@ -2693,7 +2745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_lm": q_text_unigram_lm,
     "text_quality_classifier": q_text_quality_classifier,
     # -- corpus decisions ---------------------------------------------
-    "corpus_text_filter": q_corpus_text_filter,
+    "corpus_c4_filters": q_corpus_c4_filters,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "corpus_source_stats": q_corpus_source_stats,
     "corpus_quota_topk": q_corpus_quota_topk,
@@ -2728,6 +2780,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r06 rotation queue (OLDEST driver rows first): P1-P8, W2-W4,
     # U1-U3, O2-O3, A2/A4/A5, J5 (r02/r03 greens), then the r05-rotated
     # training ops below (all r04-green).
+    # corpus_text_filter (r04-green; its ml variant stays in-window)
+    # rotated below to make room for corpus_c4_filters;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2735,6 +2789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # all carry green r04 driver rows, permanent local-gate coverage,
     # and are the simplest ops of their families (narrow projections /
     # filters / one keyed exchange)
+    "corpus_text_filter": q_corpus_text_filter,
     "p1_realign": q_p1_realign,
     "text_tokens": q_text_tokens,
     "text_normalize": q_text_normalize,
@@ -4055,6 +4110,60 @@ ORACLE_SQL: dict[str, str] = {
         "  CAST(SUM(1 - drp) AS BIGINT) AS n_paras_kept, "
         "  CAST(SUM(drp) AS BIGINT) AS n_paras_dropped "
         "FROM flag GROUP BY doc_id"
+    ),
+    # corpus_c4_filters: same injected line fixture (concat_ws skips
+    # the NULL doc_id%5=4 tail on both engines); line keep = trimmed,
+    # terminal-punct end, >=5 ws-run words, no 'javascript'; sentence
+    # count = replace-trick over the KEPT text; doc flags over the
+    # ORIGINAL text.
+    "corpus_c4_filters": (
+        "WITH inj AS (SELECT doc_id, concat_ws(chr(10), "
+        "  'Document number ' || CAST(doc_id AS VARCHAR) || "
+        "    ' begins with a clean opening sentence.', "
+        "  'Short line.', "
+        "  'this line has no terminal punctuation at all', "
+        "  'Please enable javascript to continue viewing this page.', "
+        "  'Tabs' || chr(9) || 'here' || chr(9) || 'are' || chr(9) || "
+        "    'still' || chr(9) || 'words in this sentence!', "
+        "  '', "
+        "  CASE doc_id % 5 "
+        "    WHEN 0 THEN "
+        "      'An extra closing sentence rounds the document out.' "
+        "    WHEN 1 THEN 'Sadly this page contains lorem ipsum filler "
+        "text everywhere.' "
+        "    WHEN 2 THEN 'Some code follows in this page { not prose.' "
+        "    WHEN 3 THEN 'This document mentions a badword "
+        "unfortunately for everyone.' "
+        "    END) AS text FROM documents), "
+        "ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS l "
+        "  FROM inj), "
+        "lines AS (SELECT doc_id, i AS pos, trim(l[i]) AS t FROM ls, "
+        "  UNNEST(generate_series(1, len(l))) AS g(i)), "
+        "flag AS (SELECT doc_id, pos, t, "
+        "  (t <> '' AND substr(t, length(t), 1) IN ('.', '!', '?', '\"') "
+        "   AND len(list_filter(regexp_split_to_array(t, " + _WSRE2 + "), "
+        "     x -> x <> '')) >= 5 "
+        "   AND NOT contains(lower(t), 'javascript')) AS ok FROM lines), "
+        "agg AS (SELECT doc_id, "
+        "  COALESCE(string_agg(CASE WHEN ok THEN t END, chr(10) "
+        "    ORDER BY pos), '') AS ktext, "
+        "  COALESCE(SUM(CASE WHEN ok THEN 1 ELSE 0 END), 0) AS nk, "
+        "  COUNT(*) AS nt FROM flag GROUP BY doc_id), "
+        "sig AS (SELECT i.doc_id, a.ktext, a.nk, a.nt, "
+        "  (length(a.ktext) - length(replace(a.ktext, '.', ''))) + "
+        "  (length(a.ktext) - length(replace(a.ktext, '!', ''))) + "
+        "  (length(a.ktext) - length(replace(a.ktext, '?', ''))) AS ns, "
+        "  contains(lower(i.text), 'lorem ipsum') AS lor, "
+        "  contains(i.text, '{') AS br, "
+        "  list_has_any(list_filter(regexp_split_to_array(lower(i.text), "
+        + _WSRE2 + "), x -> x <> ''), "
+        "    ['badword', 'nsfw', 'obscene']) AS bad "
+        "  FROM inj i JOIN agg a ON a.doc_id = i.doc_id) "
+        "SELECT doc_id, ktext AS text, CAST(nk AS BIGINT) AS n_lines_kept, "
+        "  CAST(nt - nk AS BIGINT) AS n_lines_dropped, "
+        "  CAST(ns AS BIGINT) AS n_sentences, "
+        "  (ns >= 3 AND NOT lor AND NOT br AND NOT bad) AS keep "
+        "FROM sig"
     ),
     "text_char_entropy": _entropy_oracle_sql(),
     "text_unigram_lm": _unigram_oracle_sql(),

@@ -136,6 +136,9 @@ HEADLINE = [
     "corpus_span_ladder",
     "corpus_pack_sequences",
     "corpus_assemble",
+    "dedup_paragraphs",
+    "corpus_ccnet_tiers",
+    "corpus_c4_filters",
 ]
 
 

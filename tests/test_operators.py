@@ -1529,3 +1529,45 @@ def test_ccnet_tiers_fixture(spark):
     assert scores == sorted(scores, reverse=True)
     assert got[100].lang is None
     assert got[100].tier == "head" and got[100].keep
+
+
+def test_c4_filters(spark):
+    """text.c4_filters: line rules (terminal punct, >=5 ws-run words,
+    no javascript) and doc rules (>=3 sentences in the KEPT text,
+    lorem ipsum / brace / bad-word anywhere in the ORIGINAL text);
+    NULL text behaves as '' (one blank line, dropped)."""
+    from annual_report_pdf_parsers_spark.operators.text import c4_filters
+
+    good = "This is a good clean sentence with many words."
+    bang = "Another perfectly fine sentence appears right here!"
+    rows = [
+        (0, f"{good}\nShort line.\nno terminal punct here at all\n"
+            f"Please enable javascript to continue now.\n{bang}\n\n"
+            "An extra closing sentence rounds the document out."),
+        (1, f"{good}\n{bang}\nSadly lorem ipsum filler text is here."),
+        (2, f"Some code follows in this page {{ not prose.\n{good}\n{bang}"),
+        (3, f"This document mentions a badword sadly for everyone.\n"
+            f"{good}\n{bang}"),
+        (4, f"{good}\n{bang}"),      # only 2 sentences -> dropped
+        (5, None),
+        (6, f"Tabs\there\tare\tstill\twords in this sentence.\n"
+            f"{good}\n{bang}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_lines_kept, r.n_lines_dropped, r.n_sentences, r.keep
+        )
+        for r in c4_filters(df).collect()
+    }
+    assert got[0] == (3, 4, 3, True)
+    assert got[1] == (3, 0, 3, False)   # lorem ipsum
+    assert got[2] == (3, 0, 3, False)   # brace (line itself is kept)
+    assert got[3] == (3, 0, 3, False)   # bad word
+    assert got[4] == (2, 0, 2, False)   # < min_sentences
+    assert got[5] == (0, 1, 0, False)   # NULL -> '' -> one blank line
+    assert got[6] == (3, 0, 3, True)    # tab-separated words count
+    # kept text is the trimmed-line join, original order
+    t0 = {r.doc_id: r.text for r in c4_filters(df).collect()}[0]
+    assert t0.split("\n")[0] == good
+    assert t0.split("\n")[2].startswith("An extra closing")

@@ -493,3 +493,17 @@ def test_ccnet_tiers_plan_shape(spark):
     assert "EvalPython" not in plan, plan
     n = plan.count("Exchange hashpartitioning")
     assert n <= 1, f"big-side shuffle crept in: {n}"
+
+
+def test_c4_filters_narrow(spark):
+    """corpus_c4_filters: pure narrow projection — zero exchanges, no
+    Python eval, and the line split is staged exactly once (the pinned
+    _c4l array; re-inlining the split into the kept-lines filter or
+    the counts would re-tokenize per reference).  Exactly three split
+    sites: the line split, the per-line word split (one HOF lambda),
+    and the doc-level bad-word token split — any fourth means a pinned
+    stage re-inlined."""
+    plan = _qplan(spark, "corpus_c4_filters")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("split(") == 3, plan

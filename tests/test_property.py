@@ -1139,3 +1139,76 @@ def test_ccnet_tiers_matches_python_model(spark, rows):
         r = got[i]
         assert r.avg_logprob == s, (i, r.avg_logprob, s)
         assert (r.tier, r.keep) == model(lang, s), (i, lang, s, r)
+
+
+_c4line = st.one_of(
+    st.sampled_from(
+        [
+            "This is a good clean sentence with many words.",
+            "Short line.",
+            "no terminal punct in this longer line here",
+            "please enable javascript to continue viewing now.",
+            "Tabs\there\tare\tstill\twords in this sentence!",
+            "Is this a question with enough words here?",
+            "lorem ipsum appears here with other words too.",
+            "code with brace { inside a long enough line.",
+            "a badword mentioned among many other words here.",
+            'They said "this quoted sentence ends with a quote."',
+            "",
+            "   ",
+        ]
+    ),
+    st.text(alphabet='ab .!?"{\t', min_size=0, max_size=12),
+)
+_c4doc = st.lists(_c4line, min_size=0, max_size=7).map("\n".join)
+
+
+@SETTINGS
+@given(st.lists(_c4doc, min_size=1, max_size=10))
+def test_c4_filters_matches_python_model(spark, docs):
+    """text.c4_filters vs a direct Python model: line keep rules
+    (SPACE-trim identity, terminal-punct end, >=5 whitespace-run
+    words, no 'javascript'), replace-trick sentence count over the
+    KEPT text, and the doc-level lorem/brace/bad-word flags over the
+    ORIGINAL text."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        C4_BAD_WORDS, C4_TERMINAL_PUNCT, c4_filters,
+    )
+
+    def model(d):
+        trimmed = [ln.strip(" ") for ln in d.split("\n")]
+        kept = [
+            t
+            for t in trimmed
+            if t
+            and t[-1] in C4_TERMINAL_PUNCT
+            and len(_model_tokens(t)) >= 5
+            and "javascript" not in t.lower()
+        ]
+        ktext = "\n".join(kept)
+        ns = sum(ktext.count(c) for c in ".!?")
+        low = d.lower()
+        bad = any(w in C4_BAD_WORDS for w in _model_tokens(low))
+        keep = (
+            ns >= 3
+            and "lorem ipsum" not in low
+            and "{" not in d
+            and not bad
+        )
+        return ktext, len(kept), len(trimmed) - len(kept), ns, keep
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.text,
+            r.n_lines_kept,
+            r.n_lines_dropped,
+            r.n_sentences,
+            r.keep,
+        )
+        for r in c4_filters(df).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == model(d), f"doc {i}: {d!r}"
