@@ -370,3 +370,81 @@ def pack_sequences(
         seq_first.alias("seq_first"),
         seq_last.alias("seq_last"),
     )
+
+
+def split_thresholds(
+    splits: tuple = (("train", 0.90), ("val", 0.05)),
+) -> list:
+    """Cumulative 4-hex split thresholds — ONE site (the _salted_digest
+    convention): the engine CASE in ``split_assign`` and the DuckDB
+    oracle CASE in queries.py are both generated from this list, so the
+    float accumulation order is identical by construction.  Each listed
+    split must have a positive fraction and the cumulative sum must
+    stay below 1 (the remainder is the caller's else bucket)."""
+    import math
+
+    out, cum = [], 0.0
+    for name, frac in splits:
+        if frac <= 0.0:
+            raise ValueError(f"split {name!r}: fraction must be > 0")
+        cum += frac
+        t = math.floor(cum * 65536.0)
+        if t >= 65536:
+            raise ValueError(
+                "listed splits must sum below 1 (the else bucket takes "
+                f"the remainder); cumulative {cum} at {name!r}"
+            )
+        out.append((name, format(t, "04x")))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    group_col: str,
+    splits: tuple = (("train", 0.90), ("val", 0.05)),
+    rest: str = "test",
+    salt: str = "sp0",
+) -> DataFrame:
+    """Deterministic LEAKAGE-SAFE train/val/test assignment: the split
+    is a pure function of ``group_col`` — the leakage unit — so every
+    row sharing a group lands in the same split by construction.  Pass
+    the near-dup cluster id (connected components over MinHash pairs)
+    and duplicates can never straddle train/val (the classic eval-
+    contamination bug a per-document random split ships); a host
+    column gives the site-level variant, an exact-content digest the
+    cheap form.
+
+    Assignment: the first four hex digits of md5(group || '|' || salt)
+    — the corpus-wide _salted_digest convention — compared against the
+    cumulative thresholds from ``split_thresholds`` (pure string
+    comparison, identical in every engine); rows past every listed
+    threshold take the ``rest`` bucket.  Deterministic under any
+    partitioning/resume, independent across salts, and reproducible by
+    the DuckDB oracle byte for byte.
+
+    100 TB shape: a narrow projection — ZERO shuffles, no UDF (when the
+    group key is already a column; clustering upstream pays its own
+    cost).  Appends a ``split`` column; all input columns pass through.
+    """
+    names = [n for n, _ in splits] + [rest]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    if "split" in df.columns:
+        raise ValueError(
+            "input already has a 'split' column — rename it first "
+            "(split_assign appends its own)"
+        )
+    from ..functions.numeric import pin
+
+    digest4 = F.substring(_salted_digest(group_col, salt), 1, 4)
+    staged = df.withColumn("_sp_d4", pin(digest4))
+    case = None
+    for name, hex4 in split_thresholds(splits):
+        arm = F.col("_sp_d4") < F.lit(hex4)
+        case = (
+            F.when(arm, F.lit(name))
+            if case is None
+            else case.when(arm, F.lit(name))
+        )
+    case = case.otherwise(F.lit(rest))
+    return staged.select(*df.columns, case.alias("split"))

@@ -1680,6 +1680,25 @@ def q_dedup_cluster_cc(spark, sf):
     return dedup.cluster_keep_decision(corpus, pairs)
 
 
+def q_corpus_split_safe(spark, sf):
+    """Leakage-safe train/val/test split: near-dup CLUSTERS (the same
+    MinHash-LSH pairs -> connected components as dedup_cluster_cc) are
+    the assignment unit, so duplicates can never straddle train/val —
+    the eval-contamination guarantee a per-document random split
+    can't give.  Split = 4-hex salted-digest CASE over the cluster id
+    (thresholds regenerated by the shared split_thresholds builder in
+    BOTH engines).  The oracle recomputes the components with the
+    recursive CTE and restates the CASE."""
+    from .operators.sampling import split_assign
+
+    corpus = _corpus_with_dupes(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(corpus)
+    clustered = dedup.cluster_keep_decision(corpus, pairs)
+    return split_assign(
+        clustered.select("doc_id", "cluster_id"), "cluster_id"
+    )
+
+
 def q_corpus_sample_hash(spark, sf):
     """Deterministic content-hash sampling at 25% (md5 2-hex-digit
     prefix <= '3f').  df.sample() selects different rows after any
@@ -2718,7 +2737,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
@@ -2762,6 +2780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ingest": q_corpus_ingest,
     "corpus_token_stats": q_corpus_token_stats,
     "corpus_ccnet_tiers": q_corpus_ccnet_tiers,
+    "corpus_split_safe": q_corpus_split_safe,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
@@ -2781,7 +2800,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # U1-U3, O2-O3, A2/A4/A5, J5 (r02/r03 greens), then the r05-rotated
     # training ops below (all r04-green).
     # corpus_text_filter (r04-green; its ml variant stays in-window)
-    # rotated below to make room for corpus_c4_filters;
+    # rotated below to make room for corpus_c4_filters; dedup_simhash
+    # (r04-green; simhash64/pairs/mp keep the family in-window) rotated
+    # below for corpus_split_safe;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2790,6 +2811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and are the simplest ops of their families (narrow projections /
     # filters / one keyed exchange)
     "corpus_text_filter": q_corpus_text_filter,
+    "dedup_simhash": q_dedup_simhash,
     "p1_realign": q_p1_realign,
     "text_tokens": q_text_tokens,
     "text_normalize": q_text_normalize,
@@ -2892,6 +2914,23 @@ def _lsh_bucket_sql(
 # SQL splicing — ONE site; every token-consuming oracle interpolates
 # this (text.py: 'any change must keep them in lockstep').
 _WSRE2 = "'" + text.WS_SPLIT_RE2 + "'"
+
+
+def _split_case_sql(
+    gexpr: str, rest: str = "test", salt: str = "sp0"
+) -> str:
+    """The oracle spelling of split_assign's CASE — thresholds
+    regenerated from the SAME split_thresholds builder the engine
+    uses, so the float accumulation and the hex literals are identical
+    by construction."""
+    from .operators.sampling import split_thresholds
+
+    arms = " ".join(
+        f"WHEN substr(md5(CAST({gexpr} AS VARCHAR) || '|{salt}'), 1, 4)"
+        f" < '{h}' THEN '{n}'"
+        for n, h in split_thresholds()
+    )
+    return f"CASE {arms} ELSE '{rest}' END"
 
 # mirrors _corpus_with_dupes: whitespace probe FIRST, then dup union
 _DUPES = f"""
@@ -3996,6 +4035,26 @@ ORACLE_SQL: dict[str, str] = {
         "COALESCE(comp.cluster_id, c.doc_id) AS cluster_id, "
         "COALESCE(comp.cluster_id, c.doc_id) = c.doc_id AS keep "
         "FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id"
+    ),
+    # corpus_split_safe: the same CC components as dedup_cluster_cc,
+    # then the split CASE over the cluster id — thresholds regenerated
+    # from the shared split_thresholds builder (_split_case_sql).
+    "corpus_split_safe": (
+        f"WITH RECURSIVE {_DUPES}, {_TOKS}, {_SHINGLES}, {_MH_PAIRS}, "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+        "  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
+        "reach AS (SELECT DISTINCT s AS node, s AS r FROM edges "
+        "  UNION "
+        "  SELECT e.s AS node, reach.r FROM edges e "
+        "  JOIN reach ON reach.node = e.d), "
+        "comp AS (SELECT node, MIN(r) AS cluster_id FROM reach "
+        "  GROUP BY node), "
+        "cl AS (SELECT c.doc_id, "
+        "  COALESCE(comp.cluster_id, c.doc_id) AS cluster_id "
+        "  FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id) "
+        "SELECT doc_id, cluster_id, "
+        + _split_case_sql("cluster_id")
+        + " AS split FROM cl"
     ),
     "corpus_sample_hash": (
         "SELECT doc_id, lang, source FROM documents "

@@ -139,6 +139,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "corpus_ccnet_tiers",
     "corpus_c4_filters",
+    "corpus_split_safe",
 ]
 
 

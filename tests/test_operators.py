@@ -1571,3 +1571,66 @@ def test_c4_filters(spark):
     t0 = {r.doc_id: r.text for r in c4_filters(df).collect()}[0]
     assert t0.split("\n")[0] == good
     assert t0.split("\n")[2].startswith("An extra closing")
+
+
+def test_split_assign(spark):
+    """sampling.split_assign: deterministic group-keyed assignment —
+    all rows of a group share a split, every input column passes
+    through, listed-fraction validation raises, and a preexisting
+    'split' column is refused."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        split_assign,
+    )
+
+    rows = [(i, i % 7, f"t{i}") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, text string"
+    )
+    out = split_assign(df, "cluster_id").collect()
+    assert {r.asDict().keys() == {"doc_id", "cluster_id", "text", "split"}
+            for r in out} == {True}
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    assert set().union(*by_group.values()) <= {"train", "val", "test"}
+    # same input -> same assignment (pure function of group + salt)
+    again = {r.doc_id: r.split for r in split_assign(df, "cluster_id").collect()}
+    assert again == {r.doc_id: r.split for r in out}
+    # a different salt decorrelates (200 distinct groups so the two
+    # assignments cannot coincide by chance)
+    wide = split_assign(df, "doc_id", salt="sp1")
+    base = split_assign(df, "doc_id")
+    assert {r.doc_id: r.split for r in wide.collect()} != {
+        r.doc_id: r.split for r in base.collect()
+    }
+    with _pytest.raises(ValueError, match="sum below 1"):
+        split_assign(df, "cluster_id", splits=(("train", 1.0),))
+    with _pytest.raises(ValueError, match="must be > 0"):
+        split_assign(df, "cluster_id", splits=(("train", 0.0),))
+    with _pytest.raises(ValueError, match="duplicate split names"):
+        split_assign(df, "cluster_id", splits=(("test", 0.5),))
+    with _pytest.raises(ValueError, match="'split' column"):
+        split_assign(df.withColumn("split", F.lit("x")), "cluster_id")
+
+
+def test_split_safe_no_leakage(spark):
+    """corpus_split_safe: every MinHash candidate pair lands in ONE
+    split — the leakage guarantee the op exists for (a per-doc random
+    split would straddle ~2*frac_train*frac_val of the pairs)."""
+    from annual_report_pdf_parsers_spark.queries import (
+        QUERIES, _corpus_with_dupes,
+    )
+    from annual_report_pdf_parsers_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r.split
+           for r in QUERIES["corpus_split_safe"](spark, sf).collect()}
+    pairs = dedup.minhash_lsh_pairs(_corpus_with_dupes(spark, sf))
+    npairs = 0
+    for p in pairs.collect():
+        npairs += 1
+        assert out[p.id_a] == out[p.id_b], (p.id_a, p.id_b)
+    assert npairs > 0  # non-vacuous: the fixture has near-dups

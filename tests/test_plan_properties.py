@@ -507,3 +507,35 @@ def test_c4_filters_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("split(") == 3, plan
+
+
+def test_split_safe_plan_shape(spark):
+    """corpus_split_safe: the CC machinery pays its own (pinned) cost;
+    the split CASE itself must add nothing — no cartesian/BNLJ, no
+    Python stage, bounded exchanges (the minhash+CC chain), and the
+    digest staged once (one md5 site in the plan)."""
+    plan = _qplan(spark, "corpus_split_safe")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 14, plan
+
+
+def test_split_assign_narrow(spark):
+    """split_assign alone (group key already a column): a pure narrow
+    projection — zero exchanges."""
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        split_assign,
+    )
+
+    df = spark.read.parquet(f"{SF001}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = (
+        split_assign(df, "source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -1212,3 +1212,37 @@ def test_c4_filters_matches_python_model(spark, docs):
     }
     for i, d in enumerate(docs):
         assert got[i] == model(d), f"doc {i}: {d!r}"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 40)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_split_assign_matches_python_model(spark, rows):
+    """sampling.split_assign vs a hashlib model: 4-hex salted-digest
+    prefix vs the cumulative thresholds from split_thresholds — the
+    same md5(group || '|' || salt) convention as every sampling op."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        split_assign, split_thresholds,
+    )
+
+    thr = split_thresholds()
+
+    def model(g):
+        d4 = hashlib.md5(f"{g}|sp0".encode()).hexdigest()[:4]
+        for name, h in thr:
+            if d4 < h:
+                return name
+        return "test"
+
+    df = spark.createDataFrame(rows, "doc_id long, grp long")
+    got = {r.doc_id: r.split for r in split_assign(df, "grp").collect()}
+    for doc_id, g in rows:
+        assert got[doc_id] == model(g), (doc_id, g)
