@@ -1297,3 +1297,53 @@ def dedup_paragraphs(
         .cast("long")
         .alias("n_paras_dropped"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_weight_copies: int = 1,
+) -> DataFrame:
+    """SOFT exact dedup — keep every copy but DOWNWEIGHT it, the
+    alternative to hard removal when duplicates carry signal (public
+    practice: duplicate-aware loss weighting / SlimPajama-style
+    reweighting studies; a page mirrored n times contributes total
+    mass ~1, not n).  Weight = min(1, max_weight_copies / n_copies)
+    per identical-content group (exact md5 digest, the same identity
+    as ``exact_dedup``), ROUND 6 — one division on integer inputs, so
+    both engines produce the identical double.
+
+    ``max_weight_copies`` > 1 gives the softened variant where up to
+    that many copies keep full weight (n <= max ⇒ weight 1).
+
+    Returns every input row as ``(doc_id, digest, n_copies, weight)``.
+
+    100 TB shape: map-side-partial count per digest, then an
+    AQE-skew-safe join back on the digest (hot digests ARE the
+    boilerplate pages; there is no window over them).  The counts
+    table GROWS WITH THE CORPUS (one row per distinct content), so the
+    join pins shuffle_hash — the NOTES.md 4a rule: letting AQE
+    broadcast a corpus-scaled table is a serial driver build that caps
+    scaling (measured 2.7x on the LSH band tables).  Weights are a
+    pure expression over the join's columns."""
+    if max_weight_copies < 1:
+        raise ValueError("max_weight_copies must be >= 1")
+    digest = F.md5(F.col(text_col))
+    keyed = df.select(F.col(id_col).alias("doc_id"), digest.alias("digest"))
+    counts = keyed.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return keyed.join(counts.hint("shuffle_hash"), "digest").select(
+        "doc_id",
+        "digest",
+        "n_copies",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(max_weight_copies))
+                / F.col("n_copies").cast("double"),
+            ),
+            6,
+        ).alias("weight"),
+    )

@@ -1136,6 +1136,22 @@ def q_dedup_exact(spark, sf):
     )
 
 
+def q_dedup_soft_weights(spark, sf):
+    """Soft exact dedup: every row survives with weight
+    min(1, 2/n_copies).  The dup fixture's pair groups alone would be
+    vacuous at max_weight_copies=2 (all weights 1), so a SECOND copy
+    of every 100th doc makes 3-copy groups — the gate sees the cap
+    hold on pairs (weight 1) AND the division fire on triples
+    (0.666667).  Oracle = count per md5 digest joined back."""
+    d = _corpus_with_dupes(spark, sf)
+    extra = d.filter(
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 1000000)
+    ).withColumn("doc_id", F.col("doc_id") + 2000000)
+    return dedup.soft_dedup_weights(
+        d.unionByName(extra), max_weight_copies=2
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     """max_df=4 exercises the hot-shingle document-frequency cap (the
     100x skew guard) — the cap provably fires at sf0.01 (max organic DF
@@ -2734,13 +2750,13 @@ FROM vals v LEFT JOIN mani m ON m.doc_id = v.doc_id AND m.f = v.f
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- training-data ops: dedup family ------------------------------
     "dedup_exact": q_dedup_exact,
+    "dedup_soft_weights": q_dedup_soft_weights,
     "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_corpus_keep": q_dedup_corpus_keep,
@@ -2802,7 +2818,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus_text_filter (r04-green; its ml variant stays in-window)
     # rotated below to make room for corpus_c4_filters; dedup_simhash
     # (r04-green; simhash64/pairs/mp keep the family in-window) rotated
-    # below for corpus_split_safe;
+    # below for corpus_split_safe; dedup_embedding_cosine (r04-green;
+    # the LSH scale path stays in-window) rotated below for
+    # dedup_soft_weights;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2812,6 +2830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # filters / one keyed exchange)
     "corpus_text_filter": q_corpus_text_filter,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "p1_realign": q_p1_realign,
     "text_tokens": q_text_tokens,
     "text_normalize": q_text_normalize,
@@ -3890,6 +3909,19 @@ ORACLE_SQL: dict[str, str] = {
         f"WITH {_DUPES} "
         "SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, "
         "COUNT(*) AS n_copies FROM corpus GROUP BY md5(text)"
+    ),
+    "dedup_soft_weights": (
+        f"WITH {_DUPES}, "
+        "corpus3 AS (SELECT doc_id, text FROM corpus "
+        "  UNION ALL SELECT doc_id + 2000000 AS doc_id, text "
+        "  FROM corpus WHERE doc_id % 100 = 0 AND doc_id < 1000000), "
+        "keyed AS (SELECT doc_id, md5(text) AS digest FROM corpus3), "
+        "cnt AS (SELECT digest, COUNT(*) AS n_copies FROM keyed "
+        "  GROUP BY digest) "
+        "SELECT k.doc_id, k.digest, c.n_copies, "
+        "ROUND(LEAST(1.0, 2.0 / CAST(c.n_copies AS DOUBLE)), 6) "
+        "AS weight "
+        "FROM keyed k JOIN cnt c ON c.digest = k.digest"
     ),
     "dedup_ngram_jaccard": (
         f"WITH {_DUPES}, {_TOKS}, {_SHINGLES}, "

@@ -140,6 +140,7 @@ HEADLINE = [
     "corpus_ccnet_tiers",
     "corpus_c4_filters",
     "corpus_split_safe",
+    "dedup_soft_weights",
 ]
 
 

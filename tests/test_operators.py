@@ -1634,3 +1634,31 @@ def test_split_safe_no_leakage(spark):
         npairs += 1
         assert out[p.id_a] == out[p.id_b], (p.id_a, p.id_b)
     assert npairs > 0  # non-vacuous: the fixture has near-dups
+
+
+def test_soft_dedup_weights(spark):
+    """dedup.soft_dedup_weights: min(1, cap/n) per identical-content
+    group, every row survives, cap validation raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    rows = [
+        (0, "same"), (1, "same"), (2, "same"),   # n=3
+        (3, "pair"), (4, "pair"),                # n=2
+        (5, "solo"),                             # n=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_copies, r.weight)
+           for r in soft_dedup_weights(df).collect()}
+    assert len(got) == 6  # every row survives
+    assert got[0] == (3, 0.333333) and got[1] == (3, 0.333333)
+    assert got[3] == (2, 0.5)
+    assert got[5] == (1, 1.0)
+    got2 = {r.doc_id: r.weight
+            for r in soft_dedup_weights(df, max_weight_copies=2).collect()}
+    assert got2[0] == 0.666667 and got2[3] == 1.0 and got2[5] == 1.0
+    with _pytest.raises(ValueError, match=">= 1"):
+        soft_dedup_weights(df, max_weight_copies=0)

@@ -539,3 +539,18 @@ def test_split_assign_narrow(spark):
     )
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_soft_dedup_weights_plan_shape(spark):
+    """dedup_soft_weights: agg-then-join on the digest — no window over
+    hot digests, no cartesian, bounded exchanges, no Python, and the
+    corpus-scaled counts table must NOT broadcast (shuffle_hash pinned
+    — the NOTES.md 4a rule)."""
+    plan = _qplan(spark, "dedup_soft_weights")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 6, plan

@@ -1246,3 +1246,29 @@ def test_split_assign_matches_python_model(spark, rows):
     got = {r.doc_id: r.split for r in split_assign(df, "grp").collect()}
     for doc_id, g in rows:
         assert got[doc_id] == model(g), (doc_id, g)
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="abc", min_size=0, max_size=3),
+             min_size=1, max_size=30),
+    st.integers(1, 3),
+)
+def test_soft_dedup_weights_matches_python_model(spark, texts, cap):
+    """dedup.soft_dedup_weights vs a Counter model: md5-identity group
+    sizes, min(1, cap/n) rounded to 6."""
+    from collections import Counter
+
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    n_of = Counter(texts)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_copies, r.weight)
+           for r in soft_dedup_weights(df, max_weight_copies=cap).collect()}
+    for i, t in enumerate(texts):
+        n = n_of[t]
+        assert got[i] == (n, round(min(1.0, cap / n), 6)), (i, t, cap)
