@@ -448,3 +448,93 @@ def split_assign(
         )
     case = case.otherwise(F.lit(rest))
     return staged.select(*df.columns, case.alias("split"))
+
+
+def epoch_plan(
+    df: DataFrame,
+    target_total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Data-constrained EPOCH planning — given a token budget and a
+    temperature mix, how many times must each source be repeated, and
+    which sources hit the repeat cap (public knowledge: repeating
+    web-scale data beyond ~4 epochs yields rapidly diminishing
+    returns, Muennighoff et al. 2023; mixtures are realized as
+    per-source epoch counts in every open corpus recipe).
+
+    Per source: exact BIGINT token total (whitespace-run tokens, the
+    corpus convention), temperature weight w_s = floor(n_tokens^alpha
+    * 1e6) (sqrt at the default — IEEE-correctly-rounded, so integer
+    weights are engine-identical), requested_tokens =
+    floor(target * w_s / W) in the fixed double op order (exact while
+    the integer inputs sit below 2^53 — mixture_sample's documented
+    envelope), epochs = exact integer ceil-div of requested by
+    n_tokens (DIV arithmetic, no doubles) capped at ``max_epochs``,
+    realized_tokens = min(requested, n_tokens * max_epochs), and
+    ``capped`` flags the sources the budget over-asks.  Zero-token
+    sources plan zero epochs.
+
+    100 TB shape: ONE map-side-partial aggregation over the corpus;
+    the plan table is |sources| rows (bounded by the source
+    vocabulary) with a broadcast of the 1-row weight total.  Returns
+    (source, n_docs, n_tokens, weight, requested_tokens, epochs,
+    realized_tokens, capped) sorted nowhere — order-free, all
+    integers + one boolean.  An all-zero-token corpus (weight total 0)
+    plans zero everywhere rather than dividing by zero."""
+    if target_total_tokens <= 0:
+        raise ValueError("target_total_tokens must be positive")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    from .text import token_count
+
+    per_doc = df.filter(F.col(source_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.coalesce(
+            token_count(F.col(text_col)).cast("long"), F.lit(0)
+        ).alias("_ep_t"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ep_t").alias("n_tokens"),
+    )
+    n_dbl = F.col("n_tokens").cast("double")
+    pw = F.sqrt(n_dbl) if alpha == 0.5 else F.pow(n_dbl, F.lit(alpha))
+    agg = agg.withColumn(
+        "weight", F.floor(pw * F.lit(1000000.0)).cast("long")
+    )
+    total = agg.agg(F.sum("weight").alias("_ep_w"))
+    req = F.when(F.col("_ep_w") > 0, F.floor(
+        F.lit(float(target_total_tokens))
+        * F.col("weight").cast("double")
+        / F.col("_ep_w").cast("double")
+    )).otherwise(F.lit(0)).cast("long")
+    base = agg.crossJoin(F.broadcast(total)).withColumn(
+        "requested_tokens", req
+    )
+    epochs_raw = F.expr(
+        "(requested_tokens + n_tokens - 1) DIV n_tokens"
+    )
+    epochs = F.when(F.col("n_tokens") <= 0, F.lit(0)).otherwise(
+        F.least(epochs_raw, F.lit(max_epochs))
+    ).cast("long")
+    realized = F.when(F.col("n_tokens") <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.col("requested_tokens"),
+            F.col("n_tokens") * F.lit(max_epochs),
+        )
+    ).cast("long")
+    return base.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        "requested_tokens",
+        epochs.alias("epochs"),
+        realized.alias("realized_tokens"),
+        (F.col("requested_tokens") > realized).alias("capped"),
+    )

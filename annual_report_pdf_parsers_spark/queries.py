@@ -1715,6 +1715,31 @@ def q_corpus_split_safe(spark, sf):
     )
 
 
+def q_corpus_epoch_plan(spark, sf):
+    """Data-constrained epoch planning at target 110k tokens over the
+    ws-noise corpus (~27k tokens / 20 near-uniform small sources) plus
+    an injected LARGE source (every even doc relabeled, ~13k tokens —
+    plans 2 epochs uncapped), an injected zero-token source (plans
+    zero epochs), and a NULL source (dropped) — the gate sees capped,
+    uncapped-at-4, mid-epoch, and zero rows simultaneously.  Oracle recomputes the exact
+    BIGINT token totals, the sqrt temperature weights, the fixed-op-
+    order requested floor, and the integer ceil-div epochs."""
+    from .operators.sampling import epoch_plan
+
+    base = _with_ws_noise(load(spark, sf, "documents"))
+    d = base.select("source", "text")
+    big = base.filter(F.col("doc_id") % 2 == 0).select(
+        F.lit("big_src").alias("source"), "text"
+    )
+    extra = spark.createDataFrame(
+        [("empty_src", ""), (None, "dropped null source row here")],
+        "source string, text string",
+    )
+    return epoch_plan(
+        d.unionByName(big).unionByName(extra), target_total_tokens=110000
+    )
+
+
 def q_corpus_sample_hash(spark, sf):
     """Deterministic content-hash sampling at 25% (md5 2-hex-digit
     prefix <= '3f').  df.sample() selects different rows after any
@@ -2766,7 +2791,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     # -- ANN / similarity ---------------------------------------------
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     # -- text analysis ------------------------------------------------
     "text_langid": q_text_langid,
@@ -2797,6 +2821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_token_stats": q_corpus_token_stats,
     "corpus_ccnet_tiers": q_corpus_ccnet_tiers,
     "corpus_split_safe": q_corpus_split_safe,
+    "corpus_epoch_plan": q_corpus_epoch_plan,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
@@ -2820,7 +2845,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (r04-green; simhash64/pairs/mp keep the family in-window) rotated
     # below for corpus_split_safe; dedup_embedding_cosine (r04-green;
     # the LSH scale path stays in-window) rotated below for
-    # dedup_soft_weights;
+    # dedup_soft_weights; ann_lsh_topk (r04-green; brute baseline +
+    # IVF scale path stay in-window) rotated below for
+    # corpus_epoch_plan;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2831,6 +2858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_text_filter": q_corpus_text_filter,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "p1_realign": q_p1_realign,
     "text_tokens": q_text_tokens,
     "text_normalize": q_text_normalize,
@@ -4067,6 +4095,42 @@ ORACLE_SQL: dict[str, str] = {
         "COALESCE(comp.cluster_id, c.doc_id) AS cluster_id, "
         "COALESCE(comp.cluster_id, c.doc_id) = c.doc_id AS keep "
         "FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id"
+    ),
+    # corpus_epoch_plan: same ws-noise corpus + the two injected rows;
+    # exact token totals via the shared split class, sqrt weights,
+    # fixed-op-order requested floor, integer ceil-div epochs (// is
+    # DuckDB floor division == Spark DIV on positives).
+    "corpus_epoch_plan": (
+        "WITH wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} AS text, source FROM documents), "
+        "u AS (SELECT source, text FROM wsbase "
+        "  UNION ALL SELECT 'big_src', text FROM wsbase "
+        "    WHERE doc_id % 2 = 0 "
+        "  UNION ALL SELECT 'empty_src', '' "
+        "  UNION ALL SELECT NULL, 'dropped null source row here'), "
+        "tok AS (SELECT source, COALESCE(len(list_filter("
+        "regexp_split_to_array(text, " + _WSRE2 + "), x -> x <> '')), 0)"
+        " AS t FROM u WHERE source IS NOT NULL), "
+        "agg AS (SELECT source, COUNT(*) AS n_docs, "
+        "  CAST(SUM(t) AS BIGINT) AS n_tokens FROM tok GROUP BY source), "
+        "w AS (SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * "
+        "1000000.0) AS BIGINT) AS weight FROM agg), "
+        "tw AS (SELECT SUM(weight) AS tot FROM w), "
+        "req AS (SELECT w.*, CASE WHEN tot > 0 THEN "
+        "CAST(FLOOR(110000.0 * "
+        "CAST(weight AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) "
+        "ELSE 0 END AS requested_tokens FROM w, tw), "
+        "pl AS (SELECT *, "
+        "  CASE WHEN n_tokens <= 0 THEN 0 "
+        "    ELSE LEAST((requested_tokens + n_tokens - 1) // n_tokens, 4)"
+        "  END AS epochs, "
+        "  CASE WHEN n_tokens <= 0 THEN 0 "
+        "    ELSE LEAST(requested_tokens, n_tokens * 4) END "
+        "  AS realized_tokens FROM req) "
+        "SELECT source, n_docs, n_tokens, weight, requested_tokens, "
+        "CAST(epochs AS BIGINT) AS epochs, "
+        "CAST(realized_tokens AS BIGINT) AS realized_tokens, "
+        "requested_tokens > realized_tokens AS capped FROM pl"
     ),
     # corpus_split_safe: the same CC components as dedup_cluster_cc,
     # then the split CASE over the cluster id — thresholds regenerated

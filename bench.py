@@ -141,6 +141,7 @@ HEADLINE = [
     "corpus_c4_filters",
     "corpus_split_safe",
     "dedup_soft_weights",
+    "corpus_epoch_plan",
 ]
 
 

@@ -1662,3 +1662,46 @@ def test_soft_dedup_weights(spark):
     assert got2[0] == 0.666667 and got2[3] == 1.0 and got2[5] == 1.0
     with _pytest.raises(ValueError, match=">= 1"):
         soft_dedup_weights(df, max_weight_copies=0)
+
+
+def test_epoch_plan(spark):
+    """sampling.epoch_plan: exact integer arithmetic on a tiny known
+    corpus — weights, requested floor, ceil-div epochs, cap, the
+    zero-token source, the NULL-source drop, and validation."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        epoch_plan,
+    )
+
+    rows = [
+        ("a", "one two three four"),        # 4 tokens
+        ("a", "five six"),                  # a: 6 tokens total
+        ("b", "just two"),                  # b: 2 tokens
+        ("z", ""),                          # zero-token source
+        (None, "dropped entirely"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r.asDict()
+           for r in epoch_plan(df, target_total_tokens=100).collect()}
+    assert set(got) == {"a", "b", "z"}
+    import math
+    wa = math.floor(math.sqrt(6.0) * 1e6)
+    wb = math.floor(math.sqrt(2.0) * 1e6)
+    W = wa + wb  # z has weight 0
+    ra = math.floor(100.0 * wa / W)
+    rb = math.floor(100.0 * wb / W)
+    assert got["a"]["weight"] == wa and got["a"]["requested_tokens"] == ra
+    assert got["a"]["epochs"] == min(4, -(-ra // 6))
+    assert got["a"]["realized_tokens"] == min(ra, 24)
+    assert got["a"]["capped"] == (ra > 24)
+    assert got["b"]["epochs"] == min(4, -(-rb // 2))
+    assert got["b"]["capped"] == (rb > 8)
+    assert got["z"]["n_tokens"] == 0 and got["z"]["epochs"] == 0
+    assert got["z"]["realized_tokens"] == 0 and not got["z"]["capped"]
+    with _pytest.raises(ValueError, match="positive"):
+        epoch_plan(df, target_total_tokens=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        epoch_plan(df, target_total_tokens=10, alpha=1.5)
+    with _pytest.raises(ValueError, match="max_epochs"):
+        epoch_plan(df, target_total_tokens=10, max_epochs=0)

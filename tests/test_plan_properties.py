@@ -554,3 +554,17 @@ def test_soft_dedup_weights_plan_shape(spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_epoch_plan_single_exchange(spark):
+    """corpus_epoch_plan: one map-side-partial source aggregation (the
+    1-row weight-total build side repeats its subtree, so at most two
+    hash exchanges of the SAME tiny agg) + the mixture-style 1-row
+    nested-loop attach — no window, no Python, nothing corpus-scaled
+    broadcast."""
+    plan = _qplan(spark, "corpus_epoch_plan")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

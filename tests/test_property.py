@@ -1272,3 +1272,62 @@ def test_soft_dedup_weights_matches_python_model(spark, texts, cap):
     for i, t in enumerate(texts):
         n = n_of[t]
         assert got[i] == (n, round(min(1.0, cap / n), 6)), (i, t, cap)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.text(alphabet="ab \t\n", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 100_000),
+    st.integers(1, 6),
+)
+def test_epoch_plan_matches_python_model(spark, rows, target, cap):
+    """sampling.epoch_plan vs a Python model: ws-run token totals,
+    sqrt temperature weights, fixed-op-order requested floor, integer
+    ceil-div epochs, cap and zero-token branches."""
+    import math
+    from collections import defaultdict
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        epoch_plan,
+    )
+
+    toks = defaultdict(int)
+    docs = defaultdict(int)
+    for s, t in rows:
+        toks[s] += len(_model_tokens(t))
+        docs[s] += 1
+    w = {s: math.floor(math.sqrt(float(n)) * 1e6) for s, n in toks.items()}
+    W = sum(w.values())
+
+    def model(s):
+        n = toks[s]
+        req = (
+            math.floor(float(target) * float(w[s]) / float(W))
+            if W > 0 else 0
+        )
+        if n <= 0:
+            ep, real = 0, 0
+        else:
+            ep = min(cap, -(-req // n))
+            real = min(req, n * cap)
+        return (docs[s], n, w[s], req, ep, real, req > real)
+
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (
+            r.n_docs, r.n_tokens, r.weight, r.requested_tokens,
+            r.epochs, r.realized_tokens, r.capped,
+        )
+        for r in epoch_plan(
+            df, target_total_tokens=target, max_epochs=cap
+        ).collect()
+    }
+    for s in toks:
+        assert got[s] == model(s), (s, rows, target, cap)
