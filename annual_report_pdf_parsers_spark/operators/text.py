@@ -950,3 +950,40 @@ def c4_filters(
         n_sent.alias("n_sentences"),
         keep.alias("keep"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary induction: the corpus-wide top-k tokens by
+    occurrence count — the seeding step of every subword tokenizer
+    build (BPE/unigram trainers start from word-frequency tables;
+    public knowledge) and the classic wordcount at scale.
+
+    Returns ``(token, n_occurrences, n_docs)`` for the k most frequent
+    whitespace-run tokens, ties broken by token ascending (fully
+    deterministic, so the k-boundary is engine-identical).
+
+    100 TB shape: the canonical map-reduce — explode to (token) rows,
+    ONE map-side-partial aggregation keyed by token (n_docs is an
+    exact count-distinct over the same key), then the global top-k
+    plans as TakeOrderedAndProject: every partition keeps only its
+    local k, the driver merges k-sized heaps — there is NO global
+    sort, and k is user-bounded.  Skew note: hot tokens (stopwords)
+    are exactly what partial aggregation absorbs map-side."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("_vt_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("_vt_id")).alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(k)

@@ -1715,6 +1715,17 @@ def q_corpus_split_safe(spark, sf):
     )
 
 
+def q_corpus_vocab_topk(spark, sf):
+    """Vocabulary induction over the ws-noise corpus: top-50 tokens by
+    occurrence (ties broken by token asc — the k boundary is
+    deterministic).  The probe suffixes inject ws-separated tokens so
+    the gate is non-vacuous about the run split.  Oracle = UNNEST +
+    count + the same ORDER BY / LIMIT."""
+    return text.vocab_topk(
+        _with_ws_noise(load(spark, sf, "documents")), k=50
+    )
+
+
 def q_corpus_epoch_plan(spark, sf):
     """Data-constrained epoch planning at target 110k tokens over the
     ws-noise corpus (~27k tokens / 20 near-uniform small sources) plus
@@ -2794,7 +2805,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     # -- text analysis ------------------------------------------------
     "text_langid": q_text_langid,
-    "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "text_dup_spans": q_text_dup_spans,
     "text_dup_excise": q_text_dup_excise,
@@ -2822,6 +2832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ccnet_tiers": q_corpus_ccnet_tiers,
     "corpus_split_safe": q_corpus_split_safe,
     "corpus_epoch_plan": q_corpus_epoch_plan,
+    "corpus_vocab_topk": q_corpus_vocab_topk,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
     "events_sessionize": q_events_sessionize,
@@ -2847,7 +2858,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the LSH scale path stays in-window) rotated below for
     # dedup_soft_weights; ann_lsh_topk (r04-green; brute baseline +
     # IVF scale path stay in-window) rotated below for
-    # corpus_epoch_plan;
+    # corpus_epoch_plan; text_quality (r04-green; the quality family
+    # stays via classifier/entropy/unigram-lm) rotated below for
+    # corpus_vocab_topk;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2859,6 +2872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "text_quality": q_text_quality,
     "p1_realign": q_p1_realign,
     "text_tokens": q_text_tokens,
     "text_normalize": q_text_normalize,
@@ -4095,6 +4109,18 @@ ORACLE_SQL: dict[str, str] = {
         "COALESCE(comp.cluster_id, c.doc_id) AS cluster_id, "
         "COALESCE(comp.cluster_id, c.doc_id) = c.doc_id AS keep "
         "FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id"
+    ),
+    # corpus_vocab_topk: same ws-noise corpus; token counts via the
+    # shared split class; identical deterministic order + limit.
+    "corpus_vocab_topk": (
+        "WITH wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} AS text FROM documents), "
+        "tk AS (SELECT doc_id, UNNEST(list_filter("
+        "regexp_split_to_array(text, " + _WSRE2 + "), x -> x <> '')) "
+        "AS token FROM wsbase) "
+        "SELECT token, COUNT(*) AS n_occurrences, "
+        "COUNT(DISTINCT doc_id) AS n_docs FROM tk GROUP BY token "
+        "ORDER BY n_occurrences DESC, token LIMIT 50"
     ),
     # corpus_epoch_plan: same ws-noise corpus + the two injected rows;
     # exact token totals via the shared split class, sqrt weights,

@@ -142,6 +142,7 @@ HEADLINE = [
     "corpus_split_safe",
     "dedup_soft_weights",
     "corpus_epoch_plan",
+    "corpus_vocab_topk",
 ]
 
 

@@ -1705,3 +1705,24 @@ def test_epoch_plan(spark):
         epoch_plan(df, target_total_tokens=10, alpha=1.5)
     with _pytest.raises(ValueError, match="max_epochs"):
         epoch_plan(df, target_total_tokens=10, max_epochs=0)
+
+
+def test_vocab_topk(spark):
+    """text.vocab_topk: counts, doc frequencies, the deterministic
+    (count desc, token asc) boundary, and k validation."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.text import vocab_topk
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "apple cherry\tbanana"),
+        (2, "date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.token, r.n_occurrences, r.n_docs)
+           for r in vocab_topk(df, k=3).collect()]
+    # apple 3x/2docs; banana 2x/2docs; cherry & date tie at 1 -> cherry
+    assert got == [("apple", 3, 2), ("banana", 2, 2), ("cherry", 1, 1)]
+    with _pytest.raises(ValueError, match=">= 1"):
+        vocab_topk(df, k=0)

@@ -568,3 +568,15 @@ def test_epoch_plan_single_exchange(spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_topk_no_global_sort(spark):
+    """corpus_vocab_topk: the top-k must plan as TakeOrderedAndProject
+    (per-partition heaps, driver k-merge) — a global Sort over the
+    token table is the scale regression this pin exists for.  Two
+    exchanges: the count-distinct two-phase agg on the token key."""
+    plan = _qplan(spark, "corpus_vocab_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "EvalPython" not in plan, plan

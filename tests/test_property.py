@@ -1331,3 +1331,30 @@ def test_epoch_plan_matches_python_model(spark, rows, target, cap):
     }
     for s in toks:
         assert got[s] == model(s), (s, rows, target, cap)
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="ab \t", min_size=0, max_size=16),
+             min_size=1, max_size=15),
+    st.integers(1, 8),
+)
+def test_vocab_topk_matches_python_model(spark, docs, k):
+    """text.vocab_topk vs a Counter model: ws-run token counts, exact
+    doc frequencies, (count desc, token asc) order, k cut."""
+    from collections import Counter
+
+    from annual_report_pdf_parsers_spark.operators.text import vocab_topk
+
+    occ, dfq = Counter(), Counter()
+    for d in docs:
+        ts = _model_tokens(d)
+        occ.update(ts)
+        dfq.update(set(ts))
+    want = sorted(occ, key=lambda t: (-occ[t], t))[:k]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [(r.token, r.n_occurrences, r.n_docs)
+           for r in vocab_topk(df, k=k).collect()]
+    assert got == [(t, occ[t], dfq[t]) for t in want], (docs, k)
