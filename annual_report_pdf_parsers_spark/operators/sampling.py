@@ -538,3 +538,96 @@ def epoch_plan(
         realized.alias("realized_tokens"),
         (F.col("requested_tokens") > realized).alias("capped"),
     )
+
+
+# DSIR hashed-ngram importance table (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"; public knowledge).
+# Features are the shared text.ngram_features chain (lowered unigrams +
+# adjacent bigrams) hashed into 256 buckets via md5[:2]; each bucket
+# carries log p_target(bucket) - log p_raw(bucket).  The values here
+# are deterministic pseudo log-ratios from a fixed formula (a stand-in
+# for the fitted tables, like UNIGRAM_LOGPROBS / CLASSIFIER_WEIGHTS:
+# real deployments fit the two hashed-ngram distributions on a target
+# corpus and the raw crawl and swap the dict; the OPERATOR SHAPE is the
+# production plan either way).  The DuckDB oracle regenerates its CASE
+# from this same dict — ONE site to edit.
+DSIR_LOG_RATIOS = {
+    f"{i:02x}": round((((i * 53) % 97) - 48) / 150.0, 6)
+    for i in range(256)
+}
+
+
+def dsir_sample(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir0",
+) -> DataFrame:
+    """DSIR importance RESAMPLING: select ``n`` documents with
+    probability proportional to exp(log importance weight) via the
+    Gumbel-top-k trick (public knowledge: sampling without replacement
+    by ranking logw + Gumbel noise) — the data-selection move that
+    shifts a raw crawl toward a target distribution instead of hard
+    thresholding it.
+
+        logw(x)   = sum over hashed ngram features of DSIR_LOG_RATIOS
+        u(x)      = (hex4(md5(id || '|' || salt)) + 1) / 65537   in (0,1)
+        key(x)    = ROUND(logw + (-ln(-ln(u))), 6)
+
+    and the sample is the global top-``n`` by (key DESC, id ASC) — the
+    rounded key + id tie-break make the boundary engine-deterministic,
+    and the salted-digest uniform makes the "noise" reproducible on any
+    engine, partitioning, or rerun (the same property as every sampler
+    in this module).  Documents with no features carry logw = 0 and
+    compete on pure noise.
+
+    Determinism: the fold is literal doubles in the fixed
+    unigrams-then-bigrams order; u is an exact (BIGINT+1)/65537 double;
+    the two ln calls run on identical doubles in both engines with
+    ROUND 6 absorbing libm ulp differences (the char_entropy / tfidf
+    precedent).
+
+    100 TB shape: the scoring is a pure narrow expression tree (no
+    join — the ratio table is a constant-folded literal map, unlike the
+    corpus-scaled df table of tfidf); the global top-n plans as
+    TakeOrderedAndProject (per-partition heaps, driver n-merge, no
+    global sort).  Returns (doc_id, n_features, log_weight, sample_key).
+    """
+    from ..functions.numeric import pin
+    from .text import ngram_features
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    lookup = F.create_map(
+        *[
+            F.lit(x)
+            for k, w in sorted(DSIR_LOG_RATIOS.items())
+            for x in (k, w)
+        ]
+    )
+    staged, feats, nf = ngram_features(df, text_col, "_ds")
+    logw = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, w: acc
+        + F.element_at(lookup, F.substring(F.md5(w), 1, 2)),
+    )
+    staged = staged.withColumn("_ds_lw", pin(logw))
+    u = (
+        F.conv(
+            F.substring(_salted_digest(id_col, salt), 1, 4), 16, 10
+        ).cast("long")
+        + F.lit(1.0)
+    ) / F.lit(65537.0)
+    key = F.round(F.col("_ds_lw") - F.log(-F.log(u)), 6)
+    return (
+        staged.select(
+            F.col(id_col),
+            nf.cast("long").alias("n_features"),
+            F.round(F.col("_ds_lw"), 6).alias("log_weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(n)
+    )

@@ -791,6 +791,41 @@ CLASSIFIER_WEIGHTS = {
 CLASSIFIER_BIAS = 0.0
 
 
+def ngram_features(
+    df: DataFrame, text_col: str, prefix: str
+) -> tuple:
+    """The shared hashed-bag feature chain (lowered whitespace unigrams
+    + adjacent word bigrams, fastText's word-ngram trick): stages
+    ``{prefix}_tk`` / ``{prefix}_bi`` as pin()-ned columns and returns
+    ``(staged_df, feats_col, n_features_col)`` where feats is the
+    unigrams-then-bigrams concatenation — the FIXED fold order both the
+    classifier and DSIR scoring (and their DuckDB oracles) rely on.
+    Single-sited because queries.py::_classifier_ctes mirrors this
+    chain byte for byte."""
+    from ..functions.numeric import pin
+
+    c_tk, c_bi = f"{prefix}_tk", f"{prefix}_bi"
+    clash = sorted({c_tk, c_bi} & set(df.columns))
+    if clash:
+        raise ValueError(f"ngram_features staging columns clash: {clash}")
+    tk = pin(F.transform(tokens(F.col(text_col)), lambda w: F.lower(w)))
+    base = df.withColumn(c_tk, tk)
+    arr = F.col(c_tk)
+    n = F.size(arr)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = base.withColumn(c_bi, pin(bigrams))
+    feats = F.concat(F.col(c_tk), F.col(c_bi))
+    nf = F.size(F.col(c_tk)) + F.size(F.col(c_bi))
+    return staged, feats, nf
+
+
 def quality_classifier(
     df: DataFrame,
     text_col: str = "text",
@@ -826,21 +861,7 @@ def quality_classifier(
             for x in (k, w)
         ]
     )
-    tk = pin(F.transform(tokens(F.col(text_col)), lambda w: F.lower(w)))
-    base = df.withColumn("_qc_tk", tk)
-    arr = F.col("_qc_tk")
-    n = F.size(arr)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(arr, 1, n - 1),
-            F.slice(arr, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    staged = base.withColumn("_qc_bi", pin(bigrams))
-    feats = F.concat(F.col("_qc_tk"), F.col("_qc_bi"))
-    nf = F.size(F.col("_qc_tk")) + F.size(F.col("_qc_bi"))
+    staged, feats, nf = ngram_features(df, text_col, "_qc")
     total = F.aggregate(
         feats,
         F.lit(0.0),
@@ -987,3 +1008,85 @@ def vocab_topk(
     return agg.orderBy(
         F.col("n_occurrences").desc(), F.col("token")
     ).limit(k)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the classic keyword /
+    topic-signature extractor (Salton & Buckley; public knowledge) a
+    curation pipeline uses for topic tagging, near-dup triage, and
+    per-domain content summaries.
+
+        idf(t)  = ln((N + 1) / (df_t + 1)) + 1     (smoothed)
+        score   = ROUND(tf * idf, 6)
+
+    with tf = the term's count in the document (lowered whitespace-run
+    tokens) and df_t = how many documents contain the term.  Rank =
+    row_number per document ordered by (score DESC, token ASC) over
+    the ROUNDED score, so the k-boundary and every tie are engine-
+    deterministic.  Documents with no tokens emit no rows.
+
+    100 TB shape: (1) one map-side-partial aggregation keyed by
+    (doc, token) builds tf; (2) one keyed by token builds df — both
+    absorb stopword heat in the partial phase; (3) N attaches as a
+    1-row broadcast (never a corpus shuffle); (4) the df table GROWS
+    WITH THE CORPUS (one row per distinct token), so the tf<-df join
+    pins shuffle_hash — the NOTES.md 4a rule: AQE broadcasting a
+    corpus-scaled table is a serial driver build (hot stopword keys in
+    the 1:N join are AQE-skew-split); (5) the per-doc top-k is a
+    rank<=k filter directly over its window so Catalyst plans
+    WindowGroupLimit (map-side k-prune before the doc shuffle).
+
+    Returns (doc_id, token, tf, df_docs, score, rank).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(dfreq.hint("shuffle_hash"), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n_docs") + F.lit(1.0))
+                        / (F.col("df_docs") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+    )

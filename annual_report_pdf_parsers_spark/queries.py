@@ -1726,6 +1726,29 @@ def q_corpus_vocab_topk(spark, sf):
     )
 
 
+def q_text_tfidf_topk(spark, sf):
+    """Per-document top-5 tf-idf terms over the ws-noise corpus: the
+    probe suffixes create shared (low-idf) AND per-residue (higher-idf)
+    tokens so both the idf spread and the rank tie-breaks are
+    non-vacuous.  Oracle = the same two aggregations + smoothed-idf
+    formula + ROW_NUMBER over the ROUNDED score."""
+    return text.tfidf_topk(
+        _with_ws_noise(load(spark, sf, "documents")), k=5
+    )
+
+
+def q_corpus_dsir_sample(spark, sf):
+    """DSIR importance resampling of 100 docs from the ws-noise corpus:
+    hashed-ngram log importance weights + the Gumbel-top-k realization
+    from the salted digest.  Oracle = the shared _ngram_feat_ctes chain
+    + the DSIR_LOG_RATIOS CASE + the identical -ln(-ln(u)) key."""
+    from .operators.sampling import dsir_sample
+
+    return dsir_sample(
+        _with_ws_noise(load(spark, sf, "documents")), n=100
+    )
+
+
 def q_corpus_epoch_plan(spark, sf):
     """Data-constrained epoch planning at target 110k tokens over the
     ws-noise corpus (~27k tokens / 20 near-uniform small sources) plus
@@ -2791,7 +2814,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash64": q_dedup_simhash64,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
@@ -2812,12 +2834,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_char_entropy": q_text_char_entropy,
     "text_unigram_lm": q_text_unigram_lm,
     "text_quality_classifier": q_text_quality_classifier,
+    "text_tfidf_topk": q_text_tfidf_topk,
     # -- corpus decisions ---------------------------------------------
     "corpus_c4_filters": q_corpus_c4_filters,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "corpus_source_stats": q_corpus_source_stats,
     "corpus_quota_topk": q_corpus_quota_topk,
-    "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_curation": q_corpus_curation,
     "corpus_stratified_sample": q_corpus_stratified_sample,
@@ -2861,6 +2884,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus_epoch_plan; text_quality (r04-green; the quality family
     # stays via classifier/entropy/unigram-lm) rotated below for
     # corpus_vocab_topk;
+    # dedup_simhash_pairs (r04-green; the multi-probe generalization
+    # dedup_simhash_pairs_mp stays in-window and subsumes its banded
+    # join + Hamming verify) rotated below for text_tfidf_topk;
+    # corpus_decontaminate (r04-green; corpus_end_to_end composes its
+    # shingle anti-join in-window) rotated below for corpus_dsir_sample;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2870,6 +2898,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # filters / one keyed exchange)
     "corpus_text_filter": q_corpus_text_filter,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "corpus_decontaminate": q_corpus_decontaminate,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -3211,23 +3241,23 @@ def _ccnet_tiers_oracle_sql() -> str:
     )
 
 
-def _classifier_ctes(src: str) -> str:
-    """The fastText-classifier CTE chain (tks -> big -> ft -> sc, with
-    sc(doc_id, nf, s)) over source CTE ``src`` — the 256-arm md5-bucket
-    CASE is REGENERATED from the same CLASSIFIER_WEIGHTS dict the
-    engine's literal map is built from (one site to edit);
-    unigrams-then-bigrams concatenated into one list and summed by the
-    same ordered left fold as the engine's aggregate(), one division.
-    Shared by the text_quality_classifier and corpus_assemble
-    oracles."""
-    from .operators.text import CLASSIFIER_BIAS, CLASSIFIER_WEIGHTS
-
+def _hash_bucket_case(table: dict) -> str:
+    """The 256-arm md5-bucket CASE regenerated from a {2-hex: weight}
+    dict (CLASSIFIER_WEIGHTS / DSIR_LOG_RATIOS) — the engine's literal
+    map, restated."""
     arms = " ".join(
         f"WHEN '{k}' THEN CAST({w!r} AS DOUBLE)"
-        for k, w in sorted(CLASSIFIER_WEIGHTS.items())
+        for k, w in sorted(table.items())
     )
-    case = f"CASE substr(md5(w), 1, 2) {arms} END"
-    bias = f"CAST({float(CLASSIFIER_BIAS)!r} AS DOUBLE)"
+    return f"CASE substr(md5(w), 1, 2) {arms} END"
+
+
+def _ngram_feat_ctes(src: str) -> str:
+    """The hashed-bag FEATURE chain (tks -> big -> ft, with
+    ft(doc_id, nf, feats)) over source CTE ``src`` — mirrors
+    text.ngram_features byte for byte: lowered whitespace-run unigrams,
+    adjacent bigrams, unigrams-then-bigrams concatenation.  Shared by
+    the classifier and DSIR oracles."""
     return (
         f"tks AS (SELECT doc_id, list_transform(list_filter("
         "  regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
@@ -3237,8 +3267,25 @@ def _classifier_ctes(src: str) -> str:
         "    i -> tk[i] || ' ' || tk[i + 1]) "
         "  ELSE CAST([] AS VARCHAR[]) END AS bi FROM tks), "
         "ft AS (SELECT doc_id, len(tk) + len(bi) AS nf, "
-        "  list_concat(tk, bi) AS feats FROM big), "
-        "sc AS (SELECT doc_id, nf, CASE WHEN nf > 0 THEN "
+        "  list_concat(tk, bi) AS feats FROM big)"
+    )
+
+
+def _classifier_ctes(src: str) -> str:
+    """The fastText-classifier CTE chain (tks -> big -> ft -> sc, with
+    sc(doc_id, nf, s)) over source CTE ``src`` — feature chain shared
+    via _ngram_feat_ctes, the bucket CASE regenerated from the same
+    CLASSIFIER_WEIGHTS dict the engine's literal map is built from
+    (one site to edit); summed by the same ordered left fold as the
+    engine's aggregate(), one division.  Shared by the
+    text_quality_classifier and corpus_assemble oracles."""
+    from .operators.text import CLASSIFIER_BIAS, CLASSIFIER_WEIGHTS
+
+    case = _hash_bucket_case(CLASSIFIER_WEIGHTS)
+    bias = f"CAST({float(CLASSIFIER_BIAS)!r} AS DOUBLE)"
+    return (
+        _ngram_feat_ctes(src)
+        + ", sc AS (SELECT doc_id, nf, CASE WHEN nf > 0 THEN "
         f"  {bias} + list_reduce(list_prepend(0.0, "
         f"  list_transform(feats, w -> {case})), (p, q) -> p + q) / nf "
         f"  ELSE {bias} END AS s FROM ft)"
@@ -4121,6 +4168,30 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT token, COUNT(*) AS n_occurrences, "
         "COUNT(DISTINCT doc_id) AS n_docs FROM tk GROUP BY token "
         "ORDER BY n_occurrences DESC, token LIMIT 50"
+    ),
+    # text_tfidf_topk: same ws-noise corpus + lowered token split; the
+    # same two aggregations, the same smoothed-idf formula with the
+    # identical (N+1.0)/(df+1.0) operand order, ROW_NUMBER over the
+    # ROUNDED score with the token tie-break, rank <= 5.
+    "text_tfidf_topk": (
+        "WITH wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} AS text FROM documents), "
+        "tk AS (SELECT doc_id, unnest(list_transform(list_filter("
+        "regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
+        "w -> lower(w))) AS token FROM wsbase), "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk "
+        "  GROUP BY doc_id, token), "
+        "dfq AS (SELECT token, COUNT(*) AS df_docs FROM tf "
+        "  GROUP BY token), "
+        "nd AS (SELECT COUNT(*) AS n FROM wsbase), "
+        "sc AS (SELECT f.doc_id, f.token, f.tf, d.df_docs, "
+        "  ROUND(f.tf * (LN((nd.n + 1.0) / (d.df_docs + 1.0)) + 1.0), 6)"
+        "  AS score FROM tf f JOIN dfq d ON f.token = d.token "
+        "  CROSS JOIN nd), "
+        "rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "  ORDER BY score DESC, token) AS BIGINT) AS \"rank\" FROM sc) "
+        "SELECT doc_id, token, tf, df_docs, score, \"rank\" FROM rk "
+        "WHERE \"rank\" <= 5"
     ),
     # corpus_epoch_plan: same ws-noise corpus + the two injected rows;
     # exact token totals via the shared split class, sqrt weights,
@@ -5253,3 +5324,32 @@ ORACLE_SQL["d1_manifest_routing"] = (
     "  ELSE 'keyword_scan_en_t2' END) AS doc_class "
     "FROM pages p LEFT JOIN routes r ON p.url = r.url"
 )
+
+
+def _dsir_oracle_sql() -> str:
+    """corpus_dsir_sample oracle — the shared _ngram_feat_ctes feature
+    chain, the DSIR_LOG_RATIOS bucket CASE (regenerated from the same
+    dict as the engine's literal map), the UNROUNDED logw feeding the
+    Gumbel key, and the identical (BIGINT+1.0)/65537.0 uniform."""
+    from .operators.sampling import DSIR_LOG_RATIOS
+
+    case = _hash_bucket_case(DSIR_LOG_RATIOS)
+    u = (
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir0')"
+        ", 1, 4)) AS BIGINT) + 1.0) / 65537.0"
+    )
+    return (
+        f"WITH inj AS (SELECT doc_id, text || {_WS_NOISE_SQL} AS text "
+        "  FROM documents), "
+        + _ngram_feat_ctes("inj")
+        + ", lw AS (SELECT doc_id, nf, list_reduce(list_prepend(0.0, "
+        f"  list_transform(feats, w -> {case})), (p, q) -> p + q) "
+        "  AS logw FROM ft) "
+        "SELECT doc_id, CAST(nf AS BIGINT) AS n_features, "
+        "ROUND(logw, 6) AS log_weight, "
+        f"ROUND(logw - ln(-ln({u})), 6) AS sample_key "
+        "FROM lw ORDER BY sample_key DESC, doc_id LIMIT 100"
+    )
+
+
+ORACLE_SQL["corpus_dsir_sample"] = _dsir_oracle_sql()

@@ -143,6 +143,8 @@ HEADLINE = [
     "dedup_soft_weights",
     "corpus_epoch_plan",
     "corpus_vocab_topk",
+    "text_tfidf_topk",
+    "corpus_dsir_sample",
 ]
 
 

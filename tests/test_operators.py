@@ -1726,3 +1726,85 @@ def test_vocab_topk(spark):
     assert got == [("apple", 3, 2), ("banana", 2, 2), ("cherry", 1, 1)]
     with _pytest.raises(ValueError, match=">= 1"):
         vocab_topk(df, k=0)
+
+
+def test_tfidf_topk(spark):
+    """text.tfidf_topk: tf/df counts, the smoothed-idf formula, the
+    deterministic (score desc, token asc) rank, empty docs emitting no
+    rows, and k validation."""
+    import math
+
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.text import tfidf_topk
+
+    rows = [
+        (0, "Apple apple banana"),
+        (1, "apple cherry"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df_docs, r.score, r.rank)
+        for r in tfidf_topk(df, k=2).collect()
+    }
+    # N=3; apple df=2, banana/cherry df=1
+    idf = lambda d: math.log(4.0 / (d + 1.0)) + 1.0  # noqa: E731
+    assert got[(0, "apple")] == (2, 2, round(2 * idf(2), 6), 1)
+    assert got[(0, "banana")] == (1, 1, round(idf(1), 6), 2)
+    assert got[(1, "cherry")][3] == 1  # beats apple via higher idf
+    assert got[(1, "apple")][3] == 2
+    assert not any(d == 2 for d, _ in got)  # empty doc -> no rows
+    with _pytest.raises(ValueError, match=">= 1"):
+        tfidf_topk(df, k=0)
+
+
+def test_dsir_sample(spark):
+    """sampling.dsir_sample: hashed-ratio log weight vs a hand model,
+    Gumbel key determinism across reruns, top-n boundary, empty-doc
+    logw = 0, and n validation."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        DSIR_LOG_RATIOS,
+        dsir_sample,
+    )
+
+    rows = [(i, t) for i, t in enumerate(
+        ["Apple banana", "apple", "", "cherry date elder"]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dsir_sample(df, n=4).collect()}
+    assert len(got) == 4
+
+    def logw(words):
+        feats = words + [
+            f"{a} {b}" for a, b in zip(words, words[1:])
+        ]
+        s = 0.0
+        for f_ in feats:
+            s += DSIR_LOG_RATIOS[
+                hashlib.md5(f_.encode()).hexdigest()[:2]
+            ]
+        return s
+
+    def key(i, lw):
+        u = (
+            int(hashlib.md5(f"{i}|dsir0".encode()).hexdigest()[:4], 16)
+            + 1.0
+        ) / 65537.0
+        return round(lw - math.log(-math.log(u)), 6)
+
+    lw0 = logw(["apple", "banana"])
+    assert got[0].log_weight == round(lw0, 6)
+    assert got[0].n_features == 3
+    assert got[0].sample_key == key(0, lw0)
+    assert got[2].log_weight == 0.0 and got[2].n_features == 0
+    # top-1 is the max key
+    top = dsir_sample(df, n=1).collect()[0]
+    assert top.sample_key == max(r.sample_key for r in got.values())
+    with _pytest.raises(ValueError, match=">= 1"):
+        dsir_sample(df, n=0)

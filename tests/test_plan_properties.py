@@ -580,3 +580,32 @@ def test_vocab_topk_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_tfidf_topk_plan(spark):
+    """text_tfidf_topk: the corpus-scaled df table must join via
+    shuffle_hash (NOT a driver broadcast build — the NOTES 4a rule);
+    the only broadcast is the 1-row N attach (one BNLJ); the per-doc
+    top-k must plan as WindowGroupLimit (map-side k-prune); bounded
+    exchanges, no Python, no cartesian."""
+    plan = _qplan(spark, "text_tfidf_topk")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_dsir_sample_plan(spark):
+    """corpus_dsir_sample: scoring is a pure narrow tree (the ratio
+    table is a constant-folded literal map — NO join, NO keyed
+    exchange) and the global top-n plans as TakeOrderedAndProject
+    (per-partition heaps), never a rangepartitioning sort."""
+    plan = _qplan(spark, "corpus_dsir_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -1358,3 +1358,124 @@ def test_vocab_topk_matches_python_model(spark, docs, k):
     got = [(r.token, r.n_occurrences, r.n_docs)
            for r in vocab_topk(df, k=k).collect()]
     assert got == [(t, occ[t], dfq[t]) for t in want], (docs, k)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top-k vs a direct Python model
+# ---------------------------------------------------------------------------
+
+_tfidf_word = st.sampled_from(["apple", "Banana", "ch", "d", "éé", "x1"])
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(_tfidf_word, min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 4),
+)
+def test_tfidf_topk_matches_python_model(spark, docs, k):
+    """text.tfidf_topk vs the model: lowered tokens under ws-run
+    separators, shared-vs-rare idf spread, the rounded-score rank with
+    the token tie-break, and empty docs emitting nothing."""
+    import math
+
+    from annual_report_pdf_parsers_spark.operators.text import tfidf_topk
+
+    texts = [
+        "".join(
+            w + _WS_SEPS[(i + j) % len(_WS_SEPS)]
+            for j, w in enumerate(ws)
+        )
+        for i, ws in enumerate(docs)
+    ]
+    n = len(texts)
+    tf: dict = {}
+    for i, t in enumerate(texts):
+        for w in _model_tokens(t):
+            tf[(i, w.lower())] = tf.get((i, w.lower()), 0) + 1
+    dfreq: dict = {}
+    for _, w in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    per_doc: dict = {}
+    for (i, w), c in tf.items():
+        s = round(c * (math.log((n + 1.0) / (dfreq[w] + 1.0)) + 1.0), 6)
+        per_doc.setdefault(i, []).append((w, c, dfreq[w], s))
+    want = {}
+    for i, lst in per_doc.items():
+        lst.sort(key=lambda t: (-t[3], t[0]))
+        for r, (w, c, d, s) in enumerate(lst[:k], 1):
+            want[(i, w)] = (c, d, s, r)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df_docs, r.score, r.rank)
+        for r in tfidf_topk(df, k=k).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling vs hashlib + math model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(_tfidf_word, min_size=0, max_size=5),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(1, 6),
+)
+def test_dsir_sample_matches_python_model(spark, docs, n):
+    """sampling.dsir_sample vs the model: the ordered feature fold over
+    unigrams-then-bigrams, the salted-digest uniform, the Gumbel key,
+    and the (key desc, id asc) top-n boundary — including empty docs
+    competing on pure noise."""
+    import hashlib
+    import math
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        DSIR_LOG_RATIOS,
+        dsir_sample,
+    )
+
+    texts = [
+        "".join(
+            w + _WS_SEPS[(i + j) % len(_WS_SEPS)]
+            for j, w in enumerate(ws)
+        )
+        for i, ws in enumerate(docs)
+    ]
+    want = []
+    for i, t in enumerate(texts):
+        tk = [w.lower() for w in _model_tokens(t)]
+        feats = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        lw = 0.0
+        for f_ in feats:
+            lw += DSIR_LOG_RATIOS[
+                hashlib.md5(f_.encode()).hexdigest()[:2]
+            ]
+        u = (
+            int(hashlib.md5(f"{i}|dsir0".encode()).hexdigest()[:4], 16)
+            + 1.0
+        ) / 65537.0
+        key = round(lw - math.log(-math.log(u)), 6)
+        want.append((i, len(feats), round(lw, 6), key))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    want = want[:n]
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r.doc_id, r.n_features, r.log_weight, r.sample_key)
+        for r in dsir_sample(df, n=n).collect()
+    ]
+    assert sorted(got, key=lambda r: (-r[3], r[0])) == want
