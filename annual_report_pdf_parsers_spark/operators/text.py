@@ -1090,3 +1090,112 @@ def tfidf_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+# Literal bigram log10-probabilities over the UNIGRAM_LOGPROBS
+# vocabulary — the interpolated-LM step up from unigram_logprob toward
+# the CCNet/KenLM n-gram perplexity filter (public knowledge; real
+# deployments swap in fitted tables, the OPERATOR SHAPE — literal map
+# lookups + backoff + ordered fold — is the production plan either
+# way).  The DuckDB oracle regenerates both CASE chains from these
+# same dicts, so there is ONE site to edit.
+BIGRAM_LOGPROBS = {
+    "of the": -0.55, "in the": -0.70, "to the": -0.85, "on the": -0.95,
+    "and the": -1.00, "from the": -1.10, "with the": -1.15,
+    "by the": -1.20, "at the": -1.25, "for the": -1.05, "it is": -1.30,
+    "this is": -1.40, "that was": -1.60, "to be": -1.20, "can be": -1.50,
+    "there is": -1.45, "what is": -1.55, "all the": -1.65,
+    "when the": -1.70, "it was": -1.35,
+}
+BIGRAM_BACKOFF = -1.2  # added to the next word's unigram logprob
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model quality score with stupid-backoff-style
+    fallback (public knowledge: Brants et al. 2007) — the n-gram
+    refinement of ``unigram_logprob``:
+
+        term(1) = uni(w1)
+        term(i) = bi(w[i-1] w[i])           if the bigram is in the table
+                  BACKOFF + uni(w[i])       otherwise
+        avg_logprob = ROUND(sum(term) / n, 6)
+
+    with uni() the UNIGRAM_LOGPROBS lookup (UNKNOWN_LOGPROB floor) and
+    bi() the BIGRAM_LOGPROBS lookup.  Natural running text scores
+    higher than shuffled or gibberish text even when the unigram MIX is
+    identical — word ORDER is what the bigram terms see and the unigram
+    filter cannot.
+
+    Determinism: every term is a literal double; the sum is the first
+    term plus an ordered left fold over positions 2..n (identical
+    addition order in aggregate() and DuckDB's list_reduce), ONE
+    division, ROUND 6.
+
+    100 TB shape: narrow expression tree — both maps constant-fold, the
+    bigram/next-word pairs ride ONE pin()-staged zip (no second
+    tokenize), no UDF, no shuffle.  Returns
+    (doc_id, n_tokens, n_bigram_hits, avg_logprob).
+    """
+    from ..functions.numeric import pin
+
+    uni = F.create_map(
+        *[
+            F.lit(x)
+            for w, lp in sorted(UNIGRAM_LOGPROBS.items())
+            for x in (w, lp)
+        ]
+    )
+    bi = F.create_map(
+        *[
+            F.lit(x)
+            for w, lp in sorted(BIGRAM_LOGPROBS.items())
+            for x in (w, lp)
+        ]
+    )
+    tk = pin(
+        F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+    )
+    base = df.withColumn("_bl_tk", tk)
+    arr = F.col("_bl_tk")
+    n = F.size(arr)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.struct(
+                F.concat(a, F.lit(" "), b).alias("bg"), b.alias("w")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bg:string,w:string>>"))
+    staged = base.withColumn("_bl_pr", pin(pairs))
+    pr = F.col("_bl_pr")
+
+    def uni_term(w):
+        return F.coalesce(F.element_at(uni, w), F.lit(UNKNOWN_LOGPROB))
+
+    first = uni_term(F.element_at(arr, 1))
+    rest = F.aggregate(
+        pr,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.coalesce(
+            F.element_at(bi, x["bg"]),
+            F.lit(BIGRAM_BACKOFF) + uni_term(x["w"]),
+        ),
+    )
+    hits = F.size(
+        F.filter(pr, lambda x: F.element_at(bi, x["bg"]).isNotNull())
+    )
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("n_bigram_hits"),
+        F.when(n > 0, F.round((first + rest) / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("avg_logprob"),
+    )

@@ -1573,6 +1573,28 @@ def q_text_unigram_lm(spark, sf):
     )
 
 
+def q_text_bigram_lm(spark, sf):
+    """Bigram-LM score over documents with a doc_id-derived probe that
+    exercises every scoring path: in-table bigrams (word ORDER signal),
+    known unigrams in an order that forces the backoff, case folding,
+    unknown words, and empty suffixes.  The oracle regenerates both
+    lookup CASEs from the same dicts and mirrors the first-term +
+    ordered-fold addition order."""
+    d = load(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit(" of the to be"))
+        .when(m == 1, F.lit(" Of The unseenword"))
+        .when(m == 2, F.lit(" the of"))
+        .otherwise(F.lit(""))
+    )
+    return text.bigram_logprob(
+        d.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        )
+    )
+
+
 def q_corpus_token_stats(spark, sf):
     """Per-source token-count distribution summary (exact interpolated
     percentiles p25/p50/p90/p99 + count/min/max/total) — the corpus
@@ -2833,13 +2855,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_line_stats": q_text_line_stats,
     "text_char_entropy": q_text_char_entropy,
     "text_unigram_lm": q_text_unigram_lm,
+    "text_bigram_lm": q_text_bigram_lm,
     "text_quality_classifier": q_text_quality_classifier,
     "text_tfidf_topk": q_text_tfidf_topk,
     # -- corpus decisions ---------------------------------------------
     "corpus_c4_filters": q_corpus_c4_filters,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "corpus_source_stats": q_corpus_source_stats,
-    "corpus_quota_topk": q_corpus_quota_topk,
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_curation": q_corpus_curation,
@@ -2889,6 +2911,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # join + Hamming verify) rotated below for text_tfidf_topk;
     # corpus_decontaminate (r04-green; corpus_end_to_end composes its
     # shingle anti-join in-window) rotated below for corpus_dsir_sample;
+    # corpus_quota_topk (r04-green; corpus_curation composes its
+    # WindowGroupLimit quota in-window, and text_tfidf_topk now pins the
+    # same plan shape) rotated below for text_bigram_lm;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2900,6 +2925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_quota_topk": q_corpus_quota_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -3159,10 +3185,11 @@ def _entropy_oracle_sql() -> str:
     )
 
 
-def _unigram_fold_parts() -> tuple:
-    """(lookup CASE, known-word list) regenerated from the SAME
-    UNIGRAM_LOGPROBS dict the engine's literal map is built from —
-    shared by the text_unigram_lm and corpus_ccnet_tiers oracles."""
+def _unigram_fold_parts(var: str = "w") -> tuple:
+    """(lookup CASE over SQL expression ``var``, known-word list)
+    regenerated from the SAME UNIGRAM_LOGPROBS dict the engine's
+    literal map is built from — shared by the text_unigram_lm,
+    corpus_ccnet_tiers, and text_bigram_lm oracles."""
     from .operators.text import UNIGRAM_LOGPROBS, UNKNOWN_LOGPROB
 
     items = sorted(UNIGRAM_LOGPROBS.items())
@@ -3172,7 +3199,7 @@ def _unigram_fold_parts() -> tuple:
         f"WHEN '{w}' THEN CAST({lp!r} AS DOUBLE)" for w, lp in items
     )
     case = (
-        f"CASE w {arms} ELSE CAST({UNKNOWN_LOGPROB!r} AS DOUBLE) END"
+        f"CASE {var} {arms} ELSE CAST({UNKNOWN_LOGPROB!r} AS DOUBLE) END"
     )
     known = ", ".join(f"'{w}'" for w, _ in items)
     return case, known
@@ -5353,3 +5380,52 @@ def _dsir_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_dsir_sample"] = _dsir_oracle_sql()
+
+
+def _bigram_oracle_sql() -> str:
+    """text_bigram_lm oracle — both lookup CASEs regenerated from the
+    same BIGRAM_LOGPROBS / UNIGRAM_LOGPROBS dicts; the first-term +
+    ordered-left-fold addition order mirrors the engine's
+    first + aggregate(pairs) exactly."""
+    from .operators.text import BIGRAM_BACKOFF, BIGRAM_LOGPROBS
+
+    bi_items = sorted(BIGRAM_LOGPROBS.items())
+    bi_arms = " ".join(
+        f"WHEN '{b}' THEN CAST({lp!r} AS DOUBLE)" for b, lp in bi_items
+    )
+    bi_keys = ", ".join(f"'{b}'" for b, _ in bi_items)
+    backoff = f"CAST({float(BIGRAM_BACKOFF)!r} AS DOUBLE)"
+    uni_first, _ = _unigram_fold_parts("tk[1]")
+    uni_next, _ = _unigram_fold_parts("tk[i]")
+    probe = (
+        "CASE doc_id % 4 WHEN 0 THEN ' of the to be' "
+        "WHEN 1 THEN ' Of The unseenword' "
+        "WHEN 2 THEN ' the of' ELSE '' END"
+    )
+    term = (
+        f"CASE tk[i-1] || ' ' || tk[i] {bi_arms} "
+        f"ELSE {backoff} + {uni_next} END"
+    )
+    return (
+        f"WITH inj AS (SELECT doc_id, text || {probe} AS text "
+        "  FROM documents), "
+        "tks AS (SELECT doc_id, list_transform(list_filter("
+        "  regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
+        "  w -> lower(w)) AS tk FROM inj), "
+        "tm AS (SELECT doc_id, tk, "
+        "  CASE WHEN len(tk) >= 2 THEN list_transform("
+        f"    generate_series(2, len(tk)), i -> {term}) "
+        "  ELSE CAST([] AS DOUBLE[]) END AS terms, "
+        "  CASE WHEN len(tk) >= 2 THEN len(list_filter("
+        "    generate_series(2, len(tk)), "
+        f"    i -> (tk[i-1] || ' ' || tk[i]) IN ({bi_keys}))) "
+        "  ELSE 0 END AS hits FROM tks) "
+        "SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+        "CAST(hits AS BIGINT) AS n_bigram_hits, "
+        f"CASE WHEN len(tk) > 0 THEN ROUND(({uni_first} + "
+        "list_reduce(list_prepend(0.0, terms), (p, q) -> p + q)) "
+        "/ len(tk), 6) ELSE 0.0 END AS avg_logprob FROM tm"
+    )
+
+
+ORACLE_SQL["text_bigram_lm"] = _bigram_oracle_sql()

@@ -145,6 +145,7 @@ HEADLINE = [
     "corpus_vocab_topk",
     "text_tfidf_topk",
     "corpus_dsir_sample",
+    "text_bigram_lm",
 ]
 
 

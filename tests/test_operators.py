@@ -1808,3 +1808,39 @@ def test_dsir_sample(spark):
     assert top.sample_key == max(r.sample_key for r in got.values())
     with _pytest.raises(ValueError, match=">= 1"):
         dsir_sample(df, n=0)
+
+
+def test_bigram_logprob(spark):
+    """text.bigram_logprob: in-table bigram terms, the backoff path,
+    the first-term unigram, hit counting, word-order sensitivity, and
+    empty/NULL text."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        BIGRAM_BACKOFF,
+        BIGRAM_LOGPROBS,
+        UNIGRAM_LOGPROBS,
+        UNKNOWN_LOGPROB,
+        bigram_logprob,
+    )
+
+    rows = [
+        (0, "Of the"),        # bigram hit after lowering
+        (1, "the of"),        # same words, no bigram -> backoff
+        (2, ""),              # empty
+        (3, "zzz"),           # single unknown token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+
+    uni = lambda w: UNIGRAM_LOGPROBS.get(w, UNKNOWN_LOGPROB)  # noqa: E731
+    assert got[0].n_bigram_hits == 1
+    assert got[0].avg_logprob == round(
+        (uni("of") + BIGRAM_LOGPROBS["of the"]) / 2, 6
+    )
+    assert got[1].n_bigram_hits == 0
+    assert got[1].avg_logprob == round(
+        (uni("the") + BIGRAM_BACKOFF + uni("of")) / 2, 6
+    )
+    # order sensitivity: same bag of words, different score
+    assert got[0].avg_logprob > got[1].avg_logprob
+    assert got[2].n_tokens == 0 and got[2].avg_logprob == 0.0
+    assert got[3].avg_logprob == UNKNOWN_LOGPROB

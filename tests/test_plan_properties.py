@@ -609,3 +609,13 @@ def test_dsir_sample_plan(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bigram_lm_plan(spark):
+    """text_bigram_lm: pure narrow expression tree — both literal maps
+    constant-fold, the pair structs ride one staged zip; NO exchange of
+    any kind, no join, no Python."""
+    plan = _qplan(spark, "text_bigram_lm")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -1479,3 +1479,50 @@ def test_dsir_sample_matches_python_model(spark, docs, n):
         for r in dsir_sample(df, n=n).collect()
     ]
     assert sorted(got, key=lambda r: (-r[3], r[0])) == want
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with backoff vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+_blm_word = st.sampled_from(
+    ["of", "the", "to", "be", "it", "is", "unseen", "Zq"]
+)
+
+
+@SETTINGS
+@given(st.lists(_blm_word, min_size=0, max_size=10))
+def test_bigram_logprob_matches_python_model(spark, words):
+    """text.bigram_logprob vs the model: the first-term + left-fold
+    order, bigram hits vs backoff arms, lowering, ws-run separators."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        BIGRAM_BACKOFF,
+        BIGRAM_LOGPROBS,
+        UNIGRAM_LOGPROBS,
+        UNKNOWN_LOGPROB,
+        bigram_logprob,
+    )
+
+    text = "".join(
+        w + _WS_SEPS[j % len(_WS_SEPS)] for j, w in enumerate(words)
+    )
+    tk = [w.lower() for w in _model_tokens(text)]
+    uni = lambda w: UNIGRAM_LOGPROBS.get(w, UNKNOWN_LOGPROB)  # noqa: E731
+    hits = 0
+    if tk:
+        total = uni(tk[0])
+        rest = 0.0
+        for a, b in zip(tk, tk[1:]):
+            bg = f"{a} {b}"
+            if bg in BIGRAM_LOGPROBS:
+                rest += BIGRAM_LOGPROBS[bg]
+                hits += 1
+            else:
+                rest += BIGRAM_BACKOFF + uni(b)
+        want = (len(tk), hits, round((total + rest) / len(tk), 6))
+    else:
+        want = (0, 0, 0.0)
+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = bigram_logprob(df).collect()[0]
+    assert (r.n_tokens, r.n_bigram_hits, r.avg_logprob) == want
