@@ -218,6 +218,7 @@ def _assign_nearest_centroid(
     vec_col: str,
     centroids: list[tuple[int, list[float]]],
     out_col: str,
+    cos_col: str | None = None,
 ) -> DataFrame:
     """Argmax-cosine cell id against a broadcast list of centroid
     literals, fully JVM-side — STAGED form (r05 perf fix, the NOTES
@@ -271,7 +272,13 @@ def _assign_nearest_centroid(
         F.struct(F.lit(-1.5).alias("c"), F.lit(1).alias("nid"))
     )
     best = F.array_max(F.array(*entries))
-    return staged.withColumn(out_col, best["nid"] * -1).drop(*names)
+    out = staged.withColumn(out_col, best["nid"] * -1)
+    if cos_col is not None:
+        # the winning (max) cosine = the vector's similarity to its OWN
+        # centroid — the "prototypicality" score prototype_prune needs;
+        # all-null vectors carry the -1.5 sentinel alongside cell -1
+        out = out.withColumn(cos_col, best["c"])
+    return out.drop(*names)
 
 
 def ivf_fit(
@@ -571,4 +578,65 @@ def semantic_dedup(
             F.col("cell"),
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    q: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space OUTLIER pruning by prototypicality (public
+    knowledge: the SSL-prototypes metric of Sorscher et al. 2022
+    "Beyond neural scaling laws" — distance to the example's k-means
+    prototype as the data-pruning signal): assign each vector to its
+    nearest centroid, score it by the cosine to that OWN centroid, and
+    drop the least prototypical ``q`` fraction of each CELL — the
+    embedding-junk cut (mis-embedded, off-distribution, or garbage
+    inputs sit far from every prototype).  The paper's dual move —
+    pruning the MOST prototypical (easy/redundant) examples when data
+    is abundant — is the same plan with the keep comparison flipped.
+
+    keep = ROUND(proto_cos, 6) >= cell_cutoff, with cell_cutoff the
+    exact per-cell ``q``-quantile (linear interpolation — the same
+    definition as DuckDB's quantile_cont, both sides ROUND 6; the
+    ccnet_tiers discipline).
+
+    100 TB shape: assignment is a JVM-side fold over broadcast centroid
+    LITERALS (no shuffle; the staged-argmax form that survives large
+    k); ONE small aggregation keyed by cell (<= n_cells rows) computes
+    the cutoffs and broadcasts back — the big side never shuffles, and
+    there is no per-row window (an NTILE per cell would sort whole
+    cells inside single tasks).  At true 100 TB swap the exact
+    percentile for approx_percentile (documented trade: the oracle can
+    then no longer match bit-for-bit).
+
+    Returns (vec_id, cell, proto_cos, cell_cutoff, keep).
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    assigned = _assign_nearest_centroid(
+        df.select(
+            F.col(id_col).alias(id_col), F.col(vec_col).alias("_pp_vec")
+        ),
+        "_pp_vec",
+        centroids,
+        "cell",
+        cos_col="_pp_cos",
+    ).select(
+        id_col, "cell", F.round(F.col("_pp_cos"), 6).alias("proto_cos")
+    )
+    cuts = assigned.groupBy("cell").agg(
+        F.round(
+            F.percentile(F.col("proto_cos"), F.lit(float(q))), 6
+        ).alias("cell_cutoff")
+    )
+    return assigned.join(F.broadcast(cuts), "cell").select(
+        id_col,
+        "cell",
+        "proto_cos",
+        "cell_cutoff",
+        (F.col("proto_cos") >= F.col("cell_cutoff")).alias("keep"),
     )

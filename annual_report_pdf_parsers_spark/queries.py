@@ -1301,6 +1301,20 @@ def q_dedup_semantic(spark, sf):
     )
 
 
+def q_corpus_embed_prune(spark, sf):
+    """Prototype pruning over the embeddings table: the same
+    deterministic ivf_fit_local quantizer as ann_ivf_topk/dedup_semantic
+    (centroid literals in BOTH engines), cosine-to-own-centroid
+    prototypicality, per-cell exact 0.3-quantile cut.  Non-vacuous by
+    construction: a percentile cut always splits every non-degenerate
+    cell into kept and pruned rows.  Oracle = the shared argmax
+    assignment CTE + quantile_cont (lazily built at gate time like the
+    IVF/semantic oracles)."""
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    cents = similarity.ivf_fit_local(sf, n_cells=8, iters=2)
+    return similarity.prototype_prune(emb, cents, q=0.3)
+
+
 def q_dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup pairs above a threshold.
 
@@ -2878,9 +2892,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split_safe": q_corpus_split_safe,
     "corpus_epoch_plan": q_corpus_epoch_plan,
     "corpus_vocab_topk": q_corpus_vocab_topk,
+    "corpus_embed_prune": q_corpus_embed_prune,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
-    "events_sessionize": q_events_sessionize,
     "events_stream_window": q_events_stream_window,
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
@@ -2914,6 +2928,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus_quota_topk (r04-green; corpus_curation composes its
     # WindowGroupLimit quota in-window, and text_tfidf_topk now pins the
     # same plan shape) rotated below for text_bigram_lm;
+    # events_sessionize (r03+r04-green; asof_join + stream_window keep
+    # the temporal family in-window) rotated below for
+    # corpus_embed_prune;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2926,6 +2943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_quota_topk": q_corpus_quota_topk,
+    "events_sessionize": q_events_sessionize,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -5026,6 +5044,53 @@ def _semantic_oracle_cached(sf_dir: str) -> str:
     return _semantic_oracle_sql(sf_dir)
 
 
+def _proto_prune_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_cells: int = 8,
+    iters: int = 2,
+    q: float = 0.3,
+) -> str:
+    """Exact SQL oracle for corpus_embed_prune: the same ivf_fit_local
+    centroids as DOUBLE[] literals, the same argmax-cosine assignment
+    (lowest cid on ties) ALSO carrying the winning cosine (ROUND 6 =
+    proto_cos), per-cell quantile_cont cutoff (ROUND 6 — the same
+    linear-interpolation definition as Spark's exact percentile), and
+    the >= keep rule."""
+    from .operators.similarity import ivf_fit_local
+
+    cents = ivf_fit_local(sf_dir, n_cells, iters)
+    vals = ", ".join(
+        "(" + str(cid) + ", ["
+        + ", ".join(repr(v) for v in vec)
+        + "]::DOUBLE[])"
+        for cid, vec in cents
+    )
+    return (
+        f"WITH cents(cid, cv) AS (VALUES {vals}), "
+        "e AS (SELECT vec_id, embedding FROM embeddings "
+        "  WHERE vec_id < 300), "
+        "ca AS (SELECT e.vec_id, c.cid, "
+        f"  {_cos_arr_sql('e.embedding', 'c.cv')} AS ccos "
+        "  FROM e CROSS JOIN cents c), "
+        "cell_of AS (SELECT vec_id, cid AS cell, "
+        "  ROUND(ccos, 6) AS proto_cos FROM ("
+        "  SELECT vec_id, cid, ccos, ROW_NUMBER() OVER ("
+        "    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn "
+        "  FROM ca) WHERE rn = 1), "
+        "cuts AS (SELECT cell, "
+        f"  ROUND(quantile_cont(proto_cos, {q!r}), 6) AS cell_cutoff "
+        "  FROM cell_of GROUP BY cell) "
+        "SELECT co.vec_id, co.cell, co.proto_cos, cu.cell_cutoff, "
+        "co.proto_cos >= cu.cell_cutoff AS keep "
+        "FROM cell_of co JOIN cuts cu ON cu.cell = co.cell"
+    )
+
+
+@_lru_cache(maxsize=4)
+def _proto_prune_oracle_cached(sf_dir: str) -> str:
+    return _proto_prune_oracle_sql(sf_dir)
+
+
 def oracle_sql_dict() -> dict[str, str]:
     """ORACLE_SQL plus the lazily-built entries, resolved at gate time.
 
@@ -5042,6 +5107,7 @@ def oracle_sql_dict() -> dict[str, str]:
         )
         out["ann_ivf_topk"] = _ivf_oracle_cached(gate_sf)
         out["dedup_semantic"] = _semantic_oracle_cached(gate_sf)
+        out["corpus_embed_prune"] = _proto_prune_oracle_cached(gate_sf)
     except (OSError, ValueError):
         # testdata absent or unreadable: this entry falls back to the
         # driver's rows-only check rather than failing every oracle.

@@ -146,6 +146,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "corpus_dsir_sample",
     "text_bigram_lm",
+    "corpus_embed_prune",
 ]
 
 

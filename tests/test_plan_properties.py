@@ -619,3 +619,17 @@ def test_bigram_lm_plan(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_embed_prune_plan(spark):
+    """corpus_embed_prune: assignment is a narrow fold over centroid
+    literals (no shuffle on the big side beyond the tiny cell agg);
+    cutoffs attach via BROADCAST (bounded by n_cells — the one
+    corpus-independent small side); no window over cells, no cartesian,
+    no Python."""
+    plan = _qplan(spark, "corpus_embed_prune")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -100,3 +100,45 @@ def test_near_dup_lsh_plan_is_shuffle_bounded(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prototype_prune_model_and_bounds(spark):
+    """prototype_prune vs a numpy model (argmax assignment with the
+    smallest-cid tie rule, cosine to own centroid, per-cell linear-
+    interpolation percentile, >= keep rule); plus the pruning-fraction
+    sanity bound and q validation."""
+    import numpy as np
+    import pytest as _pytest
+
+    emb = _emb(spark).filter(F.col("vec_id") < 120)
+    cents = similarity.ivf_fit_local(SF, n_cells=4, iters=2)
+    got = {r.vec_id: r for r in
+           similarity.prototype_prune(emb, cents, q=0.25).collect()}
+
+    rows = emb.collect()
+    C = {cid: np.array(v, dtype=np.float64) for cid, v in cents}
+    proto = {}
+    for r in rows:
+        v = np.array([float(x) for x in r.embedding])
+        best = max(
+            ((float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))), -cid)
+             for cid, c in C.items())
+        )
+        proto[r.vec_id] = (-best[1], round(best[0], 6))
+    by_cell: dict = {}
+    for vid, (cell, pc) in proto.items():
+        by_cell.setdefault(cell, []).append(pc)
+    cuts = {
+        cell: round(float(np.percentile(v, 25.0)), 6)
+        for cell, v in by_cell.items()
+    }
+    for vid, (cell, pc) in proto.items():
+        r = got[vid]
+        assert (r.cell, r.proto_cos) == (cell, pc), vid
+        assert r.cell_cutoff == cuts[cell], cell
+        assert r.keep == (pc >= cuts[cell]), vid
+    # a q-cut prunes a nonzero, sub-half fraction overall
+    pruned = sum(1 for r in got.values() if not r.keep)
+    assert 0 < pruned < len(got) / 2
+    with _pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        similarity.prototype_prune(emb, cents, q=1.0)
