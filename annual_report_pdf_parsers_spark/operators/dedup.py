@@ -1347,3 +1347,118 @@ def soft_dedup_weights(
             6,
         ).alias("weight"),
     )
+
+
+def winnow_stats(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection + cross-document match stats
+    (public knowledge: Schleimer, Wilkerson & Aiken 2003 "Winnowing:
+    Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm).  Where ``dup_span_stats`` at stride s subsamples on a
+    fixed grid (and misses phase-shifted copies), winnowing selects
+    the MINIMUM hash of every ``w`` consecutive k-token window hashes
+    (rightmost on ties — the paper's robustness rule), which guarantees
+    any shared run of at least w+k-1 tokens contributes at least one
+    IDENTICAL fingerprint in both documents at ~1/w the explode cost of
+    stride-1.
+
+    Selection key encoding (both engines): ``md5hex || lpad(10^9 - pos,
+    10)`` — string min = (min hash, rightmost position) in one
+    comparison; position is recovered from the suffix.  Documents with
+    more than 10^9 windows would wrap the suffix (no realistic web
+    document approaches that).
+
+    Returns one row per input document::
+
+        (doc_id, n_fingerprints, n_shared_fp, shared_frac)
+
+    with 0 / 0.0 for docs shorter than k tokens.  A doc with fewer than
+    w window hashes still selects its global minimum (at least one
+    fingerprint whenever n_tokens >= k — the paper's guarantee).
+
+    100 TB shape: selection is a pure narrow array chain (window
+    hashes and the per-position minima are pin()-staged — the explode
+    is ~n_windows/w rows per doc AFTER distinct); the cross-doc test is
+    min(id) != max(id) per fingerprint — ONE exchange keyed by the
+    fingerprint hash with map-side partial agg, the dup_span_stats
+    shape; the verdict joins back on the same clustering.
+    """
+    from ..functions.numeric import pin
+
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    base = df.withColumn("_wn_tk", pin(tokens(F.col(text_col))))
+    tk = F.col("_wn_tk")
+    n = F.size(tk)
+    win = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat(
+            F.md5(F.concat_ws(" ", F.slice(tk, i, k))),
+            F.lpad(
+                (F.lit(1000000000) - i).cast("string"), 10, "0"
+            ),
+        ),
+    )
+    base = base.withColumn(
+        "_wn_ws",
+        pin(
+            F.when(n >= k, win).otherwise(
+                F.array().cast("array<string>")
+            )
+        ),
+    )
+    ws = F.col("_wn_ws")
+    m = F.size(ws)
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(ws, j, w)),
+        )
+    )
+    fps = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(m >= 1, sel).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("key"),
+    ).select("doc_id", F.substring(F.col("key"), 1, 32).alias("h"))
+    cross = fps.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_shared")
+    )
+    per_doc = (
+        fps.join(cross, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(
+                F.when(F.col("is_shared"), 1).otherwise(0)
+            ).alias("n_shared_fp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_fingerprints"), F.lit(0)).cast(
+                "long"
+            ).alias("n_fingerprints"),
+            F.coalesce(F.col("n_shared_fp"), F.lit(0)).cast(
+                "long"
+            ).alias("n_shared_fp"),
+            F.when(
+                F.coalesce(F.col("n_fingerprints"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_shared_fp") / F.col("n_fingerprints"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )

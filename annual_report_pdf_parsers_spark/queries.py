@@ -1680,6 +1680,16 @@ def q_corpus_mixture_sample(spark, sf):
     )
 
 
+def q_dedup_winnow(spark, sf):
+    """Winnowing fingerprints (k=5, w=4) over the dup-injected corpus:
+    exact copies share every fingerprint and near copies share most
+    (shared_frac non-vacuous at both ends); the ws-noise probes
+    exercise the run split inside the window join.  Oracle = the same
+    key encoding (md5 || lpad(10^9 - pos)), list_aggregate min, and
+    min(doc)!=max(doc) cross test."""
+    return dedup.winnow_stats(_corpus_with_dupes(spark, sf), k=5, w=4)
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -2858,6 +2868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_winnow": q_dedup_winnow,
     # -- ANN / similarity ---------------------------------------------
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2875,7 +2886,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- corpus decisions ---------------------------------------------
     "corpus_c4_filters": q_corpus_c4_filters,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
-    "corpus_source_stats": q_corpus_source_stats,
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_curation": q_corpus_curation,
@@ -2931,6 +2941,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events_sessionize (r03+r04-green; asof_join + stream_window keep
     # the temporal family in-window) rotated below for
     # corpus_embed_prune;
+    # corpus_source_stats (r04-green; corpus_curation composes its
+    # domain keep-flags in-window and corpus_token_stats keeps the
+    # per-source-agg shape) rotated below for dedup_winnow;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2944,6 +2957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_quota_topk": q_corpus_quota_topk,
     "events_sessionize": q_events_sessionize,
+    "corpus_source_stats": q_corpus_source_stats,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -5495,3 +5509,39 @@ def _bigram_oracle_sql() -> str:
 
 
 ORACLE_SQL["text_bigram_lm"] = _bigram_oracle_sql()
+
+
+# dedup_winnow: the same dupe corpus; window-hash keys encoded
+# md5 || lpad(10^9 - pos, 10) so string MIN = (min hash, rightmost
+# pos) — Schleimer et al.'s tie rule — in one comparison; selection =
+# per-position min over w consecutive window keys (slice clipping at
+# the end mirrors Spark's slice), distinct, then the dup_span_stats
+# cross test keyed by the 32-hex hash prefix.
+ORACLE_SQL["dedup_winnow"] = (
+    f"WITH {_DUPES}, "
+    "tkx AS (SELECT doc_id, "
+    "  list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
+    "    t -> t <> '') AS tk FROM corpus), "
+    "wins AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN "
+    "  list_transform(generate_series(1, len(tk) - 4), i -> "
+    "    md5(array_to_string(tk[i : i+4], ' ')) || "
+    "    lpad(CAST(1000000000 - i AS VARCHAR), 10, '0')) "
+    "  ELSE CAST([] AS VARCHAR[]) END AS ws FROM tkx), "
+    "sel AS (SELECT doc_id, list_distinct(list_transform("
+    "  generate_series(1, greatest(len(ws) - 3, 1)), "
+    "  j -> list_aggregate(ws[j : j+3], 'min'))) AS fps "
+    "  FROM wins WHERE len(ws) >= 1), "
+    "fp AS (SELECT doc_id, substr(UNNEST(fps), 1, 32) AS h FROM sel), "
+    "crossh AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS is_shared "
+    "  FROM fp GROUP BY h), "
+    "pd AS (SELECT fp.doc_id, COUNT(*) AS n_fingerprints, "
+    "  SUM(CASE WHEN is_shared THEN 1 ELSE 0 END) AS n_shared_fp "
+    "  FROM fp JOIN crossh USING (h) GROUP BY fp.doc_id) "
+    "SELECT c.doc_id, "
+    "CAST(COALESCE(n_fingerprints, 0) AS BIGINT) AS n_fingerprints, "
+    "CAST(COALESCE(n_shared_fp, 0) AS BIGINT) AS n_shared_fp, "
+    "ROUND(CASE WHEN COALESCE(n_fingerprints, 0) > 0 "
+    "  THEN COALESCE(n_shared_fp, 0) / n_fingerprints "
+    "  ELSE 0.0 END, 6) AS shared_frac "
+    "FROM corpus c LEFT JOIN pd USING (doc_id)"
+)

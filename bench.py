@@ -147,6 +147,7 @@ HEADLINE = [
     "corpus_dsir_sample",
     "text_bigram_lm",
     "corpus_embed_prune",
+    "dedup_winnow",
 ]
 
 

@@ -1844,3 +1844,33 @@ def test_bigram_logprob(spark):
     assert got[0].avg_logprob > got[1].avg_logprob
     assert got[2].n_tokens == 0 and got[2].avg_logprob == 0.0
     assert got[3].avg_logprob == UNKNOWN_LOGPROB
+
+
+def test_winnow_stats(spark):
+    """dedup.winnow_stats: exact copies share every fingerprint, a
+    unique doc shares none, sub-k docs emit zero fingerprints, the
+    w+k-1 shared-run guarantee produces a match, and k/w validation."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        winnow_stats,
+    )
+
+    shared_run = "one two three four five six seven eight"  # 8 >= w+k-1
+    rows = [
+        (0, "alpha beta gamma " + shared_run),
+        (1, shared_run + " delta epsilon zeta"),
+        (2, "totally different words here avoiding any overlap run"),
+        (3, "short text"),            # < k tokens
+        (4, "alpha beta gamma " + shared_run),   # exact copy of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in winnow_stats(df, k=5, w=4).collect()}
+    assert got[3].n_fingerprints == 0 and got[3].shared_frac == 0.0
+    assert got[2].n_shared_fp == 0
+    # exact copy: every fingerprint shared
+    assert got[0].shared_frac == 1.0 and got[4].shared_frac == 1.0
+    # the winnowing guarantee: docs 0 and 1 share a >= w+k-1 token run
+    assert got[1].n_shared_fp > 0
+    with _pytest.raises(ValueError, match=">= 1"):
+        winnow_stats(df, k=0)

@@ -633,3 +633,15 @@ def test_embed_prune_plan(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_winnow_plan(spark):
+    """dedup_winnow: selection is a narrow pin()-staged array chain; the
+    cross-doc test + verdict join ride ONE fingerprint-keyed exchange
+    family + the per-doc rollup and left-join re-keys (the
+    dup_span_stats shape) — bounded exchanges, no cartesian/Python."""
+    plan = _qplan(spark, "dedup_winnow")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan

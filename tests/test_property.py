@@ -1526,3 +1526,81 @@ def test_bigram_logprob_matches_python_model(spark, words):
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
     r = bigram_logprob(df).collect()[0]
     assert (r.n_tokens, r.n_bigram_hits, r.avg_logprob) == want
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints vs a from-scratch Python model
+# ---------------------------------------------------------------------------
+
+
+def _winnow_model(texts, k, w):
+    import hashlib
+
+    fps = {}
+    for i, t in enumerate(texts):
+        tk = _model_tokens(t)
+        if len(tk) < k:
+            fps[i] = set()
+            continue
+        wins = [
+            hashlib.md5(
+                " ".join(tk[p : p + k]).encode()
+            ).hexdigest()
+            + str(10**9 - (p + 1)).zfill(10)
+            for p in range(len(tk) - k + 1)
+        ]
+        sel = {
+            min(wins[j : j + w])
+            for j in range(max(len(wins) - w + 1, 1))
+        }
+        fps[i] = sel
+    # multiset per doc after distinct is a set; shared = hash prefix
+    # seen under ANY other doc
+    by_hash = {}
+    for i, s in fps.items():
+        for key in s:
+            by_hash.setdefault(key[:32], set()).add(i)
+    out = {}
+    for i, s in fps.items():
+        nf = len(s)
+        ns = sum(1 for key in s if len(by_hash[key[:32]]) > 1)
+        out[i] = (nf, ns, round(ns / nf, 6) if nf else 0.0)
+    return out
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(_tfidf_word, min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 4),
+    st.integers(1, 4),
+)
+def test_winnow_stats_matches_python_model(spark, docs, k, w):
+    """dedup.winnow_stats vs the model: the key encoding, the
+    rightmost-min tie rule, end-clipped selection windows, distinct
+    fingerprints, and the cross-doc share fractions — under ws-run
+    separators and repeated tokens (hash ties DO occur with this tiny
+    vocabulary)."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        winnow_stats,
+    )
+
+    texts = [
+        "".join(
+            t + _WS_SEPS[(i + j) % len(_WS_SEPS)]
+            for j, t in enumerate(ws)
+        )
+        for i, ws in enumerate(docs)
+    ]
+    want = _winnow_model(texts, k, w)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_fingerprints, r.n_shared_fp, r.shared_frac)
+        for r in winnow_stats(df, k=k, w=w).collect()
+    }
+    assert got == want
