@@ -831,6 +831,7 @@ def quality_classifier(
     text_col: str = "text",
     id_col: str = "doc_id",
     bias: float = CLASSIFIER_BIAS,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """fastText-style hashed bag-of-ngrams quality classifier — the
     model-based document filter of the CCNet/LLaMA data pipelines,
@@ -850,7 +851,9 @@ def quality_classifier(
 
     100 TB shape: narrow (map literal constant-folded, no shuffle, no
     join); composes with scan pruning like every other text op.  Returns
-    (id_col, n_features, score, keep).
+    (id_col, *keep_cols, n_features, score, keep) — ``keep_cols`` pass
+    through untouched (the unigram_logprob convention), letting
+    composed queries thread other signals without a doc_id re-join.
     """
     from ..functions.numeric import pin
 
@@ -874,6 +877,7 @@ def quality_classifier(
     staged = staged.withColumn("_qc_sc", pin(score))
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         nf.cast("long").alias("n_features"),
         F.round(F.col("_qc_sc"), 6).alias("score"),
         (F.col("_qc_sc") >= 0.0).alias("keep"),

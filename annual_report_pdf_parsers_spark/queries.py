@@ -1609,6 +1609,50 @@ def q_text_bigram_lm(spark, sf):
     )
 
 
+def q_corpus_quality_ensemble(spark, sf):
+    """Quality-ENSEMBLE decision: the three orthogonal quality signals
+    (hashed-ngram classifier, unigram-LM logprob, Flesch readability)
+    composed in ONE narrow plan via keep_cols threading — NO doc_id
+    re-joins — with a 2-of-3 majority keep.  Thresholds sit at the
+    corpus medians (probed at sf0.01: clf -0.024 / lm -6.54 / flesch
+    38.4) so every vote splits the population and the majority rule is
+    non-vacuous in both directions.  The probe suffix mixes known
+    stopwords, punctuation, case, and unknowns so all three signals
+    move.  Oracle = the shared classifier/unigram fragments + the
+    readability formula over the same probe."""
+    d = load(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit(" the of and to. it is!"))
+        .when(m == 1, F.lit(" The WAS unseenword?"))
+        .when(m == 2, F.lit(" is."))
+        .otherwise(F.lit(""))
+    )
+    d = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    rd = text.readability(d).select("doc_id", "text", "flesch")
+    clf = text.quality_classifier(rd, keep_cols=("flesch", "text"))
+    ul = text.unigram_logprob(
+        clf.withColumnRenamed("score", "clf_score"),
+        keep_cols=("flesch", "clf_score"),
+    )
+    clf_pass = F.col("clf_score") >= -0.025
+    lm_pass = F.col("avg_logprob") >= -6.5
+    read_pass = F.col("flesch") >= 35.0
+    n_pass = (
+        clf_pass.cast("int") + lm_pass.cast("int") + read_pass.cast("int")
+    )
+    return ul.select(
+        "doc_id",
+        "clf_score",
+        F.col("avg_logprob").alias("lm_logprob"),
+        "flesch",
+        n_pass.cast("long").alias("n_pass"),
+        (n_pass >= 2).alias("keep"),
+    )
+
+
 def q_corpus_token_stats(spark, sf):
     """Per-source token-count distribution summary (exact interpolated
     percentiles p25/p50/p90/p99 + count/min/max/total) — the corpus
@@ -2874,7 +2918,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     # -- text analysis ------------------------------------------------
     "text_langid": q_text_langid,
-    "text_repetition": q_text_repetition,
     "text_dup_spans": q_text_dup_spans,
     "text_dup_excise": q_text_dup_excise,
     "text_line_stats": q_text_line_stats,
@@ -2899,6 +2942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ingest": q_corpus_ingest,
     "corpus_token_stats": q_corpus_token_stats,
     "corpus_ccnet_tiers": q_corpus_ccnet_tiers,
+    "corpus_quality_ensemble": q_corpus_quality_ensemble,
     "corpus_split_safe": q_corpus_split_safe,
     "corpus_epoch_plan": q_corpus_epoch_plan,
     "corpus_vocab_topk": q_corpus_vocab_topk,
@@ -2944,6 +2988,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus_source_stats (r04-green; corpus_curation composes its
     # domain keep-flags in-window and corpus_token_stats keeps the
     # per-source-agg shape) rotated below for dedup_winnow;
+    # text_repetition (r04-green; text_line_stats keeps the Gopher
+    # filter family in-window) rotated below for
+    # corpus_quality_ensemble;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -2958,6 +3005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quota_topk": q_corpus_quota_topk,
     "events_sessionize": q_events_sessionize,
     "corpus_source_stats": q_corpus_source_stats,
+    "text_repetition": q_text_repetition,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -5545,3 +5593,49 @@ ORACLE_SQL["dedup_winnow"] = (
     "  ELSE 0.0 END, 6) AS shared_frac "
     "FROM corpus c LEFT JOIN pd USING (doc_id)"
 )
+
+
+def _quality_ensemble_oracle_sql() -> str:
+    """corpus_quality_ensemble oracle — the shared classifier chain
+    (tks/big/ft/sc), the unigram fold over the SAME lowered-token CTE,
+    the readability formula of the text_readability oracle, and the
+    identical median thresholds over the ROUNDED scores."""
+    uni_case, _ = _unigram_fold_parts()
+    probe = (
+        "CASE doc_id % 4 WHEN 0 THEN ' the of and to. it is!' "
+        "WHEN 1 THEN ' The WAS unseenword?' "
+        "WHEN 2 THEN ' is.' ELSE '' END"
+    )
+    return (
+        f"WITH inj AS (SELECT doc_id, text || {probe} AS text "
+        "  FROM documents), "
+        + _classifier_ctes("inj")
+        + ", lm AS (SELECT doc_id, CASE WHEN len(tk) > 0 THEN "
+        "  ROUND(list_reduce(list_prepend(0.0, "
+        f"  list_transform(tk, w -> {uni_case})), (p, q) -> p + q) "
+        "  / len(tk), 6) ELSE 0.0 END AS lm_logprob FROM tks), "
+        "rd AS (SELECT doc_id, "
+        "  CAST(len(list_filter(regexp_split_to_array(text, "
+        + _WSRE2 + "), t -> t <> '')) AS BIGINT) AS n_words, "
+        "  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
+        "    AS BIGINT) AS n_sentences, "
+        "  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+        "    AS BIGINT) AS n_syllables FROM inj), "
+        "rf AS (SELECT doc_id, ROUND(CASE WHEN n_words > 0 THEN "
+        "  206.835 - 1.015 * (n_words / n_sentences) "
+        "  - 84.6 * (n_syllables / n_words) ELSE 0.0 END, 6) AS flesch "
+        "  FROM rd), "
+        "j AS (SELECT sc.doc_id, ROUND(sc.s, 6) AS clf_score, "
+        "  lm.lm_logprob, rf.flesch FROM sc "
+        "  JOIN lm ON lm.doc_id = sc.doc_id "
+        "  JOIN rf ON rf.doc_id = sc.doc_id), "
+        "v AS (SELECT *, "
+        "  (CASE WHEN clf_score >= -0.025 THEN 1 ELSE 0 END) + "
+        "  (CASE WHEN lm_logprob >= -6.5 THEN 1 ELSE 0 END) + "
+        "  (CASE WHEN flesch >= 35.0 THEN 1 ELSE 0 END) AS np FROM j) "
+        "SELECT doc_id, clf_score, lm_logprob, flesch, "
+        "CAST(np AS BIGINT) AS n_pass, np >= 2 AS keep FROM v"
+    )
+
+
+ORACLE_SQL["corpus_quality_ensemble"] = _quality_ensemble_oracle_sql()

@@ -148,6 +148,7 @@ HEADLINE = [
     "text_bigram_lm",
     "corpus_embed_prune",
     "dedup_winnow",
+    "corpus_quality_ensemble",
 ]
 
 

@@ -1874,3 +1874,18 @@ def test_winnow_stats(spark):
     assert got[1].n_shared_fp > 0
     with _pytest.raises(ValueError, match=">= 1"):
         winnow_stats(df, k=0)
+
+
+def test_quality_ensemble_votes(spark):
+    """corpus_quality_ensemble at sf0.001: the majority rule is
+    non-vacuous — kept and dropped docs both occur, n_pass spans more
+    than one value, and keep == (n_pass >= 2) row-by-row."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    rows = QUERIES["corpus_quality_ensemble"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.keep == (r.n_pass >= 2) for r in rows)
+    assert len({r.keep for r in rows}) == 2
+    assert len({r.n_pass for r in rows}) >= 2

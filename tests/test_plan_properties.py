@@ -645,3 +645,13 @@ def test_winnow_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_quality_ensemble_plan(spark):
+    """corpus_quality_ensemble: the three signals thread through ONE
+    narrow plan via keep_cols (no doc_id re-join anywhere) — zero
+    exchanges, zero joins, no Python."""
+    plan = _qplan(spark, "corpus_quality_ensemble")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
