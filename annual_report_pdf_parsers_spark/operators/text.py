@@ -1203,3 +1203,82 @@ def bigram_logprob(
         .otherwise(F.lit(0.0))
         .alias("avg_logprob"),
     )
+
+
+def token_drift_topk(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    k: int = 50,
+    min_total: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-distribution DRIFT between two corpus snapshots — the
+    crawl-over-crawl monitoring primitive (public practice: corpus
+    reports compare token/unigram distributions across dumps to catch
+    scraper regressions, spam floods, and topic shifts before
+    training): top-k tokens by absolute smoothed log-ratio
+
+        p_side  = (count_side + 1) / (total_side + 1)   (add-one)
+        drift   = ROUND(ABS(LN(p_new / p_ref)), 6)
+
+    among tokens with count_ref + count_new >= ``min_total`` (rare-
+    token noise floor).  Ties break (drift DESC, token ASC) on the
+    ROUNDED value — the k boundary is engine-deterministic.
+
+    Returns (token, n_ref, n_new, log_ratio, drift) with log_ratio
+    signed (positive = over-represented in the NEW snapshot).
+
+    100 TB shape: one map-side-partial wordcount per snapshot; the two
+    count tables BOTH grow with the vocabulary, so they join via a
+    full-outer SHUFFLE join on the token key (never a driver broadcast
+    build — the NOTES 4a rule); the two totals attach as 1-row
+    broadcasts; the global top-k plans as TakeOrderedAndProject (no
+    global sort).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_total < 0:
+        raise ValueError("min_total must be >= 0")
+
+    def counts(d: DataFrame, side: str) -> DataFrame:
+        return (
+            d.select(
+                F.explode(
+                    F.transform(
+                        tokens(F.col(text_col)), lambda w: F.lower(w)
+                    )
+                ).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    cr, cn = counts(df_ref, "ref"), counts(df_new, "new")
+    tr = cr.agg(F.sum("n_ref").alias("_t_ref"))
+    tn = cn.agg(F.sum("n_new").alias("_t_new"))
+    joined = (
+        cr.join(cn.hint("shuffle_hash"), "token", "full_outer")
+        .join(F.broadcast(tr))
+        .join(F.broadcast(tn))
+        .select(
+            "token",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            F.col("_t_ref"),
+            F.col("_t_new"),
+        )
+        .filter(F.col("n_ref") + F.col("n_new") >= min_total)
+    )
+    p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_t_new") + F.lit(1.0))
+    p_ref = (F.col("n_ref") + F.lit(1.0)) / (F.col("_t_ref") + F.lit(1.0))
+    lr = F.round(F.log(p_new / p_ref), 6)
+    scored = joined.select(
+        "token",
+        "n_ref",
+        "n_new",
+        lr.alias("log_ratio"),
+        F.round(F.abs(F.log(p_new / p_ref)), 6).alias("drift"),
+    )
+    return scored.orderBy(
+        F.col("drift").desc(), F.col("token")
+    ).limit(k)

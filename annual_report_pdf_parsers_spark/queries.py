@@ -1827,6 +1827,27 @@ def q_text_tfidf_topk(spark, sf):
     )
 
 
+def q_corpus_drift(spark, sf):
+    """Snapshot-drift report: ref = the ws-noise corpus, new = the same
+    corpus with every 5th doc dropped (scraper-loss signal) and a spam
+    burst appended to every 3rd (flood signal) — the injected tokens
+    must surface in the top-k and the drop shifts every ratio slightly.
+    Oracle = two UNNEST wordcounts, FULL OUTER join, the identical
+    add-one ratio arithmetic, and the same (drift DESC, token) top-k."""
+    d = _with_ws_noise(load(spark, sf, "documents"))
+    ref = d.select("text")
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" driftspam driftspam buynow"),
+            ).otherwise(F.lit("")),
+        ).alias("text")
+    )
+    return text.token_drift_topk(ref, new, k=40)
+
+
 def q_corpus_dsir_sample(spark, sf):
     """DSIR importance resampling of 100 docs from the ws-noise corpus:
     hashed-ngram log importance weights + the Gumbel-top-k realization
@@ -2914,7 +2935,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_winnow": q_dedup_winnow,
     # -- ANN / similarity ---------------------------------------------
-    "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     # -- text analysis ------------------------------------------------
     "text_langid": q_text_langid,
@@ -2946,6 +2966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split_safe": q_corpus_split_safe,
     "corpus_epoch_plan": q_corpus_epoch_plan,
     "corpus_vocab_topk": q_corpus_vocab_topk,
+    "corpus_drift": q_corpus_drift,
     "corpus_embed_prune": q_corpus_embed_prune,
     # -- events / temporal --------------------------------------------
     "events_asof_join": q_events_asof,
@@ -2991,6 +3012,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text_repetition (r04-green; text_line_stats keeps the Gopher
     # filter family in-window) rotated below for
     # corpus_quality_ensemble;
+    # ann_cosine_topk (r02/r03/r04-green; the brute baseline stays
+    # proven by the local gate + the IVF/LSH recall-floor tests that
+    # compare against it every session) rotated below for corpus_drift;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -3006,6 +3030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "corpus_source_stats": q_corpus_source_stats,
     "text_repetition": q_text_repetition,
+    "ann_cosine_topk": q_ann_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -5639,3 +5664,35 @@ def _quality_ensemble_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_quality_ensemble"] = _quality_ensemble_oracle_sql()
+
+
+# corpus_drift: two add-one-smoothed wordcounts (ref = ws-noise corpus;
+# new = 20% dropped + spam burst on every 3rd doc), FULL OUTER join on
+# the token key, identical (n+1.0)/(T+1.0) ratio operand order, top-40
+# by (ROUND(|ln ratio|) DESC, token).
+ORACLE_SQL["corpus_drift"] = (
+    "WITH wsbase AS (SELECT doc_id, "
+    f"text || {_WS_NOISE_SQL} AS text FROM documents), "
+    "newb AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "
+    "  THEN ' driftspam driftspam buynow' ELSE '' END AS text "
+    "  FROM wsbase WHERE doc_id % 5 <> 0), "
+    "tkr AS (SELECT lower(UNNEST(list_filter(regexp_split_to_array("
+    "  text, " + _WSRE2 + "), t -> t <> ''))) AS token FROM wsbase), "
+    "tkn AS (SELECT lower(UNNEST(list_filter(regexp_split_to_array("
+    "  text, " + _WSRE2 + "), t -> t <> ''))) AS token FROM newb), "
+    "cr AS (SELECT token, COUNT(*) AS n_ref FROM tkr GROUP BY token), "
+    "cn AS (SELECT token, COUNT(*) AS n_new FROM tkn GROUP BY token), "
+    "tr AS (SELECT SUM(n_ref) AS t_ref FROM cr), "
+    "tn AS (SELECT SUM(n_new) AS t_new FROM cn), "
+    "j AS (SELECT COALESCE(cr.token, cn.token) AS token, "
+    "  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_new, 0) AS n_new "
+    "  FROM cr FULL OUTER JOIN cn ON cn.token = cr.token), "
+    "f AS (SELECT j.*, t_ref, t_new FROM j CROSS JOIN tr CROSS JOIN tn "
+    "  WHERE n_ref + n_new >= 3) "
+    "SELECT token, n_ref, n_new, "
+    "ROUND(LN(((n_new + 1.0) / (t_new + 1.0)) / "
+    "  ((n_ref + 1.0) / (t_ref + 1.0))), 6) AS log_ratio, "
+    "ROUND(ABS(LN(((n_new + 1.0) / (t_new + 1.0)) / "
+    "  ((n_ref + 1.0) / (t_ref + 1.0)))), 6) AS drift "
+    "FROM f ORDER BY drift DESC, token LIMIT 40"
+)

@@ -149,6 +149,7 @@ HEADLINE = [
     "corpus_embed_prune",
     "dedup_winnow",
     "corpus_quality_ensemble",
+    "corpus_drift",
 ]
 
 

@@ -1889,3 +1889,40 @@ def test_quality_ensemble_votes(spark):
     assert all(r.keep == (r.n_pass >= 2) for r in rows)
     assert len({r.keep for r in rows}) == 2
     assert len({r.n_pass for r in rows}) >= 2
+
+
+def test_token_drift_topk(spark):
+    """text.token_drift_topk: injected-token drift dominates, signed
+    log_ratio direction, the min_total floor, lowering, and k/min
+    validation."""
+    import math
+
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        token_drift_topk,
+    )
+
+    ref = spark.createDataFrame(
+        [("aa bb cc aa",), ("aa bb dd",)], "text string"
+    )
+    new = spark.createDataFrame(
+        [("aa bb cc SPAM spam",), ("aa spam spam",)], "text string"
+    )
+    got = {r.token: r for r in
+           token_drift_topk(ref, new, k=10, min_total=2).collect()}
+    # 'dd' (1 occurrence total) falls below min_total=2
+    assert "dd" not in got
+    # spam: 0 -> 4 (lowered) is the top drift; positive = new-heavy
+    top = token_drift_topk(ref, new, k=1, min_total=2).collect()[0]
+    assert top.token == "spam" and top.log_ratio > 0
+    r = got["spam"]
+    assert (r.n_ref, r.n_new) == (0, 4)
+    t_ref, t_new = 7, 8
+    assert r.log_ratio == round(
+        math.log((5.0 / (t_new + 1.0)) / (1.0 / (t_ref + 1.0))), 6
+    )
+    # 'aa' shrank relatively: negative ratio
+    assert got["aa"].log_ratio < 0
+    with _pytest.raises(ValueError, match=">= 1"):
+        token_drift_topk(ref, new, k=0)

@@ -655,3 +655,17 @@ def test_quality_ensemble_plan(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_drift_plan(spark):
+    """corpus_drift: both count tables are vocabulary-scaled, so the
+    full-outer join must NOT plan as a broadcast (NOTES 4a); totals
+    attach as 1-row BNLJ broadcasts; the top-k plans as
+    TakeOrderedAndProject, never a global sort."""
+    plan = _qplan(spark, "corpus_drift")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan

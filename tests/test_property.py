@@ -1604,3 +1604,67 @@ def test_winnow_stats_matches_python_model(spark, docs, k, w):
         for r in winnow_stats(df, k=k, w=w).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# token drift vs a Counter-based model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(_tfidf_word, min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(_tfidf_word, min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 20),
+)
+def test_token_drift_matches_python_model(spark, ref_docs, new_docs, k):
+    """text.token_drift_topk vs the model: add-one ratios, the
+    min_total floor, absent-side zeros, and the rounded (drift desc,
+    token asc) boundary."""
+    import math
+    from collections import Counter
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        token_drift_topk,
+    )
+
+    def mk(docs):
+        return [
+            "".join(
+                w + _WS_SEPS[(i + j) % len(_WS_SEPS)]
+                for j, w in enumerate(ws)
+            )
+            for i, ws in enumerate(docs)
+        ]
+
+    rt, nt = mk(ref_docs), mk(new_docs)
+    cr = Counter(w.lower() for t in rt for w in _model_tokens(t))
+    cn = Counter(w.lower() for t in nt for w in _model_tokens(t))
+    t_ref, t_new = sum(cr.values()), sum(cn.values())
+    want = []
+    for tok in set(cr) | set(cn):
+        a, b = cr.get(tok, 0), cn.get(tok, 0)
+        if a + b < 3:
+            continue
+        lr = math.log(
+            ((b + 1.0) / (t_new + 1.0)) / ((a + 1.0) / (t_ref + 1.0))
+        )
+        want.append((tok, a, b, round(lr, 6), round(abs(lr), 6)))
+    want.sort(key=lambda r: (-r[4], r[0]))
+    want = want[:k]
+
+    ref = spark.createDataFrame([(t,) for t in rt], "text string")
+    new = spark.createDataFrame([(t,) for t in nt], "text string")
+    got = [
+        (r.token, r.n_ref, r.n_new, r.log_ratio, r.drift)
+        for r in token_drift_topk(ref, new, k=k).collect()
+    ]
+    assert sorted(got, key=lambda r: (-r[4], r[0])) == want
