@@ -1254,8 +1254,11 @@ def token_drift_topk(
         )
 
     cr, cn = counts(df_ref, "ref"), counts(df_new, "new")
-    tr = cr.agg(F.sum("n_ref").alias("_t_ref"))
-    tn = cn.agg(F.sum("n_new").alias("_t_new"))
+    # coalesce: SUM over an EMPTY count table (a zero-token snapshot)
+    # is NULL, which would poison every ratio — the add-one smoothing
+    # is specified over total = 0
+    tr = cr.agg(F.coalesce(F.sum("n_ref"), F.lit(0)).alias("_t_ref"))
+    tn = cn.agg(F.coalesce(F.sum("n_new"), F.lit(0)).alias("_t_new"))
     joined = (
         cr.join(cn.hint("shuffle_hash"), "token", "full_outer")
         .join(F.broadcast(tr))

@@ -3691,6 +3691,34 @@ def _quality_cte(carry: str, src: str = "documents") -> str:
     )
 
 
+def _readability_counts_sql(src: str, out: str) -> str:
+    """CTE ``out``(doc_id, n_words, n_sentences, n_syllables) over
+    source CTE ``src`` — ONE site for the readability count
+    definitions (ws-run words, [.!?]+ sentence runs clamped >= 1,
+    [aeiouy]+ vowel-group syllables), mirrored from text.readability.
+    Shared by the text_readability / corpus_curation /
+    corpus_quality_ensemble oracles."""
+    return (
+        f"{out} AS (SELECT doc_id, "
+        "CAST(len(list_filter(regexp_split_to_array(text, " + _WSRE2
+        + "), t -> t <> '')) AS BIGINT) AS n_words, "
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
+        "AS BIGINT) AS n_sentences, "
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+        "AS BIGINT) AS n_syllables "
+        f"FROM {src})"
+    )
+
+
+# the Flesch expression over a _readability_counts_sql row — the other
+# half of the ONE-site rule above
+_FLESCH_SQL = (
+    "ROUND(CASE WHEN n_words > 0 THEN "
+    "206.835 - 1.015 * (n_words / n_sentences) "
+    "- 84.6 * (n_syllables / n_words) ELSE 0.0 END, 6)"
+)
+
+
 ORACLE_SQL: dict[str, str] = {
     "s1_scan_prune": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"
@@ -4916,17 +4944,8 @@ ORACLE_SQL: dict[str, str] = {
         "  THEN ' First probe sentence. Second one! Third?' "
         "  ELSE '' END AS text FROM documents), "
         + _quality_cte("doc_id, source", "inj") + ", "
-        "rdn AS (SELECT doc_id, "
-        "  CAST(len(list_filter(regexp_split_to_array(text, " + _WSRE2
-        + "), t -> t <> '')) AS BIGINT) AS n_words, "
-        "  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
-        "    AS BIGINT) AS n_sentences, "
-        "  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
-        "    AS BIGINT) AS n_syllables FROM inj), "
-        "rd AS (SELECT doc_id, ROUND(CASE WHEN n_words > 0 THEN "
-        "  206.835 - 1.015 * (n_words / n_sentences) "
-        "  - 84.6 * (n_syllables / n_words) ELSE 0.0 END, 6) AS flesch "
-        "  FROM rdn), "
+        + _readability_counts_sql("inj", "rdn") + ", "
+        f"rd AS (SELECT doc_id, {_FLESCH_SQL} AS flesch FROM rdn), "
         "st AS (SELECT source, "
         "  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) "
         "    / COUNT(*), 6) >= 0.45 AS keep FROM qdoc GROUP BY source), "
@@ -5159,11 +5178,18 @@ def _proto_prune_oracle_sql(
         "ca AS (SELECT e.vec_id, c.cid, "
         f"  {_cos_arr_sql('e.embedding', 'c.cv')} AS ccos "
         "  FROM e CROSS JOIN cents c), "
-        "cell_of AS (SELECT vec_id, cid AS cell, "
-        "  ROUND(ccos, 6) AS proto_cos FROM ("
+        # NULL-vector sentinel mirror: the engine's argmax coalesces a
+        # NULL cosine to -2.0 so it never wins, and when EVERY cosine
+        # is NULL the -1.5 sentinel yields (cell -1, proto_cos -1.5) —
+        # restated here as the ccos-IS-NULL CASE on the rn=1 row
+        # (NULLS LAST makes any real cosine win first)
+        "cell_of AS (SELECT vec_id, "
+        "  CASE WHEN ccos IS NULL THEN -1 ELSE cid END AS cell, "
+        "  CASE WHEN ccos IS NULL THEN -1.5 "
+        "    ELSE ROUND(ccos, 6) END AS proto_cos FROM ("
         "  SELECT vec_id, cid, ccos, ROW_NUMBER() OVER ("
-        "    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn "
-        "  FROM ca) WHERE rn = 1), "
+        "    PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, "
+        "    cid ASC) AS rn FROM ca) WHERE rn = 1), "
         "cuts AS (SELECT cell, "
         f"  ROUND(quantile_cont(proto_cos, {q!r}), 6) AS cell_cutoff "
         "  FROM cell_of GROUP BY cell) "
@@ -5282,19 +5308,9 @@ ORACLE_SQL["text_readability"] = (
     "  CASE WHEN doc_id % 2 = 0 "
     "  THEN ' First probe sentence. Second one! Third?' "
     "  ELSE '' END AS text FROM documents), "
-    "n AS (SELECT doc_id, "
-    "  CAST(len(list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
-    "    t -> t <> '')) AS BIGINT) AS n_words, "
-    "  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
-    "    AS BIGINT) AS n_sentences, "
-    "  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
-    "    AS BIGINT) AS n_syllables "
-    "  FROM inj) "
-    "SELECT doc_id, n_words, n_sentences, n_syllables, "
-    "ROUND(CASE WHEN n_words > 0 THEN "
-    "  206.835 - 1.015 * (n_words / n_sentences) "
-    "  - 84.6 * (n_syllables / n_words) ELSE 0.0 END, 6) AS flesch "
-    "FROM n"
+    + _readability_counts_sql("inj", "n")
+    + " SELECT doc_id, n_words, n_sentences, n_syllables, "
+    f"{_FLESCH_SQL} AS flesch FROM n"
 )
 
 # text_dup_spans: k=8/stride=1 window hashes over the dupe corpus
@@ -5639,17 +5655,8 @@ def _quality_ensemble_oracle_sql() -> str:
         "  ROUND(list_reduce(list_prepend(0.0, "
         f"  list_transform(tk, w -> {uni_case})), (p, q) -> p + q) "
         "  / len(tk), 6) ELSE 0.0 END AS lm_logprob FROM tks), "
-        "rd AS (SELECT doc_id, "
-        "  CAST(len(list_filter(regexp_split_to_array(text, "
-        + _WSRE2 + "), t -> t <> '')) AS BIGINT) AS n_words, "
-        "  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
-        "    AS BIGINT) AS n_sentences, "
-        "  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
-        "    AS BIGINT) AS n_syllables FROM inj), "
-        "rf AS (SELECT doc_id, ROUND(CASE WHEN n_words > 0 THEN "
-        "  206.835 - 1.015 * (n_words / n_sentences) "
-        "  - 84.6 * (n_syllables / n_words) ELSE 0.0 END, 6) AS flesch "
-        "  FROM rd), "
+        + _readability_counts_sql("inj", "rd") + ", "
+        f"rf AS (SELECT doc_id, {_FLESCH_SQL} AS flesch FROM rd), "
         "j AS (SELECT sc.doc_id, ROUND(sc.s, 6) AS clf_score, "
         "  lm.lm_logprob, rf.flesch FROM sc "
         "  JOIN lm ON lm.doc_id = sc.doc_id "
@@ -5682,8 +5689,8 @@ ORACLE_SQL["corpus_drift"] = (
     "  text, " + _WSRE2 + "), t -> t <> ''))) AS token FROM newb), "
     "cr AS (SELECT token, COUNT(*) AS n_ref FROM tkr GROUP BY token), "
     "cn AS (SELECT token, COUNT(*) AS n_new FROM tkn GROUP BY token), "
-    "tr AS (SELECT SUM(n_ref) AS t_ref FROM cr), "
-    "tn AS (SELECT SUM(n_new) AS t_new FROM cn), "
+    "tr AS (SELECT COALESCE(SUM(n_ref), 0) AS t_ref FROM cr), "
+    "tn AS (SELECT COALESCE(SUM(n_new), 0) AS t_new FROM cn), "
     "j AS (SELECT COALESCE(cr.token, cn.token) AS token, "
     "  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_new, 0) AS n_new "
     "  FROM cr FULL OUTER JOIN cn ON cn.token = cr.token), "

@@ -1926,3 +1926,23 @@ def test_token_drift_topk(spark):
     assert got["aa"].log_ratio < 0
     with _pytest.raises(ValueError, match=">= 1"):
         token_drift_topk(ref, new, k=0)
+
+
+def test_token_drift_empty_snapshot(spark):
+    """token_drift_topk regression (review finding): a zero-token
+    snapshot must produce total = 0 (add-one smoothing still defined),
+    not NULL-poisoned ratios."""
+    import math
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        token_drift_topk,
+    )
+
+    ref = spark.createDataFrame([("",)], "text string")
+    new = spark.createDataFrame([("aa aa aa",)], "text string")
+    rows = token_drift_topk(ref, new, k=5, min_total=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.token, r.n_ref, r.n_new) == ("aa", 0, 3)
+    want = round(math.log((4.0 / 4.0) / (1.0 / 1.0)), 6)
+    assert r.log_ratio == want and r.drift == abs(want)
