@@ -2436,10 +2436,31 @@ def q_corpus_end_to_end(spark, sf):
     (url stage fires), the +1e6 exact copies carry UNIQUE urls so they
     survive to the exact-dedup stage (which drops them), and organic
     near-dups fall to the MinHash+CC stage."""
-    from .operators.sampling import quota_topk_per_group, shard_shuffle
+    from .operators.sampling import shard_shuffle
+
+    s5 = _e2e_stages(spark, sf)[-1][1]
+    return shard_shuffle(s5.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "shard", "pos"
+    )
+
+
+def _e2e_stages(spark, sf, materialize: bool = False) -> list:
+    """The end-to-end decision chain's stage frames, in funnel order:
+    [(stage_name, frame), ...] for input -> url_dedup -> exact_dedup ->
+    minhash_cc -> decontaminate -> quality_quota.  ONE site for the
+    composition — shared by corpus_end_to_end (which shards the final
+    stage, materialize=False: one lazy plan, the pinned shape) and
+    corpus_dedup_funnel (materialize=True: each stage localCheckpoints
+    so six counts don't re-derive six chain prefixes — the LADDER
+    LESSON, NOTES.md; production writes each stage once per snapshot
+    and audits the outputs)."""
+    from .operators.sampling import quota_topk_per_group
     from .operators.urls import url_dedup
 
-    d = _corpus_with_dupes(spark, sf)
+    def _chk(f):
+        return f.localCheckpoint(eager=False) if materialize else f
+
+    d = _chk(_corpus_with_dupes(spark, sf))
     k = F.col("doc_id")
     lid = (
         F.when(k < 1000000, (k % 490)).otherwise(k)
@@ -2458,25 +2479,60 @@ def q_corpus_end_to_end(spark, sf):
             F.lit("/#f")))
     )
     u = url_dedup(d.withColumn("url", url))
-    s1 = d.join(u.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    s1 = _chk(d.join(u.select(F.col("keep_id").alias("doc_id")), "doc_id"))
     ex = dedup.exact_dedup(s1)
-    s2 = s1.join(ex.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    s2 = _chk(
+        s1.join(ex.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    )
     pairs = dedup.minhash_lsh_pairs(s2)
     cc = dedup.cluster_keep_decision(s2, pairs)
-    s3 = s2.join(cc.filter(F.col("keep")).select("doc_id"), "doc_id")
+    s3 = _chk(s2.join(cc.filter(F.col("keep")).select("doc_id"), "doc_id"))
     bench = load(spark, sf, "documents").filter(k % 40 == 0).select(
         "text"
     )
     dec = dedup.decontaminate(s3, bench)
-    s4 = s3.join(
+    s4 = _chk(s3.join(
         dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
+    ))
     s5 = quota_topk_per_group(
         text.quality_score(s4), "source", "quality", "doc_id", 12
     )
-    return shard_shuffle(s5.select("doc_id", "source"), "doc_id").select(
-        "doc_id", "source", "shard", "pos"
-    )
+    return [
+        ("input", d),
+        ("url_dedup", s1),
+        ("exact_dedup", s2),
+        ("minhash_cc", s3),
+        ("decontaminate", s4),
+        ("quality_quota", s5),
+    ]
+
+
+def q_corpus_dedup_funnel(spark, sf):
+    """Dedup-funnel AUDIT: per-stage survival counts down the SAME
+    composed chain as corpus_end_to_end (one site, _e2e_stages) — the
+    observability report every curation run publishes (where did the
+    corpus go; which stage over- or under-fires).  Returns one row per
+    stage: (stage_no, stage, n_docs), stage_no preserving funnel order.
+    Each count is a map-side-partial aggregate; at production scale the
+    chain is materialized once per snapshot and the funnel reads the
+    stage outputs, so the multi-pass plan here is the audit's cost, not
+    the pipeline's.  Oracle = the shared e2e CTE chain + a UNION ALL of
+    stage counts."""
+    parts = []
+    for i, (name, frame) in enumerate(
+        _e2e_stages(spark, sf, materialize=True)
+    ):
+        parts.append(
+            frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+                F.lit(i).cast("long").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_text_normalize(spark, sf):
@@ -2924,7 +2980,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash64": q_dedup_simhash64,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
@@ -2951,6 +3006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
+    "corpus_dedup_funnel": q_corpus_dedup_funnel,
     "corpus_curation": q_corpus_curation,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_mixture_sample": q_corpus_mixture_sample,
@@ -3015,6 +3071,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ann_cosine_topk (r02/r03/r04-green; the brute baseline stays
     # proven by the local gate + the IVF/LSH recall-floor tests that
     # compare against it every session) rotated below for corpus_drift;
+    # dedup_simhash64 (r04-green; the simhash family stays in-window
+    # via dedup_simhash_pairs_mp, which consumes the same fingerprint
+    # builder) rotated below for corpus_dedup_funnel;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -3031,6 +3090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_stats": q_corpus_source_stats,
     "text_repetition": q_text_repetition,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "dedup_simhash64": q_dedup_simhash64,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -3717,6 +3777,56 @@ _FLESCH_SQL = (
     "206.835 - 1.015 * (n_words / n_sentences) "
     "- 84.6 * (n_syllables / n_words) ELSE 0.0 END, 6)"
 )
+
+
+def _e2e_chain_sql() -> str:
+    """The end-to-end decision chain as a CTE string (through s5) —
+    ONE site mirroring _e2e_stages, shared by the corpus_end_to_end
+    and corpus_dedup_funnel oracles."""
+    return (
+        f"WITH RECURSIVE {_DUPES}, "
+        "uurl AS (SELECT doc_id, CASE WHEN doc_id < 1000000 "
+        "  THEN doc_id % 490 ELSE doc_id END AS lid FROM corpus), "
+        "ukeep AS (SELECT MIN(doc_id) AS doc_id FROM uurl GROUP BY lid), "
+        "s1 AS (SELECT c.* FROM corpus c JOIN ukeep USING (doc_id)), "
+        "keepx AS (SELECT MIN(doc_id) AS doc_id FROM s1 "
+        "  GROUP BY md5(text)), "
+        "surv AS (SELECT s1.* FROM s1 JOIN keepx USING (doc_id)), "
+        + _TOKS.replace("FROM corpus", "FROM surv")
+        + ", " + _SHINGLES + ", " + _MH_PAIRS + ", "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+        "  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
+        "reach AS (SELECT DISTINCT s AS node, s AS r FROM edges "
+        "  UNION "
+        "  SELECT e.s AS node, reach.r FROM edges e "
+        "  JOIN reach ON reach.node = e.d), "
+        "comp AS (SELECT node, MIN(r) AS cluster_id FROM reach "
+        "  GROUP BY node), "
+        "s3 AS (SELECT surv.* FROM surv LEFT JOIN comp "
+        "  ON comp.node = surv.doc_id "
+        "  WHERE COALESCE(comp.cluster_id, surv.doc_id) = surv.doc_id), "
+        "dsh AS (SELECT sh.doc_id, sh.shingle FROM sh "
+        "  JOIN s3 USING (doc_id)), "
+        "btoks AS (SELECT doc_id, "
+        "  list_filter(regexp_split_to_array(text, "
+        "" + _WSRE2 + "), t -> t <> '') AS tk "
+        "  FROM documents WHERE doc_id % 40 = 0), "
+        "bsh AS (SELECT DISTINCT "
+        "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
+        "  FROM btoks, UNNEST(generate_series(1, "
+        "    greatest(len(tk) - 2, 0))) AS g(i) WHERE len(tk) >= 3), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n FROM dsh "
+        "  JOIN bsh USING (shingle) GROUP BY doc_id), "
+        "s4 AS (SELECT s3.* FROM s3 LEFT JOIN hits USING (doc_id) "
+        "  WHERE COALESCE(hits.n, 0) < 2), "
+        + _quality_cte("doc_id, source", "s4")
+        + ", "
+        "r AS (SELECT doc_id, source, "
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rnk "
+        "  FROM qdoc), "
+        "s5 AS (SELECT doc_id, source FROM r WHERE rnk <= 12)"
+    )
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -4657,53 +4767,24 @@ ORACLE_SQL: dict[str, str] = {
     # CC over the survivors, shingle-overlap decontamination vs the raw
     # %40 benchmark, _quality_cte + quota window, md5 shard shuffle.
     "corpus_end_to_end": (
-        f"WITH RECURSIVE {_DUPES}, "
-        "uurl AS (SELECT doc_id, CASE WHEN doc_id < 1000000 "
-        "  THEN doc_id % 490 ELSE doc_id END AS lid FROM corpus), "
-        "ukeep AS (SELECT MIN(doc_id) AS doc_id FROM uurl GROUP BY lid), "
-        "s1 AS (SELECT c.* FROM corpus c JOIN ukeep USING (doc_id)), "
-        "keepx AS (SELECT MIN(doc_id) AS doc_id FROM s1 "
-        "  GROUP BY md5(text)), "
-        "surv AS (SELECT s1.* FROM s1 JOIN keepx USING (doc_id)), "
-        + _TOKS.replace("FROM corpus", "FROM surv")
-        + ", " + _SHINGLES + ", " + _MH_PAIRS + ", "
-        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
-        "  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
-        "reach AS (SELECT DISTINCT s AS node, s AS r FROM edges "
-        "  UNION "
-        "  SELECT e.s AS node, reach.r FROM edges e "
-        "  JOIN reach ON reach.node = e.d), "
-        "comp AS (SELECT node, MIN(r) AS cluster_id FROM reach "
-        "  GROUP BY node), "
-        "s3 AS (SELECT surv.* FROM surv LEFT JOIN comp "
-        "  ON comp.node = surv.doc_id "
-        "  WHERE COALESCE(comp.cluster_id, surv.doc_id) = surv.doc_id), "
-        "dsh AS (SELECT sh.doc_id, sh.shingle FROM sh "
-        "  JOIN s3 USING (doc_id)), "
-        "btoks AS (SELECT doc_id, "
-        "  list_filter(regexp_split_to_array(text, "
-        "" + _WSRE2 + "), t -> t <> '') AS tk "
-        "  FROM documents WHERE doc_id % 40 = 0), "
-        "bsh AS (SELECT DISTINCT "
-        "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
-        "  FROM btoks, UNNEST(generate_series(1, "
-        "    greatest(len(tk) - 2, 0))) AS g(i) WHERE len(tk) >= 3), "
-        "hits AS (SELECT doc_id, COUNT(*) AS n FROM dsh "
-        "  JOIN bsh USING (shingle) GROUP BY doc_id), "
-        "s4 AS (SELECT s3.* FROM s3 LEFT JOIN hits USING (doc_id) "
-        "  WHERE COALESCE(hits.n, 0) < 2), "
-        + _quality_cte("doc_id, source", "s4")
-        + ", "
-        "r AS (SELECT doc_id, source, "
-        "  CAST(ROW_NUMBER() OVER (PARTITION BY source "
-        "    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rnk "
-        "  FROM qdoc), "
-        "s5 AS (SELECT doc_id, source FROM r WHERE rnk <= 12), "
+        _e2e_chain_sql() + ", "
         "hsh AS (SELECT doc_id, source, "
         "  md5(CAST(doc_id AS VARCHAR) || '|sh0') AS dg FROM s5) "
         "SELECT doc_id, source, substr(dg, 1, 2) AS shard, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY substr(dg, 1, 2) "
         "  ORDER BY dg ASC, doc_id ASC) AS BIGINT) AS pos FROM hsh"
+    ),
+    # corpus_dedup_funnel: the shared e2e chain + a UNION ALL of stage
+    # counts in funnel order (input/url/exact/cc/decontaminate/quota)
+    "corpus_dedup_funnel": (
+        _e2e_chain_sql() + " "
+        "SELECT CAST(0 AS BIGINT) AS stage_no, 'input' AS stage, "
+        "  COUNT(*) AS n_docs FROM corpus "
+        "UNION ALL SELECT 1, 'url_dedup', COUNT(*) FROM s1 "
+        "UNION ALL SELECT 2, 'exact_dedup', COUNT(*) FROM surv "
+        "UNION ALL SELECT 3, 'minhash_cc', COUNT(*) FROM s3 "
+        "UNION ALL SELECT 4, 'decontaminate', COUNT(*) FROM s4 "
+        "UNION ALL SELECT 5, 'quality_quota', COUNT(*) FROM s5"
     ),
     # text_normalize: injection + the same lower/translate/collapse
     # chain; the fold tables are the engine's own constants so the two

@@ -150,6 +150,7 @@ HEADLINE = [
     "dedup_winnow",
     "corpus_quality_ensemble",
     "corpus_drift",
+    "corpus_dedup_funnel",
 ]
 
 

@@ -1946,3 +1946,25 @@ def test_token_drift_empty_snapshot(spark):
     assert (r.token, r.n_ref, r.n_new) == ("aa", 0, 3)
     want = round(math.log((4.0 / 4.0) / (1.0 / 1.0)), 6)
     assert r.log_ratio == want and r.drift == abs(want)
+
+
+def test_dedup_funnel_monotone(spark):
+    """corpus_dedup_funnel at sf0.001: six stages in order, counts
+    monotonically non-increasing, and every stage below 'input' fires
+    at least once on the dupe fixture (no vacuous stage)."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["corpus_dedup_funnel"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.stage_no,
+    )
+    assert [r.stage for r in rows] == [
+        "input", "url_dedup", "exact_dedup", "minhash_cc",
+        "decontaminate", "quality_quota",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[0] > counts[1] > counts[2], counts
+    assert counts[-1] > 0

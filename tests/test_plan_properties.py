@@ -669,3 +669,15 @@ def test_corpus_drift_plan(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_dedup_funnel_plan(spark):
+    """corpus_dedup_funnel: the six counts ride localCheckpoint-ed
+    stage frames (the LADDER LESSON — without materialization each
+    union branch re-derived the whole chain prefix: measured 134
+    exchanges; checkpointed: 1), so the audit plan is a union of
+    trivial aggregates."""
+    plan = _qplan(spark, "corpus_dedup_funnel")
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 8, plan
