@@ -1968,3 +1968,25 @@ def test_dedup_funnel_monotone(spark):
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert counts[0] > counts[1] > counts[2], counts
     assert counts[-1] > 0
+
+
+def test_registry_window_contract():
+    """Driver-gate registry invariants (ADVICE r04 #1 drift class):
+    the CORRECTNESS window is the FIRST 50 keys — both flagship
+    entries must sit inside it, every key must be oracled except the
+    documented rows-only flagship, and rotation must never lose keys
+    (every below-window key is still registered exactly once)."""
+    from annual_report_pdf_parsers_spark.queries import (
+        QUERIES,
+        oracle_sql_dict,
+    )
+
+    ks = list(QUERIES)
+    window = ks[:50]
+    assert "pipeline_extract" in window
+    assert "pipeline_oracle" in window
+    oracled = oracle_sql_dict()
+    assert {k for k in ks if k not in oracled} == {"pipeline_extract"}
+    assert all(callable(QUERIES[k]) for k in ks)
+    # oracles never dangle: every oracle key is a registered query
+    assert set(oracled) <= set(ks)
