@@ -493,3 +493,98 @@ def sample_frames(media_df, max_frames: int = 32):
             )
 
     return media_df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def chunk_dedup_stats(
+    df,
+    chunk_bytes: int = 64,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+):
+    """Fixed-chunk BINARY dedup stats — the storage/backup-family
+    dedup move (public knowledge: chunk-hash dedup as in venti/LBFS;
+    content-defined chunking is the rolling-hash refinement) applied to
+    opaque media blobs: split each blob into ``chunk_bytes`` chunks,
+    hash each, and report how much of every blob is shared with ANY
+    other blob — re-encoded thumbnails and byte-identical mirrors of
+    media assets surface long before any decoder runs.
+
+    Implementation detail shared with the DuckDB oracle: chunks are
+    taken on the HEX encoding of the blob (2 hex chars per byte — a
+    per-byte bijection, so chunk identity over hex == chunk identity
+    over raw bytes).  DuckDB's md5() only accepts VARCHAR, and Spark's
+    hex() and DuckDB's hex() produce the same uppercase encoding, so
+    hashing hex substrings is the engine-portable form; blobs stay
+    binary at rest and convert once per row.
+
+    Returns one row per input: (doc_id, n_bytes, n_chunks,
+    n_shared_chunks, shared_frac) — 0/0.0 for empty or NULL blobs.
+    The tail chunk is short (no padding), matching byte-range chunking.
+
+    100 TB shape: the hex projection + chunk hashing is narrow
+    (pin()-staged hex so the per-chunk substrings don't re-encode the
+    blob); the cross-doc test is min(id) != max(id) per chunk hash —
+    ONE exchange keyed by the hash (the dup_span_stats shape); blobs
+    themselves never shuffle (only 32-hex chunk hashes move).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import pin
+
+    if chunk_bytes < 1:
+        raise ValueError("chunk_bytes must be >= 1")
+    w = 2 * chunk_bytes
+    base = df.withColumn("_ck_hx", pin(F.hex(F.col(blob_col))))
+    hx = F.col("_ck_hx")
+    n_hex = F.length(hx)
+    n_chunks = F.ceil(n_hex / F.lit(w)).cast("int")
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.md5(F.substring(hx, (i - 1) * w + 1, w)),
+    )
+    chunks = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(n_hex > 0, hashes).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("h"),
+    )
+    cross = chunks.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_shared")
+    )
+    per_doc = (
+        chunks.join(cross, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("is_shared"), 1).otherwise(0)
+            ).alias("n_shared_chunks"),
+        )
+    )
+    sizes = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce((n_hex / 2).cast("long"), F.lit(0)).alias("n_bytes"),
+    )
+    return (
+        sizes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias(
+                "n_chunks"
+            ),
+            F.coalesce(F.col("n_shared_chunks"), F.lit(0)).cast(
+                "long"
+            ).alias("n_shared_chunks"),
+            F.when(
+                F.coalesce(F.col("n_chunks"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_shared_chunks") / F.col("n_chunks"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )

@@ -1734,6 +1734,31 @@ def q_dedup_winnow(spark, sf):
     return dedup.winnow_stats(_corpus_with_dupes(spark, sf), k=5, w=4)
 
 
+_MEDIA_HDR = "MEDIAHDR" * 16  # 128-byte shared "container header"
+
+
+def q_media_chunk_dedup(spark, sf):
+    """Binary chunk-dedup stats over blobs synthesized from the dupe
+    corpus (testdata carries no binary column): blob = UTF-8 bytes of
+    a 128-byte shared container header + the document text, chunked at
+    64 bytes — EVERY blob shares its header chunks (corpus-wide
+    boilerplate), exact copies share everything, unique docs share
+    only the header.  First driver-gated row for the binary/multimodal
+    family: blobs stay BinaryType through the operator.  Oracle = the
+    same hex-grid chunking (hex() is identically uppercase in both
+    engines; DuckDB md5 is VARCHAR-only, hence the hex form — see the
+    operator docstring)."""
+    from .operators.multimodal import chunk_dedup_stats
+
+    d = _corpus_with_dupes(spark, sf).select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(_MEDIA_HDR), F.col("text")), "UTF-8"
+        ).alias("blob"),
+    )
+    return chunk_dedup_stats(d, chunk_bytes=64)
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -2979,7 +3004,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_soft_weights": q_dedup_soft_weights,
     "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
@@ -2989,6 +3013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_semantic": q_dedup_semantic,
     "dedup_winnow": q_dedup_winnow,
+    "media_chunk_dedup": q_media_chunk_dedup,
     # -- ANN / similarity ---------------------------------------------
     "ann_ivf_topk": q_ann_ivf_topk,
     # -- text analysis ------------------------------------------------
@@ -3074,6 +3099,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_simhash64 (r04-green; the simhash family stays in-window
     # via dedup_simhash_pairs_mp, which consumes the same fingerprint
     # builder) rotated below for corpus_dedup_funnel;
+    # dedup_ngram_jaccard (r04-green; the shingle machinery stays
+    # in-window via corpus_end_to_end's MinHash stage and the span/
+    # winnow window hashes) rotated below for media_chunk_dedup;
     # p1_realign + text_tokens rotated below late in r05 to make room
     # for dedup_paragraphs / corpus_ccnet_tiers; text_normalize /
     # corpus_sample_hash / corpus_shard_shuffle / text_fingerprint /
@@ -3091,6 +3119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "ann_cosine_topk": q_ann_cosine_topk,
     "dedup_simhash64": q_dedup_simhash64,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -5783,4 +5812,32 @@ ORACLE_SQL["corpus_drift"] = (
     "ROUND(ABS(LN(((n_new + 1.0) / (t_new + 1.0)) / "
     "  ((n_ref + 1.0) / (t_ref + 1.0)))), 6) AS drift "
     "FROM f ORDER BY drift DESC, token LIMIT 40"
+)
+
+
+# media_chunk_dedup: blobs synthesized as encode(header || text) over
+# the dupe corpus; chunks on the hex grid (128 hex chars = 64 bytes,
+# hex() uppercase in both engines), md5 per chunk VARCHAR, the
+# dup_span_stats cross test, decision-table left join with byte sizes.
+ORACLE_SQL["media_chunk_dedup"] = (
+    f"WITH {_DUPES}, "
+    "hxd AS (SELECT doc_id, "
+    f"  hex(encode('{_MEDIA_HDR}' || text)) AS hx FROM corpus), "
+    "ch AS (SELECT doc_id, "
+    "  md5(substring(hx, (i - 1) * 128 + 1, 128)) AS h "
+    "  FROM hxd, UNNEST(generate_series(1, "
+    "    CAST(ceil(len(hx) / 128) AS INT))) AS g(i) "
+    "  WHERE len(hx) > 0), "
+    "crossh AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS is_shared "
+    "  FROM ch GROUP BY h), "
+    "pd AS (SELECT ch.doc_id, COUNT(*) AS n_chunks, "
+    "  SUM(CASE WHEN is_shared THEN 1 ELSE 0 END) AS n_shared_chunks "
+    "  FROM ch JOIN crossh USING (h) GROUP BY ch.doc_id) "
+    "SELECT x.doc_id, CAST(len(x.hx) / 2 AS BIGINT) AS n_bytes, "
+    "CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks, "
+    "CAST(COALESCE(n_shared_chunks, 0) AS BIGINT) AS n_shared_chunks, "
+    "ROUND(CASE WHEN COALESCE(n_chunks, 0) > 0 "
+    "  THEN COALESCE(n_shared_chunks, 0) / n_chunks "
+    "  ELSE 0.0 END, 6) AS shared_frac "
+    "FROM hxd x LEFT JOIN pd ON pd.doc_id = x.doc_id"
 )

@@ -151,6 +151,7 @@ HEADLINE = [
     "corpus_quality_ensemble",
     "corpus_drift",
     "corpus_dedup_funnel",
+    "media_chunk_dedup",
 ]
 
 

@@ -1990,3 +1990,35 @@ def test_registry_window_contract():
     assert all(callable(QUERIES[k]) for k in ks)
     # oracles never dangle: every oracle key is a registered query
     assert set(oracled) <= set(ks)
+
+
+def test_chunk_dedup_stats(spark):
+    """multimodal.chunk_dedup_stats: shared-prefix chunks detected,
+    unique tails not, byte sizes exact, empty/NULL blobs zero rows,
+    tail chunks unpadded, and chunk validation."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        chunk_dedup_stats,
+    )
+
+    rows = [
+        (0, b"A" * 100 + b"unique-tail-0"),
+        (1, b"A" * 100 + b"other-tail!!!"),
+        (2, b"completely different bytes here"),
+        (3, b""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in
+           chunk_dedup_stats(df, chunk_bytes=16).collect()}
+    # 113 bytes at 16 -> 8 chunks (7 full + 1 tail); first 6 chunks of
+    # A's shared between 0 and 1, the 96..112 chunk and tail differ
+    assert (got[0].n_bytes, got[0].n_chunks) == (113, 8)
+    assert got[0].n_shared_chunks == 6 and got[0].shared_frac == 0.75
+    assert got[1].n_shared_chunks == 6
+    assert got[2].n_shared_chunks == 0
+    assert (got[3].n_chunks, got[3].shared_frac) == (0, 0.0)
+    assert (got[4].n_bytes, got[4].n_chunks) == (0, 0)
+    with _pytest.raises(ValueError, match=">= 1"):
+        chunk_dedup_stats(df, chunk_bytes=0)

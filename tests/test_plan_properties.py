@@ -681,3 +681,14 @@ def test_dedup_funnel_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 8, plan
+
+
+def test_media_chunk_dedup_plan(spark):
+    """media_chunk_dedup: blobs never shuffle — only 32-hex chunk
+    hashes move through the ONE cross-test exchange family (the
+    dup_span_stats shape); no cartesian, no Python."""
+    plan = _qplan(spark, "media_chunk_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan

@@ -1668,3 +1668,61 @@ def test_token_drift_matches_python_model(spark, ref_docs, new_docs, k):
         for r in token_drift_topk(ref, new, k=k).collect()
     ]
     assert sorted(got, key=lambda r: (-r[4], r[0])) == want
+
+
+# ---------------------------------------------------------------------------
+# binary chunk dedup vs a hashlib model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=120),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 40),
+)
+def test_chunk_dedup_matches_python_model(spark, blobs, chunk):
+    """multimodal.chunk_dedup_stats vs the model: hex-grid chunking ==
+    byte-grid chunking (per-byte bijection), unpadded tails, cross-doc
+    sharing, zero-length blobs."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        chunk_dedup_stats,
+    )
+
+    per_doc = {}
+    for i, b in enumerate(blobs):
+        hs = [
+            hashlib.md5(
+                b[p : p + chunk].hex().upper().encode()
+            ).hexdigest()
+            for p in range(0, len(b), chunk)
+        ]
+        per_doc[i] = hs
+    owners: dict = {}
+    for i, hs in per_doc.items():
+        for h in hs:
+            owners.setdefault(h, set()).add(i)
+    want = {}
+    for i, (b, hs) in enumerate(zip(blobs, per_doc.values())):
+        ns = sum(1 for h in hs if len(owners[h]) > 1)
+        want[i] = (
+            len(b),
+            len(hs),
+            ns,
+            round(ns / len(hs), 6) if hs else 0.0,
+        )
+
+    df = spark.createDataFrame(
+        list(enumerate(blobs)), "doc_id long, blob binary"
+    )
+    got = {
+        r.doc_id: (r.n_bytes, r.n_chunks, r.n_shared_chunks,
+                   r.shared_frac)
+        for r in chunk_dedup_stats(df, chunk_bytes=chunk).collect()
+    }
+    assert got == want
