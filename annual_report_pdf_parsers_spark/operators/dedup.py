@@ -18,6 +18,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1461,4 +1463,116 @@ def winnow_stats(
             .otherwise(F.lit(0.0))
             .alias("shared_frac"),
         )
+    )
+
+
+def bloom_dedup_flags(
+    ref: DataFrame,
+    probe: DataFrame,
+    m: int = 4096,
+    k_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_flag_frac: float = 0.5,
+) -> DataFrame:
+    """Bloom-filter paragraph dedup — the BFF shape (public knowledge:
+    Bloom 1970; Dolma's "bff" paragraph Bloom dedup, Soldaini et al.
+    2024): build a FIXED-SIZE Bloom filter from a reference corpus's
+    paragraphs (a previous crawl, an already-kept shard), then flag
+    probe documents whose paragraphs hit the filter.  False positives
+    are possible by design and fully DETERMINISTIC (fixed salted md5
+    hash family), so the DuckDB oracle reproduces the exact same flag
+    set, FPs included — that IS Bloom semantics, not a test artifact.
+
+    Paragraph identity = the SPACE-trimmed ``\\n\\n`` part (same rule
+    as ``dedup_paragraphs``); blanks are never keys.  Hash family:
+    position_i = conv(md5('bf' || i || ':' || para)[0:8], 16) % m for
+    i in 1..k_hashes.  A paragraph is flagged iff ALL k positions are
+    set.  Returns one row per probe document::
+
+        (doc_id, n_paras, n_flagged, flag_frac, drop)
+
+    with ``flag_frac`` ROUND 6 and ``drop`` = n_paras > 0 AND
+    flag_frac >= max_flag_frac (0-paragraph docs never drop).
+
+    100 TB shape — the entire point of a Bloom filter: the filter is
+    O(m) bits REGARDLESS of reference-corpus size, so it rides every
+    executor as a single-row broadcast bitmap (array<boolean>, O(1)
+    membership via element_at) and the probe side is a ZERO-SHUFFLE
+    narrow pass — no explode, no join key, no candidate table.  The
+    only exchange is the bounded ref-side distinct (<= m rows by
+    construction, the `decontaminate` precedent).  Production m is
+    10^9-10^10 bits packed 64/word; the array<boolean> form keeps the
+    same contract at sandbox m.
+    """
+    if m < 2 or k_hashes < 1:
+        raise ValueError("m must be >= 2 and k_hashes >= 1")
+
+    def positions(t: Column) -> list[Column]:
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), t)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for i in range(1, k_hashes + 1)
+        ]
+
+    ref_pos = (
+        ref.select(
+            F.explode(
+                F.split(F.col(text_col), "\n\n", -1)
+            ).alias("_p")
+        )
+        .select(F.trim(F.col("_p")).alias("_t"))
+        .filter(F.col("_t") != "")
+        .select(F.explode(F.array(*positions(F.col("_t")))).alias("p"))
+        .distinct()
+    )
+    bits = ref_pos.agg(
+        F.collect_list("p").alias("_pl")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.array_contains(F.col("_pl"), i),
+        ).alias("_bf_bm")
+    )
+
+    from ..functions.numeric import pin
+
+    out = (
+        probe.join(F.broadcast(bits))
+        .withColumn(
+            "_bf_ps",
+            pin(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), "\n\n", -1),
+                        lambda t: F.trim(t),
+                    ),
+                    lambda t: t != "",
+                )
+            ),
+        )
+    )
+    bm = F.col("_bf_bm")
+    hit = lambda t: reduce(  # noqa: E731
+        lambda a, b: a & b,
+        [
+            F.coalesce(F.element_at(bm, (p + 1).cast("int")), F.lit(False))
+            for p in positions(t)
+        ],
+    )
+    n_paras = F.size(F.col("_bf_ps"))
+    n_flagged = F.size(F.filter(F.col("_bf_ps"), hit))
+    frac = F.when(
+        n_paras > 0, F.round(n_flagged / n_paras.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        n_paras.cast("long").alias("n_paras"),
+        n_flagged.cast("long").alias("n_flagged"),
+        frac.alias("flag_frac"),
+        ((n_paras > 0) & (frac >= max_flag_frac)).alias("drop"),
     )

@@ -1198,6 +1198,48 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+def q_dedup_bloom(spark, sf):
+    """Bloom-filter paragraph dedup (the Dolma-BFF shape): the filter
+    is built from the EVEN-doc_id half of an injected paragraph corpus
+    and probes the ODD half.  Probe paragraphs: the corpus-wide footer
+    (indented trim-variant on doc_id%3==1) and the g-group (mod 7,
+    residues covered by both parities) hit; the q-group (odd-only) and
+    most upara lines miss — EXCEPT odd doc_id%3==0 docs whose upara
+    copies an even doc's, lifting them over the 0.6 drop threshold.
+    False positives from the 4096-bit filter are deterministic and
+    mirrored exactly by the oracle (that IS Bloom semantics)."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    a = F.when(
+        F.col("doc_id") % 3 == 1, F.lit("  SHARED BLOOM FOOTER ")
+    ).otherwise(F.lit("SHARED BLOOM FOOTER"))
+    b = F.concat(
+        F.lit("upara "),
+        F.when(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0),
+            F.col("doc_id") - 1,
+        )
+        .otherwise(F.col("doc_id"))
+        .cast("string"),
+    )
+    c = F.concat(F.lit("g"), (F.col("doc_id") % 7).cast("string"))
+    e = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("r")).otherwise(
+            F.lit("q")
+        ),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    inj = d.select(
+        "doc_id", F.concat_ws("\n\n", a, b, c, F.lit(""), e).alias("text")
+    )
+    return dedup.bloom_dedup_flags(
+        inj.filter(F.col("doc_id") % 2 == 0),
+        inj.filter(F.col("doc_id") % 2 == 1),
+        m=4096,
+        k_hashes=3,
+        max_flag_frac=0.6,
+    )
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash16(
         _with_ws_noise(load(spark, sf, "documents"))
@@ -3000,7 +3042,6 @@ FROM vals v LEFT JOIN mani m ON m.doc_id = v.doc_id AND m.f = v.f
 # (tests/test_oracle_parity.py runs ALL oracled entries).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- training-data ops: dedup family ------------------------------
-    "dedup_exact": q_dedup_exact,
     "dedup_soft_weights": q_dedup_soft_weights,
     "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3009,6 +3050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_corpus_keep": q_dedup_corpus_keep,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_bloom": q_dedup_bloom,
     "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_semantic": q_dedup_semantic,
@@ -3109,6 +3151,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # all carry green r04 driver rows, permanent local-gate coverage,
     # and are the simplest ops of their families (narrow projections /
     # filters / one keyed exchange)
+    # dedup_exact (r02/r03/r04-green; the md5-digest identity stays
+    # in-window via dedup_soft_weights and corpus_end_to_end's exact
+    # stage) rotated below for dedup_bloom;
+    "dedup_exact": q_dedup_exact,
     "corpus_text_filter": q_corpus_text_filter,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -4352,6 +4398,50 @@ ORACLE_SQL: dict[str, str] = {
         "  FROM wsbase WHERE doc_id % 9 = 4), "
         + _INC_LSH_CHAIN
         + " SELECT doc_id, dup_of, n_ref_matches FROM flags"
+    ),
+    # dedup_bloom: same injected paragraph fixture; the filter's set
+    # positions are rebuilt from the even half (salted md5 hex -> BIGINT
+    # mod 4096 — the engine's exact hash family), probes check all 3
+    # positions per trimmed non-blank paragraph.  FPs reproduce exactly.
+    "dedup_bloom": (
+        "WITH inj AS (SELECT doc_id, "
+        "  (CASE WHEN doc_id % 3 = 1 THEN '  SHARED BLOOM FOOTER ' "
+        "    ELSE 'SHARED BLOOM FOOTER' END) "
+        "  || chr(10) || chr(10) || 'upara ' || "
+        "  CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0 "
+        "    THEN doc_id - 1 ELSE doc_id END AS VARCHAR) "
+        "  || chr(10) || chr(10) || 'g' || CAST(doc_id % 7 AS VARCHAR) "
+        "  || chr(10) || chr(10) || chr(10) || chr(10) || "
+        "  (CASE WHEN doc_id % 2 = 0 THEN 'r' ELSE 'q' END) || "
+        "  CAST(doc_id % 5 AS VARCHAR) AS text FROM documents), "
+        "refp AS (SELECT DISTINCT trim(p) AS t FROM inj, "
+        "  UNNEST(string_split(text, chr(10) || chr(10))) AS u(p) "
+        "  WHERE doc_id % 2 = 0 AND trim(p) <> ''), "
+        "pos AS (SELECT DISTINCT "
+        "  CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':' "
+        "    || t), 1, 8)) AS BIGINT) % 4096 AS p "
+        "  FROM refp, UNNEST([1, 2, 3]) AS h(i)), "
+        "bits AS (SELECT list(p) AS bl FROM pos), "
+        "pd AS (SELECT doc_id, "
+        "  list_filter(list_transform(string_split(text, "
+        "    chr(10) || chr(10)), x -> trim(x)), x -> x <> '') AS ps "
+        "  FROM inj WHERE doc_id % 2 = 1), "
+        "fl AS (SELECT doc_id, len(ps) AS np, "
+        "  len(list_filter(ps, t -> "
+        "    list_contains(bl, CAST(('0x' || substr(md5('bf1:' || t), "
+        "      1, 8)) AS BIGINT) % 4096) AND "
+        "    list_contains(bl, CAST(('0x' || substr(md5('bf2:' || t), "
+        "      1, 8)) AS BIGINT) % 4096) AND "
+        "    list_contains(bl, CAST(('0x' || substr(md5('bf3:' || t), "
+        "      1, 8)) AS BIGINT) % 4096))) AS nf "
+        "  FROM pd, bits) "
+        "SELECT doc_id, CAST(np AS BIGINT) AS n_paras, "
+        "  CAST(nf AS BIGINT) AS n_flagged, "
+        "  CASE WHEN np > 0 THEN ROUND(nf / CAST(np AS DOUBLE), 6) "
+        "    ELSE 0.0 END AS flag_frac, "
+        "  (np > 0 AND CASE WHEN np > 0 THEN "
+        "    ROUND(nf / CAST(np AS DOUBLE), 6) ELSE 0.0 END >= 0.6) "
+        '  AS "drop" FROM fl'
     ),
     "dedup_simhash": (
         "WITH t AS ("

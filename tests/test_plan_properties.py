@@ -692,3 +692,20 @@ def test_media_chunk_dedup_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_bloom_dedup_plan_shape(spark):
+    """dedup_bloom: the probe side is a ZERO-SHUFFLE narrow pass — the
+    Bloom bitmap rides as a single-row broadcast (the fixed-size-filter
+    contract), so the only exchanges are the bounded ref-side distinct
+    + the 1-row bitmap agg; no sort-merge join, no Python stage, and
+    the paragraph split appears exactly once PER SIDE (ref build +
+    probe array — a third means the pinned probe stage re-inlined into
+    the flag filter)."""
+    plan = _qplan(spark, "dedup_bloom")
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    n = plan.count("Exchange")
+    assert n <= 4, f"bloom exchange blow-up: {n}\n{plan}"
+    assert plan.count("split(") == 2, plan

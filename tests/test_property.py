@@ -1726,3 +1726,68 @@ def test_chunk_dedup_matches_python_model(spark, blobs, chunk):
         for r in chunk_dedup_stats(df, chunk_bytes=chunk).collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(_mldoc, min_size=1, max_size=8),
+    st.lists(_mldoc, min_size=1, max_size=8),
+    st.integers(2, 64),
+)
+def test_bloom_dedup_flags_matches_python_model(spark, refs, probes, m):
+    """dedup.bloom_dedup_flags vs a direct hashlib model: salted-md5
+    positions mod m, paragraph = space-trimmed '\\n\\n' part, flagged
+    iff ALL k positions set by the reference side — false positives
+    (frequent at tiny m) must match EXACTLY, that is the Bloom
+    contract the oracle also reproduces."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        bloom_dedup_flags,
+    )
+
+    k = 3
+
+    def positions(t):
+        return [
+            int(
+                hashlib.md5(f"bf{i}:{t}".encode()).hexdigest()[:8], 16
+            )
+            % m
+            for i in range(1, k + 1)
+        ]
+
+    bits = set()
+    for d in refs:
+        for p in d.split("\n\n"):
+            t = p.strip(" ")
+            if t:
+                bits.update(positions(t))
+
+    def model(d):
+        ps = [p.strip(" ") for p in d.split("\n\n")]
+        ps = [p for p in ps if p]
+        nf = sum(
+            1 for t in ps if all(b in bits for b in positions(t))
+        )
+        frac = round(nf / len(ps), 6) if ps else 0.0
+        return (
+            len(ps),
+            nf,
+            frac,
+            bool(ps) and frac >= 0.5,
+        )
+
+    ref_df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(refs)], "doc_id long, text string"
+    )
+    probe_df = spark.createDataFrame(
+        [(1000 + i, d) for i, d in enumerate(probes)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_flagged, r.flag_frac, r.drop)
+        for r in bloom_dedup_flags(ref_df, probe_df, m=m).collect()
+    }
+    for i, d in enumerate(probes):
+        assert got[1000 + i] == model(d), f"probe {i}: {d!r}"
