@@ -1576,3 +1576,62 @@ def bloom_dedup_flags(
         frac.alias("flag_frac"),
         ((n_paras > 0) & (frac >= max_flag_frac)).alias("drop"),
     )
+
+
+def cluster_keep_best(
+    scored: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    algorithm: str = "label",
+) -> DataFrame:
+    """Per-cluster BEST-representative dedup decision: where
+    `cluster_keep_decision` keeps the smallest id (a positional
+    accident), this keeps the HIGHEST-``score_col`` member of every
+    near-dup component (ties -> smallest id) — the public-practice
+    selection rule when duplicates differ in quality (keep the clean
+    mirror, drop the ad-ridden one).  ``scored`` is the whole corpus
+    with a numeric quality column (classifier score, LM logprob, ...);
+    ``pairs`` is any candidate pair table (id_a, id_b).  Singletons
+    keep themselves.
+
+    Returns ``(doc_id, cluster_id, <score_col>, keep)`` for every
+    input row.  Scores must be NON-NULL (argmax over NULL is
+    undefined — feed a COALESCEd column) and numeric (the argmax key is
+    ``min(struct(-score, id))`` — negation turns max into min so the
+    id tie-break needs no ordering inversion and works for any
+    orderable id type).
+
+    100 TB shape: components via `connected_components` (O(1) driver
+    traffic per round), then ONE map-side-partial agg per cluster and
+    one join back — NO window over the cluster key (the hot clusters
+    ARE the boilerplate families; a row_number would sort the biggest
+    cluster's copies in one task).  The per-cluster best table is
+    corpus-scaled, so the join-back pins shuffle_hash (NOTES 4a: an
+    AQE broadcast of a corpus-scaled table is a serial driver build).
+    """
+    cc = connected_components(pairs, algorithm=algorithm)
+    base = (
+        scored.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_sc")
+        )
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")),
+        )
+    )
+    best = base.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("_sc")).alias("ns"),
+                F.col("doc_id").alias("kid"),
+            )
+        ).alias("_b")
+    )
+    return base.join(best.hint("shuffle_hash"), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("_sc").alias(score_col),
+        (F.col("doc_id") == F.col("_b.kid")).alias("keep"),
+    )

@@ -1240,6 +1240,52 @@ def q_dedup_bloom(spark, sf):
     )
 
 
+def q_dedup_keep_best(spark, sf):
+    """Per-cluster best-representative selection: base docs plus two
+    quality-SHIFTED copies (appended tokens change the classifier
+    score, so clusters are non-degenerate — the argmax genuinely
+    differs from keep-lowest-id wherever a copy scores higher) wired
+    into clusters by an explicit pair graph (the pair table is the
+    operator's input contract; candidate generation is separately
+    in-window via corpus_split_safe / end_to_end).  %50 docs form
+    3-member clusters (base + both copies), %25-only docs pairs.
+    Oracle = recursive-CTE components + the shared classifier chain +
+    row_number over (score DESC, doc_id)."""
+    d = _with_ws_noise(load(spark, sf, "documents")).select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" absolutely wonderful")).alias(
+            "text"
+        ),
+    )
+    v2 = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" terrible awful spam")).alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(v1).unionByName(v2).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pairs = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 2000000).alias("id_b"),
+            )
+        )
+    )
+    scored = text.quality_classifier(corpus).select("doc_id", "score")
+    return dedup.cluster_keep_best(scored, pairs, "score")
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash16(
         _with_ws_noise(load(spark, sf, "documents"))
@@ -3048,9 +3094,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
-    "dedup_corpus_keep": q_dedup_corpus_keep,
     "dedup_incremental": q_dedup_incremental,
     "dedup_bloom": q_dedup_bloom,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_semantic": q_dedup_semantic,
@@ -3154,7 +3200,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_exact (r02/r03/r04-green; the md5-digest identity stays
     # in-window via dedup_soft_weights and corpus_end_to_end's exact
     # stage) rotated below for dedup_bloom;
+    # dedup_corpus_keep (r04-green; the CC+join-back keep decision
+    # stays in-window via dedup_keep_best — its argmax generalization —
+    # plus corpus_split_safe and corpus_end_to_end) rotated below for
+    # dedup_keep_best;
     "dedup_exact": q_dedup_exact,
+    "dedup_corpus_keep": q_dedup_corpus_keep,
     "corpus_text_filter": q_corpus_text_filter,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -4442,6 +4493,41 @@ ORACLE_SQL: dict[str, str] = {
         "  (np > 0 AND CASE WHEN np > 0 THEN "
         "    ROUND(nf / CAST(np AS DOUBLE), 6) ELSE 0.0 END >= 0.6) "
         '  AS "drop" FROM fl'
+    ),
+    # dedup_keep_best: same shifted-copy corpus + explicit pair graph;
+    # components via the recursive CTE, score via the shared classifier
+    # chain, winner = row_number over (ROUNDED score DESC, doc_id) —
+    # the engine's min(struct(-score, id)) argmax restated.
+    "dedup_keep_best": (
+        "WITH RECURSIVE wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} AS text FROM documents), "
+        "corpus AS (SELECT doc_id, text FROM wsbase "
+        "  UNION ALL SELECT doc_id + 1000000, "
+        "    text || ' absolutely wonderful' FROM wsbase "
+        "    WHERE doc_id % 25 = 0 "
+        "  UNION ALL SELECT doc_id + 2000000, "
+        "    text || ' terrible awful spam' FROM wsbase "
+        "    WHERE doc_id % 50 = 0), "
+        "prs AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b "
+        "    FROM wsbase WHERE doc_id % 25 = 0 "
+        "  UNION ALL SELECT doc_id, doc_id + 2000000 FROM wsbase "
+        "    WHERE doc_id % 50 = 0), "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM prs "
+        "  UNION ALL SELECT id_b, id_a FROM prs), "
+        "reach AS (SELECT DISTINCT s AS node, s AS r FROM edges "
+        "  UNION SELECT e.s AS node, reach.r FROM edges e "
+        "  JOIN reach ON reach.node = e.d), "
+        "comp AS (SELECT node, MIN(r) AS cluster_id FROM reach "
+        "  GROUP BY node), "
+        + _classifier_ctes("corpus")
+        + ", cl AS (SELECT c.doc_id, "
+        "  COALESCE(comp.cluster_id, c.doc_id) AS cluster_id, "
+        "  ROUND(sc.s, 6) AS score FROM corpus c "
+        "  LEFT JOIN comp ON comp.node = c.doc_id "
+        "  JOIN sc ON sc.doc_id = c.doc_id), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "  ORDER BY score DESC, doc_id) AS rn FROM cl) "
+        "SELECT doc_id, cluster_id, score, rn = 1 AS keep FROM rk"
     ),
     "dedup_simhash": (
         "WITH t AS ("

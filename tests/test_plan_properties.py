@@ -709,3 +709,18 @@ def test_bloom_dedup_plan_shape(spark):
     n = plan.count("Exchange")
     assert n <= 4, f"bloom exchange blow-up: {n}\n{plan}"
     assert plan.count("split(") == 2, plan
+
+
+def test_cluster_keep_best_plan_shape(spark):
+    """dedup_keep_best: the selection is agg-then-join — NO window over
+    the cluster key (hot clusters are boilerplate families; a
+    row_number would sort the biggest cluster in one task), the
+    join-back pins shuffle_hash (the best table is corpus-scaled — an
+    AQE broadcast would be a serial driver build), no cartesian, no
+    Python stage."""
+    plan = _qplan(spark, "dedup_keep_best")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_min" in plan, plan

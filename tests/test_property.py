@@ -1791,3 +1791,59 @@ def test_bloom_dedup_flags_matches_python_model(spark, refs, probes, m):
     }
     for i, d in enumerate(probes):
         assert got[1000 + i] == model(d), f"probe {i}: {d!r}"
+
+
+@SETTINGS
+@given(
+    st.integers(3, 12),
+    st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)),
+             min_size=0, max_size=12),
+    st.lists(st.sampled_from([0.0, 0.25, 0.5, -1.5, 2.0]),
+             min_size=12, max_size=12),
+)
+def test_cluster_keep_best_matches_python_model(spark, n, edges, scores):
+    """dedup.cluster_keep_best vs a union-find + argmax model: highest
+    score per component wins, ties -> smallest doc_id, singletons keep
+    themselves, cluster_id = min member id."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        cluster_keep_best,
+    )
+
+    ids = list(range(n))
+    edges = [(a % n, b % n) for a, b in edges if a % n != b % n]
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    want = {}
+    for members in comp.values():
+        cid = min(members)
+        best = min(members, key=lambda i: (-scores[i], i))
+        for i in members:
+            want[i] = (cid, scores[i], i == best)
+
+    sdf = spark.createDataFrame(
+        [(i, scores[i]) for i in ids], "doc_id long, score double"
+    )
+    pdf = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pdf = pdf.filter("id_a <> id_b")
+    got = {
+        r.doc_id: (r.cluster_id, r.score, r.keep)
+        for r in cluster_keep_best(sdf, pdf, "score").collect()
+    }
+    assert got == want
