@@ -1285,3 +1285,88 @@ def token_drift_topk(
     return scored.orderBy(
         F.col("drift").desc(), F.col("token")
     ).limit(k)
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity stats — the vocabulary-richness
+    quality signal (public practice: type-token ratio filters in web
+    corpus cleaning; a spam page repeating one phrase has low TTR and
+    a high top-type share, keyword-stuffed templates have low hapax
+    share).  Type identity = the LOWERED whitespace-run token (the
+    tfidf/classifier convention).
+
+    Returns ``(doc_id, n_tokens, n_types, ttr, hapax_frac, top_frac)``:
+    ttr = types/tokens, hapax_frac = once-occurring types / types,
+    top_frac = most frequent type's count / tokens — all ROUND 6, all
+    NULL for zero-token documents (no 0-vs-undefined ambiguity).
+
+    100 TB shape: pure narrow array chain, zero shuffle — the sorted
+    token array is pin()-staged ONCE and hapax/top-run counts are
+    integer reductions over its index sequence (boundary tests for
+    hapax, a run-length fold for the max count).  The relational
+    alternative (explode + (doc, word) groupBy — the oracle's form)
+    costs a corpus-sized exchange; per-doc arrays are bounded by
+    document length, never corpus size.
+    """
+    from ..functions.numeric import pin
+
+    base = df.withColumn(
+        "_ld_s",
+        pin(
+            F.array_sort(
+                F.transform(
+                    tokens(F.col(text_col)), lambda w: F.lower(w)
+                )
+            )
+        ),
+    )
+    s = F.col("_ld_s")
+    n = F.size(s)
+    n_types = F.size(F.array_distinct(s))
+    # F.get is 0-based and NULL-safe out of bounds (element_at THROWS
+    # at the boundaries under ANSI, and SQL OR is not short-circuit)
+    hapax = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.coalesce(
+                F.get(s, i - 1) != F.get(s, i - 2), F.lit(True)
+            )
+            & F.coalesce(
+                F.get(s, i - 1) != F.get(s, i), F.lit(True)
+            ),
+        )
+    )
+    run_fold = F.aggregate(
+        F.sequence(F.lit(2), n),
+        F.struct(F.lit(1).alias("run"), F.lit(1).alias("best")),
+        lambda acc, i: F.struct(
+            F.when(
+                F.element_at(s, i) == F.element_at(s, i - 1),
+                acc["run"] + 1,
+            )
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    F.element_at(s, i) == F.element_at(s, i - 1),
+                    acc["run"] + 1,
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_n = F.when(n >= 2, run_fold).otherwise(F.lit(1))
+    nn = F.when(n >= 1, n)
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        F.round(n_types / nn.cast("double"), 6).alias("ttr"),
+        F.round(
+            F.when(n >= 1, hapax) / n_types.cast("double"), 6
+        ).alias("hapax_frac"),
+        F.round(top_n / nn.cast("double"), 6).alias("top_frac"),
+    )

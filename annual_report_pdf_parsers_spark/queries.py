@@ -2648,6 +2648,25 @@ def q_corpus_dedup_funnel(spark, sf):
     return out
 
 
+def q_text_lexical_diversity(spark, sf):
+    """Lexical-diversity stats over the ws-noise corpus with a
+    case-folding probe: ' Rpt rpt RPT' collapses to ONE type of count
+    3 (lowered identity) and ' uniq<doc_id>' is a guaranteed hapax, so
+    the gate is non-vacuous about the fold, the repeat counting, and
+    the hapax boundary test.  Oracle = relational (doc, word) counts
+    (the engine stays narrow — no shuffle)."""
+    d = _with_ws_noise(load(spark, sf, "documents"))
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Rpt rpt RPT uniq"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return text.lexical_diversity(inj)
+
+
 def q_text_normalize(spark, sf):
     """Pre-tokenization normalization (lowercase + accent fold + ws
     collapse).  The corpus text is already lowercase ASCII, so the query
@@ -3089,7 +3108,6 @@ FROM vals v LEFT JOIN mani m ON m.doc_id = v.doc_id AND m.f = v.f
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- training-data ops: dedup family ------------------------------
     "dedup_soft_weights": q_dedup_soft_weights,
-    "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
@@ -3110,6 +3128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dup_excise": q_text_dup_excise,
     "text_line_stats": q_text_line_stats,
     "text_char_entropy": q_text_char_entropy,
+    "text_lexical_diversity": q_text_lexical_diversity,
     "text_unigram_lm": q_text_unigram_lm,
     "text_bigram_lm": q_text_bigram_lm,
     "text_quality_classifier": q_text_quality_classifier,
@@ -3204,8 +3223,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stays in-window via dedup_keep_best — its argmax generalization —
     # plus corpus_split_safe and corpus_end_to_end) rotated below for
     # dedup_keep_best;
+    # dedup_url_canonical (r04-green; the canonicalize+dedup stage is
+    # composed in-window by corpus_end_to_end, and the url family stays
+    # via corpus_url_quality / corpus_domain_filter / corpus_ingest)
+    # rotated below for text_lexical_diversity;
     "dedup_exact": q_dedup_exact,
     "dedup_corpus_keep": q_dedup_corpus_keep,
+    "dedup_url_canonical": q_dedup_url_canonical,
     "corpus_text_filter": q_corpus_text_filter,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -4667,6 +4691,28 @@ ORACLE_SQL: dict[str, str] = {
         "  ORDER BY score DESC, token) AS BIGINT) AS \"rank\" FROM sc) "
         "SELECT doc_id, token, tf, df_docs, score, \"rank\" FROM rk "
         "WHERE \"rank\" <= 5"
+    ),
+    # text_lexical_diversity: same ws-noise + case-fold/hapax probe;
+    # relational (doc, word) counts restate the engine's narrow sorted-
+    # array reductions (n_tokens = sum, n_types = count, hapax = c=1,
+    # top = max) — integers + identical ROUND-6 divisions.
+    "text_lexical_diversity": (
+        "WITH wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} || ' Rpt rpt RPT uniq' || "
+        "CAST(doc_id AS VARCHAR) AS text FROM documents), "
+        "tk AS (SELECT doc_id, unnest(list_transform(list_filter("
+        "regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
+        "w -> lower(w))) AS w FROM wsbase), "
+        "ct AS (SELECT doc_id, w, COUNT(*) AS c FROM tk "
+        "  GROUP BY doc_id, w), "
+        "ag AS (SELECT doc_id, SUM(c) AS nt, COUNT(*) AS ty, "
+        "  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hx, "
+        "  MAX(c) AS tp FROM ct GROUP BY doc_id) "
+        "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, "
+        "  CAST(ty AS BIGINT) AS n_types, "
+        "  ROUND(ty / CAST(nt AS DOUBLE), 6) AS ttr, "
+        "  ROUND(hx / CAST(ty AS DOUBLE), 6) AS hapax_frac, "
+        "  ROUND(tp / CAST(nt AS DOUBLE), 6) AS top_frac FROM ag"
     ),
     # corpus_epoch_plan: same ws-noise corpus + the two injected rows;
     # exact token totals via the shared split class, sqrt weights,

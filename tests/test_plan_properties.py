@@ -724,3 +724,14 @@ def test_cluster_keep_best_plan_shape(spark):
     assert "ShuffledHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_lexical_diversity_narrow(spark):
+    """text_lexical_diversity: pure narrow — zero exchanges, no Python
+    stage, and the token split staged exactly once (the pinned sorted
+    array; hapax/top-run reductions must reference the attribute, not
+    re-tokenize per index)."""
+    plan = _qplan(spark, "text_lexical_diversity")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("split(") == 1, plan

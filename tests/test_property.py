@@ -1847,3 +1847,58 @@ def test_cluster_keep_best_matches_python_model(spark, n, edges, scores):
         for r in cluster_keep_best(sdf, pdf, "score").collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "The", "THE", "cat", "sat", "zq"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=14,
+    )
+)
+def test_lexical_diversity_matches_python_model(spark, docs):
+    """text.lexical_diversity vs a Counter model: lowered type
+    identity, hapax = count-1 types, top = max count, NULLs on zero
+    tokens.  Mixed-case inputs probe the fold; the tab/NBSP joiners
+    probe the ws-run split."""
+    from collections import Counter
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    joiners = [" ", "\t", " ", " \n "]
+
+    def join(ws):
+        return "".join(
+            w + joiners[i % len(joiners)] for i, w in enumerate(ws)
+        )
+
+    def model(ws):
+        c = Counter(w.lower() for w in ws)
+        n = sum(c.values())
+        if n == 0:
+            return (0, 0, None, None, None)
+        ty = len(c)
+        hx = sum(1 for v in c.values() if v == 1)
+        tp = max(c.values())
+        return (
+            n, ty, round(ty / n, 6), round(hx / ty, 6),
+            round(tp / n, 6),
+        )
+
+    df = spark.createDataFrame(
+        [(i, join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.n_types, r.ttr, r.hapax_frac, r.top_frac
+        )
+        for r in lexical_diversity(df).collect()
+    }
+    for i, ws in enumerate(docs):
+        assert got[i] == model(ws), f"doc {i}: {ws!r}"
