@@ -1370,3 +1370,63 @@ def lexical_diversity(
         ).alias("hapax_frac"),
         F.round(top_n / nn.cast("double"), 6).alias("top_frac"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the embedding /
+    retrieval ingestion primitive (public practice: RAG pipelines and
+    long-doc embedding models chunk documents into fixed-token windows
+    with ``size - stride`` tokens of overlap so boundary context isn't
+    lost).  Where ``pack_sequences`` CONCATENATES documents up to a
+    budget (the loader step), this SPLITS each document independently.
+
+    Chunks start at token 0, ``stride`` apart, while start < n_tokens;
+    the last chunk may be short.  Zero-token documents emit NO rows.
+    Emits one row per chunk::
+
+        (doc_id, chunk_id, start_tok, n_tokens, chunk_text)
+
+    with ``chunk_text`` the single-space join of the window's ws-run
+    tokens — the documented lossy reconstruction (whitespace runs
+    collapse; chunking operates on the token sequence, not raw bytes).
+
+    100 TB shape: pure narrow + posexplode (no shuffle, no join); the
+    per-doc chunk array is bounded by document length and the explode
+    multiplies rows by ~n/stride — the same scan-bound shape as the
+    shingle ops.  The token array is pin()-staged once; each chunk is
+    an O(size) slice of the attribute (never re-tokenized).
+    """
+    from ..functions.numeric import pin
+
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    base = df.withColumn("_cw_tk", pin(tokens(F.col(text_col))))
+    tk = F.col("_cw_tk")
+    n = F.size(tk)
+    starts = F.when(n >= 1, F.sequence(F.lit(0), n - 1, F.lit(stride)))
+    chunks = F.transform(
+        starts,
+        lambda st: F.struct(
+            st.alias("start_tok"),
+            F.least(F.lit(size), n - st).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(tk, st + 1, size)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "_c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_c.start_tok").cast("long").alias("start_tok"),
+        F.col("_c.n_tokens").cast("long").alias("n_tokens"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+    )

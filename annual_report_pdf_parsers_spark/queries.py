@@ -2667,6 +2667,17 @@ def q_text_lexical_diversity(spark, sf):
     return text.lexical_diversity(inj)
 
 
+def q_text_chunk_windows(spark, sf):
+    """Sliding-window token chunking (size=12, stride=8 — 4-token
+    overlap) over the ws-noise corpus: most docs produce several
+    chunks, the tail chunk is short, and the ws-probe suffix makes the
+    run split non-vacuous.  Oracle = generate_series starts + 1-based
+    list slices joined with a single space."""
+    return text.chunk_windows(
+        _with_ws_noise(load(spark, sf, "documents")), size=12, stride=8
+    )
+
+
 def q_text_normalize(spark, sf):
     """Pre-tokenization normalization (lowercase + accent fold + ws
     collapse).  The corpus text is already lowercase ASCII, so the query
@@ -3110,7 +3121,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_soft_weights": q_dedup_soft_weights,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
-    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_incremental": q_dedup_incremental,
     "dedup_bloom": q_dedup_bloom,
@@ -3129,6 +3139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_line_stats": q_text_line_stats,
     "text_char_entropy": q_text_char_entropy,
     "text_lexical_diversity": q_text_lexical_diversity,
+    "text_chunk_windows": q_text_chunk_windows,
     "text_unigram_lm": q_text_unigram_lm,
     "text_bigram_lm": q_text_bigram_lm,
     "text_quality_classifier": q_text_quality_classifier,
@@ -3227,7 +3238,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # composed in-window by corpus_end_to_end, and the url family stays
     # via corpus_url_quality / corpus_domain_filter / corpus_ingest)
     # rotated below for text_lexical_diversity;
+    # dedup_embedding_cosine_lsh (r04-green; the embedding-dedup scale
+    # path stays in-window via dedup_semantic + corpus_embed_prune +
+    # ann_ivf_topk, and the hyperplane-LSH recall floors re-prove the
+    # bucketing every session) rotated below for text_chunk_windows;
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_corpus_keep": q_dedup_corpus_keep,
     "dedup_url_canonical": q_dedup_url_canonical,
     "corpus_text_filter": q_corpus_text_filter,
@@ -4713,6 +4729,22 @@ ORACLE_SQL: dict[str, str] = {
         "  ROUND(ty / CAST(nt AS DOUBLE), 6) AS ttr, "
         "  ROUND(hx / CAST(ty AS DOUBLE), 6) AS hapax_frac, "
         "  ROUND(tp / CAST(nt AS DOUBLE), 6) AS top_frac FROM ag"
+    ),
+    # text_chunk_windows: same ws-noise corpus; starts = stride-stepped
+    # generate_series (empty for zero-token docs), chunk = 1-based
+    # inclusive list slice, single-space join; chunk_id = start/stride.
+    "text_chunk_windows": (
+        "WITH wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} AS text FROM documents), "
+        "tk AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "text, " + _WSRE2 + "), t -> t <> '') AS t FROM wsbase), "
+        "st AS (SELECT doc_id, t, len(t) AS n, s FROM tk, "
+        "  UNNEST(generate_series(0, len(t) - 1, 8)) AS g(s)) "
+        "SELECT doc_id, CAST(s // 8 AS BIGINT) AS chunk_id, "
+        "  CAST(s AS BIGINT) AS start_tok, "
+        "  CAST(LEAST(12, n - s) AS BIGINT) AS n_tokens, "
+        "  array_to_string(t[s + 1 : s + LEAST(12, n - s)], ' ') "
+        "    AS chunk_text FROM st"
     ),
     # corpus_epoch_plan: same ws-noise corpus + the two injected rows;
     # exact token totals via the shared split class, sqrt weights,

@@ -735,3 +735,14 @@ def test_lexical_diversity_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("split(") == 1, plan
+
+
+def test_chunk_windows_narrow(spark):
+    """text_chunk_windows: narrow + ONE posexplode, zero exchanges, no
+    Python stage; the token array is staged once (each chunk slices
+    the attribute — a second split means it re-tokenized per chunk)."""
+    plan = _qplan(spark, "text_chunk_windows")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Generate posexplode") == 1, plan
+    assert plan.count("split(") == 1, plan

@@ -1902,3 +1902,45 @@ def test_lexical_diversity_matches_python_model(spark, docs):
     }
     for i, ws in enumerate(docs):
         assert got[i] == model(ws), f"doc {i}: {ws!r}"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "b", "ccc", "dd"]),
+            min_size=0, max_size=15,
+        ),
+        min_size=1, max_size=10,
+    ),
+    st.integers(1, 5),
+    st.integers(1, 5),
+)
+def test_chunk_windows_matches_python_model(spark, docs, size, stride):
+    """text.chunk_windows vs a direct slicing model: stride-stepped
+    starts while start < n, short tails, zero-token docs emit no
+    rows."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        chunk_windows,
+    )
+
+    def model(ws):
+        out = []
+        for cid, st_ in enumerate(range(0, len(ws), stride)):
+            w = ws[st_:st_ + size]
+            out.append((cid, st_, len(w), " ".join(w)))
+        return out
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_windows(df, size=size, stride=stride).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_tok, r.n_tokens, r.chunk_text)
+        )
+    for i, ws in enumerate(docs):
+        assert sorted(got.get(i, [])) == model(ws), (
+            f"doc {i}: {ws!r} size={size} stride={stride}"
+        )
