@@ -163,3 +163,45 @@ def url_quality_score(
         F.round(F.col("_uq_sc"), 6).alias("url_score"),
         (F.col("_uq_sc") > F.lit(float(threshold))).alias("url_keep"),
     )
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    min_urls: int = 2,
+) -> DataFrame:
+    """URL-template mining — the crawl-frontier dedup signal (public
+    practice: auto-generated page families — product ids, pagination,
+    date archives — are found by collapsing digit runs, and template-
+    heavy hosts are candidates for frontier pruning / boilerplate
+    sampling).  Every digit run in the url becomes ``{n}``, so
+    ``/product/123/view`` and ``/product/456/view`` share one
+    template.  Hosts are kept as their own column (the template keeps
+    the raw host text, digits templated — ``shard3.cdn.com`` and
+    ``shard7.cdn.com`` collapse there too, which is the point).
+
+    Returns ``(host, template, n_urls, first_doc)`` for templates with
+    at least ``min_urls`` members (first_doc = smallest id, the
+    deterministic exemplar).
+
+    100 TB shape: narrow derive (try_parse_url host + one
+    regexp_replace) into ONE map-side-partial agg keyed by (host,
+    template); hot templates are exactly what map-side combine eats.
+    No window, no join.
+    """
+    return (
+        df.select(
+            host_of(F.col(url_col)).alias("host"),
+            F.regexp_replace(
+                F.col(url_col), "[0-9]+", "{n}"
+            ).alias("template"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("_id").alias("first_doc"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+    )

@@ -2054,6 +2054,66 @@ def q_corpus_domain_filter(spark, sf):
     return filter_blocked_domains(withu, _INGEST_BLOCKLIST)
 
 
+def q_corpus_url_templates(spark, sf):
+    """URL-template mining over doc_id-derived urls: product pages
+    (/item/<id>/view) collapse to one per-host template, date archives
+    (/a/2024/<m>?page=<p>) collapse across two digit runs, /about is
+    digit-free, and 'shard<k>.cdn.net' hosts stay DISTINCT host keys
+    while the digit still collapses inside the template (the mining
+    point).  The /u/<md5-hex> pattern yields mostly-unique templates
+    that min_urls=2 prunes, and the %3==0 'www.Shop.' host probes the
+    lower+www host normalization."""
+    from .operators.urls import url_templates
+
+    d = load(spark, sf, "documents")
+    m3 = F.col("doc_id") % 3
+    m4 = F.col("doc_id") % 4
+    host = (
+        F.when(m3 == 0, F.lit("www.Shop.example.com"))
+        .when(m3 == 1, F.lit("blog.example.org"))
+        .otherwise(
+            F.concat(
+                F.lit("shard"),
+                m4.cast("string"),
+                F.lit(".cdn.net"),
+            )
+        )
+    )
+    path = (
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit("/item/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/view"),
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.concat(
+                F.lit("/a/2024/"),
+                (F.col("doc_id") % 12).cast("string"),
+                F.lit("?page="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(m4 == 2, F.lit("/about"))
+        .otherwise(
+            F.concat(
+                F.lit("/u/"),
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 6
+                ),
+            )
+        )
+    )
+    withu = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    return url_templates(withu, min_urls=2)
+
+
 def q_corpus_c4_filters(spark, sf):
     """C4 heuristic cleanup (Raffel et al. 2020 §2.2) over a
     doc_id-derived multi-line fixture exercising every rule: a kept
@@ -3119,7 +3179,6 @@ FROM vals v LEFT JOIN mani m ON m.doc_id = v.doc_id AND m.f = v.f
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- training-data ops: dedup family ------------------------------
     "dedup_soft_weights": q_dedup_soft_weights,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_incremental": q_dedup_incremental,
@@ -3154,6 +3213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
+    "corpus_url_templates": q_corpus_url_templates,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_span_ladder": q_corpus_span_ladder,
     "corpus_pack_sequences": q_corpus_pack_sequences,
@@ -3242,7 +3302,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # path stays in-window via dedup_semantic + corpus_embed_prune +
     # ann_ivf_topk, and the hyperplane-LSH recall floors re-prove the
     # bucketing every session) rotated below for text_chunk_windows;
+    # dedup_minhash_lsh (r04-green; its r05-changed shared pairing code
+    # — band_rows expansion + shuffle_hash pins — is exercised
+    # in-window with full value-hash oracles by dedup_incremental,
+    # corpus_split_safe, and corpus_end_to_end's MinHash+CC stage)
+    # rotated below for corpus_url_templates;
     "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_corpus_keep": q_dedup_corpus_keep,
     "dedup_url_canonical": q_dedup_url_canonical,
@@ -4729,6 +4795,34 @@ ORACLE_SQL: dict[str, str] = {
         "  ROUND(ty / CAST(nt AS DOUBLE), 6) AS ttr, "
         "  ROUND(hx / CAST(ty AS DOUBLE), 6) AS hapax_frac, "
         "  ROUND(tp / CAST(nt AS DOUBLE), 6) AS top_frac FROM ag"
+    ),
+    # corpus_url_templates: same doc_id-derived url fixture; host
+    # regenerated lowered/www-stripped from the same CASE, template =
+    # global digit-run replacement, (host, template) counts with the
+    # min_urls HAVING.
+    "corpus_url_templates": (
+        "WITH u AS (SELECT doc_id, 'https://' || "
+        "  (CASE doc_id % 3 WHEN 0 THEN 'www.Shop.example.com' "
+        "    WHEN 1 THEN 'blog.example.org' "
+        "    ELSE 'shard' || CAST(doc_id % 4 AS VARCHAR) || '.cdn.net' "
+        "  END) || "
+        "  (CASE doc_id % 4 "
+        "    WHEN 0 THEN '/item/' || CAST(doc_id AS VARCHAR) || '/view' "
+        "    WHEN 1 THEN '/a/2024/' || CAST(doc_id % 12 AS VARCHAR) "
+        "      || '?page=' || CAST(doc_id % 7 AS VARCHAR) "
+        "    WHEN 2 THEN '/about' "
+        "    ELSE '/u/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) "
+        "  END) AS url, "
+        "  (CASE doc_id % 3 WHEN 0 THEN 'shop.example.com' "
+        "    WHEN 1 THEN 'blog.example.org' "
+        "    ELSE 'shard' || CAST(doc_id % 4 AS VARCHAR) || '.cdn.net' "
+        "  END) AS host FROM documents), "
+        "t AS (SELECT host, "
+        "  regexp_replace(url, '[0-9]+', '{n}', 'g') AS template, "
+        "  doc_id FROM u) "
+        "SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls, "
+        "  MIN(doc_id) AS first_doc FROM t GROUP BY host, template "
+        "HAVING COUNT(*) >= 2"
     ),
     # text_chunk_windows: same ws-noise corpus; starts = stride-stepped
     # generate_series (empty for zero-token docs), chunk = 1-based

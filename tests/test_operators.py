@@ -2022,3 +2022,50 @@ def test_chunk_dedup_stats(spark):
     assert (got[4].n_bytes, got[4].n_chunks) == (0, 0)
     with _pytest.raises(ValueError, match=">= 1"):
         chunk_dedup_stats(df, chunk_bytes=0)
+
+
+def test_url_templates(spark):
+    """urls.url_templates: digit runs collapse to {n} per host, host is
+    lowered/www-stripped, min_urls prunes singletons, junk urls group
+    under a NULL host instead of failing (try_parse_url), first_doc is
+    the smallest member id."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        url_templates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.Shop.com/item/12/view"),
+            (2, "https://shop.com/item/9934/view"),
+            (7, "https://shop.com/item/5/view"),
+            (3, "https://shard3.cdn.net/a/1"),
+            (4, "https://shard7.cdn.net/a/2"),
+            (9, "https://shard3.cdn.net/a/9"),
+            (5, "https://shop.com/unique-one-off"),
+            (6, "not a url at all 77"),
+            (8, "also ::junk:: 77"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        (r.host, r.template): (r.n_urls, r.first_doc)
+        for r in url_templates(df, min_urls=2).collect()
+    }
+    # the www. host and the bare host produce DIFFERENT templates
+    # (template preserves the raw url) but share the host KEY; the two
+    # bare-host item urls share one template of size 2
+    assert got[("shop.com", "https://shop.com/item/{n}/view")] == (2, 2)
+    # shard3: digit collapses inside the template, 2 members survive;
+    # shard7's lone url is a (host, template) singleton -> pruned even
+    # though shard3 shares the template string (host is part of the key)
+    assert got[("shard3.cdn.net", "https://shard{n}.cdn.net/a/{n}")] == (
+        2,
+        3,
+    )
+    assert not any(h == "shard7.cdn.net" for h, _ in got)
+    # singletons pruned
+    assert not any("unique-one-off" in t for _, t in got)
+    assert not any("www.Shop.com" in t for _, t in got)
+    # junk urls -> NULL host group (2 members, template digits collapse
+    # only; they differ in text so each is a singleton and is pruned)
+    assert not any(h is None for h, _ in got)

@@ -746,3 +746,14 @@ def test_chunk_windows_narrow(spark):
     assert "EvalPython" not in plan, plan
     assert plan.count("Generate posexplode") == 1, plan
     assert plan.count("split(") == 1, plan
+
+
+def test_url_templates_single_exchange(spark):
+    """corpus_url_templates: narrow derive into ONE map-side-partial
+    agg keyed by (host, template) — no window, no join, no Python."""
+    plan = _qplan(spark, "corpus_url_templates")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan, plan
