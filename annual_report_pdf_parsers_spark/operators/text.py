@@ -1430,3 +1430,96 @@ def chunk_windows(
         F.col("_c.n_tokens").cast("long").alias("n_tokens"),
         F.col("_c.chunk_text").alias("chunk_text"),
     )
+
+
+# Cross-engine-identical single-char classes for script_mix_stats:
+# pure codepoint ranges (no \p{...} script properties — Java and RE2
+# disagree at the edges of Unicode script classes; byte/codepoint
+# ranges cannot drift).  SM_CONTROL is C0 minus tab/LF/CR (those are
+# legitimate text whitespace).
+SM_ASCII_LETTER_RE = "[A-Za-z]"
+SM_NONASCII_RE = "[^\\x00-\\x7f]"
+SM_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+SM_REPLACEMENT = "�"
+
+
+def script_mix_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_nonascii_frac: float = 0.3,
+) -> DataFrame:
+    """Mojibake / script-mix detection — the encoding-hygiene filter of
+    web-corpus cleaning (public practice: CCNet/Gopher-style pipelines
+    drop documents with replacement characters, stray C0 controls, or
+    an implausible non-ASCII share for their claimed language; double-
+    decoded UTF-8 shows up exactly this way).
+
+    Per document: ``n_chars``, ``n_ascii_letters``, ``n_nonascii``
+    (codepoints > U+007F — accents count a little, CJK/Cyrillic bodies
+    count a lot), ``n_replacement`` (U+FFFD — the smoking gun of a
+    decode error), ``n_control`` (C0 minus tab/LF/CR),
+    ``nonascii_frac`` (ROUND 6, NULL on empty text) and ``suspect`` =
+    non-empty AND (any replacement char OR any control char OR
+    nonascii_frac > ``max_nonascii_frac``).
+
+    Determinism: counts via the replace-trick over pure codepoint-
+    range classes (Java and RE2 agree on ranges by construction —
+    \\p{...} script properties disagree at Unicode edges and are
+    deliberately avoided); one division, ROUND 6.
+
+    100 TB shape: narrow zero-shuffle projection; the four counts are
+    pin()-staged (the langid lesson — inlined, each strip re-evaluates
+    per downstream reference)."""
+    from ..functions.numeric import pin
+
+    clash = sorted(
+        {"_sm_al", "_sm_na", "_sm_ct", "_sm_rp"} & set(df.columns)
+    )
+    if clash:
+        raise ValueError(f"script_mix_stats staging columns clash: {clash}")
+    t = F.col(text_col)
+
+    def re_count(pat: str) -> Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+
+    staged = df.select(
+        "*",
+        pin(re_count(SM_ASCII_LETTER_RE)).alias("_sm_al"),
+        pin(re_count(SM_NONASCII_RE)).alias("_sm_na"),
+        pin(re_count(SM_CONTROL_RE)).alias("_sm_ct"),
+        pin(
+            (
+                F.length(t)
+                - F.length(
+                    F.replace(t, F.lit(SM_REPLACEMENT), F.lit(""))
+                )
+            ).cast("long")
+        ).alias("_sm_rp"),
+    )
+    n = F.length(t).cast("long")
+    na_frac = F.when(
+        n > 0, F.round(F.col("_sm_na") / n.cast("double"), 6)
+    )
+    return staged.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_chars"),
+        F.col("_sm_al").alias("n_ascii_letters"),
+        F.col("_sm_na").alias("n_nonascii"),
+        F.col("_sm_rp").alias("n_replacement"),
+        F.col("_sm_ct").alias("n_control"),
+        na_frac.alias("nonascii_frac"),
+        (
+            (n > 0)
+            & (
+                (F.col("_sm_rp") > 0)
+                | (F.col("_sm_ct") > 0)
+                | (
+                    F.coalesce(na_frac, F.lit(0.0))
+                    > F.lit(max_nonascii_frac)
+                )
+            )
+        ).alias("suspect"),
+    )

@@ -2738,6 +2738,37 @@ def q_text_chunk_windows(spark, sf):
     )
 
 
+def q_text_script_mix(spark, sf):
+    """Mojibake/script-mix detection over a doc_id%4 probe rotation on
+    a 40-char text base: clean ASCII tail, a U+FFFD + C0-control tail
+    (decode-error smoking gun), a light accent tail (non-ASCII but
+    under the 0.3 bar), and a Cyrillic tail heavy enough to cross it —
+    all four suspect arms fire at sf0.01.  Oracle = the same replace-
+    trick counts over the identical codepoint-range classes."""
+    d = load(spark, sf, "documents")
+    base = F.substring(F.col("text"), 1, 40)
+    m4 = F.col("doc_id") % 4
+    inj = (
+        F.when(m4 == 0, F.concat(base, F.lit(" clean tail.")))
+        .when(
+            m4 == 1,
+            F.concat(
+                base,
+                # raw U+FFFD is intended; the C0 byte is escaped
+                F.lit(" broken � decode "),
+                F.lit("\x01 here"),
+            ),
+        )
+        .when(m4 == 2, F.concat(base, F.lit(" café résumé été")))
+        .otherwise(
+            F.concat(base, F.lit(" привет мир это тест столица"))
+        )
+    )
+    return text.script_mix_stats(
+        d.select("doc_id", inj.alias("text"))
+    )
+
+
 def q_text_normalize(spark, sf):
     """Pre-tokenization normalization (lowercase + accent fold + ws
     collapse).  The corpus text is already lowercase ASCII, so the query
@@ -3193,11 +3224,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     # -- text analysis ------------------------------------------------
     "text_langid": q_text_langid,
-    "text_dup_spans": q_text_dup_spans,
     "text_dup_excise": q_text_dup_excise,
     "text_line_stats": q_text_line_stats,
     "text_char_entropy": q_text_char_entropy,
     "text_lexical_diversity": q_text_lexical_diversity,
+    "text_script_mix": q_text_script_mix,
     "text_chunk_windows": q_text_chunk_windows,
     "text_unigram_lm": q_text_unigram_lm,
     "text_bigram_lm": q_text_bigram_lm,
@@ -3307,8 +3338,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window with full value-hash oracles by dedup_incremental,
     # corpus_split_safe, and corpus_end_to_end's MinHash+CC stage)
     # rotated below for corpus_url_templates;
+    # text_dup_spans (r04-green; the windowed-hash span machinery stays
+    # in-window via text_dup_excise, corpus_span_ladder, and the funnel
+    # audit) rotated below for text_script_mix;
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_dup_spans": q_text_dup_spans,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_corpus_keep": q_dedup_corpus_keep,
     "dedup_url_canonical": q_dedup_url_canonical,
@@ -4823,6 +4858,39 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls, "
         "  MIN(doc_id) AS first_doc FROM t GROUP BY host, template "
         "HAVING COUNT(*) >= 2"
+    ),
+    # text_script_mix: same 40-char-base probe rotation; replace-trick
+    # counts over the identical codepoint-range classes (no \p{...}
+    # script properties — they drift between Java and RE2), chr(65533)
+    # = U+FFFD, chr(1) = the C0 probe; same ROUND-6 fraction + OR.
+    "text_script_mix": (
+        "WITH inj AS (SELECT doc_id, substr(text, 1, 40) || "
+        "  (CASE doc_id % 4 WHEN 0 THEN ' clean tail.' "
+        "    WHEN 1 THEN ' broken ' || chr(65533) || ' decode ' || "
+        "      chr(1) || ' here' "
+        "    WHEN 2 THEN ' café résumé été' "
+        "    ELSE ' привет мир это тест столица' END) AS t "
+        "  FROM documents), "
+        "c AS (SELECT doc_id, length(t) AS n, "
+        "  length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) "
+        "    AS al, "
+        "  length(t) - length(regexp_replace(t, "
+        "    '[^\\x00-\\x7f]', '', 'g')) AS na, "
+        "  length(t) - length(replace(t, chr(65533), '')) AS rp, "
+        "  length(t) - length(regexp_replace(t, "
+        "    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS ct "
+        "  FROM inj) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, "
+        "  CAST(al AS BIGINT) AS n_ascii_letters, "
+        "  CAST(na AS BIGINT) AS n_nonascii, "
+        "  CAST(rp AS BIGINT) AS n_replacement, "
+        "  CAST(ct AS BIGINT) AS n_control, "
+        "  CASE WHEN n > 0 THEN ROUND(na / CAST(n AS DOUBLE), 6) END "
+        "    AS nonascii_frac, "
+        "  (n > 0 AND (rp > 0 OR ct > 0 OR "
+        "    COALESCE(CASE WHEN n > 0 THEN "
+        "      ROUND(na / CAST(n AS DOUBLE), 6) END, 0.0) > 0.3)) "
+        "    AS suspect FROM c"
     ),
     # text_chunk_windows: same ws-noise corpus; starts = stride-stepped
     # generate_series (empty for zero-token docs), chunk = 1-based

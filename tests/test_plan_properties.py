@@ -757,3 +757,14 @@ def test_url_templates_single_exchange(spark):
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_script_mix_narrow(spark):
+    """text_script_mix: pure narrow — zero exchanges, no Python; the
+    four class counts are staged once (a re-inlined strip would show as
+    extra regexp_replace sites beyond the 3 classes + the fixture's
+    own)."""
+    plan = _qplan(spark, "text_script_mix")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("regexp_replace") <= 3, plan

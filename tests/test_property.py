@@ -1944,3 +1944,50 @@ def test_chunk_windows_matches_python_model(spark, docs, size, stride):
         assert sorted(got.get(i, [])) == model(ws), (
             f"doc {i}: {ws!r} size={size} stride={stride}"
         )
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(
+            alphabet="aB9 .\t\x01\x07пи日�éñ",
+            min_size=0, max_size=30,
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_script_mix_matches_python_model(spark, docs):
+    """text.script_mix_stats vs a direct codepoint model over an
+    adversarial alphabet (C0 controls, Cyrillic/CJK, accents, U+FFFD
+    itself)."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        script_mix_stats,
+    )
+
+    ctrl = set(range(0, 9)) | {0x0B, 0x0C} | set(range(0x0E, 0x20))
+
+    def model(t):
+        n = len(t)
+        al = sum(1 for c in t if c.isascii() and c.isalpha())
+        na = sum(1 for c in t if ord(c) > 0x7F)
+        rp = t.count("�")
+        ct = sum(1 for c in t if ord(c) in ctrl)
+        frac = round(na / n, 6) if n else None
+        suspect = n > 0 and (
+            rp > 0 or ct > 0 or (frac or 0.0) > 0.3
+        )
+        return (n, al, na, rp, ct, frac, suspect)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_chars, r.n_ascii_letters, r.n_nonascii,
+            r.n_replacement, r.n_control, r.nonascii_frac, r.suspect,
+        )
+        for r in script_mix_stats(df).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == model(t), f"doc {i}: {t!r}"
