@@ -1635,3 +1635,68 @@ def cluster_keep_best(
         F.col("_sc").alias(score_col),
         (F.col("doc_id") == F.col("_b.kid")).alias("keep"),
     )
+
+
+def decontaminate_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark-SIDE contamination report — the dual of
+    `decontaminate`: instead of flagging corpus documents, report for
+    EVERY eval item how many corpus documents share >= ``min_overlap``
+    distinct k-shingles with it and the worst single overlap (public
+    practice: eval suites publish per-item contamination rates so
+    burned items can be excluded from scoring, not just scrubbed from
+    the training set — the two directions answer different questions).
+
+    Returns one row per benchmark document, zeros included::
+
+        (bench_id, n_contaminating, max_overlap)
+
+    100 TB shape: the benchmark is bounded by construction, so its
+    (item, shingle) set BROADCASTS (the `decontaminate` precedent) and
+    the corpus side never shuffles for the join; the per-(item, doc)
+    overlap counts partial-aggregate map-side into one exchange keyed
+    by the pair, then one tiny per-item agg.  The pair table is
+    bounded by |matches|, not |corpus| x |bench|.
+    """
+    bench_sh = with_shingles(benchmark, text_col, k).select(
+        F.col(bench_id_col).alias("bid"),
+        F.explode(F.col("_sh")).alias("shingle"),
+    )
+    doc_sh = doc_shingles(corpus, text_col, id_col, k)
+    pair = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("bid", "sid")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_item = pair.groupBy("bid").agg(
+        F.sum(
+            F.when(F.col("n_shared") >= min_overlap, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_contaminating"),
+        F.max("n_shared").cast("long").alias("max_overlap"),
+    )
+    return (
+        benchmark.select(F.col(bench_id_col).alias("bench_id"))
+        .join(
+            per_item.withColumnRenamed("bid", "bench_id"),
+            "bench_id",
+            "left",
+        )
+        .select(
+            "bench_id",
+            F.coalesce(F.col("n_contaminating"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminating"),
+            F.coalesce(F.col("max_overlap"), F.lit(0))
+            .cast("long")
+            .alias("max_overlap"),
+        )
+    )

@@ -2464,6 +2464,20 @@ def q_corpus_decontaminate(spark, sf):
     return dedup.decontaminate(d, bench)
 
 
+def q_corpus_contamination_report(spark, sf):
+    """Benchmark-SIDE contamination report (the dual of
+    corpus_decontaminate, same %40 eval fixture): every eval item
+    counts the corpus docs sharing >= 2 distinct 3-shingles with it —
+    each item's own corpus copy guarantees n_contaminating >= 1 and a
+    large max_overlap, organic near-matches add spread.  Oracle =
+    the same shingle CTEs aggregated per (bench, corpus-doc) pair."""
+    d = load(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 40 == 0).select(
+        "doc_id", "text"
+    )
+    return dedup.decontaminate_report(d, bench)
+
+
 def q_corpus_shard_shuffle(spark, sf):
     """Deterministic training-order shuffle: every doc gets a (shard,
     pos) so replaying shards in order reproduces ONE fixed pseudo-random
@@ -3257,9 +3271,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_epoch_plan": q_corpus_epoch_plan,
     "corpus_vocab_topk": q_corpus_vocab_topk,
     "corpus_drift": q_corpus_drift,
+    "corpus_contamination_report": q_corpus_contamination_report,
     "corpus_embed_prune": q_corpus_embed_prune,
     # -- events / temporal --------------------------------------------
-    "events_asof_join": q_events_asof,
     "events_stream_window": q_events_stream_window,
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
@@ -3341,7 +3355,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text_dup_spans (r04-green; the windowed-hash span machinery stays
     # in-window via text_dup_excise, corpus_span_ladder, and the funnel
     # audit) rotated below for text_script_mix;
+    # events_asof_join (r04-green, unchanged in r05; its oracle is
+    # DuckDB's NATIVE ASOF JOIN — the strongest independent check in
+    # the local gate, re-run every session) rotated below for
+    # corpus_contamination_report;
     "dedup_exact": q_dedup_exact,
+    "events_asof_join": q_events_asof,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "text_dup_spans": q_text_dup_spans,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
@@ -5198,6 +5217,30 @@ ORACLE_SQL: dict[str, str] = {
         "  AS n_overlap, "
         "COALESCE(hits.n, 0) >= 2 AS contaminated "
         "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id"
+    ),
+    # corpus_contamination_report: same %40 benchmark + shingle CTEs as
+    # corpus_decontaminate, aggregated per (bench item, corpus doc)
+    # pair then per item; zero-match items kept via the spine join.
+    "corpus_contamination_report": (
+        "WITH toks AS (SELECT doc_id, "
+        "  list_filter(regexp_split_to_array(text, " + _WSRE2 + "), "
+        "    t -> t <> '') AS tk FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, "
+        "  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle "
+        "  FROM toks, UNNEST(generate_series(1, "
+        "    greatest(len(tk) - 2, 0))) AS g(i) WHERE len(tk) >= 3), "
+        "bsh AS (SELECT doc_id AS bid, shingle FROM sh "
+        "  WHERE doc_id % 40 = 0), "
+        "pair AS (SELECT b.bid, s.doc_id AS sid, COUNT(*) AS n "
+        "  FROM sh s JOIN bsh b USING (shingle) GROUP BY b.bid, sid), "
+        "per AS (SELECT bid, "
+        "  SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS nc, "
+        "  MAX(n) AS mo FROM pair GROUP BY bid) "
+        "SELECT d.doc_id AS bench_id, "
+        "  CAST(COALESCE(per.nc, 0) AS BIGINT) AS n_contaminating, "
+        "  CAST(COALESCE(per.mo, 0) AS BIGINT) AS max_overlap "
+        "FROM documents d LEFT JOIN per ON per.bid = d.doc_id "
+        "WHERE d.doc_id % 40 = 0"
     ),
     "corpus_shard_shuffle": (
         "WITH h AS (SELECT doc_id, "

@@ -2069,3 +2069,38 @@ def test_url_templates(spark):
     # junk urls -> NULL host group (2 members, template digits collapse
     # only; they differ in text so each is a singleton and is pruned)
     assert not any(h is None for h, _ in got)
+
+
+def test_decontaminate_report(spark):
+    """dedup.decontaminate_report: per-ITEM counts — a bench item with
+    two >=2-shingle corpus matches reports n_contaminating=2 and the
+    worst overlap; an item with only a 1-shingle brush reports 0/1; an
+    unmatched item reports 0/0 (spine join)."""
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        decontaminate_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "alpha beta gamma nope nope2"),
+            (4, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta"),
+            (200, "no shingle overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.bench_id: (r.n_contaminating, r.max_overlap)
+        for r in decontaminate_report(corpus, bench).collect()
+    }
+    # item 100 shingles: {a b g, b g d}; doc1/doc2 share both (2),
+    # doc3 shares one (1 < min_overlap)
+    assert got[100] == (2, 2)
+    assert got[200] == (0, 0)

@@ -768,3 +768,15 @@ def test_script_mix_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("regexp_replace") <= 3, plan
+
+
+def test_contamination_report_plan(spark):
+    """corpus_contamination_report: the bench (item, shingle) set is
+    the broadcast side (bounded by construction — the decontaminate
+    precedent); the corpus side never shuffles before the join; no
+    cartesian, bounded exchanges."""
+    plan = _qplan(spark, "corpus_contamination_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
