@@ -1448,6 +1448,7 @@ def script_mix_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_nonascii_frac: float = 0.3,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Mojibake / script-mix detection — the encoding-hygiene filter of
     web-corpus cleaning (public practice: CCNet/Gopher-style pipelines
@@ -1470,7 +1471,9 @@ def script_mix_stats(
 
     100 TB shape: narrow zero-shuffle projection; the four counts are
     pin()-staged (the langid lesson — inlined, each strip re-evaluates
-    per downstream reference)."""
+    per downstream reference).  ``keep_cols`` pass through untouched
+    (the unigram_logprob convention) so composed queries can thread
+    other per-doc signals without a re-join."""
     from ..functions.numeric import pin
 
     clash = sorted(
@@ -1505,6 +1508,7 @@ def script_mix_stats(
     )
     return staged.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         n.alias("n_chars"),
         F.col("_sm_al").alias("n_ascii_letters"),
         F.col("_sm_na").alias("n_nonascii"),
@@ -1522,4 +1526,86 @@ def script_mix_stats(
                 )
             )
         ).alias("suspect"),
+    )
+
+
+def corpus_health_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    max_nonascii_frac: float = 0.3,
+) -> DataFrame:
+    """Per-language corpus HEALTH dashboard — the monitoring query a
+    production ingest runs per snapshot (public practice: corpus cards
+    / datasheets report exactly these: volume, duplication, quality,
+    encoding damage per language)::
+
+        (lang, n_docs, n_tokens, n_distinct, dup_frac,
+         mean_quality, suspect_frac)
+
+    dup_frac = 1 - distinct-content/docs (exact md5 identity),
+    mean_quality = mean of the classifier's ROUND-6 scores,
+    suspect_frac = `script_mix_stats` share.  NULL lang is its own row.
+
+    Determinism: the quality mean is a DECIMAL(18,6) SUM of the
+    already-rounded scores (exact and order-independent — an IEEE
+    double sum would hash-differ across engines/partitionings) cast to
+    double ONCE, one division, ROUND 6 — the repo's decimal-sum
+    discipline.
+
+    100 TB shape: the per-doc signals (token count, digest, classifier
+    score, script-mix suspect) thread through ONE narrow chain via the
+    keep_cols convention — no per-signal re-joins — into a single agg
+    keyed by language (count-distinct digest is the standard two-phase
+    expand; everything else partial-aggregates map-side).  Output rows
+    = |languages|, driver-safe at any corpus size.
+    """
+    base = df.withColumn(
+        "_hr_nt", token_count(F.col(text_col)).cast("long")
+    ).withColumn("_hr_dg", F.md5(F.col(text_col)))
+    scored = quality_classifier(
+        base,
+        text_col,
+        id_col,
+        keep_cols=(lang_col, text_col, "_hr_nt", "_hr_dg"),
+    )
+    mixed = script_mix_stats(
+        scored,
+        text_col,
+        id_col,
+        max_nonascii_frac,
+        keep_cols=(lang_col, "_hr_nt", "_hr_dg", "score"),
+    )
+    n_docs = F.count(F.lit(1))
+    n_distinct = F.count_distinct(F.col("_hr_dg"))
+    sum_q = F.sum(F.col("score").cast("decimal(18,6)"))
+    n_suspect = F.sum(F.when(F.col("suspect"), 1).otherwise(0))
+    return (
+        mixed.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            n_docs.cast("long").alias("n_docs"),
+            F.sum("_hr_nt").cast("long").alias("n_tokens"),
+            n_distinct.cast("long").alias("n_distinct"),
+            sum_q.alias("_sq"),
+            n_suspect.cast("long").alias("_ns"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_frac"),
+            F.round(
+                F.col("_sq").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("mean_quality"),
+            F.round(
+                F.col("_ns") / F.col("n_docs").cast("double"), 6
+            ).alias("suspect_frac"),
+        )
     )

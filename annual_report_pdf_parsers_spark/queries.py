@@ -2478,6 +2478,33 @@ def q_corpus_contamination_report(spark, sf):
     return dedup.decontaminate_report(d, bench)
 
 
+def q_corpus_health_report(spark, sf):
+    """Per-language corpus health dashboard over the ws-noise corpus
+    with a mojibake probe (doc_id%7==3 gains a U+FFFD tail BEFORE the
+    dup union, so exact copies stay exact) and the %50 dup copies (so
+    dup_frac is non-zero per language).  Oracle restates the four
+    per-doc signals (token count, md5 digest, shared classifier chain,
+    full script-mix suspect rule) and the decimal-sum mean."""
+    d = _with_ws_noise(load(spark, sf, "documents"))
+    suf = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 3, F.lit(" � bad")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    dup = suf.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = suf.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return text.corpus_health_report(corpus)
+
+
 def q_corpus_shard_shuffle(spark, sf):
     """Deterministic training-order shuffle: every doc gets a (shard,
     pos) so replaying shards in order reproduces ONE fixed pseudo-random
@@ -3225,7 +3252,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- training-data ops: dedup family ------------------------------
     "dedup_soft_weights": q_dedup_soft_weights,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
-    "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_incremental": q_dedup_incremental,
     "dedup_bloom": q_dedup_bloom,
     "dedup_keep_best": q_dedup_keep_best,
@@ -3272,6 +3298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab_topk": q_corpus_vocab_topk,
     "corpus_drift": q_corpus_drift,
     "corpus_contamination_report": q_corpus_contamination_report,
+    "corpus_health_report": q_corpus_health_report,
     "corpus_embed_prune": q_corpus_embed_prune,
     # -- events / temporal --------------------------------------------
     "events_stream_window": q_events_stream_window,
@@ -3359,7 +3386,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # DuckDB's NATIVE ASOF JOIN — the strongest independent check in
     # the local gate, re-run every session) rotated below for
     # corpus_contamination_report;
+    # dedup_cluster_cc (r04-green; the CC machinery keeps THREE
+    # in-window recursive-CTE oracles via dedup_keep_best,
+    # corpus_split_safe, and corpus_end_to_end) rotated below for
+    # corpus_health_report;
     "dedup_exact": q_dedup_exact,
+    "dedup_cluster_cc": q_dedup_cluster_cc,
     "events_asof_join": q_events_asof,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "text_dup_spans": q_text_dup_spans,
@@ -5241,6 +5273,44 @@ ORACLE_SQL: dict[str, str] = {
         "  CAST(COALESCE(per.mo, 0) AS BIGINT) AS max_overlap "
         "FROM documents d LEFT JOIN per ON per.bid = d.doc_id "
         "WHERE d.doc_id % 40 = 0"
+    ),
+    # corpus_health_report: same suffixed+duped corpus; the four
+    # per-doc signals restated (split-class token count, md5 digest,
+    # shared classifier chain, full script-mix suspect rule) and the
+    # DECIMAL(18,6) sum of rounded scores cast to double ONCE.
+    "corpus_health_report": (
+        "WITH wsbase AS (SELECT doc_id, "
+        f"text || {_WS_NOISE_SQL} AS text, lang FROM documents), "
+        "suf AS (SELECT doc_id, lang, text || "
+        "  CASE WHEN doc_id % 7 = 3 THEN ' ' || chr(65533) || ' bad' "
+        "  ELSE '' END AS text FROM wsbase), "
+        "corpus AS (SELECT doc_id, lang, text FROM suf "
+        "  UNION ALL SELECT doc_id + 1000000, lang, text FROM suf "
+        "  WHERE doc_id % 50 = 0), "
+        + _classifier_ctes("corpus")
+        + ", met AS (SELECT c.doc_id, c.lang, "
+        "  len(list_filter(regexp_split_to_array(c.text, " + _WSRE2 + "), "
+        "    x -> x <> '')) AS nt, "
+        "  md5(c.text) AS dg, "
+        "  CAST(ROUND(sc.s, 6) AS DECIMAL(18,6)) AS q, "
+        "  (length(c.text) > 0 AND ("
+        "    length(c.text) - length(replace(c.text, chr(65533), '')) > 0 "
+        "    OR length(c.text) - length(regexp_replace(c.text, "
+        "      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) > 0 "
+        "    OR COALESCE(ROUND((length(c.text) - length(regexp_replace("
+        "      c.text, '[^\\x00-\\x7f]', '', 'g'))) / "
+        "      CAST(length(c.text) AS DOUBLE), 6), 0.0) > 0.3)) AS sus "
+        "  FROM corpus c JOIN sc ON sc.doc_id = c.doc_id) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "  CAST(SUM(nt) AS BIGINT) AS n_tokens, "
+        "  CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_distinct, "
+        "  ROUND(1.0 - COUNT(DISTINCT dg) / CAST(COUNT(*) AS DOUBLE), 6) "
+        "    AS dup_frac, "
+        "  ROUND(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) "
+        "    AS mean_quality, "
+        "  ROUND(SUM(CASE WHEN sus THEN 1 ELSE 0 END) / "
+        "    CAST(COUNT(*) AS DOUBLE), 6) AS suspect_frac "
+        "FROM met GROUP BY lang"
     ),
     "corpus_shard_shuffle": (
         "WITH h AS (SELECT doc_id, "

@@ -2104,3 +2104,39 @@ def test_decontaminate_report(spark):
     # doc3 shares one (1 < min_overlap)
     assert got[100] == (2, 2)
     assert got[200] == (0, 0)
+
+
+def test_corpus_health_report(spark):
+    """text.corpus_health_report: per-language volume/dup/quality/
+    encoding stats — dup_frac counts exact md5 identity, the mojibake
+    doc flips suspect_frac, NULL lang is its own row."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        corpus_health_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "one common page body"),
+            (2, "en", "one common page body"),
+            (3, "en", "a different page"),
+            (4, "fr", "page unique ici"),
+            (5, None, "broken � here"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.lang: (
+            r.n_docs, r.n_tokens, r.n_distinct, r.dup_frac,
+            r.suspect_frac,
+        )
+        for r in corpus_health_report(df).collect()
+    }
+    assert got["en"] == (3, 11, 2, round(1 - 2 / 3, 6), 0.0)
+    assert got["fr"] == (1, 3, 1, 0.0, 0.0)
+    assert got[None] == (1, 3, 1, 0.0, 1.0)
+    # mean_quality is engine-checked exactly by the driver oracle; here
+    # just assert it is a rounded finite double
+    assert all(
+        r.mean_quality is not None
+        for r in corpus_health_report(df).collect()
+    )

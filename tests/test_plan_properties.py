@@ -780,3 +780,16 @@ def test_contamination_report_plan(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_health_report_plan(spark):
+    """corpus_health_report: the four per-doc signals thread through
+    ONE narrow chain (keep_cols — no per-signal re-joins), then a
+    single language-keyed aggregation (count-distinct digest = the
+    standard two-phase expand, hence <= 3 hash exchanges incl. the
+    fixture repartition); no joins, no windows, no Python."""
+    plan = _qplan(spark, "corpus_health_report")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
