@@ -1493,7 +1493,8 @@ def bloom_dedup_flags(
         (doc_id, n_paras, n_flagged, flag_frac, drop)
 
     with ``flag_frac`` ROUND 6 and ``drop`` = n_paras > 0 AND
-    flag_frac >= max_flag_frac (0-paragraph docs never drop).
+    flag_frac >= max_flag_frac (0-paragraph docs never drop); NULL
+    text behaves as '' on both sides (the c4_filters convention).
 
     100 TB shape — the entire point of a Bloom filter: the filter is
     O(m) bits REGARDLESS of reference-corpus size, so it rides every
@@ -1507,6 +1508,9 @@ def bloom_dedup_flags(
     """
     if m < 2 or k_hashes < 1:
         raise ValueError("m must be >= 2 and k_hashes >= 1")
+    clash = sorted({"_bf_bm", "_bf_ps"} & set(probe.columns))
+    if clash:
+        raise ValueError(f"bloom_dedup_flags staging columns clash: {clash}")
 
     def positions(t: Column) -> list[Column]:
         return [
@@ -1522,7 +1526,11 @@ def bloom_dedup_flags(
     ref_pos = (
         ref.select(
             F.explode(
-                F.split(F.col(text_col), "\n\n", -1)
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    "\n\n",
+                    -1,
+                )
             ).alias("_p")
         )
         .select(F.trim(F.col("_p")).alias("_t"))
@@ -1548,7 +1556,11 @@ def bloom_dedup_flags(
             pin(
                 F.filter(
                     F.transform(
-                        F.split(F.col(text_col), "\n\n", -1),
+                        F.split(
+                            F.coalesce(F.col(text_col), F.lit("")),
+                            "\n\n",
+                            -1,
+                        ),
                         lambda t: F.trim(t),
                     ),
                     lambda t: t != "",

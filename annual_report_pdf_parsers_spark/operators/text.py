@@ -1300,7 +1300,8 @@ def lexical_diversity(
     Returns ``(doc_id, n_tokens, n_types, ttr, hapax_frac, top_frac)``:
     ttr = types/tokens, hapax_frac = once-occurring types / types,
     top_frac = most frequent type's count / tokens — all ROUND 6, all
-    NULL for zero-token documents (no 0-vs-undefined ambiguity).
+    NULL for zero-token documents (no 0-vs-undefined ambiguity); NULL
+    text behaves as '' (the c4_filters convention).
 
     100 TB shape: pure narrow array chain, zero shuffle — the sorted
     token array is pin()-staged ONCE and hapax/top-run counts are
@@ -1317,7 +1318,8 @@ def lexical_diversity(
         pin(
             F.array_sort(
                 F.transform(
-                    tokens(F.col(text_col)), lambda w: F.lower(w)
+                    tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda w: F.lower(w),
                 )
             )
         ),
@@ -1387,7 +1389,10 @@ def chunk_windows(
     budget (the loader step), this SPLITS each document independently.
 
     Chunks start at token 0, ``stride`` apart, while start < n_tokens;
-    the last chunk may be short.  Zero-token documents emit NO rows.
+    the last chunk may be short.  ``stride`` must be <= ``size`` (the
+    windows must tile; a larger stride would silently drop tokens).
+    Zero-token documents emit NO rows; NULL text behaves as '' (the
+    c4_filters convention).
     Emits one row per chunk::
 
         (doc_id, chunk_id, start_tok, n_tokens, chunk_text)
@@ -1406,7 +1411,14 @@ def chunk_windows(
 
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
-    base = df.withColumn("_cw_tk", pin(tokens(F.col(text_col))))
+    if stride > size:
+        # stride > size would silently drop the tokens between
+        # consecutive windows — the overlap contract is size - stride
+        raise ValueError("stride must be <= size (windows must tile)")
+    base = df.withColumn(
+        "_cw_tk",
+        pin(tokens(F.coalesce(F.col(text_col), F.lit("")))),
+    )
     tk = F.col("_cw_tk")
     n = F.size(tk)
     starts = F.when(n >= 1, F.sequence(F.lit(0), n - 1, F.lit(stride)))
@@ -1481,7 +1493,7 @@ def script_mix_stats(
     )
     if clash:
         raise ValueError(f"script_mix_stats staging columns clash: {clash}")
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
 
     def re_count(pat: str) -> Column:
         return (
@@ -1494,12 +1506,7 @@ def script_mix_stats(
         pin(re_count(SM_NONASCII_RE)).alias("_sm_na"),
         pin(re_count(SM_CONTROL_RE)).alias("_sm_ct"),
         pin(
-            (
-                F.length(t)
-                - F.length(
-                    F.replace(t, F.lit(SM_REPLACEMENT), F.lit(""))
-                )
-            ).cast("long")
+            count_occurrences(t, SM_REPLACEMENT).cast("long")
         ).alias("_sm_rp"),
     )
     n = F.length(t).cast("long")
@@ -1562,8 +1569,13 @@ def corpus_health_report(
     = |languages|, driver-safe at any corpus size.
     """
     base = df.withColumn(
-        "_hr_nt", token_count(F.col(text_col)).cast("long")
-    ).withColumn("_hr_dg", F.md5(F.col(text_col)))
+        "_hr_nt",
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).cast(
+            "long"
+        ),
+    ).withColumn(
+        "_hr_dg", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
     scored = quality_classifier(
         base,
         text_col,

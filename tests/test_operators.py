@@ -2121,6 +2121,7 @@ def test_corpus_health_report(spark):
             (3, "en", "a different page"),
             (4, "fr", "page unique ici"),
             (5, None, "broken � here"),
+            (6, "fr", None),
         ],
         "doc_id long, lang string, text string",
     )
@@ -2132,7 +2133,9 @@ def test_corpus_health_report(spark):
         for r in corpus_health_report(df).collect()
     }
     assert got["en"] == (3, 11, 2, round(1 - 2 / 3, 6), 0.0)
-    assert got["fr"] == (1, 3, 1, 0.0, 0.0)
+    # the NULL-text row counts as '' (c4_filters convention): one more
+    # fr doc, zero tokens, its own '' digest, not suspect
+    assert got["fr"] == (2, 3, 2, 0.0, 0.0)
     assert got[None] == (1, 3, 1, 0.0, 1.0)
     # mean_quality is engine-checked exactly by the driver oracle; here
     # just assert it is a rounded finite double
@@ -2140,3 +2143,17 @@ def test_corpus_health_report(spark):
         r.mean_quality is not None
         for r in corpus_health_report(df).collect()
     )
+
+
+def test_chunk_windows_rejects_gapping_stride(spark):
+    """chunk_windows: stride > size would silently drop tokens between
+    windows — the operator refuses (review finding)."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        chunk_windows,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="tile"):
+        chunk_windows(df, size=2, stride=3)

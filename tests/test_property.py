@@ -1919,10 +1919,13 @@ def test_lexical_diversity_matches_python_model(spark, docs):
 def test_chunk_windows_matches_python_model(spark, docs, size, stride):
     """text.chunk_windows vs a direct slicing model: stride-stepped
     starts while start < n, short tails, zero-token docs emit no
-    rows."""
+    rows.  stride is clamped to size (stride > size raises by
+    contract — tested separately)."""
     from annual_report_pdf_parsers_spark.operators.text import (
         chunk_windows,
     )
+
+    stride = min(stride, size)
 
     def model(ws):
         out = []
