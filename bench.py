@@ -152,6 +152,15 @@ HEADLINE = [
     "corpus_drift",
     "corpus_dedup_funnel",
     "media_chunk_dedup",
+    # late-round-5 additions (appended — earlier keys stay comparable)
+    "dedup_bloom",
+    "dedup_keep_best",
+    "text_lexical_diversity",
+    "text_chunk_windows",
+    "corpus_url_templates",
+    "text_script_mix",
+    "corpus_contamination_report",
+    "corpus_health_report",
 ]
 
 
