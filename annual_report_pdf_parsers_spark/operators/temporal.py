@@ -154,3 +154,53 @@ def session_stats(
             6,
         ).alias("duration_sec"),
     )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """BATCH sliding-window (hopping) aggregation — the relational
+    form of the metric feeds `streaming/windowed.py` serves online
+    (public practice: rolling rates over overlapping windows; each
+    event contributes to window_len/slide windows).  Spark's
+    `F.window(ts, len, slide)` expands each row into its windows
+    JVM-side (a STATIC Expand: len/slide projections enumerated at
+    plan time — not even a Generate), so the whole query is ONE
+    exchange keyed by (window, key) with map-side partial aggregation.
+
+    Returns ``(win_start, win_end, <key_col>, n_events, sum_value)``
+    with the repo's decimal-sum discipline (DECIMAL(18,2) sum cast to
+    double — an IEEE double sum would hash-differ across
+    partitionings).  TIMESTAMP_NTZ event time is cast at the edge and
+    the bounds cast back, exactly like `windowed_event_counts`.
+
+    100 TB shape: row expansion is the bounded factor len/slide (4 at
+    the defaults); state is nothing (batch agg), skew is per
+    (window, key) — event-time windows are intrinsically fine-grained.
+    """
+    ntz = dict(events.dtypes).get(ts_col) == "timestamp_ntz"
+    ts = F.col(ts_col).cast("timestamp") if ntz else F.col(ts_col)
+    out_t = "timestamp_ntz" if ntz else "timestamp"
+    return (
+        events.groupBy(
+            F.window(ts, window_len, slide).alias("win"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast(out_t).alias("win_start"),
+            F.col("win.end").cast(out_t).alias("win_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -2856,6 +2856,18 @@ def q_events_sessionize(spark, sf):
     )
 
 
+def q_events_slide_window(spark, sf):
+    """Batch sliding-window aggregation: 1-hour windows hopping every
+    15 minutes — each event lands in exactly 4 windows.  Oracle =
+    integer-µs window-start arithmetic (floor-slot minus 0..3 slides)
+    + the same DECIMAL(18,2) value sum."""
+    return temporal.sliding_window_counts(
+        load(spark, sf, "events"),
+        window_len="1 hour",
+        slide="15 minutes",
+    )
+
+
 def q_events_stream_window(spark, sf):
     """Structured Streaming driver-gate entry: the REAL streaming path
     (file-source readStream -> watermark -> tumbling 5-min window agg
@@ -3260,8 +3272,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_winnow": q_dedup_winnow,
     "media_chunk_dedup": q_media_chunk_dedup,
-    # -- ANN / similarity ---------------------------------------------
-    "ann_ivf_topk": q_ann_ivf_topk,
     # -- text analysis ------------------------------------------------
     "text_langid": q_text_langid,
     "text_dup_excise": q_text_dup_excise,
@@ -3301,6 +3311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_health_report": q_corpus_health_report,
     "corpus_embed_prune": q_corpus_embed_prune,
     # -- events / temporal --------------------------------------------
+    "events_slide_window": q_events_slide_window,
     "events_stream_window": q_events_stream_window,
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
@@ -3390,7 +3401,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window recursive-CTE oracles via dedup_keep_best,
     # corpus_split_safe, and corpus_end_to_end) rotated below for
     # corpus_health_report;
+    # ann_ivf_topk (r04-green + r05 local-gate re-greens; the
+    # r05-changed shared centroid argmax (_assign_nearest_centroid) is
+    # in-window with full oracles via corpus_embed_prune and
+    # dedup_semantic) rotated below for events_slide_window;
     "dedup_exact": q_dedup_exact,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "events_asof_join": q_events_asof,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6133,6 +6149,23 @@ ORACLE_SQL["d2_family_fallback"] = (
 # events_stream_window: batch restatement of the streaming windowed agg
 # INCLUDING the append-mode emission rule (windows whose end <= final
 # watermark = max event time - 10 minutes)
+# events_slide_window: every event belongs to exactly window/slide = 4
+# hopping windows; starts = (floor-slot - i) * slide for i in 0..3 in
+# integer microseconds (the same epoch alignment Spark's F.window
+# uses), value summed as DECIMAL(18,2) cast to double once.
+ORACLE_SQL["events_slide_window"] = (
+    "WITH e AS (SELECT epoch_us(ts) AS t, event_type, value "
+    "  FROM events), "
+    "w AS (SELECT ((t // 900000000) - g.i) * 900000000 AS s, "
+    "  event_type, value FROM e, "
+    "  UNNEST(generate_series(0, 3)) AS g(i)) "
+    "SELECT make_timestamp(s) AS win_start, "
+    "  make_timestamp(s + 3600000000) AS win_end, event_type, "
+    "  COUNT(*) AS n_events, "
+    "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM w GROUP BY s, event_type"
+)
+
 ORACLE_SQL["events_stream_window"] = (
     "WITH mx AS (SELECT max(ts) AS m FROM events), "
     "w AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, "

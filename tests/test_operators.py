@@ -2157,3 +2157,42 @@ def test_chunk_windows_rejects_gapping_stride(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="tile"):
         chunk_windows(df, size=2, stride=3)
+
+
+def test_sliding_window_counts(spark):
+    """temporal.sliding_window_counts: each event lands in exactly
+    window/slide hopping windows, bounds are epoch-aligned, the value
+    sum is the exact decimal sum."""
+    from datetime import datetime
+
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        sliding_window_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 10, 7), "click", 1.25),
+            (datetime(2024, 1, 1, 10, 20), "click", 2.50),
+            (datetime(2024, 1, 1, 12, 0), "view", 0.75),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    rows = sliding_window_counts(
+        df, window_len="1 hour", slide="15 minutes"
+    ).collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.event_type, []).append(r)
+        assert (r.win_end - r.win_start).total_seconds() == 3600
+        assert r.win_start.minute % 15 == 0 and r.win_start.second == 0
+    # each click event is in 4 windows; the two clicks share the 3
+    # windows covering both 10:07 and 10:20 -> 5 distinct windows
+    clicks = sorted(
+        (r.win_start, r.n_events, r.sum_value)
+        for r in per_key["click"]
+    )
+    assert len(clicks) == 5
+    shared = [c for c in clicks if c[1] == 2]
+    assert len(shared) == 3 and all(c[2] == 3.75 for c in shared)
+    assert len(per_key["view"]) == 4
+    assert all(r.n_events == 1 and r.sum_value == 0.75 for r in per_key["view"])

@@ -793,3 +793,16 @@ def test_health_report_plan(spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_slide_window_plan(spark):
+    """events_slide_window: the hopping-window expansion plans as a
+    STATIC Expand (window/slide = 4 projections enumerated at plan
+    time — cheaper than a Generate), never a join; ONE hash exchange
+    keyed by (window, key) with map-side partial agg; no Python."""
+    plan = _qplan(spark, "events_slide_window")
+    assert "Join" not in plan, plan
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+    assert "EvalPython" not in plan, plan
