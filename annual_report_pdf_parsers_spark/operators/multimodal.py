@@ -550,6 +550,21 @@ def chunk_dedup_stats(
             )
         ).alias("h"),
     )
+    sizes = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce((n_hex / 2).cast("long"), F.lit(0)).alias("n_bytes"),
+    )
+    return _chunk_share_stats(sizes, chunks)
+
+
+def _chunk_share_stats(sizes, chunks):
+    """Shared tail of the two binary-dedup ops: cross-doc test =
+    min(id) != max(id) per chunk hash (ONE hash-keyed exchange), join
+    back, per-doc counts, 0/0.0 for chunkless blobs.  ``sizes`` is
+    (doc_id, n_bytes) for EVERY input row; ``chunks`` is (doc_id, h)
+    exploded chunk hashes."""
+    from pyspark.sql import functions as F
+
     cross = chunks.groupBy("h").agg(
         (F.min("doc_id") != F.max("doc_id")).alias("is_shared")
     )
@@ -563,28 +578,112 @@ def chunk_dedup_stats(
             ).alias("n_shared_chunks"),
         )
     )
+    return sizes.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_bytes",
+        F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias(
+            "n_chunks"
+        ),
+        F.coalesce(F.col("n_shared_chunks"), F.lit(0)).cast(
+            "long"
+        ).alias("n_shared_chunks"),
+        F.when(
+            F.coalesce(F.col("n_chunks"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_shared_chunks") / F.col("n_chunks"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shared_frac"),
+    )
+
+
+def cdc_chunk_stats(
+    df,
+    window_bytes: int = 8,
+    boundary_hex: str = "0",
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+):
+    """CONTENT-DEFINED chunking (CDC) dedup stats — the rolling-hash
+    refinement of `chunk_dedup_stats` (public knowledge: LBFS/rsync-
+    family CDC; gear/Rabin hashing in production dedup stores).  Fixed
+    grids break under INSERTION: one prepended byte shifts every
+    64-byte chunk and nothing matches.  CDC places boundaries where a
+    hash of the trailing ``window_bytes`` window hits a target (first
+    md5-hex char in ``boundary_hex`` — expected chunk length =
+    16/len(boundary_hex) bytes plus the window), so boundaries re-
+    synchronize after an edit and everything past it still matches.
+
+    Same output contract as `chunk_dedup_stats`::
+
+        (doc_id, n_bytes, n_chunks, n_shared_chunks, shared_frac)
+
+    Engine-portability note: the per-position window hash is md5 over
+    the hex encoding (the DuckDB-portable form — see
+    `chunk_dedup_stats`); a production deployment swaps in a gear/
+    Rabin rolling hash (O(1)/byte instead of O(window)/byte) with the
+    same boundary semantics.  Production CDC also clamps chunk sizes
+    (min/max); the unclamped form keeps both engines' restatement
+    exact.
+
+    100 TB shape: boundary detection and chunk hashing are one narrow
+    pin()-staged array chain per blob; the cross-doc test is the same
+    ONE hash-keyed exchange as the fixed-grid op (shared tail) —
+    blobs never shuffle, only 32-hex chunk hashes move.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import pin
+
+    if window_bytes < 1:
+        raise ValueError("window_bytes must be >= 1")
+    if not boundary_hex or any(
+        c not in "0123456789ABCDEF" for c in boundary_hex
+    ):
+        raise ValueError("boundary_hex must be uppercase hex chars")
+    w = window_bytes
+    base = df.withColumn("_cd_hx", pin(F.hex(F.col(blob_col))))
+    hx = F.col("_cd_hx")
+    n = (F.length(hx) / 2).cast("int")
+    bpos = F.filter(
+        F.sequence(F.lit(w), F.greatest(n, F.lit(w))),
+        lambda i: (i <= n)
+        & F.substring(
+            F.md5(F.substring(hx, (i - w) * 2 + 1, 2 * w)), 1, 1
+        ).isin(*list(boundary_hex)),
+    )
+    base = base.withColumn("_cd_bp", pin(bpos))
+    bp = F.col("_cd_bp")
+    ends = F.when(
+        (F.size(bp) > 0) & (F.element_at(bp, -1) == n), bp
+    ).otherwise(F.concat(bp, F.array(n)))
+    base = base.withColumn("_cd_en", pin(ends))
+    en = F.col("_cd_en")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(en)),
+        lambda j: F.md5(
+            F.substring(
+                hx,
+                F.coalesce(F.get(en, j - 2), F.lit(0)) * 2 + 1,
+                (
+                    F.element_at(en, j.cast("int"))
+                    - F.coalesce(F.get(en, j - 2), F.lit(0))
+                )
+                * 2,
+            )
+        ),
+    )
+    chunks = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(n > 0, hashes).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("h"),
+    )
     sizes = base.select(
         F.col(id_col).alias("doc_id"),
-        F.coalesce((n_hex / 2).cast("long"), F.lit(0)).alias("n_bytes"),
+        F.coalesce(n.cast("long"), F.lit(0)).alias("n_bytes"),
     )
-    return (
-        sizes.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_bytes",
-            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias(
-                "n_chunks"
-            ),
-            F.coalesce(F.col("n_shared_chunks"), F.lit(0)).cast(
-                "long"
-            ).alias("n_shared_chunks"),
-            F.when(
-                F.coalesce(F.col("n_chunks"), F.lit(0)) > 0,
-                F.round(
-                    F.col("n_shared_chunks") / F.col("n_chunks"), 6
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("shared_frac"),
-        )
-    )
+    return _chunk_share_stats(sizes, chunks)

@@ -1847,6 +1847,50 @@ def q_media_chunk_dedup(spark, sf):
     return chunk_dedup_stats(d, chunk_bytes=64)
 
 
+def q_media_cdc_dedup(spark, sf):
+    """Content-defined-chunking dedup stats over the same synthesized
+    blobs as media_chunk_dedup PLUS a shift probe: every 60th doc gains
+    a copy with ONE byte prepended — fixed-grid chunking would share
+    nothing with the original (every 64-byte chunk shifts), CDC
+    re-synchronizes at the first content-defined boundary and shares
+    nearly everything.  Oracle = the same boundary rule (trailing
+    8-byte window md5 first hex char '0') restated over the hex
+    encoding."""
+    from .operators.multimodal import cdc_chunk_stats
+
+    # ONE repartition after the whole union (not _corpus_with_dupes'
+    # per-branch re-key): the plan re-derives the fixture subtree per
+    # stats consumer, so per-branch exchanges would triple
+    d = _with_ws_noise(load(spark, sf, "documents")).select(
+        "doc_id", "text"
+    )
+    dup = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    shifted = d.filter(F.col("doc_id") % 60 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    corpus = (
+        d.unionByName(dup)
+        .unionByName(shifted)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    blobs = corpus.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.when(
+                    F.col("doc_id") >= 3000000,
+                    F.lit("Z" + _MEDIA_HDR),
+                ).otherwise(F.lit(_MEDIA_HDR)),
+                F.col("text"),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+    return cdc_chunk_stats(blobs)
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -3272,8 +3316,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_winnow": q_dedup_winnow,
     "media_chunk_dedup": q_media_chunk_dedup,
+    "media_cdc_dedup": q_media_cdc_dedup,
     # -- text analysis ------------------------------------------------
-    "text_langid": q_text_langid,
     "text_dup_excise": q_text_dup_excise,
     "text_line_stats": q_text_line_stats,
     "text_char_entropy": q_text_char_entropy,
@@ -3405,8 +3449,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r05-changed shared centroid argmax (_assign_nearest_centroid) is
     # in-window with full oracles via corpus_embed_prune and
     # dedup_semantic) rotated below for events_slide_window;
+    # text_langid (r04-green + green local-gate margin parity every
+    # session; the langid scoring chain stays in-window via
+    # corpus_text_filter_ml's trigram routing) rotated below for
+    # media_cdc_dedup;
     "dedup_exact": q_dedup_exact,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "text_langid": q_text_langid,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "events_asof_join": q_events_asof,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6381,6 +6430,43 @@ ORACLE_SQL["corpus_drift"] = (
 # the dupe corpus; chunks on the hex grid (128 hex chars = 64 bytes,
 # hex() uppercase in both engines), md5 per chunk VARCHAR, the
 # dup_span_stats cross test, decision-table left join with byte sizes.
+# media_cdc_dedup: same synthesized blobs + the 1-byte-shift copies;
+# boundary rule restated (trailing 8-byte window md5 first hex '0'),
+# segment hashes over COALESCE(prev-end, 0), shared tail identical.
+ORACLE_SQL["media_cdc_dedup"] = (
+    f"WITH {_DUPES}, "
+    "blobs AS (SELECT doc_id, "
+    f"  hex(encode('{_MEDIA_HDR}' || text)) AS hx FROM corpus "
+    "  UNION ALL SELECT doc_id + 3000000, "
+    f"  hex(encode('Z{_MEDIA_HDR}' || text)) AS hx FROM corpus "
+    "  WHERE doc_id % 60 = 0 AND doc_id < 1000000), "
+    "b AS (SELECT doc_id, hx, length(hx) // 2 AS n FROM blobs), "
+    "bp AS (SELECT doc_id, hx, n, "
+    "  list_filter(generate_series(8, greatest(n, 8)), "
+    "    i -> i <= n AND substr(md5(substr(hx, (i - 8) * 2 + 1, 16)), "
+    "      1, 1) = '0') AS bl FROM b), "
+    "en AS (SELECT doc_id, hx, n, "
+    "  CASE WHEN len(bl) > 0 AND bl[-1] = n THEN bl "
+    "  ELSE list_append(bl, n) END AS el FROM bp), "
+    "ch AS (SELECT doc_id, md5(substr(hx, "
+    "  COALESCE(el[j - 1], 0) * 2 + 1, "
+    "  (el[j] - COALESCE(el[j - 1], 0)) * 2)) AS h "
+    "  FROM en, UNNEST(generate_series(1, len(el))) AS g(j) "
+    "  WHERE n > 0), "
+    "cx AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS sh FROM ch "
+    "  GROUP BY h), "
+    "pd AS (SELECT doc_id, COUNT(*) AS nc, "
+    "  SUM(CASE WHEN sh THEN 1 ELSE 0 END) AS ns "
+    "  FROM ch JOIN cx USING (h) GROUP BY doc_id) "
+    "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_bytes, "
+    "  CAST(COALESCE(pd.nc, 0) AS BIGINT) AS n_chunks, "
+    "  CAST(COALESCE(pd.ns, 0) AS BIGINT) AS n_shared_chunks, "
+    "  CASE WHEN COALESCE(pd.nc, 0) > 0 THEN "
+    "    ROUND(pd.ns / CAST(pd.nc AS DOUBLE), 6) ELSE 0.0 END "
+    "    AS shared_frac "
+    "FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id"
+)
+
 ORACLE_SQL["media_chunk_dedup"] = (
     f"WITH {_DUPES}, "
     "hxd AS (SELECT doc_id, "

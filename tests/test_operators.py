@@ -2196,3 +2196,29 @@ def test_sliding_window_counts(spark):
     assert len(shared) == 3 and all(c[2] == 3.75 for c in shared)
     assert len(per_key["view"]) == 4
     assert all(r.n_events == 1 and r.sum_value == 0.75 for r in per_key["view"])
+
+
+def test_cdc_shift_resistance(spark):
+    """multimodal.cdc_chunk_stats: a 1-byte prefix shifts every fixed
+    chunk (chunk_dedup_stats shares ~nothing) but CDC boundaries
+    re-synchronize and nearly all chunks still match — the reason CDC
+    exists."""
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        cdc_chunk_stats,
+        chunk_dedup_stats,
+    )
+
+    body = ("The quick brown fox jumps over the lazy dog. " * 20).encode()
+    df = spark.createDataFrame(
+        [(1, body), (2, b"X" + body), (3, b"short and unique"), (4, None)],
+        "doc_id long, blob binary",
+    )
+    cdc = {r.doc_id: r for r in cdc_chunk_stats(df).collect()}
+    fixed = {r.doc_id: r for r in chunk_dedup_stats(df).collect()}
+    assert cdc[1].shared_frac > 0.9 and cdc[2].shared_frac > 0.9
+    assert fixed[1].shared_frac == 0.0 and fixed[2].shared_frac == 0.0
+    assert cdc[3].n_shared_chunks == 0
+    # NULL blob -> 0-row shape on both
+    assert (cdc[4].n_bytes, cdc[4].n_chunks, cdc[4].shared_frac) == (0, 0, 0.0)
+    # byte accounting: chunks tile the blob exactly (no gaps/overlap)
+    assert cdc[1].n_bytes == len(body)

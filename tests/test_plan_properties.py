@@ -806,3 +806,14 @@ def test_slide_window_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_count" in plan or "partial" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_media_cdc_plan(spark):
+    """media_cdc_dedup: boundary detection + segment hashing are one
+    narrow pinned array chain; the only exchanges are the chunk-hash
+    agg and the joins back — blobs never shuffle (only 32-hex hashes
+    move); no cartesian, no Python."""
+    plan = _qplan(spark, "media_cdc_dedup")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 6, plan
