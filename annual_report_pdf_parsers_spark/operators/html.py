@@ -1,0 +1,151 @@
+"""HTML main-content extraction — block-level text/link-density
+heuristics (public knowledge: Kohlschütter et al. 2010 "Boilerplate
+Detection using Shallow Text Features" / Boilerpipe; Pomikálek 2011
+jusText).  The north-star pipeline narrative's DOM-heuristic stage,
+expressed as a pure Spark SQL expression tree — no parser library, no
+UDF — so the DuckDB oracle can restate it exactly.
+
+Engine-portability: every regex construct used ((?is) inline flags,
+lazy .*?, [^>]+ classes, non-capturing groups) behaves identically in
+Java regex and RE2; backreferences are deliberately avoided (RE2 has
+none — script and style are stripped in separate passes).  Whitespace
+collapse uses the explicit ASCII class [ \\t\\n\\r] (the WS_SPLIT
+lesson: never trust the engines' \\s to agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tags whose open/close boundaries delimit text blocks (block-level
+# HTML elements; inline tags like <a>/<b> stay inside their block)
+BLOCK_SPLIT_RE = (
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|section|"
+    "article|header|footer|nav|aside|blockquote|form)[^>]*>"
+)
+SCRIPT_RE = "(?is)<script[^>]*>.*?</script>"
+STYLE_RE = "(?is)<style[^>]*>.*?</style>"
+COMMENT_RE = "(?s)<!--.*?-->"
+ANCHOR_TEXT_RE = "(?is)<a[^>]*>(.*?)</a>"
+TAG_RE = "<[^>]+>"
+WS_RUN_RE = "[ \\t\\n\\r]+"
+
+# minimal entity set, decoded in a FIXED order (amp last would
+# double-decode &amp;lt; — amp FIRST is the documented choice: this is
+# the lossy-but-deterministic cleanup path, not a spec HTML parser)
+HTML_ENTITIES = [
+    ("&amp;", "&"),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def _block_text(raw: Column) -> Column:
+    """Visible text of one raw block: strip tags, decode entities,
+    collapse whitespace runs, trim."""
+    txt = F.regexp_replace(raw, TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(txt, WS_RUN_RE, " "))
+
+
+def _anchor_len(raw: Column) -> Column:
+    """Total visible-text length inside <a>...</a> of one raw block."""
+    return F.aggregate(
+        F.regexp_extract_all(raw, F.lit(ANCHOR_TEXT_RE), 1),
+        F.lit(0),
+        lambda acc, a: acc + F.length(_block_text(a)),
+    )
+
+
+def main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+    max_link_density: float = 0.3,
+) -> DataFrame:
+    """jusText/Boilerpipe-style main-content extraction: split the
+    document into blocks at block-level tag boundaries, score each
+    block by visible-text length and LINK DENSITY (anchor-text chars /
+    text chars — navigation and footers are link-dominated), keep
+    blocks with len >= ``min_len`` and link density <=
+    ``max_link_density``, and join the survivors with blank lines.
+
+    Returns one row per document::
+
+        (doc_id, main_text, n_blocks, n_good, link_frac)
+
+    ``n_blocks`` counts non-empty text blocks, ``link_frac`` (ROUND 6,
+    NULL for text-less docs) is the document-level anchor-text share —
+    a page-quality signal on its own.  NULL html behaves as ''.
+
+    100 TB shape: pure narrow — one pinned raw-block array, one pinned
+    (text, anchor_len) struct array; no shuffle, no UDF, no parser
+    object.  This is the boilerplate-strip stage the north-star
+    pipeline narrative names (link-density + block heuristics); W3
+    block fusion and the cleanup library operate downstream of it.
+    """
+    clash = sorted({"_mc_bl", "_mc_st"} & set(df.columns))
+    if clash:
+        raise ValueError(f"main_content staging columns clash: {clash}")
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn(
+        "_mc_bl",
+        F.split(stripped, BLOCK_SPLIT_RE, -1),
+    )
+    from ..functions.numeric import pin
+
+    base = base.withColumn(
+        "_mc_st",
+        pin(
+            F.filter(
+                F.transform(
+                    F.col("_mc_bl"),
+                    lambda b: F.struct(
+                        _block_text(b).alias("txt"),
+                        _anchor_len(b).alias("alen"),
+                    ),
+                ),
+                lambda s: s["txt"] != "",
+            )
+        ),
+    )
+    st = F.col("_mc_st")
+    good = F.filter(
+        st,
+        lambda s: (F.length(s["txt"]) >= min_len)
+        & (
+            s["alen"]
+            <= F.length(s["txt"]) * F.lit(float(max_link_density))
+        ),
+    )
+    tot_len = F.aggregate(
+        st, F.lit(0), lambda acc, s: acc + F.length(s["txt"])
+    )
+    tot_alen = F.aggregate(
+        st, F.lit(0), lambda acc, s: acc + s["alen"]
+    )
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws(
+            "\n\n", F.transform(good, lambda s: s["txt"])
+        ).alias("main_text"),
+        F.size(st).cast("long").alias("n_blocks"),
+        F.size(good).cast("long").alias("n_good"),
+        F.when(
+            tot_len > 0,
+            F.round(tot_alen / tot_len.cast("double"), 6),
+        ).alias("link_frac"),
+    )

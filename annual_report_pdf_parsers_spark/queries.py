@@ -1891,6 +1891,53 @@ def q_media_cdc_dedup(spark, sf):
     return cdc_chunk_stats(blobs)
 
 
+def q_html_main_content(spark, sf):
+    """jusText/Boilerpipe-style HTML main-content extraction (the
+    north-star DOM-heuristic stage) over html synthesized from the
+    documents text: a script head, a link-dominated nav (dropped by
+    link density), a long body paragraph (kept, with an &amp; entity
+    probe), and a doc_id%3 tail — short block (len bar), second good
+    paragraph, or a link-heavy footer.  Oracle restates the strip →
+    block-split → per-block text/anchor-length → keep → ordered
+    reconstruction chain with the identical regexes."""
+    from .operators.html import main_content
+
+    d = load(spark, sf, "documents")
+    m3 = F.col("doc_id") % 3
+    tail = (
+        F.when(m3 == 0, F.lit("<div>short</div>"))
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("<p>"),
+                F.substring(F.col("text"), 121, 100),
+                F.lit(
+                    " second paragraph continues with more visible"
+                    " words.</p>"
+                ),
+            ),
+        )
+        .otherwise(
+            F.lit(
+                '<footer><a href="/t">All rights reserved terms'
+                " privacy</a></footer>"
+            )
+        )
+    )
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var a=1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/x">About</a></nav>'
+            "<p>"
+        ),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(" body paragraph tail &amp; more.</p>"),
+        tail,
+        F.lit("</body></html>"),
+    )
+    return main_content(d.select("doc_id", page.alias("html")))
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -3308,7 +3355,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- training-data ops: dedup family ------------------------------
     "dedup_soft_weights": q_dedup_soft_weights,
     "dedup_simhash_pairs_mp": q_dedup_simhash_pairs_mp,
-    "dedup_incremental": q_dedup_incremental,
     "dedup_bloom": q_dedup_bloom,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -3317,6 +3363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow": q_dedup_winnow,
     "media_chunk_dedup": q_media_chunk_dedup,
     "media_cdc_dedup": q_media_cdc_dedup,
+    "html_main_content": q_html_main_content,
     # -- text analysis ------------------------------------------------
     "text_dup_excise": q_text_dup_excise,
     "text_line_stats": q_text_line_stats,
@@ -3453,9 +3500,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # session; the langid scoring chain stays in-window via
     # corpus_text_filter_ml's trigram routing) rotated below for
     # media_cdc_dedup;
+    # dedup_incremental (r05; its ENTIRE oracle chain _INC_LSH_CHAIN
+    # is composed verbatim in-window by corpus_ingest, so the
+    # incremental-LSH code keeps a full value-hash driver row) rotated
+    # below for html_main_content;
     "dedup_exact": q_dedup_exact,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": q_text_langid,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "events_asof_join": q_events_asof,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6433,6 +6485,75 @@ ORACLE_SQL["corpus_drift"] = (
 # media_cdc_dedup: same synthesized blobs + the 1-byte-shift copies;
 # boundary rule restated (trailing 8-byte window md5 first hex '0'),
 # segment hashes over COALESCE(prev-end, 0), shared tail identical.
+def _html_main_oracle_sql() -> str:
+    """html_main_content oracle — the strip/split/score/reconstruct
+    chain regenerated from the SAME regex + entity constants the
+    engine uses (operators/html.py — one site to edit)."""
+    from .operators.html import (
+        ANCHOR_TEXT_RE,
+        BLOCK_SPLIT_RE,
+        COMMENT_RE,
+        HTML_ENTITIES,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        WS_RUN_RE,
+    )
+
+    def btxt(x: str) -> str:
+        t = f"regexp_replace({x}, '{TAG_RE}', ' ', 'g')"
+        for ent, ch in HTML_ENTITIES:
+            t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+        return f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+
+    alen = (
+        "list_reduce(list_prepend(0, list_transform("
+        f"regexp_extract_all(raw, '{ANCHOR_TEXT_RE}', 1), "
+        f"a -> length({btxt('a')}))), (p, q) -> p + q)"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "'<html><head><script>var a=1;</script></head><body>"
+        '<nav><a href="/">Home</a> <a href="/x">About</a></nav><p>\' '
+        "|| substr(text, 1, 120) || ' body paragraph tail &amp; "
+        "more.</p>' || "
+        "(CASE doc_id % 3 WHEN 0 THEN '<div>short</div>' "
+        "WHEN 1 THEN '<p>' || substr(text, 121, 100) || "
+        "' second paragraph continues with more visible words.</p>' "
+        "ELSE '<footer><a href=\"/t\">All rights reserved terms "
+        "privacy</a></footer>' END) || '</body></html>' AS h "
+        "FROM documents), "
+        "s AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
+        f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS t "
+        "FROM d), "
+        "bl AS (SELECT doc_id, "
+        f"regexp_split_to_array(t, '{BLOCK_SPLIT_RE}') AS b FROM s), "
+        "rws AS (SELECT doc_id, i AS pos, b[i] AS raw FROM bl, "
+        "UNNEST(generate_series(1, len(b))) AS g(i)), "
+        f"tx AS (SELECT doc_id, pos, {btxt('raw')} AS txt, "
+        f"{alen} AS alen FROM rws), "
+        "fl AS (SELECT *, (length(txt) >= 40 AND "
+        "alen <= length(txt) * 0.3) AS good FROM tx "
+        "WHERE txt <> ''), "
+        "ag AS (SELECT doc_id, COALESCE(string_agg("
+        "CASE WHEN good THEN txt END, chr(10) || chr(10) "
+        "ORDER BY pos), '') AS main_text, "
+        "COUNT(*) AS n_blocks, "
+        "SUM(CASE WHEN good THEN 1 ELSE 0 END) AS n_good, "
+        "SUM(length(txt)) AS tl, SUM(alen) AS ta "
+        "FROM fl GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(ag.main_text, '') AS main_text, "
+        "CAST(COALESCE(ag.n_blocks, 0) AS BIGINT) AS n_blocks, "
+        "CAST(COALESCE(ag.n_good, 0) AS BIGINT) AS n_good, "
+        "CASE WHEN COALESCE(ag.tl, 0) > 0 THEN "
+        "ROUND(ag.ta / CAST(ag.tl AS DOUBLE), 6) END AS link_frac "
+        "FROM d LEFT JOIN ag ON ag.doc_id = d.doc_id"
+    )
+
+
+ORACLE_SQL["html_main_content"] = _html_main_oracle_sql()
+
 ORACLE_SQL["media_cdc_dedup"] = (
     f"WITH {_DUPES}, "
     "blobs AS (SELECT doc_id, "

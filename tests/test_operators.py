@@ -2222,3 +2222,49 @@ def test_cdc_shift_resistance(spark):
     assert (cdc[4].n_bytes, cdc[4].n_chunks, cdc[4].shared_frac) == (0, 0, 0.0)
     # byte accounting: chunks tile the blob exactly (no gaps/overlap)
     assert cdc[1].n_bytes == len(body)
+
+
+def test_html_main_content(spark):
+    """html.main_content: script/style/comment stripped, nav+footer
+    dropped by link density, short blocks dropped by length, entities
+    decoded, NULL html -> empty shape, tagless text is one good
+    block."""
+    from annual_report_pdf_parsers_spark.operators.html import (
+        main_content,
+    )
+
+    page = (
+        "<html><head><script>var x=1;</script>"
+        "<style>p{color:red}</style></head><body><!-- c -->"
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<div><p>This is the real article body with plenty of"
+        " visible words to keep, about things &amp; stuff.</p>"
+        "<p>Second good paragraph with enough characters to pass"
+        " the minimum length bar easily, q&quot;d.</p></div>"
+        "<div>short</div>"
+        "<footer><a href='/tos'>Terms of service and privacy"
+        " information</a> (c)</footer></body></html>"
+    )
+    plain = (
+        "no tags at all just plain text that is long enough"
+        " to be one good block"
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, None), (3, plain)],
+        "doc_id long, html string",
+    )
+    got = {r.doc_id: r for r in main_content(df).collect()}
+    assert got[1].n_good == 2
+    assert "real article body" in got[1].main_text
+    assert "things & stuff" in got[1].main_text  # entity decoded
+    assert 'q"d' in got[1].main_text
+    assert "Home" not in got[1].main_text  # nav dropped
+    assert "Terms" not in got[1].main_text  # footer dropped
+    assert "short" not in got[1].main_text  # length bar
+    assert "var x" not in got[1].main_text  # script stripped
+    assert (got[2].n_blocks, got[2].main_text, got[2].link_frac) == (
+        0,
+        "",
+        None,
+    )
+    assert got[3].n_good == 1 and got[3].main_text == plain

@@ -817,3 +817,12 @@ def test_media_cdc_plan(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_html_main_content_narrow(spark):
+    """html_main_content: pure narrow — zero exchanges, no Python, no
+    parser objects; the block array and (text, anchor-len) structs are
+    pinned stages."""
+    plan = _qplan(spark, "html_main_content")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

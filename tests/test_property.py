@@ -1994,3 +1994,82 @@ def test_script_mix_matches_python_model(spark, docs):
     }
     for i, t in enumerate(docs):
         assert got[i] == model(t), f"doc {i}: {t!r}"
+
+
+_html_bits = st.lists(
+    st.sampled_from(
+        [
+            "<p>a good long paragraph full of ordinary visible"
+            " words that comfortably clears the bar.</p>",
+            "<div><a href='/x'>linky link link text</a></div>",
+            "<p>tiny</p>",
+            "<script>var q = 'no';</script>",
+            "<!-- hidden -->",
+            "plain interstitial text outside any block tag here",
+            "<li>item &amp; item</li>",
+            "<br>",
+        ]
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@SETTINGS
+@given(st.lists(_html_bits, min_size=1, max_size=8))
+def test_html_main_content_matches_python_model(spark, docs):
+    """html.main_content vs a Python re model running the identical
+    strip -> split -> score -> reconstruct chain (the same regexes;
+    Python re agrees with Java/RE2 on every construct used)."""
+    import re
+
+    from annual_report_pdf_parsers_spark.operators.html import (
+        ANCHOR_TEXT_RE,
+        BLOCK_SPLIT_RE,
+        COMMENT_RE,
+        HTML_ENTITIES,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        WS_RUN_RE,
+        main_content,
+    )
+
+    def btxt(x):
+        t = re.sub(TAG_RE, " ", x)
+        for ent, ch in HTML_ENTITIES:
+            t = t.replace(ent, ch)
+        return re.sub(WS_RUN_RE, " ", t).strip(" ")
+
+    def model(h):
+        t = re.sub(SCRIPT_RE, " ", h)
+        t = re.sub(STYLE_RE, " ", t)
+        t = re.sub(COMMENT_RE, " ", t)
+        out, nb, ng, tl, ta = [], 0, 0, 0, 0
+        for raw in re.split(BLOCK_SPLIT_RE, t):
+            txt = btxt(raw)
+            if txt == "":
+                continue
+            alen = sum(
+                len(btxt(a))
+                for a in re.findall(ANCHOR_TEXT_RE, raw)
+            )
+            nb += 1
+            tl += len(txt)
+            ta += alen
+            if len(txt) >= 40 and alen <= len(txt) * 0.3:
+                ng += 1
+                out.append(txt)
+        frac = round(ta / tl, 6) if tl > 0 else None
+        return ("\n\n".join(out), nb, ng, frac)
+
+    df = spark.createDataFrame(
+        [(i, "".join(bits)) for i, bits in enumerate(docs)],
+        "doc_id long, html string",
+    )
+    got = {
+        r.doc_id: (r.main_text, r.n_blocks, r.n_good, r.link_frac)
+        for r in main_content(df).collect()
+    }
+    for i, bits in enumerate(docs):
+        assert got[i] == model("".join(bits)), f"doc {i}: {bits!r}"
