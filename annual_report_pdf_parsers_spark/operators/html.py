@@ -149,3 +149,75 @@ def main_content(
             F.round(tot_alen / tot_len.cast("double"), 6),
         ).alias("link_frac"),
     )
+
+
+HEADING_RE = "(?is)<h([1-6])[^>]*>(.*?)</h[1-6]>"
+
+
+def outline(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document OUTLINE extraction: every <h1>..<h6> heading in order,
+    with its level and the visible heading text (same tag-strip /
+    entity / whitespace rules as `main_content`) — the
+    section-structure signal (public practice: outline-based section
+    chunking for RAG, heading-density page classification).
+
+    Emits one row per heading::
+
+        (doc_id, pos, level, heading)
+
+    ``pos`` is the 0-based heading index within the document; blank-
+    text headings are kept (pos stays aligned with the raw sequence)
+    but carry ''.  NULL html emits no rows.
+
+    100 TB shape: narrow + ONE posexplode; both capture groups come
+    from the same regexp_extract_all pass over a pinned column (the
+    level list and body list are zipped by index — RE2/Java agree on
+    match order and non-overlap).
+    """
+    clash = sorted({"_ol_h", "_ol_lv", "_ol_tx"} & set(df.columns))
+    if clash:
+        raise ValueError(f"outline staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    base = df.withColumn("_ol_h", pin(h))
+    hc = F.col("_ol_h")
+    base = base.withColumn(
+        "_ol_lv",
+        pin(F.regexp_extract_all(hc, F.lit(HEADING_RE), 1)),
+    ).withColumn(
+        "_ol_tx",
+        pin(F.regexp_extract_all(hc, F.lit(HEADING_RE), 2)),
+    )
+    lv = F.col("_ol_lv")
+    tx = F.col("_ol_tx")
+    rows = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(lv), F.lit(1))
+        ),
+        lambda i: F.struct(
+            F.element_at(lv, i.cast("int"))
+            .cast("int")
+            .alias("level"),
+            _block_text(F.element_at(tx, i.cast("int"))).alias(
+                "heading"
+            ),
+        ),
+    )
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.when(F.size(lv) > 0, rows).otherwise(
+                F.array().cast(
+                    "array<struct<level:int,heading:string>>"
+                )
+            )
+        ).alias("pos", "_o"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("_o.level").alias("level"),
+        F.col("_o.heading").alias("heading"),
+    )

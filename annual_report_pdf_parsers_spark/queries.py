@@ -1938,6 +1938,43 @@ def q_html_main_content(spark, sf):
     return main_content(d.select("doc_id", page.alias("html")))
 
 
+def q_html_outline(spark, sf):
+    """Heading-outline extraction over synthesized html: an h1 from
+    the text head, an entity-probed h2, and a doc_id%4 tail — an extra
+    attributed h3, a BLANK h4 (kept with ''), a nested-inline h2, or
+    no tail.  Oracle = the same two-group regexp_extract_all zipped by
+    index + the shared block-text cleanup."""
+    from .operators.html import outline
+
+    d = load(spark, sf, "documents")
+    m4 = F.col("doc_id") % 4
+    tail = (
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit('<h3 class="x">Deep '),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit("</h3>"),
+            ),
+        )
+        .when(m4 == 1, F.lit("<h4>   </h4>"))
+        .when(
+            m4 == 2,
+            F.lit("<h2>Nested <b>bold</b> heading</h2>"),
+        )
+        .otherwise(F.lit(""))
+    )
+    page = F.concat(
+        F.lit("<h1>"),
+        F.substring(F.col("text"), 1, 30),
+        F.lit("</h1><p>body</p><h2>Sec &amp; "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</h2>"),
+        tail,
+    )
+    return outline(d.select("doc_id", page.alias("html")))
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -3364,6 +3401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_chunk_dedup": q_media_chunk_dedup,
     "media_cdc_dedup": q_media_cdc_dedup,
     "html_main_content": q_html_main_content,
+    "html_outline": q_html_outline,
     # -- text analysis ------------------------------------------------
     "text_dup_excise": q_text_dup_excise,
     "text_line_stats": q_text_line_stats,
@@ -3391,7 +3429,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_assemble": q_corpus_assemble,
     "corpus_ingest": q_corpus_ingest,
-    "corpus_token_stats": q_corpus_token_stats,
     "corpus_ccnet_tiers": q_corpus_ccnet_tiers,
     "corpus_quality_ensemble": q_corpus_quality_ensemble,
     "corpus_split_safe": q_corpus_split_safe,
@@ -3504,7 +3541,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # is composed verbatim in-window by corpus_ingest, so the
     # incremental-LSH code keeps a full value-hash driver row) rotated
     # below for html_main_content;
+    # corpus_token_stats (r05; rotated below for html_outline — of the
+    # no-driver-row-yet candidates it carries the STRONGEST local
+    # evidence: exact percentile == quantile_cont == numpy.percentile
+    # bit-for-bit, fuzz-proven every session) rotated below;
     "dedup_exact": q_dedup_exact,
+    "corpus_token_stats": q_corpus_token_stats,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": q_text_langid,
     "dedup_incremental": q_dedup_incremental,
@@ -6551,6 +6593,43 @@ def _html_main_oracle_sql() -> str:
         "FROM d LEFT JOIN ag ON ag.doc_id = d.doc_id"
     )
 
+
+def _html_outline_oracle_sql() -> str:
+    """html_outline oracle — same HEADING_RE two-group extraction
+    zipped by index, same block-text cleanup chain, regenerated from
+    the engine's constants."""
+    from .operators.html import (
+        HEADING_RE,
+        HTML_ENTITIES,
+        TAG_RE,
+        WS_RUN_RE,
+    )
+
+    t = f"regexp_replace(tx[i], '{TAG_RE}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    clean = f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+    return (
+        "WITH d AS (SELECT doc_id, '<h1>' || substr(text, 1, 30) || "
+        "'</h1><p>body</p><h2>Sec &amp; ' || "
+        "CAST(doc_id % 5 AS VARCHAR) || '</h2>' || "
+        "(CASE doc_id % 4 WHEN 0 THEN "
+        "'<h3 class=\"x\">Deep ' || CAST(doc_id % 9 AS VARCHAR) "
+        "|| '</h3>' "
+        "WHEN 1 THEN '<h4>   </h4>' "
+        "WHEN 2 THEN '<h2>Nested <b>bold</b> heading</h2>' "
+        "ELSE '' END) AS h FROM documents), "
+        "x AS (SELECT doc_id, "
+        f"regexp_extract_all(h, '{HEADING_RE}', 1) AS lv, "
+        f"regexp_extract_all(h, '{HEADING_RE}', 2) AS tx FROM d) "
+        "SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, "
+        "CAST(lv[i] AS INTEGER) AS level, "
+        f"{clean} AS heading "
+        "FROM x, UNNEST(generate_series(1, len(lv))) AS g(i)"
+    )
+
+
+ORACLE_SQL["html_outline"] = _html_outline_oracle_sql()
 
 ORACLE_SQL["html_main_content"] = _html_main_oracle_sql()
 

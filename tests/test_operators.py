@@ -2268,3 +2268,34 @@ def test_html_main_content(spark):
         None,
     )
     assert got[3].n_good == 1 and got[3].main_text == plain
+
+
+def test_html_outline(spark):
+    """html.outline: ordered (pos, level, heading) rows; inline tags
+    stripped, entities decoded, blank headings kept as '', docs
+    without headings (or NULL html) emit nothing."""
+    from annual_report_pdf_parsers_spark.operators.html import outline
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "<h1>Title &amp; Co</h1><p>x</p>"
+                "<h2 class='s'>Section <b>One</b></h2>"
+                "<h3>   </h3><h2>Two</h2>",
+            ),
+            (2, "no headings here"),
+            (3, None),
+        ],
+        "doc_id long, html string",
+    )
+    got = {}
+    for r in outline(df).collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.level, r.heading))
+    assert sorted(got[1]) == [
+        (0, 1, "Title & Co"),
+        (1, 2, "Section One"),
+        (2, 3, ""),
+        (3, 2, "Two"),
+    ]
+    assert 2 not in got and 3 not in got

@@ -826,3 +826,12 @@ def test_html_main_content_narrow(spark):
     plan = _qplan(spark, "html_main_content")
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_html_outline_narrow(spark):
+    """html_outline: narrow + one posexplode, zero exchanges; both
+    capture groups come off pinned extract_all passes."""
+    plan = _qplan(spark, "html_outline")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Generate posexplode") == 1, plan
