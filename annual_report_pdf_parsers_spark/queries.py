@@ -1975,6 +1975,81 @@ def q_html_outline(spark, sf):
     return outline(d.select("doc_id", page.alias("html")))
 
 
+def q_corpus_web_extract(spark, sf):
+    """The extraction-tier capstone: html -> jusText main content ->
+    quality classifier -> script-mix screen -> keep, composed as ONE
+    narrow chain (keep_cols threading, no re-joins).  Same page synth
+    as html_main_content plus a U+FFFD probe inside the KEPT body
+    paragraph on doc_id%11==5, so the encoding screen fires on
+    extracted (not raw) text.  keep = any good block AND rounded
+    classifier score >= 0 AND not suspect.  Oracle = the shared
+    _html_main_ctes chain + _classifier_ctes over the extracted text +
+    the full script-mix rule."""
+    from .operators.html import main_content
+
+    d = load(spark, sf, "documents")
+    m3 = F.col("doc_id") % 3
+    body_tail = F.when(
+        F.col("doc_id") % 11 == 5,
+        F.lit(" body paragraph tail &amp; � more.</p>"),
+    ).otherwise(F.lit(" body paragraph tail &amp; more.</p>"))
+    tail = (
+        F.when(m3 == 0, F.lit("<div>short</div>"))
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("<p>"),
+                F.substring(F.col("text"), 121, 100),
+                F.lit(
+                    " second paragraph continues with more visible"
+                    " words.</p>"
+                ),
+            ),
+        )
+        .otherwise(
+            F.lit(
+                '<footer><a href="/t">All rights reserved terms'
+                " privacy</a></footer>"
+            )
+        )
+    )
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var a=1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/x">About</a></nav>'
+            "<p>"
+        ),
+        F.substring(F.col("text"), 1, 120),
+        body_tail,
+        tail,
+        F.lit("</body></html>"),
+    )
+    mc = main_content(d.select("doc_id", page.alias("html")))
+    scored = text.quality_classifier(
+        mc,
+        text_col="main_text",
+        keep_cols=("main_text", "n_good", "link_frac"),
+    )
+    mixed = text.script_mix_stats(
+        scored,
+        text_col="main_text",
+        keep_cols=("main_text", "n_good", "link_frac", "score"),
+    )
+    return mixed.select(
+        "doc_id",
+        "n_good",
+        "link_frac",
+        "score",
+        "suspect",
+        (
+            (F.col("n_good") > 0)
+            & (F.col("score") >= 0.0)
+            & ~F.col("suspect")
+        ).alias("keep"),
+        F.md5(F.col("main_text")).alias("text_digest"),
+    )
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -3402,6 +3477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_cdc_dedup": q_media_cdc_dedup,
     "html_main_content": q_html_main_content,
     "html_outline": q_html_outline,
+    "corpus_web_extract": q_corpus_web_extract,
     # -- text analysis ------------------------------------------------
     "text_dup_excise": q_text_dup_excise,
     "text_line_stats": q_text_line_stats,
@@ -3419,7 +3495,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_dedup_funnel": q_corpus_dedup_funnel,
-    "corpus_curation": q_corpus_curation,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
@@ -3545,7 +3620,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no-driver-row-yet candidates it carries the STRONGEST local
     # evidence: exact percentile == quantile_cont == numpy.percentile
     # bit-for-bit, fuzz-proven every session) rotated below;
+    # corpus_curation (r05; rotated below for corpus_web_extract — its
+    # constituent signals all keep in-window rows: quota WindowGroupLimit
+    # via text_tfidf_topk's plan pin, domain keep via corpus_health /
+    # source-stats fragments, readability via corpus_quality_ensemble)
     "dedup_exact": q_dedup_exact,
+    "corpus_curation": q_corpus_curation,
     "corpus_token_stats": q_corpus_token_stats,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": q_text_langid,
@@ -6527,10 +6607,25 @@ ORACLE_SQL["corpus_drift"] = (
 # media_cdc_dedup: same synthesized blobs + the 1-byte-shift copies;
 # boundary rule restated (trailing 8-byte window md5 first hex '0'),
 # segment hashes over COALESCE(prev-end, 0), shared tail identical.
-def _html_main_oracle_sql() -> str:
-    """html_main_content oracle — the strip/split/score/reconstruct
-    chain regenerated from the SAME regex + entity constants the
-    engine uses (operators/html.py — one site to edit)."""
+_HTML_PAGE_SQL = (
+    "'<html><head><script>var a=1;</script></head><body>"
+    '<nav><a href="/">Home</a> <a href="/x">About</a></nav><p>\' '
+    "|| substr(text, 1, 120) || ' body paragraph tail &amp; "
+    "more.</p>' || "
+    "(CASE doc_id % 3 WHEN 0 THEN '<div>short</div>' "
+    "WHEN 1 THEN '<p>' || substr(text, 121, 100) || "
+    "' second paragraph continues with more visible words.</p>' "
+    "ELSE '<footer><a href=\"/t\">All rights reserved terms "
+    "privacy</a></footer>' END) || '</body></html>'"
+)
+
+
+def _html_main_ctes(page_sql: str) -> str:
+    """The strip/split/score/reconstruct CTE chain over a page
+    expression (regenerated from the SAME regex + entity constants the
+    engine uses, operators/html.py — one site to edit), ending in
+    ``mc(doc_id, main_text, n_blocks, n_good, link_frac)``.  Shared by
+    the html_main_content and corpus_web_extract oracles."""
     from .operators.html import (
         ANCHOR_TEXT_RE,
         BLOCK_SPLIT_RE,
@@ -6554,17 +6649,7 @@ def _html_main_oracle_sql() -> str:
         f"a -> length({btxt('a')}))), (p, q) -> p + q)"
     )
     return (
-        "WITH d AS (SELECT doc_id, "
-        "'<html><head><script>var a=1;</script></head><body>"
-        '<nav><a href="/">Home</a> <a href="/x">About</a></nav><p>\' '
-        "|| substr(text, 1, 120) || ' body paragraph tail &amp; "
-        "more.</p>' || "
-        "(CASE doc_id % 3 WHEN 0 THEN '<div>short</div>' "
-        "WHEN 1 THEN '<p>' || substr(text, 121, 100) || "
-        "' second paragraph continues with more visible words.</p>' "
-        "ELSE '<footer><a href=\"/t\">All rights reserved terms "
-        "privacy</a></footer>' END) || '</body></html>' AS h "
-        "FROM documents), "
+        f"d AS (SELECT doc_id, {page_sql} AS h FROM documents), "
         "s AS (SELECT doc_id, regexp_replace(regexp_replace("
         f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
         f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS t "
@@ -6584,13 +6669,21 @@ def _html_main_oracle_sql() -> str:
         "COUNT(*) AS n_blocks, "
         "SUM(CASE WHEN good THEN 1 ELSE 0 END) AS n_good, "
         "SUM(length(txt)) AS tl, SUM(alen) AS ta "
-        "FROM fl GROUP BY doc_id) "
-        "SELECT d.doc_id, COALESCE(ag.main_text, '') AS main_text, "
+        "FROM fl GROUP BY doc_id), "
+        "mc AS (SELECT d.doc_id, "
+        "COALESCE(ag.main_text, '') AS main_text, "
         "CAST(COALESCE(ag.n_blocks, 0) AS BIGINT) AS n_blocks, "
         "CAST(COALESCE(ag.n_good, 0) AS BIGINT) AS n_good, "
         "CASE WHEN COALESCE(ag.tl, 0) > 0 THEN "
         "ROUND(ag.ta / CAST(ag.tl AS DOUBLE), 6) END AS link_frac "
-        "FROM d LEFT JOIN ag ON ag.doc_id = d.doc_id"
+        "FROM d LEFT JOIN ag ON ag.doc_id = d.doc_id)"
+    )
+
+
+def _html_main_oracle_sql() -> str:
+    return (
+        f"WITH {_html_main_ctes(_HTML_PAGE_SQL)} "
+        "SELECT doc_id, main_text, n_blocks, n_good, link_frac FROM mc"
     )
 
 
@@ -6628,6 +6721,46 @@ def _html_outline_oracle_sql() -> str:
         "FROM x, UNNEST(generate_series(1, len(lv))) AS g(i)"
     )
 
+
+def _web_extract_oracle_sql() -> str:
+    """corpus_web_extract oracle — the shared _html_main_ctes chain
+    (page synth with the %11 U+FFFD probe spliced into the kept body
+    paragraph), _classifier_ctes over the EXTRACTED text, and the full
+    script-mix suspect rule."""
+    probe_target = "' body paragraph tail &amp; more.</p>'"
+    assert probe_target in _HTML_PAGE_SQL, "page synth drifted"
+    page = _HTML_PAGE_SQL.replace(
+        probe_target,
+        "(CASE WHEN doc_id % 11 = 5 THEN "
+        "' body paragraph tail &amp; ' || chr(65533) || ' more.</p>' "
+        "ELSE ' body paragraph tail &amp; more.</p>' END)",
+    )
+    mt = "mc.main_text"
+    na = (
+        f"length({mt}) - length(regexp_replace({mt}, "
+        "'[^\\x00-\\x7f]', '', 'g'))"
+    )
+    return (
+        f"WITH {_html_main_ctes(page)}, "
+        "wt AS (SELECT doc_id, main_text AS text FROM mc), "
+        + _classifier_ctes("wt")
+        + ", fin AS (SELECT mc.doc_id, mc.n_good, mc.link_frac, "
+        "ROUND(sc.s, 6) AS score, md5(mc.main_text) AS text_digest, "
+        f"(length({mt}) > 0 AND ("
+        f"length({mt}) - length(replace({mt}, chr(65533), '')) > 0 "
+        f"OR length({mt}) - length(regexp_replace({mt}, "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) > 0 "
+        "OR COALESCE(CASE WHEN length(" + mt + ") > 0 THEN "
+        f"ROUND(({na}) / CAST(length({mt}) AS DOUBLE), 6) END, 0.0) "
+        "> 0.3)) AS suspect "
+        "FROM mc JOIN sc ON sc.doc_id = mc.doc_id) "
+        "SELECT doc_id, n_good, link_frac, score, suspect, "
+        "(n_good > 0 AND score >= 0.0 AND NOT suspect) AS keep, "
+        "text_digest FROM fin"
+    )
+
+
+ORACLE_SQL["corpus_web_extract"] = _web_extract_oracle_sql()
 
 ORACLE_SQL["html_outline"] = _html_outline_oracle_sql()
 

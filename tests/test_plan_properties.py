@@ -835,3 +835,14 @@ def test_html_outline_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Generate posexplode") == 1, plan
+
+
+def test_web_extract_plan(spark):
+    """corpus_web_extract: html -> main-content -> classifier ->
+    script-mix -> keep composed as ONE narrow chain (keep_cols
+    threading) — zero exchanges, zero joins, no Python; the whole
+    extraction decision runs inside the scan's partitioning."""
+    plan = _qplan(spark, "corpus_web_extract")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
