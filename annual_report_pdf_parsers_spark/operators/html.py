@@ -68,6 +68,7 @@ def main_content(
     id_col: str = "doc_id",
     min_len: int = 40,
     max_link_density: float = 0.3,
+    context_pass: bool = False,
 ) -> DataFrame:
     """jusText/Boilerpipe-style main-content extraction: split the
     document into blocks at block-level tag boundaries, score each
@@ -84,13 +85,25 @@ def main_content(
     NULL for text-less docs) is the document-level anchor-text share —
     a page-quality signal on its own.  NULL html behaves as ''.
 
+    ``context_pass=True`` adds jusText's CONTEXT rule (the block-
+    fusion idea): a SHORT block (passes the link-density bar but not
+    the length bar — an inline heading, a one-line lead-in) is
+    PROMOTED to good when its nearest non-short neighbors on both
+    sides are good (a missing neighbor at the document edge counts as
+    good).  Link-dominated blocks are never promoted.  The neighbor
+    labels come from two linear folds (running last-non-short label,
+    forward and backward) — still a pure narrow chain.
+
     100 TB shape: pure narrow — one pinned raw-block array, one pinned
     (text, anchor_len) struct array; no shuffle, no UDF, no parser
     object.  This is the boilerplate-strip stage the north-star
     pipeline narrative names (link-density + block heuristics); W3
     block fusion and the cleanup library operate downstream of it.
     """
-    clash = sorted({"_mc_bl", "_mc_st"} & set(df.columns))
+    clash = sorted(
+        {"_mc_bl", "_mc_st", "_mc_lb", "_mc_pv", "_mc_nx"}
+        & set(df.columns)
+    )
     if clash:
         raise ValueError(f"main_content staging columns clash: {clash}")
     h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
@@ -123,14 +136,77 @@ def main_content(
         ),
     )
     st = F.col("_mc_st")
-    good = F.filter(
-        st,
-        lambda s: (F.length(s["txt"]) >= min_len)
-        & (
-            s["alen"]
-            <= F.length(s["txt"]) * F.lit(float(max_link_density))
-        ),
-    )
+
+    def ld_ok(s):
+        return s["alen"] <= F.length(s["txt"]) * F.lit(
+            float(max_link_density)
+        )
+
+    def is_good(s):
+        return (F.length(s["txt"]) >= min_len) & ld_ok(s)
+
+    if not context_pass:
+        good = F.filter(st, is_good)
+    else:
+        # labels: 1 good / 2 short / 0 bad; neighbor context = running
+        # last-non-short label, forward and backward (missing -> good)
+        lab = F.transform(
+            st,
+            lambda s: F.when(is_good(s), F.lit(1))
+            .when(ld_ok(s), F.lit(2))
+            .otherwise(F.lit(0)),
+        )
+        base = base.withColumn("_mc_lb", pin(lab))
+        lb = F.col("_mc_lb")
+
+        def running(arr):
+            return F.aggregate(
+                arr,
+                F.struct(
+                    F.array().cast("array<int>").alias("out"),
+                    F.lit(1).alias("last"),
+                ),
+                lambda acc, l: F.struct(
+                    F.concat(
+                        acc["out"], F.array(acc["last"])
+                    ).alias("out"),
+                    F.when(l != 2, l)
+                    .otherwise(acc["last"])
+                    .alias("last"),
+                ),
+                lambda acc: acc["out"],
+            )
+
+        base = base.withColumn("_mc_pv", pin(running(lb)))
+        base = base.withColumn(
+            "_mc_nx", pin(F.reverse(running(F.reverse(lb))))
+        )
+        st = F.col("_mc_st")
+        keep_idx = F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(st), F.lit(1))),
+            lambda i: (i <= F.size(st))
+            & (
+                (F.element_at(F.col("_mc_lb"), i.cast("int")) == 1)
+                | (
+                    (
+                        F.element_at(F.col("_mc_lb"), i.cast("int"))
+                        == 2
+                    )
+                    & (
+                        F.element_at(F.col("_mc_pv"), i.cast("int"))
+                        == 1
+                    )
+                    & (
+                        F.element_at(F.col("_mc_nx"), i.cast("int"))
+                        == 1
+                    )
+                )
+            ),
+        )
+        good = F.transform(
+            keep_idx,
+            lambda i: F.element_at(st, i.cast("int")),
+        )
     tot_len = F.aggregate(
         st, F.lit(0), lambda acc, s: acc + F.length(s["txt"])
     )

@@ -2050,6 +2050,54 @@ def q_corpus_web_extract(spark, sf):
     )
 
 
+def q_html_main_content_ctx(spark, sf):
+    """jusText CONTEXT promotion (the block-fusion rule): the shared
+    page synth plus a SHORT '<h3>Mid section</h3>' between the body
+    paragraph and the %3 tail — promoted when its non-short neighbors
+    are good (second-paragraph docs; edge counts good), never next to
+    the link-dominated footer.  Oracle = the shared chain with the
+    IGNORE-NULLS neighbor windows."""
+    from .operators.html import main_content
+
+    d = load(spark, sf, "documents")
+    m3 = F.col("doc_id") % 3
+    tail = (
+        F.when(m3 == 0, F.lit("<div>short</div>"))
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("<p>"),
+                F.substring(F.col("text"), 121, 100),
+                F.lit(
+                    " second paragraph continues with more visible"
+                    " words.</p>"
+                ),
+            ),
+        )
+        .otherwise(
+            F.lit(
+                '<footer><a href="/t">All rights reserved terms'
+                " privacy</a></footer>"
+            )
+        )
+    )
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var a=1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/x">About</a></nav>'
+            "<p>"
+        ),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(" body paragraph tail &amp; more.</p>"),
+        F.lit("<h3>Mid section</h3>"),
+        tail,
+        F.lit("</body></html>"),
+    )
+    return main_content(
+        d.select("doc_id", page.alias("html")), context_pass=True
+    )
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -3454,15 +3502,16 @@ FROM vals v LEFT JOIN mani m ON m.doc_id = v.doc_id AND m.f = v.f
 # ---------------------------------------------------------------------------
 
 # ORDER MATTERS: the driver's CORRECTNESS gate snapshots the FIRST 50
-# keys.  Rounds 2-3 re-proved the same 50 §2 entries while every
-# training-data op sat past the window with no driver row (round-3
-# verdict item #1).  The first 50 slots therefore hold: every entry
-# that has never had a driver row (all dedup/ann/text/corpus/events
-# ops, the dedicated dispatch variants, pipeline_extract) plus a
-# backfill of 14 §2 entries with two-round green streaks.  The
-# remaining §2 entries follow — each carries green driver rows from
-# CORRECTNESS_r02/r03 and stays covered by the local gate emulation
-# (tests/test_oracle_parity.py runs ALL oracled entries).
+# keys.  End-of-r05 composition: 48 training-data/extraction ops + the
+# 2 flagship entries = 50 exactly (pipeline_oracle is key #50).  The
+# r05 registry grew past what one window can cover, so rotation policy
+# (NOTES items 29/36/38): every rotation is TWO edits (remove from the
+# window AND re-add below — verify with the oracle-no-query set
+# check), and when all candidates lack a current-round driver row,
+# rotate the op whose LOCAL evidence is strongest (bit-exact fuzz
+# models, in-window composed oracles exercising the same code).
+# Everything below the window stays covered every session by
+# tests/test_oracle_parity.py, which runs ALL oracled entries.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- training-data ops: dedup family ------------------------------
     "dedup_soft_weights": q_dedup_soft_weights,
@@ -3476,6 +3525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_chunk_dedup": q_media_chunk_dedup,
     "media_cdc_dedup": q_media_cdc_dedup,
     "html_main_content": q_html_main_content,
+    "html_main_content_ctx": q_html_main_content_ctx,
     "html_outline": q_html_outline,
     "corpus_web_extract": q_corpus_web_extract,
     # -- text analysis ------------------------------------------------
@@ -3495,7 +3545,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_dedup_funnel": q_corpus_dedup_funnel,
-    "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_url_templates": q_corpus_url_templates,
@@ -3624,8 +3673,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # constituent signals all keep in-window rows: quota WindowGroupLimit
     # via text_tfidf_topk's plan pin, domain keep via corpus_health /
     # source-stats fragments, readability via corpus_quality_ensemble)
+    # corpus_stratified_sample (r05; its per-stratum hex-threshold
+    # CASE is composed VERBATIM in-window by corpus_ingest's final
+    # stage, and the hashlib threshold fuzz re-proves it every
+    # session) rotated below for html_main_content_ctx;
     "dedup_exact": q_dedup_exact,
     "corpus_curation": q_corpus_curation,
+    "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_token_stats": q_corpus_token_stats,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": q_text_langid,
@@ -6620,12 +6674,14 @@ _HTML_PAGE_SQL = (
 )
 
 
-def _html_main_ctes(page_sql: str) -> str:
+def _html_main_ctes(page_sql: str, ctx: bool = False) -> str:
     """The strip/split/score/reconstruct CTE chain over a page
     expression (regenerated from the SAME regex + entity constants the
     engine uses, operators/html.py — one site to edit), ending in
     ``mc(doc_id, main_text, n_blocks, n_good, link_frac)``.  Shared by
-    the html_main_content and corpus_web_extract oracles."""
+    the html_main_content, html_main_content_ctx (``ctx=True`` adds
+    the jusText context-promotion rule via IGNORE-NULLS windows), and
+    corpus_web_extract oracles."""
     from .operators.html import (
         ANCHOR_TEXT_RE,
         BLOCK_SPLIT_RE,
@@ -6660,9 +6716,26 @@ def _html_main_ctes(page_sql: str) -> str:
         "UNNEST(generate_series(1, len(b))) AS g(i)), "
         f"tx AS (SELECT doc_id, pos, {btxt('raw')} AS txt, "
         f"{alen} AS alen FROM rws), "
-        "fl AS (SELECT *, (length(txt) >= 40 AND "
-        "alen <= length(txt) * 0.3) AS good FROM tx "
-        "WHERE txt <> ''), "
+        + (
+            "fl0 AS (SELECT *, CASE WHEN length(txt) >= 40 AND "
+            "alen <= length(txt) * 0.3 THEN 1 "
+            "WHEN alen <= length(txt) * 0.3 THEN 2 ELSE 0 END AS lab "
+            "FROM tx WHERE txt <> ''), "
+            "fl AS (SELECT *, (lab = 1 OR (lab = 2 AND "
+            "COALESCE(last_value(CASE WHEN lab <> 2 THEN lab END "
+            "IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) "
+            "= 1 AND "
+            "COALESCE(first_value(CASE WHEN lab <> 2 THEN lab END "
+            "IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 1) "
+            "= 1)) AS good FROM fl0), "
+            if ctx
+            else "fl AS (SELECT *, (length(txt) >= 40 AND "
+            "alen <= length(txt) * 0.3) AS good FROM tx "
+            "WHERE txt <> ''), "
+        )
+        + 
         "ag AS (SELECT doc_id, COALESCE(string_agg("
         "CASE WHEN good THEN txt END, chr(10) || chr(10) "
         "ORDER BY pos), '') AS main_text, "
@@ -6765,6 +6838,18 @@ ORACLE_SQL["corpus_web_extract"] = _web_extract_oracle_sql()
 ORACLE_SQL["html_outline"] = _html_outline_oracle_sql()
 
 ORACLE_SQL["html_main_content"] = _html_main_oracle_sql()
+
+assert "' body paragraph tail &amp; more.</p>'" in _HTML_PAGE_SQL, (
+    "html page synth drifted"
+)
+_HTML_CTX_PAGE_SQL = _HTML_PAGE_SQL.replace(
+    "' body paragraph tail &amp; more.</p>'",
+    "' body paragraph tail &amp; more.</p><h3>Mid section</h3>'",
+)
+ORACLE_SQL["html_main_content_ctx"] = (
+    f"WITH {_html_main_ctes(_HTML_CTX_PAGE_SQL, ctx=True)} "
+    "SELECT doc_id, main_text, n_blocks, n_good, link_frac FROM mc"
+)
 
 ORACLE_SQL["media_cdc_dedup"] = (
     f"WITH {_DUPES}, "

@@ -161,6 +161,12 @@ HEADLINE = [
     "text_script_mix",
     "corpus_contamination_report",
     "corpus_health_report",
+    "events_slide_window",
+    "media_cdc_dedup",
+    "html_main_content",
+    "html_outline",
+    "corpus_web_extract",
+    "html_main_content_ctx",
 ]
 
 

@@ -2299,3 +2299,31 @@ def test_html_outline(spark):
         (3, 2, "Two"),
     ]
     assert 2 not in got and 3 not in got
+
+
+def test_main_content_context_promotion(spark):
+    """context_pass=True: a short block between good neighbors is
+    promoted; short blocks adjacent to link-dominated blocks are not;
+    edges count as good."""
+    from annual_report_pdf_parsers_spark.operators.html import (
+        main_content,
+    )
+
+    page = (
+        "<p>A first good paragraph long enough to clear the length"
+        " bar easily today.</p>"
+        "<h3>Short heading</h3>"
+        "<p>A second good paragraph that is also long enough to"
+        " clear the bar today.</p>"
+        "<div><a href='/'>nav nav nav</a></div>"
+        "<p>tiny</p>"
+        "<div><a href='/x'>more nav links</a></div>"
+        "<p>lead-in</p>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    plain = main_content(df).collect()[0]
+    ctx = main_content(df, context_pass=True).collect()[0]
+    assert plain.n_good == 2 and "Short heading" not in plain.main_text
+    assert ctx.n_good == 3 and "Short heading" in ctx.main_text
+    assert "tiny" not in ctx.main_text  # bad neighbors
+    assert "lead-in" not in ctx.main_text  # prev non-short is bad

@@ -82,3 +82,24 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns[0] == "fund_provider"
+
+
+def test_registry_has_no_duplicate_keys():
+    """A registry rotation is TWO edits (remove from the window +
+    re-add below); a half-applied rotation either drops a key (caught
+    by oracle-no-query) or duplicates it — and a duplicated dict key
+    SILENTLY keeps only the last entry.  Scan the source literal."""
+    import re
+
+    src = open("annual_report_pdf_parsers_spark/queries.py").read()
+    start = src.index("QUERIES: dict")
+    end = src.index("}", src.index("d3_header_variant"))
+    keys = re.findall(r'^    "([a-z0-9_]+)": q_', src[start:end], re.M)
+    dups = sorted(k for k in set(keys) if keys.count(k) > 1)
+    assert not dups, f"duplicate registry keys: {dups}"
+
+
+def test_every_oracle_has_a_query():
+    qs = set(entry_mod.queries())
+    orphans = sorted(set(entry_mod.oracle_sql()) - qs)
+    assert not orphans, f"oracles without queries: {orphans}"

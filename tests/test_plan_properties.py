@@ -846,3 +846,11 @@ def test_web_extract_plan(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_html_ctx_narrow(spark):
+    """html_main_content_ctx: the context folds stay narrow — zero
+    exchanges, no Python."""
+    plan = _qplan(spark, "html_main_content_ctx")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
