@@ -31,16 +31,19 @@ ANCHOR_TEXT_RE = "(?is)<a[^>]*>(.*?)</a>"
 TAG_RE = "<[^>]+>"
 WS_RUN_RE = "[ \\t\\n\\r]+"
 
-# minimal entity set, decoded in a FIXED order (amp last would
-# double-decode &amp;lt; — amp FIRST is the documented choice: this is
-# the lossy-but-deterministic cleanup path, not a spec HTML parser)
+# minimal entity set, decoded in a FIXED order with &amp; LAST: the
+# named entities are decoded first, so '&amp;lt;' (an author showing a
+# literal '&lt;') correctly single-decodes to '&lt;' — amp-first would
+# double-decode it to '<'.  Still the lossy-but-deterministic cleanup
+# path, not a spec HTML parser.  Engine, both oracle builders, and the
+# fuzz model all iterate THIS list — one site to edit.
 HTML_ENTITIES = [
-    ("&amp;", "&"),
     ("&nbsp;", " "),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&amp;", "&"),
 ]
 
 
@@ -258,6 +261,15 @@ def outline(
     from ..functions.numeric import pin
 
     h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    # same script/style/comment strip as main_content — a commented-out
+    # or document.write'd heading is not part of the document outline
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
     base = df.withColumn("_ol_h", pin(h))
     hc = F.col("_ol_h")
     base = base.withColumn(

@@ -638,10 +638,16 @@ def cdc_chunk_stats(
 
     if window_bytes < 1:
         raise ValueError("window_bytes must be >= 1")
+    # md5() emits LOWERCASE hex — normalize so 'A' and 'a' both work
+    # (an uppercase-only comparison could never fire for a-f)
+    boundary_hex = boundary_hex.lower()
     if not boundary_hex or any(
-        c not in "0123456789ABCDEF" for c in boundary_hex
+        c not in "0123456789abcdef" for c in boundary_hex
     ):
-        raise ValueError("boundary_hex must be uppercase hex chars")
+        raise ValueError("boundary_hex must be hex chars")
+    clash = sorted({"_cd_hx", "_cd_bp", "_cd_en"} & set(df.columns))
+    if clash:
+        raise ValueError(f"cdc_chunk_stats staging columns clash: {clash}")
     w = window_bytes
     base = df.withColumn("_cd_hx", pin(F.hex(F.col(blob_col))))
     hx = F.col("_cd_hx")

@@ -160,6 +160,7 @@ def sliding_window_counts(
     events: DataFrame,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
     window_len: str = "1 hour",
     slide: str = "15 minutes",
 ) -> DataFrame:
@@ -192,7 +193,7 @@ def sliding_window_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
             .cast("double")
             .alias("sum_value"),
         )

@@ -1568,6 +1568,11 @@ def corpus_health_report(
     expand; everything else partial-aggregates map-side).  Output rows
     = |languages|, driver-safe at any corpus size.
     """
+    clash = sorted({"_hr_nt", "_hr_dg"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"corpus_health_report staging columns clash: {clash}"
+        )
     base = df.withColumn(
         "_hr_nt",
         token_count(F.coalesce(F.col(text_col), F.lit(""))).cast(

@@ -1891,18 +1891,11 @@ def q_media_cdc_dedup(spark, sf):
     return cdc_chunk_stats(blobs)
 
 
-def q_html_main_content(spark, sf):
-    """jusText/Boilerpipe-style HTML main-content extraction (the
-    north-star DOM-heuristic stage) over html synthesized from the
-    documents text: a script head, a link-dominated nav (dropped by
-    link density), a long body paragraph (kept, with an &amp; entity
-    probe), and a doc_id%3 tail — short block (len bar), second good
-    paragraph, or a link-heavy footer.  Oracle restates the strip →
-    block-split → per-block text/anchor-length → keep → ordered
-    reconstruction chain with the identical regexes."""
-    from .operators.html import main_content
-
-    d = load(spark, sf, "documents")
+def _html_page(body_tail=None, mid=None):
+    """The shared html page-synth expression (nav + body paragraph +
+    doc_id%3 tail), engine side — ONE site mirroring _HTML_PAGE_SQL.
+    ``body_tail`` overrides the body paragraph's closing literal
+    column; ``mid`` inserts a literal between body and tail."""
     m3 = F.col("doc_id") % 3
     tail = (
         F.when(m3 == 0, F.lit("<div>short</div>"))
@@ -1924,18 +1917,38 @@ def q_html_main_content(spark, sf):
             )
         )
     )
-    page = F.concat(
+    if body_tail is None:
+        body_tail = F.lit(" body paragraph tail &amp; more.</p>")
+    parts = [
         F.lit(
             "<html><head><script>var a=1;</script></head><body>"
             '<nav><a href="/">Home</a> <a href="/x">About</a></nav>'
             "<p>"
         ),
         F.substring(F.col("text"), 1, 120),
-        F.lit(" body paragraph tail &amp; more.</p>"),
-        tail,
-        F.lit("</body></html>"),
+        body_tail,
+    ]
+    if mid is not None:
+        parts.append(F.lit(mid))
+    parts += [tail, F.lit("</body></html>")]
+    return F.concat(*parts)
+
+
+def q_html_main_content(spark, sf):
+    """jusText/Boilerpipe-style HTML main-content extraction (the
+    north-star DOM-heuristic stage) over html synthesized from the
+    documents text: a script head, a link-dominated nav (dropped by
+    link density), a long body paragraph (kept, with an &amp; entity
+    probe), and a doc_id%3 tail — short block (len bar), second good
+    paragraph, or a link-heavy footer.  Oracle restates the strip →
+    block-split → per-block text/anchor-length → keep → ordered
+    reconstruction chain with the identical regexes."""
+    from .operators.html import main_content
+
+    d = load(spark, sf, "documents")
+    return main_content(
+        d.select("doc_id", _html_page().alias("html"))
     )
-    return main_content(d.select("doc_id", page.alias("html")))
 
 
 def q_html_outline(spark, sf):
@@ -1988,42 +2001,11 @@ def q_corpus_web_extract(spark, sf):
     from .operators.html import main_content
 
     d = load(spark, sf, "documents")
-    m3 = F.col("doc_id") % 3
     body_tail = F.when(
         F.col("doc_id") % 11 == 5,
-        F.lit(" body paragraph tail &amp; � more.</p>"),
+        F.lit(" body paragraph tail &amp; \ufffd more.</p>"),
     ).otherwise(F.lit(" body paragraph tail &amp; more.</p>"))
-    tail = (
-        F.when(m3 == 0, F.lit("<div>short</div>"))
-        .when(
-            m3 == 1,
-            F.concat(
-                F.lit("<p>"),
-                F.substring(F.col("text"), 121, 100),
-                F.lit(
-                    " second paragraph continues with more visible"
-                    " words.</p>"
-                ),
-            ),
-        )
-        .otherwise(
-            F.lit(
-                '<footer><a href="/t">All rights reserved terms'
-                " privacy</a></footer>"
-            )
-        )
-    )
-    page = F.concat(
-        F.lit(
-            "<html><head><script>var a=1;</script></head><body>"
-            '<nav><a href="/">Home</a> <a href="/x">About</a></nav>'
-            "<p>"
-        ),
-        F.substring(F.col("text"), 1, 120),
-        body_tail,
-        tail,
-        F.lit("</body></html>"),
-    )
+    page = _html_page(body_tail=body_tail)
     mc = main_content(d.select("doc_id", page.alias("html")))
     scored = text.quality_classifier(
         mc,
@@ -2060,39 +2042,7 @@ def q_html_main_content_ctx(spark, sf):
     from .operators.html import main_content
 
     d = load(spark, sf, "documents")
-    m3 = F.col("doc_id") % 3
-    tail = (
-        F.when(m3 == 0, F.lit("<div>short</div>"))
-        .when(
-            m3 == 1,
-            F.concat(
-                F.lit("<p>"),
-                F.substring(F.col("text"), 121, 100),
-                F.lit(
-                    " second paragraph continues with more visible"
-                    " words.</p>"
-                ),
-            ),
-        )
-        .otherwise(
-            F.lit(
-                '<footer><a href="/t">All rights reserved terms'
-                " privacy</a></footer>"
-            )
-        )
-    )
-    page = F.concat(
-        F.lit(
-            "<html><head><script>var a=1;</script></head><body>"
-            '<nav><a href="/">Home</a> <a href="/x">About</a></nav>'
-            "<p>"
-        ),
-        F.substring(F.col("text"), 1, 120),
-        F.lit(" body paragraph tail &amp; more.</p>"),
-        F.lit("<h3>Mid section</h3>"),
-        tail,
-        F.lit("</body></html>"),
-    )
+    page = _html_page(mid="<h3>Mid section</h3>")
     return main_content(
         d.select("doc_id", page.alias("html")), context_pass=True
     )
@@ -6775,8 +6725,10 @@ def _html_outline_oracle_sql() -> str:
     for ent, ch in HTML_ENTITIES:
         t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
     clean = f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+    from .operators.html import COMMENT_RE, SCRIPT_RE, STYLE_RE
+
     return (
-        "WITH d AS (SELECT doc_id, '<h1>' || substr(text, 1, 30) || "
+        "WITH d0 AS (SELECT doc_id, '<h1>' || substr(text, 1, 30) || "
         "'</h1><p>body</p><h2>Sec &amp; ' || "
         "CAST(doc_id % 5 AS VARCHAR) || '</h2>' || "
         "(CASE doc_id % 4 WHEN 0 THEN "
@@ -6785,6 +6737,10 @@ def _html_outline_oracle_sql() -> str:
         "WHEN 1 THEN '<h4>   </h4>' "
         "WHEN 2 THEN '<h2>Nested <b>bold</b> heading</h2>' "
         "ELSE '' END) AS h FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
+        f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS h "
+        "FROM d0), "
         "x AS (SELECT doc_id, "
         f"regexp_extract_all(h, '{HEADING_RE}', 1) AS lv, "
         f"regexp_extract_all(h, '{HEADING_RE}', 2) AS tx FROM d) "

@@ -2327,3 +2327,63 @@ def test_main_content_context_promotion(spark):
     assert ctx.n_good == 3 and "Short heading" in ctx.main_text
     assert "tiny" not in ctx.main_text  # bad neighbors
     assert "lead-in" not in ctx.main_text  # prev non-short is bad
+
+
+def test_html_entity_amp_last(spark):
+    """Entity decode order regression (review finding): '&amp;lt;' is
+    an author DISPLAYING a literal '&lt;' — it must single-decode to
+    '&lt;', not double-decode to '<'."""
+    from annual_report_pdf_parsers_spark.operators.html import (
+        main_content,
+    )
+
+    page = (
+        "<p>To show a tag write &amp;lt;div&amp;gt; in your source"
+        " and it renders literally for readers.</p>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    r = main_content(df).collect()[0]
+    assert "&lt;div&gt;" in r.main_text
+    assert "<div>" not in r.main_text
+
+
+def test_outline_ignores_comments_and_scripts(spark):
+    """Outline strip regression (review finding): commented-out or
+    scripted headings are not part of the document outline."""
+    from annual_report_pdf_parsers_spark.operators.html import outline
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "<!-- <h2>old draft</h2> --><h1>Real</h1>"
+                '<script>x("<h2>fake</h2>")</script><h2>Also real</h2>',
+            )
+        ],
+        "doc_id long, html string",
+    )
+    got = [(r.pos, r.level, r.heading) for r in outline(df).collect()]
+    assert sorted(got) == [(0, 1, "Real"), (1, 2, "Also real")]
+
+
+def test_cdc_boundary_hex_case(spark):
+    """cdc boundary_hex case regression (review finding): md5 hex is
+    lowercase — 'A' and 'a' must select the same boundaries, and
+    non-hex still raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        cdc_chunk_stats,
+    )
+
+    body = ("boundary case probe text " * 30).encode()
+    df = spark.createDataFrame(
+        [(1, body), (2, b"Y" + body)], "doc_id long, blob binary"
+    )
+    up = {r.doc_id: r.n_chunks for r in
+          cdc_chunk_stats(df, boundary_hex="A").collect()}
+    lo = {r.doc_id: r.n_chunks for r in
+          cdc_chunk_stats(df, boundary_hex="a").collect()}
+    assert up == lo and up[1] > 1
+    with _pytest.raises(ValueError, match="hex"):
+        cdc_chunk_stats(df, boundary_hex="g")
