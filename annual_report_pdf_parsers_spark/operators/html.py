@@ -309,3 +309,122 @@ def outline(
         F.col("_o.level").alias("level"),
         F.col("_o.heading").alias("heading"),
     )
+
+
+LINK_RE = (
+    "(?is)<a[^>]*?href[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
+)
+
+
+def links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """OUTLINK extraction — the crawl-graph feed (public practice:
+    frontier expansion, PageRank-family link graphs, anchor-text
+    corpora all start from (page, href, anchor) triples).  Quoted
+    ``href`` attributes only (single or double — the unquoted legacy
+    form is skipped, documented); anchors cleaned with the shared
+    block-text rules; script/style/comment regions stripped first
+    (a commented-out link is not an outlink).
+
+    Emits one row per link, in document order::
+
+        (doc_id, pos, href, anchor)
+
+    NULL html emits no rows.  100 TB shape: narrow + ONE posexplode;
+    both capture groups off pinned extract_all passes (the outline
+    pattern).
+    """
+    clash = sorted({"_lk_h", "_lk_hr", "_lk_tx"} & set(df.columns))
+    if clash:
+        raise ValueError(f"links staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn("_lk_h", pin(h))
+    hc = F.col("_lk_h")
+    base = base.withColumn(
+        "_lk_hr", pin(F.regexp_extract_all(hc, F.lit(LINK_RE), 1))
+    ).withColumn(
+        "_lk_tx", pin(F.regexp_extract_all(hc, F.lit(LINK_RE), 2))
+    )
+    hr = F.col("_lk_hr")
+    tx = F.col("_lk_tx")
+    rows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hr), F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(hr, i.cast("int")).alias("href"),
+            _block_text(F.element_at(tx, i.cast("int"))).alias(
+                "anchor"
+            ),
+        ),
+    )
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.when(F.size(hr) > 0, rows).otherwise(
+                F.array().cast(
+                    "array<struct<href:string,anchor:string>>"
+                )
+            )
+        ).alias("pos", "_l"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("_l.href").alias("href"),
+        F.col("_l.anchor").alias("anchor"),
+    )
+
+
+def host_link_graph(
+    links_df: DataFrame,
+    src_host_col: str = "src_host",
+    href_col: str = "href",
+    min_edges: int = 1,
+) -> DataFrame:
+    """HOST-level link graph from (src_host, href) rows: resolve each
+    href's target host (absolute http/https urls only — relative links
+    are same-host edges by definition), aggregate to weighted edges.
+    The input to PageRank / domain-authority / spam-neighborhood
+    analyses.
+
+    Returns ``(src_host, dst_host, n_links, n_docs)`` for edges with
+    at least ``min_edges`` links, where dst_host for relative hrefs is
+    the source host itself.  Rows whose source host is NULL are
+    dropped (unparseable pages contribute no edges).
+
+    100 TB shape: narrow host resolution (try_parse_url — junk hrefs
+    group under the source host, never throw) + ONE map-side-partial
+    agg keyed by (src, dst); hub hosts are exactly what map-side
+    combine eats.
+    """
+    from .urls import host_of
+
+    dst = F.when(
+        F.col(href_col).rlike("(?i)^https?://"),
+        host_of(F.col(href_col)),
+    ).otherwise(F.col(src_host_col))
+    return (
+        links_df.filter(F.col(src_host_col).isNotNull())
+        .select(
+            F.col(src_host_col).alias("src_host"),
+            F.coalesce(dst, F.col(src_host_col)).alias("dst_host"),
+            F.col("doc_id"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.count_distinct(F.col("doc_id")).cast("long").alias(
+                "n_docs"
+            ),
+        )
+        .filter(F.col("n_links") >= min_edges)
+    )

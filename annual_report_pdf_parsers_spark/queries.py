@@ -2048,6 +2048,67 @@ def q_html_main_content_ctx(spark, sf):
     )
 
 
+def _link_fixture_page():
+    """Shared doc_id-derived link fixture: an absolute link with an
+    entity-probed anchor, a relative link, and a %4 tail (commented-out
+    link / href-less anchor / cased-www absolute / nothing)."""
+    m4 = F.col("doc_id") % 4
+    tail = (
+        F.when(
+            m4 == 0,
+            F.lit('<!-- <a href="https://no.com">hidden</a> -->'),
+        )
+        .when(m4 == 1, F.lit('<a name="x">no href</a>'))
+        .when(
+            m4 == 2,
+            F.lit('<a href="https://www.Ext.org/q">Www link</a>'),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit('<a href="https://site'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">Link &amp; '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('</a><a href="/rel/'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('">Rel</a>'),
+        tail,
+    )
+
+
+def q_html_links(spark, sf):
+    """Outlink extraction over the shared link fixture: quoted
+    absolute + relative hrefs extracted in order with cleaned anchor
+    text; the commented-out link and the href-less anchor emit
+    nothing.  Oracle = the same two-group extract_all zipped by index
+    after the strip passes."""
+    from .operators.html import links
+
+    d = load(spark, sf, "documents")
+    return links(d.select("doc_id", _link_fixture_page().alias("html")))
+
+
+def q_corpus_link_graph(spark, sf):
+    """Host-level link graph: outlinks from the shared fixture plus a
+    doc_id-derived source host -> weighted (src, dst) edges; relative
+    links become self-edges, the www/case absolute normalizes to
+    ext.org.  The oracle REGENERATES the edges from the same
+    arithmetic (the fixture hrefs are pure doc_id functions)."""
+    from .operators.html import host_link_graph, links
+
+    d = load(spark, sf, "documents")
+    lk = links(d.select("doc_id", _link_fixture_page().alias("html")))
+    src = F.concat(
+        F.lit("host"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".net"),
+    )
+    return host_link_graph(lk.withColumn("src_host", src))
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -3477,6 +3538,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_main_content": q_html_main_content,
     "html_main_content_ctx": q_html_main_content_ctx,
     "html_outline": q_html_outline,
+    "html_links": q_html_links,
+    "corpus_link_graph": q_corpus_link_graph,
     "corpus_web_extract": q_corpus_web_extract,
     # -- text analysis ------------------------------------------------
     "text_dup_excise": q_text_dup_excise,
@@ -3495,12 +3558,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_dedup_funnel": q_corpus_dedup_funnel,
-    "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_url_templates": q_corpus_url_templates,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_span_ladder": q_corpus_span_ladder,
-    "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_assemble": q_corpus_assemble,
     "corpus_ingest": q_corpus_ingest,
     "corpus_ccnet_tiers": q_corpus_ccnet_tiers,
@@ -3627,7 +3688,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CASE is composed VERBATIM in-window by corpus_ingest's final
     # stage, and the hashlib threshold fuzz re-proves it every
     # session) rotated below for html_main_content_ctx;
+    # corpus_pack_sequences + corpus_mixture_sample (r05; BOTH stages
+    # run composed in-window inside corpus_assemble — classifier ->
+    # mixture -> shard+pack — with a full value-hash oracle, and both
+    # carry hashlib-model fuzzes every session) rotated below for
+    # html_links / corpus_link_graph;
     "dedup_exact": q_dedup_exact,
+    "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_curation": q_corpus_curation,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_token_stats": q_corpus_token_stats,
@@ -6790,6 +6858,80 @@ def _web_extract_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_web_extract"] = _web_extract_oracle_sql()
+
+_LINK_PAGE_SQL = (
+    "'<a href=\"https://site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.com/p/' || CAST(doc_id AS VARCHAR) || '\">Link &amp; ' || "
+    "CAST(doc_id % 5 AS VARCHAR) || "
+    "'</a><a href=\"/rel/' || CAST(doc_id % 3 AS VARCHAR) || "
+    "'\">Rel</a>' || "
+    "(CASE doc_id % 4 "
+    "WHEN 0 THEN '<!-- <a href=\"https://no.com\">hidden</a> -->' "
+    "WHEN 1 THEN '<a name=\"x\">no href</a>' "
+    "WHEN 2 THEN '<a href=\"https://www.Ext.org/q\">Www link</a>' "
+    "ELSE '' END)"
+)
+
+
+def _html_links_oracle_sql() -> str:
+    """html_links oracle — strip passes + the two-group LINK_RE
+    extraction zipped by index + the shared anchor cleanup, all
+    regenerated from the engine constants."""
+    from .operators.html import (
+        COMMENT_RE,
+        HTML_ENTITIES,
+        LINK_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        WS_RUN_RE,
+    )
+
+    link_re = LINK_RE.replace(chr(39), chr(39) * 2)
+    t = f"regexp_replace(tx[i], '{TAG_RE}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    clean = f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_LINK_PAGE_SQL} AS h "
+        "FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
+        f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS h "
+        "FROM d0), "
+        "x AS (SELECT doc_id, "
+        f"regexp_extract_all(h, '{link_re}', 1) AS hr, "
+        f"regexp_extract_all(h, '{link_re}', 2) AS tx FROM d) "
+        "SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, "
+        "hr[i] AS href, "
+        f"{clean} AS anchor "
+        "FROM x, UNNEST(generate_series(1, len(hr))) AS g(i)"
+    )
+
+
+ORACLE_SQL["html_links"] = _html_links_oracle_sql()
+
+# corpus_link_graph: the fixture hrefs are pure doc_id functions, so
+# the oracle REGENERATES the (src, dst) edges from the same arithmetic
+# (absolute -> site<k>.com, relative -> self, %4==2 -> ext.org after
+# the lower/www normalization) and aggregates identically.
+ORACLE_SQL["corpus_link_graph"] = (
+    "WITH e AS ("
+    "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || '.net' "
+    "  AS src_host, "
+    "  'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host "
+    "FROM documents "
+    "UNION ALL "
+    "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', "
+    "  'host' || CAST(doc_id % 4 AS VARCHAR) || '.net' "
+    "FROM documents "
+    "UNION ALL "
+    "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', "
+    "  'ext.org' FROM documents WHERE doc_id % 4 = 2) "
+    "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+    "FROM e GROUP BY src_host, dst_host HAVING COUNT(*) >= 1"
+)
 
 ORACLE_SQL["html_outline"] = _html_outline_oracle_sql()
 

@@ -167,6 +167,7 @@ HEADLINE = [
     "html_outline",
     "corpus_web_extract",
     "html_main_content_ctx",
+    "corpus_link_graph",
 ]
 
 

@@ -2387,3 +2387,46 @@ def test_cdc_boundary_hex_case(spark):
     assert up == lo and up[1] > 1
     with _pytest.raises(ValueError, match="hex"):
         cdc_chunk_stats(df, boundary_hex="g")
+
+
+def test_html_links_and_graph(spark):
+    """html.links: quoted hrefs only, comments/scripts stripped,
+    href-less anchors skipped, anchors cleaned; host_link_graph:
+    relative -> self-edge, absolute normalized lower/www, NULL source
+    hosts dropped."""
+    from pyspark.sql import functions as F
+
+    from annual_report_pdf_parsers_spark.operators.html import (
+        host_link_graph,
+        links,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                '<a href="https://other.com/p">External &amp; x</a>'
+                '<a href="/local">Relative</a>'
+                "<a href='https://www.Other.com/q'>Cased</a>"
+                '<!-- <a href="https://hidden.com">no</a> -->'
+                '<a name="n">no href</a>',
+            ),
+            (2, None),
+        ],
+        "doc_id long, html string",
+    )
+    lk = links(df)
+    rows = [(r.doc_id, r.pos, r.href, r.anchor) for r in lk.collect()]
+    assert sorted(rows) == [
+        (1, 0, "https://other.com/p", "External & x"),
+        (1, 1, "/local", "Relative"),
+        (1, 2, "https://www.Other.com/q", "Cased"),
+    ]
+    g = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_docs)
+        for r in host_link_graph(
+            lk.withColumn("src_host", F.lit("me.org"))
+        ).collect()
+    }
+    assert g[("me.org", "other.com")] == (2, 1)
+    assert g[("me.org", "me.org")] == (1, 1)

@@ -854,3 +854,15 @@ def test_html_ctx_narrow(spark):
     plan = _qplan(spark, "html_main_content_ctx")
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_link_graph_plan(spark):
+    """corpus_link_graph: narrow link extraction + ONE map-side-partial
+    agg keyed by (src, dst); no window, no join, no Python (the
+    count-distinct doc adds the standard expand, still one keyed
+    exchange family)."""
+    plan = _qplan(spark, "corpus_link_graph")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
