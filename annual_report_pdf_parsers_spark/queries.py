@@ -2109,6 +2109,27 @@ def q_corpus_link_graph(spark, sf):
     return host_link_graph(lk.withColumn("src_host", src))
 
 
+def q_graph_pagerank(spark, sf):
+    """Weighted PageRank (3 fixed iterations, damping 0.85) over the
+    host link graph built from the shared link fixture — hub sites
+    (every doc links site<k>.com) outrank the teleport floor, self
+    -edges and the %4==2 ext.org arm spread the mass.  The oracle
+    UNROLLS the three iterations as CTEs with the identical
+    rounded-contribution + DECIMAL(38,12)-sum arithmetic."""
+    from .operators.graph import pagerank
+    from .operators.html import host_link_graph, links
+
+    d = load(spark, sf, "documents")
+    lk = links(d.select("doc_id", _link_fixture_page().alias("html")))
+    src = F.concat(
+        F.lit("host"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".net"),
+    )
+    edges = host_link_graph(lk.withColumn("src_host", src))
+    return pagerank(edges, iterations=3).select("node", "pr")
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -3540,6 +3561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_outline": q_html_outline,
     "html_links": q_html_links,
     "corpus_link_graph": q_corpus_link_graph,
+    "graph_pagerank": q_graph_pagerank,
     "corpus_web_extract": q_corpus_web_extract,
     # -- text analysis ------------------------------------------------
     "text_dup_excise": q_text_dup_excise,
@@ -3567,7 +3589,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ccnet_tiers": q_corpus_ccnet_tiers,
     "corpus_quality_ensemble": q_corpus_quality_ensemble,
     "corpus_split_safe": q_corpus_split_safe,
-    "corpus_epoch_plan": q_corpus_epoch_plan,
     "corpus_vocab_topk": q_corpus_vocab_topk,
     "corpus_drift": q_corpus_drift,
     "corpus_contamination_report": q_corpus_contamination_report,
@@ -3693,7 +3714,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mixture -> shard+pack — with a full value-hash oracle, and both
     # carry hashlib-model fuzzes every session) rotated below for
     # html_links / corpus_link_graph;
+    # corpus_epoch_plan (r05; rotated below for graph_pagerank — its
+    # arithmetic is ALL-integer with a bit-exact Python-model fuzz
+    # every session, the strongest local evidence in the window)
     "dedup_exact": q_dedup_exact,
+    "corpus_epoch_plan": q_corpus_epoch_plan,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_curation": q_corpus_curation,
@@ -6932,6 +6957,57 @@ ORACLE_SQL["corpus_link_graph"] = (
     "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
     "FROM e GROUP BY src_host, dst_host HAVING COUNT(*) >= 1"
 )
+
+def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """graph_pagerank oracle — the link-graph edges regenerated from
+    the fixture arithmetic, then the iterations UNROLLED as CTE pairs
+    with the engine's exact rounding/decimal-sum discipline.  The
+    teleport numerator is the PYTHON-computed double repr (1.0 - d in
+    IEEE is NOT the decimal 0.15 — a bare SQL literal would fold in
+    DECIMAL and diverge in the 17th digit)."""
+    tp = repr(1.0 - damping)
+    dp = repr(damping)
+    parts = [
+        "WITH e AS ("
+        "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || "
+        "'.net' AS src_host, "
+        "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, "
+        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', "
+        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net' "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, "
+        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', 'ext.org' "
+        "FROM documents WHERE doc_id % 4 = 2), "
+        "eg AS (SELECT src_host, dst_host, COUNT(*) AS w FROM e "
+        "GROUP BY 1, 2), "
+        "wd AS (SELECT src_host, SUM(w) AS wd FROM eg GROUP BY 1), "
+        "nd AS (SELECT src_host AS node FROM eg "
+        "UNION SELECT dst_host FROM eg), "
+        "nn AS (SELECT COUNT(*) AS n FROM nd), "
+        "p0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 12) "
+        "AS pr FROM nd, nn)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", c{k} AS (SELECT eg.dst_host AS node, "
+            f"SUM(CAST(ROUND(p{k - 1}.pr * eg.w / wd.wd, 12) "
+            "AS DECIMAL(38,12))) AS s "
+            f"FROM eg JOIN p{k - 1} ON p{k - 1}.node = eg.src_host "
+            "JOIN wd ON wd.src_host = eg.src_host GROUP BY 1), "
+            f"p{k} AS (SELECT nd.node, "
+            f"ROUND(CAST({tp} AS DOUBLE) / nn.n + "
+            f"CAST({dp} AS DOUBLE) * "
+            f"COALESCE(CAST(c{k}.s AS DOUBLE), 0.0), 12) AS pr "
+            f"FROM nd CROSS JOIN nn "
+            f"LEFT JOIN c{k} ON c{k}.node = nd.node)"
+        )
+    parts.append(f" SELECT node, pr FROM p{iters}")
+    return "".join(parts)
+
+
+ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()
 
 ORACLE_SQL["html_outline"] = _html_outline_oracle_sql()
 

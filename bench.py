@@ -168,6 +168,7 @@ HEADLINE = [
     "corpus_web_extract",
     "html_main_content_ctx",
     "corpus_link_graph",
+    "graph_pagerank",
 ]
 
 

@@ -2430,3 +2430,39 @@ def test_html_links_and_graph(spark):
     }
     assert g[("me.org", "other.com")] == (2, 1)
     assert g[("me.org", "me.org")] == (1, 1)
+
+
+def test_pagerank_matches_python_model(spark):
+    """graph.pagerank vs a direct Python model with the identical
+    round-then-decimal-sum arithmetic: weighted edges, dangling-node
+    leak, teleport floor for in-edge-less nodes."""
+    from decimal import Decimal
+
+    from annual_report_pdf_parsers_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("d", "a", 1)]
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    wd = {}
+    for srch, _, w in edges:
+        wd[srch] = wd.get(srch, 0) + w
+    pr = {v: round(1.0 / n, 12) for v in nodes}
+    d = 0.85
+    for _ in range(3):
+        sums = {v: Decimal(0) for v in nodes}
+        for srch, dsth, w in edges:
+            sums[dsth] += Decimal(
+                repr(round(pr[srch] * w / wd[srch], 12))
+            )
+        pr = {
+            v: round((1.0 - d) / n + d * float(sums[v]), 12)
+            for v in nodes
+        }
+    got = {r.node: r.pr for r in pagerank(df, iterations=3).collect()}
+    assert got == pr
+    # c receives from both a and b; d has no in-edges -> teleport floor
+    assert got["c"] > got["d"]
+    assert got["d"] == round((1.0 - d) / n, 12)

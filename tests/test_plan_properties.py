@@ -866,3 +866,14 @@ def test_link_graph_plan(spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_pagerank_plan(spark):
+    """graph_pagerank: the per-round joins pin shuffle_hash (rank and
+    degree tables are node-scaled — never broadcast, NOTES 4a), no
+    cartesian, no Python stage."""
+    plan = _qplan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
