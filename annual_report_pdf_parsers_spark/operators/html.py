@@ -384,6 +384,97 @@ def links(
     )
 
 
+TITLE_RE = "(?is)<title[^>]*>(.*?)</title>"
+META_DESC_RE = (
+    "(?is)<meta[^>]*?name[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']description[\"'][^>]*?content[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+CANONICAL_RE = (
+    "(?is)<link[^>]*?rel[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']canonical[\"'][^>]*?href[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+LANG_ATTR_RE = (
+    "(?is)<html[^>]*?lang[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+CHARSET_RE = (
+    "(?is)<meta[^>]*?charset[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']?([A-Za-z0-9._-]+)"
+)
+
+
+def metadata(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Page METADATA extraction — title, meta description, canonical
+    url, declared language, charset (public practice: these head
+    fields feed url canonicalization, language routing, and dedup
+    keys before any body text is parsed; WARC/WET tooling extracts
+    the same set).  One row per document::
+
+        (doc_id, title, meta_description, canonical_url, html_lang,
+         charset)
+
+    First match wins for every field.  ``title`` and
+    ``meta_description`` are cleaned with the shared block-text rules
+    (tag strip, entity decode, whitespace collapse, trim);
+    ``canonical_url`` stays RAW (the href contract of `links`);
+    ``html_lang`` and ``charset`` are lowercased.  Absent fields are
+    NULL — and so are present-but-blank ones (regexp_extract cannot
+    distinguish them; a blank title carries no signal).  NULL html
+    behaves as ''.
+
+    Documented limitations (both engines, symmetric): attribute order
+    is fixed (``name`` before ``content``, ``rel`` before ``href`` —
+    the overwhelmingly dominant emitted order) and attribute values
+    must be quoted, except charset where the bare legacy form is
+    accepted.  Script/style/comment regions are stripped first, so a
+    commented-out or document.write'd title never wins.
+
+    100 TB shape: pure narrow — one pinned stripped-html column, five
+    regexp_extract passes over it; no shuffle, no UDF, no parser.
+    """
+    clash = sorted({"_md_h"} & set(df.columns))
+    if clash:
+        raise ValueError(f"metadata staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn("_md_h", pin(h))
+    hc = F.col("_md_h")
+
+    def first(re_: str) -> Column:
+        return F.regexp_extract(hc, re_, 1)
+
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        F.nullif(_block_text(first(TITLE_RE)), F.lit("")).alias(
+            "title"
+        ),
+        F.nullif(
+            _block_text(first(META_DESC_RE)), F.lit("")
+        ).alias("meta_description"),
+        F.nullif(first(CANONICAL_RE), F.lit("")).alias(
+            "canonical_url"
+        ),
+        F.nullif(
+            F.lower(F.trim(first(LANG_ATTR_RE))), F.lit("")
+        ).alias("html_lang"),
+        F.nullif(F.lower(first(CHARSET_RE)), F.lit("")).alias(
+            "charset"
+        ),
+    )
+
+
 def host_link_graph(
     links_df: DataFrame,
     src_host_col: str = "src_host",

@@ -2091,6 +2091,122 @@ def q_html_links(spark, sf):
     return links(d.select("doc_id", _link_fixture_page().alias("html")))
 
 
+def q_html_metadata(spark, sf):
+    """Head-metadata extraction over synthesized pages: a doc_id%5
+    rotation covering cased <TITLE> with an entity probe, whitespace-
+    padded titles, script/comment FAKE titles (must lose), an empty
+    title (-> NULL), single- and double-quoted meta/link attributes,
+    quoted/bare/single-quoted charsets, and lang attributes in both
+    quote styles.  Oracle = the same five first-match extractions over
+    the identically stripped html, regenerated from the engine's regex
+    constants."""
+    from .operators.html import metadata
+
+    d = load(spark, sf, "documents")
+    m5 = F.col("doc_id") % 5
+    lang = (
+        F.when(m5 == 0, F.lit(' lang="en-US"'))
+        .when(m5 == 1, F.lit(" lang='fr'"))
+        .otherwise(F.lit(""))
+    )
+    title = (
+        F.when(
+            m5 == 0,
+            F.concat(
+                F.lit("<TITLE>Doc &amp; "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</TITLE>"),
+            ),
+        )
+        .when(
+            m5 == 1,
+            F.concat(
+                F.lit("<title>  "),
+                F.substring("text", 1, 20),
+                F.lit("   more</title>"),
+            ),
+        )
+        .when(
+            m5 == 2,
+            F.lit(
+                '<script>var t="<title>zz</title>";</script>'
+                "<!-- <title>ghost</title> -->"
+            ),
+        )
+        .when(m5 == 3, F.lit("<title></title>"))
+        .otherwise(
+            F.concat(
+                F.lit("<title>Plain "),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("</title>"),
+            )
+        )
+    )
+    desc = (
+        F.when(
+            m5 == 0,
+            F.concat(
+                F.lit(
+                    '<meta name="description" content="Summary'
+                    " &amp; "
+                ),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            m5 == 1,
+            F.concat(
+                F.lit("<meta name='description' content='single "),
+                (F.col("doc_id") % 6).cast("string"),
+                F.lit("'>"),
+            ),
+        )
+        .when(m5 == 3, F.lit('<meta name="description" content="   ">'))
+        .otherwise(F.lit(""))
+    )
+    canon = (
+        F.when(
+            m5.isin(0, 3),
+            F.concat(
+                F.lit('<link rel="canonical" href="https://site'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            m5 == 2,
+            F.concat(
+                F.lit("<link rel='canonical' href='/rel/"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("'>"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    charset = (
+        F.when(m5 == 0, F.lit('<meta charset="UTF-8">'))
+        .when(m5 == 2, F.lit("<meta charset=utf-8>"))
+        .when(m5 == 4, F.lit("<meta charset='ISO-8859-1'>"))
+        .otherwise(F.lit(""))
+    )
+    page = F.concat(
+        F.lit("<html"),
+        lang,
+        F.lit("><head>"),
+        title,
+        desc,
+        canon,
+        charset,
+        F.lit("</head><body><p>"),
+        F.substring("text", 1, 40),
+        F.lit("</p></body></html>"),
+    )
+    return metadata(d.select("doc_id", page.alias("html")))
+
+
 def q_corpus_link_graph(spark, sf):
     """Host-level link graph: outlinks from the shared fixture plus a
     doc_id-derived source host -> weighted (src, dst) edges; relative
@@ -3554,11 +3670,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_semantic": q_dedup_semantic,
     "dedup_winnow": q_dedup_winnow,
-    "media_chunk_dedup": q_media_chunk_dedup,
     "media_cdc_dedup": q_media_cdc_dedup,
     "html_main_content": q_html_main_content,
     "html_main_content_ctx": q_html_main_content_ctx,
     "html_outline": q_html_outline,
+    "html_metadata": q_html_metadata,
     "html_links": q_html_links,
     "corpus_link_graph": q_corpus_link_graph,
     "graph_pagerank": q_graph_pagerank,
@@ -3717,7 +3833,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus_epoch_plan (r05; rotated below for graph_pagerank — its
     # arithmetic is ALL-integer with a bit-exact Python-model fuzz
     # every session, the strongest local evidence in the window)
+    # media_chunk_dedup (r05; rotated below for html_metadata — the
+    # fixed-grid chunk stats share _chunk_share_stats and the blob
+    # synth with media_cdc_dedup, which stays in-window and subsumes
+    # the chunk-hash/share machinery; the grid itself keeps the local
+    # parity oracle every session)
     "dedup_exact": q_dedup_exact,
+    "media_chunk_dedup": q_media_chunk_dedup,
     "corpus_epoch_plan": q_corpus_epoch_plan,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_mixture_sample": q_corpus_mixture_sample,
@@ -6957,6 +7079,97 @@ ORACLE_SQL["corpus_link_graph"] = (
     "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
     "FROM e GROUP BY src_host, dst_host HAVING COUNT(*) >= 1"
 )
+
+_HTML_META_PAGE_SQL = (
+    "'<html' || (CASE doc_id % 5 WHEN 0 THEN ' lang=\"en-US\"' "
+    "WHEN 1 THEN ' lang=''fr''' ELSE '' END) || '><head>' || "
+    "(CASE doc_id % 5 "
+    "WHEN 0 THEN '<TITLE>Doc &amp; ' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '</TITLE>' "
+    "WHEN 1 THEN '<title>  ' || substr(text, 1, 20) || "
+    "'   more</title>' "
+    "WHEN 2 THEN '<script>var t=\"<title>zz</title>\";</script>"
+    "<!-- <title>ghost</title> -->' "
+    "WHEN 3 THEN '<title></title>' "
+    "ELSE '<title>Plain ' || CAST(doc_id % 3 AS VARCHAR) || "
+    "'</title>' END) || "
+    "(CASE doc_id % 5 "
+    "WHEN 0 THEN '<meta name=\"description\" content=\"Summary "
+    "&amp; ' || CAST(doc_id % 4 AS VARCHAR) || '\">' "
+    "WHEN 1 THEN '<meta name=''description'' content=''single ' || "
+    "CAST(doc_id % 6 AS VARCHAR) || '''>' "
+    "WHEN 3 THEN '<meta name=\"description\" content=\"   \">' "
+    "ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 IN (0, 3) THEN "
+    "'<link rel=\"canonical\" href=\"https://site' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com/p/' || "
+    "CAST(doc_id AS VARCHAR) || '\">' "
+    "WHEN doc_id % 5 = 2 THEN "
+    "'<link rel=''canonical'' href=''/rel/' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '''>' ELSE '' END) || "
+    "(CASE doc_id % 5 WHEN 0 THEN '<meta charset=\"UTF-8\">' "
+    "WHEN 2 THEN '<meta charset=utf-8>' "
+    "WHEN 4 THEN '<meta charset=''ISO-8859-1''>' ELSE '' END) || "
+    "'</head><body><p>' || substr(text, 1, 40) || "
+    "'</p></body></html>'"
+)
+
+
+def _html_metadata_oracle_sql() -> str:
+    """html_metadata oracle — the five first-match extractions over
+    the identically stripped html, every regex + the entity/cleanup
+    chain regenerated from the engine constants (operators/html.py —
+    one site to edit)."""
+    from .operators.html import (
+        CANONICAL_RE,
+        CHARSET_RE,
+        COMMENT_RE,
+        HTML_ENTITIES,
+        LANG_ATTR_RE,
+        META_DESC_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        TITLE_RE,
+        WS_RUN_RE,
+    )
+
+    def esc(r: str) -> str:
+        return r.replace(chr(39), chr(39) * 2)
+
+    def btxt(x: str) -> str:
+        t = f"regexp_replace({x}, '{TAG_RE}', ' ', 'g')"
+        for ent, ch in HTML_ENTITIES:
+            t = (
+                f"replace({t}, '{ent}', "
+                f"'{ch.replace(chr(39), chr(39) * 2)}')"
+            )
+        return f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+
+    def first(re_: str) -> str:
+        return f"regexp_extract(h, '{esc(re_)}', 1)"
+
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_HTML_META_PAGE_SQL} AS h "
+        "FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
+        f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS h "
+        "FROM d0) "
+        "SELECT doc_id, "
+        f"NULLIF({btxt(first(TITLE_RE))}, '') AS title, "
+        f"NULLIF({btxt(first(META_DESC_RE))}, '') "
+        "AS meta_description, "
+        f"NULLIF({first(CANONICAL_RE)}, '') AS canonical_url, "
+        f"NULLIF(lower(trim({first(LANG_ATTR_RE)})), '') "
+        "AS html_lang, "
+        f"NULLIF(lower({first(CHARSET_RE)}), '') AS charset "
+        "FROM d"
+    )
+
+
+ORACLE_SQL["html_metadata"] = _html_metadata_oracle_sql()
+
 
 def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 3) -> str:
     """graph_pagerank oracle — the link-graph edges regenerated from

@@ -2366,6 +2366,62 @@ def test_outline_ignores_comments_and_scripts(spark):
     assert sorted(got) == [(0, 1, "Real"), (1, 2, "Also real")]
 
 
+def test_html_metadata(spark):
+    """html.metadata: first match wins per field, cased tags + entity
+    decode + ws collapse on title/description, commented/scripted fake
+    titles lose, raw canonical href, lowercased lang/charset (bare
+    charset accepted), absent-or-blank -> NULL, NULL html -> all-NULL
+    row, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import metadata
+
+    rows = [
+        (
+            1,
+            '<html lang="EN-us"><head>'
+            "<TITLE>  A &amp; B  </TITLE><title>second</title>"
+            "<meta name='description' content='  d &lt;1&gt;  '>"
+            '<link rel="canonical" href="https://Ex.com/p?a=1&amp;b=2">'
+            "<meta charset=UTF-8></head><body></body></html>",
+        ),
+        (
+            2,
+            "<!-- <title>ghost</title> -->"
+            '<script>var t="<title>zz</title>";</script>'
+            "<title></title><p>no head fields</p>",
+        ),
+        (3, None),
+    ]
+    got = {
+        r.doc_id: r
+        for r in metadata(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).collect()
+    }
+    r1 = got[1]
+    assert r1.title == "A & B"
+    assert r1.meta_description == "d <1>"
+    # href stays RAW (entities included) — the links() contract
+    assert r1.canonical_url == "https://Ex.com/p?a=1&amp;b=2"
+    assert r1.html_lang == "en-us"
+    assert r1.charset == "utf-8"
+    for doc in (2, 3):
+        r = got[doc]
+        assert (
+            r.title,
+            r.meta_description,
+            r.canonical_url,
+            r.html_lang,
+            r.charset,
+        ) == (None, None, None, None, None)
+    clash = spark.createDataFrame(
+        [(1, "<p>x</p>", "t")], "doc_id long, html string, _md_h string"
+    )
+    with _pytest.raises(ValueError, match="_md_h"):
+        metadata(clash)
+
+
 def test_cdc_boundary_hex_case(spark):
     """cdc boundary_hex case regression (review finding): md5 hex is
     lowercase — 'A' and 'a' must select the same boundaries, and

@@ -837,6 +837,17 @@ def test_html_outline_narrow(spark):
     assert plan.count("Generate posexplode") == 1, plan
 
 
+def test_html_metadata_narrow(spark):
+    """html_metadata: pure narrow — zero exchanges, no Python; the
+    stripped html is ONE pinned column feeding five regexp_extract
+    passes (no Generate, no join)."""
+    plan = _qplan(spark, "html_metadata")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
 def test_web_extract_plan(spark):
     """corpus_web_extract: html -> main-content -> classifier ->
     script-mix -> keep composed as ONE narrow chain (keep_cols
