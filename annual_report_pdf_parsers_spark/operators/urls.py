@@ -165,6 +165,99 @@ def url_quality_score(
     )
 
 
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-POLICY filtering with robots.txt longest-match semantics
+    (public spec: REP / RFC 9309 — among the rules whose path prefix
+    matches, the LONGEST wins; at equal length ``allow`` wins).  A
+    compliance-minded corpus pipeline re-applies fetched robots rules
+    at curation time to drop pages whose policy changed since crawl.
+
+    ``rules`` is a (host, path_prefix, allow:boolean) table — hosts
+    normalized like `host_of` output.  Per URL: resolve host + path
+    (bare/NULL paths count as '/', the spec default), look up the
+    host's rules, keep the longest matching prefix (allow wins exact
+    ties).  URLs with no parseable host, no host entry, or no matching
+    prefix are ALLOWED (robots is opt-out).  Wildcard/``$`` rule
+    syntax is out of scope (documented; expand rules upstream).
+
+    Returns ``(id_col, url_col, host, matched_prefix, allowed)``.
+
+    100 TB shape: rules aggregate to ONE (host, rule-array) row per
+    host — curation-bounded, broadcast onto the corpus; the big side
+    never shuffles, and the longest-match argmax is an order-based
+    array_max over (len, allow, prefix) structs (the NOTES #10 lesson
+    — never a when()-chain).  For a million-host rules table, swap
+    the broadcast for shuffle_hash on host; the plan is otherwise
+    unchanged.
+    """
+    clash = sorted(
+        {"_rb_h", "_rb_p", "_rb_rules", "_rb_best"} & set(df.columns)
+    )
+    if clash:
+        raise ValueError(f"robots_filter staging columns clash: {clash}")
+    per_host = rules.groupBy(F.col("host").alias("_rb_rh")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("path_prefix").alias("p"),
+                F.col("allow").alias("a"),
+            )
+        ).alias("_rb_rules")
+    )
+    base = (
+        df.withColumn("_rb_h", host_of(F.col(url_col)))
+        .withColumn(
+            "_rb_p",
+            F.when(
+                F.coalesce(
+                    F.try_parse_url(F.col(url_col), F.lit("PATH")),
+                    F.lit(""),
+                )
+                == "",
+                F.lit("/"),
+            ).otherwise(
+                F.try_parse_url(F.col(url_col), F.lit("PATH"))
+            ),
+        )
+        .join(
+            F.broadcast(per_host),
+            F.col("_rb_h") == F.col("_rb_rh"),
+            "left",
+        )
+    )
+    matches = F.filter(
+        F.col("_rb_rules"),
+        lambda r: F.col("_rb_p").startswith(r["p"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["p"]).alias("l"),
+                r["a"].cast("int").alias("a"),
+                r["p"].alias("p"),
+            ),
+        )
+    )
+    from ..functions.numeric import pin
+
+    # pin: _rb_best is referenced twice below (p and a) — unpinned,
+    # Catalyst would inline the whole filter+argmax per reference
+    return base.withColumn("_rb_best", pin(best)).select(
+        F.col(id_col),
+        F.col(url_col),
+        F.col("_rb_h").alias("host"),
+        F.col("_rb_best")["p"].alias("matched_prefix"),
+        F.coalesce(
+            F.col("_rb_best")["a"] == 1, F.lit(True)
+        ).alias("allowed"),
+    )
+
+
 def url_templates(
     df: DataFrame,
     url_col: str = "url",

@@ -2207,6 +2207,70 @@ def q_html_metadata(spark, sf):
     return metadata(d.select("doc_id", page.alias("html")))
 
 
+ROBOTS_RULES = [
+    ("site0.com", "/", False),
+    ("site0.com", "/p/", True),
+    ("site1.com", "/p/1", False),
+    ("site2.com", "/", True),
+    ("site2.com", "/x/", False),
+    ("site3.com", "/t/", True),
+    ("site3.com", "/t/", False),
+]
+
+
+def q_corpus_robots_filter(spark, sf):
+    """robots.txt longest-match crawl-policy filtering over a doc_id%7
+    url rotation: disallow-all-except-/p/ (longest wins both ways), a
+    partial-prefix /p/1 block (fires only on matching id ranges), a
+    bare www/case url resolving to the '/' allow, an unlisted host, a
+    junk url (NULL host -> allowed), and an exact-tie host where allow
+    beats disallow at equal length.  Oracle = the rules as a VALUES
+    CTE + regenerated host/path arithmetic + the ROW_NUMBER
+    (len DESC, allow DESC) restatement of the argmax."""
+    from .operators.urls import robots_filter
+
+    d = load(spark, sf, "documents")
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "host string, path_prefix string, allow boolean"
+    )
+    did = F.col("doc_id")
+    m7 = did % 7
+    url = (
+        F.when(
+            m7 == 0,
+            F.concat(
+                F.lit("https://site0.com/p/"),
+                (did % 97).cast("string"),
+            ),
+        )
+        .when(
+            m7 == 1,
+            F.concat(
+                F.lit("https://site0.com/other/"),
+                (did % 5).cast("string"),
+            ),
+        )
+        .when(
+            m7 == 2,
+            F.concat(
+                F.lit("https://site1.com/p/"),
+                (did % 23).cast("string"),
+            ),
+        )
+        .when(m7 == 3, F.lit("https://www.Site2.com"))
+        .when(
+            m7 == 4,
+            F.concat(F.lit("https://site9.com/p/"), did.cast("string")),
+        )
+        .when(
+            m7 == 5,
+            F.concat(F.lit("junk url "), did.cast("string")),
+        )
+        .otherwise(F.lit("https://site3.com/t/x"))
+    )
+    return robots_filter(d.select("doc_id", url.alias("url")), rules)
+
+
 def q_corpus_link_graph(spark, sf):
     """Host-level link graph: outlinks from the shared fixture plus a
     doc_id-derived source host -> weighted (src, dst) edges; relative
@@ -3686,7 +3750,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lexical_diversity": q_text_lexical_diversity,
     "text_script_mix": q_text_script_mix,
     "text_chunk_windows": q_text_chunk_windows,
-    "text_unigram_lm": q_text_unigram_lm,
     "text_bigram_lm": q_text_bigram_lm,
     "text_quality_classifier": q_text_quality_classifier,
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -3697,6 +3760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_dedup_funnel": q_corpus_dedup_funnel,
     "corpus_domain_filter": q_corpus_domain_filter,
+    "corpus_robots_filter": q_corpus_robots_filter,
     "corpus_url_templates": q_corpus_url_templates,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_span_ladder": q_corpus_span_ladder,
@@ -3838,8 +3902,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # synth with media_cdc_dedup, which stays in-window and subsumes
     # the chunk-hash/share machinery; the grid itself keeps the local
     # parity oracle every session)
+    # text_unigram_lm (r05; rotated below for corpus_robots_filter —
+    # the unigram-LM fold runs composed IN-WINDOW with full value-hash
+    # oracles inside corpus_ccnet_tiers and corpus_quality_ensemble,
+    # both via the shared _unigram_fold_parts fragments)
     "dedup_exact": q_dedup_exact,
     "media_chunk_dedup": q_media_chunk_dedup,
+    "text_unigram_lm": q_text_unigram_lm,
     "corpus_epoch_plan": q_corpus_epoch_plan,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_mixture_sample": q_corpus_mixture_sample,
@@ -7169,6 +7238,58 @@ def _html_metadata_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_metadata"] = _html_metadata_oracle_sql()
+
+
+def _robots_filter_oracle_sql() -> str:
+    """corpus_robots_filter oracle — rules regenerated from
+    ROBOTS_RULES as a VALUES CTE, host/path regenerated from the
+    fixture's doc_id arithmetic, and the longest-match argmax restated
+    as ROW_NUMBER ordered by (prefix length DESC, allow DESC)."""
+    vals = ", ".join(
+        f"('{h}', '{p}', {'TRUE' if a else 'FALSE'})"
+        for h, p, a in ROBOTS_RULES
+    )
+    return (
+        "WITH u AS (SELECT doc_id, "
+        "CASE doc_id % 7 "
+        "WHEN 0 THEN 'https://site0.com/p/' || "
+        "CAST(doc_id % 97 AS VARCHAR) "
+        "WHEN 1 THEN 'https://site0.com/other/' || "
+        "CAST(doc_id % 5 AS VARCHAR) "
+        "WHEN 2 THEN 'https://site1.com/p/' || "
+        "CAST(doc_id % 23 AS VARCHAR) "
+        "WHEN 3 THEN 'https://www.Site2.com' "
+        "WHEN 4 THEN 'https://site9.com/p/' || "
+        "CAST(doc_id AS VARCHAR) "
+        "WHEN 5 THEN 'junk url ' || CAST(doc_id AS VARCHAR) "
+        "ELSE 'https://site3.com/t/x' END AS url, "
+        "CASE doc_id % 7 WHEN 0 THEN 'site0.com' "
+        "WHEN 1 THEN 'site0.com' WHEN 2 THEN 'site1.com' "
+        "WHEN 3 THEN 'site2.com' WHEN 4 THEN 'site9.com' "
+        "WHEN 5 THEN NULL ELSE 'site3.com' END AS host, "
+        "CASE doc_id % 7 "
+        "WHEN 0 THEN '/p/' || CAST(doc_id % 97 AS VARCHAR) "
+        "WHEN 1 THEN '/other/' || CAST(doc_id % 5 AS VARCHAR) "
+        "WHEN 2 THEN '/p/' || CAST(doc_id % 23 AS VARCHAR) "
+        "WHEN 3 THEN '/' WHEN 4 THEN '/p/' || "
+        "CAST(doc_id AS VARCHAR) WHEN 5 THEN NULL "
+        "ELSE '/t/x' END AS path FROM documents), "
+        f"r AS (SELECT * FROM (VALUES {vals}) "
+        "AS t(host, path_prefix, allow)), "
+        "m AS (SELECT u.doc_id, r.path_prefix, r.allow, "
+        "ROW_NUMBER() OVER (PARTITION BY u.doc_id ORDER BY "
+        "length(r.path_prefix) DESC, r.allow DESC) AS rn "
+        "FROM u JOIN r ON r.host = u.host "
+        "AND starts_with(u.path, r.path_prefix)) "
+        "SELECT u.doc_id, u.url, u.host, "
+        "m.path_prefix AS matched_prefix, "
+        "COALESCE(m.allow, TRUE) AS allowed "
+        "FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m "
+        "ON m.doc_id = u.doc_id"
+    )
+
+
+ORACLE_SQL["corpus_robots_filter"] = _robots_filter_oracle_sql()
 
 
 def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 3) -> str:

@@ -2422,6 +2422,56 @@ def test_html_metadata(spark):
         metadata(clash)
 
 
+def test_robots_filter(spark):
+    """urls.robots_filter: longest prefix wins, allow wins exact ties,
+    unlisted host / junk url / no matching prefix -> allowed, bare url
+    path counts as '/', staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        robots_filter,
+    )
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/", False),
+            ("a.com", "/pub/", True),
+            ("t.com", "/x/", True),
+            ("t.com", "/x/", False),
+            ("b.com", "/priv/", False),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    urls = [
+        (1, "https://a.com/pub/ok"),       # longest = /pub/ allow
+        (2, "https://a.com/secret"),       # only '/' matches -> block
+        (3, "https://www.A.com"),          # bare -> '/' -> block
+        (4, "https://t.com/x/page"),       # exact tie -> allow wins
+        (5, "https://b.com/open"),         # no matching prefix
+        (6, "https://z.com/p"),            # unlisted host
+        (7, "totally junk"),               # NULL host
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.allowed, r.matched_prefix)
+        for r in robots_filter(df, rules).collect()
+    }
+    assert got == {
+        1: (True, "/pub/"),
+        2: (False, "/"),
+        3: (False, "/"),
+        4: (True, "/x/"),
+        5: (True, None),
+        6: (True, None),
+        7: (True, None),
+    }
+    clash = spark.createDataFrame(
+        [(1, "https://a.com/", 0)], "doc_id long, url string, _rb_h int"
+    )
+    with _pytest.raises(ValueError, match="_rb_h"):
+        robots_filter(clash, rules)
+
+
 def test_cdc_boundary_hex_case(spark):
     """cdc boundary_hex case regression (review finding): md5 hex is
     lowercase — 'A' and 'a' must select the same boundaries, and

@@ -848,6 +848,19 @@ def test_html_metadata_narrow(spark):
     assert "Generate" not in plan, plan
 
 
+def test_robots_filter_plan(spark):
+    """corpus_robots_filter: the big side never shuffles — the only
+    exchange keys the curation-bounded rules agg, broadcast onto the
+    corpus; the longest-match argmax is a pinned array_max (no window,
+    no Python)."""
+    plan = _qplan(spark, "corpus_robots_filter")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_web_extract_plan(spark):
     """corpus_web_extract: html -> main-content -> classifier ->
     script-mix -> keep composed as ONE narrow chain (keep_cols
