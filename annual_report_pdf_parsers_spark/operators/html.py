@@ -475,6 +475,72 @@ def metadata(
     )
 
 
+def dst_host_of(src: Column, href: Column) -> Column:
+    """Target host of one outlink: absolute http(s) hrefs resolve via
+    host parsing (junk absolute hrefs -> the source host, never a
+    throw); relative hrefs are same-host by definition.  ONE site for
+    the resolution rule, shared by `host_link_graph` and
+    `anchor_terms`."""
+    from .urls import host_of
+
+    return F.coalesce(
+        F.when(href.rlike("(?i)^https?://"), host_of(href)).otherwise(
+            src
+        ),
+        src,
+    )
+
+
+def anchor_terms(
+    links_df: DataFrame,
+    src_host_col: str = "src_host",
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    k: int = 3,
+) -> DataFrame:
+    """Anchor-TEXT aggregation per target host — the classic
+    relevance/training signal (public practice: TREC/MS MARCO anchor
+    harvesting, Common Crawl anchor-text corpora): what the web calls
+    a site is often a better label than the site's own text.
+
+    Input is `links` output plus the source host.  Anchor text arrives
+    with the block-text INVARIANT (whitespace runs collapsed to single
+    spaces, trimmed), so the term split on a literal ' ' is exact —
+    both engines split identically by construction.  Terms are
+    lowercased; empties drop (blank anchors contribute nothing).
+    Rows with a NULL source host drop (no resolvable target).
+
+    Returns ``(dst_host, term, n_links, rnk)`` — the top-``k`` anchor
+    terms per target host, ranked by (count DESC, term ASC).
+
+    100 TB shape: narrow resolve+explode into ONE map-side-partial agg
+    keyed (dst_host, term), then the per-host top-k plans as
+    WindowGroupLimit (map-side k-prune before the final sort) — hub
+    hosts never materialize their full term list on one task.
+    """
+    from pyspark.sql import Window
+
+    dst = dst_host_of(F.col(src_host_col), F.col(href_col))
+    terms = (
+        links_df.filter(F.col(src_host_col).isNotNull())
+        .select(
+            dst.alias("dst_host"),
+            F.explode(
+                F.split(F.lower(F.col(anchor_col)), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_links").desc(), F.col("term")
+    )
+    return terms.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rnk") <= k)
+
+
 def host_link_graph(
     links_df: DataFrame,
     src_host_col: str = "src_host",
@@ -497,17 +563,13 @@ def host_link_graph(
     agg keyed by (src, dst); hub hosts are exactly what map-side
     combine eats.
     """
-    from .urls import host_of
-
-    dst = F.when(
-        F.col(href_col).rlike("(?i)^https?://"),
-        host_of(F.col(href_col)),
-    ).otherwise(F.col(src_host_col))
     return (
         links_df.filter(F.col(src_host_col).isNotNull())
         .select(
             F.col(src_host_col).alias("src_host"),
-            F.coalesce(dst, F.col(src_host_col)).alias("dst_host"),
+            dst_host_of(
+                F.col(src_host_col), F.col(href_col)
+            ).alias("dst_host"),
             F.col("doc_id"),
         )
         .groupBy("src_host", "dst_host")

@@ -2289,6 +2289,25 @@ def q_corpus_link_graph(spark, sf):
     return host_link_graph(lk.withColumn("src_host", src))
 
 
+def q_corpus_anchor_text(spark, sf):
+    """Per-target-host top-3 anchor terms over the shared link
+    fixture: every doc contributes ('link', '&', digit) terms to its
+    site<k>.com target, 'rel' self-edges, and the %4==2 arm sends
+    ('www', 'link') to ext.org — counts, tie-breaks, and the k-prune
+    all non-vacuous.  Oracle = the term table REGENERATED from the
+    fixture arithmetic + the same (count DESC, term) ROW_NUMBER."""
+    from .operators.html import anchor_terms, links
+
+    d = load(spark, sf, "documents")
+    lk = links(d.select("doc_id", _link_fixture_page().alias("html")))
+    src = F.concat(
+        F.lit("host"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".net"),
+    )
+    return anchor_terms(lk.withColumn("src_host", src), k=3)
+
+
 def q_graph_pagerank(spark, sf):
     """Weighted PageRank (3 fixed iterations, damping 0.85) over the
     host link graph built from the shared link fixture — hub sites
@@ -3741,6 +3760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_metadata": q_html_metadata,
     "html_links": q_html_links,
     "corpus_link_graph": q_corpus_link_graph,
+    "corpus_anchor_text": q_corpus_anchor_text,
     "graph_pagerank": q_graph_pagerank,
     "corpus_web_extract": q_corpus_web_extract,
     # -- text analysis ------------------------------------------------
@@ -3755,7 +3775,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_topk": q_text_tfidf_topk,
     # -- corpus decisions ---------------------------------------------
     "corpus_c4_filters": q_corpus_c4_filters,
-    "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_dedup_funnel": q_corpus_dedup_funnel,
@@ -3906,7 +3925,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the unigram-LM fold runs composed IN-WINDOW with full value-hash
     # oracles inside corpus_ccnet_tiers and corpus_quality_ensemble,
     # both via the shared _unigram_fold_parts fragments)
+    # corpus_text_filter_ml (r04-green; rotated below for
+    # corpus_anchor_text — of the in-window candidates it is one of
+    # only three with a prior driver row; the trigram-langid routing
+    # keeps its regenerated-profile oracle + margin parity in the
+    # local gate every session)
     "dedup_exact": q_dedup_exact,
+    "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "media_chunk_dedup": q_media_chunk_dedup,
     "text_unigram_lm": q_text_unigram_lm,
     "corpus_epoch_plan": q_corpus_epoch_plan,
@@ -7290,6 +7315,33 @@ def _robots_filter_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_robots_filter"] = _robots_filter_oracle_sql()
+
+
+# corpus_anchor_text: like corpus_link_graph, the fixture anchors are
+# pure doc_id functions, so the oracle REGENERATES the (dst_host,
+# term) table from the same arithmetic ('Link &amp; <d%5>' cleans and
+# lowers to 'link', '&', the digit; 'Rel' -> self-edge 'rel'; the
+# %4==2 arm sends 'www'/'link' to ext.org) and ranks identically.
+ORACLE_SQL["corpus_anchor_text"] = (
+    "WITH t AS ("
+    "SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' "
+    "AS dst_host, 'link' AS term FROM documents "
+    "UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.com', '&' FROM documents "
+    "UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.com', CAST(doc_id % 5 AS VARCHAR) FROM documents "
+    "UNION ALL SELECT 'host' || CAST(doc_id % 4 AS VARCHAR) || "
+    "'.net', 'rel' FROM documents "
+    "UNION ALL SELECT 'ext.org', 'www' FROM documents "
+    "WHERE doc_id % 4 = 2 "
+    "UNION ALL SELECT 'ext.org', 'link' FROM documents "
+    "WHERE doc_id % 4 = 2), "
+    "c AS (SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) "
+    "AS n_links FROM t GROUP BY 1, 2), "
+    "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY dst_host "
+    "ORDER BY n_links DESC, term) AS BIGINT) AS rnk FROM c) "
+    "SELECT dst_host, term, n_links, rnk FROM r WHERE rnk <= 3"
+)
 
 
 def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 3) -> str:

@@ -2472,6 +2472,42 @@ def test_robots_filter(spark):
         robots_filter(clash, rules)
 
 
+def test_anchor_terms(spark):
+    """html.anchor_terms: absolute hrefs resolve to the target host,
+    relative to the source, junk absolutes fall back to the source;
+    terms lowercased, blanks and NULL-src rows dropped; top-k prunes
+    with (count DESC, term ASC) ties."""
+    from annual_report_pdf_parsers_spark.operators.html import (
+        anchor_terms,
+    )
+
+    rows = [
+        (1, "h1.net", "https://T.com/a", "Click Here"),
+        (2, "h1.net", "https://t.com/b", "click now"),
+        (3, "h2.net", "/rel", "Self Link"),
+        (4, "h2.net", "https://:junk//", "Fallback"),
+        (5, None, "https://t.com/c", "dropped"),
+        (6, "h1.net", "https://t.com/d", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src_host string, href string, anchor string"
+    )
+    got = {
+        (r.dst_host, r.term): (r.n_links, r.rnk)
+        for r in anchor_terms(df, k=2).collect()
+    }
+    # t.com counts: click=2, here=1, now=1 -> k=2 keeps click, here
+    assert got[("t.com", "click")] == (2, 1)
+    assert got[("t.com", "here")] == (1, 2)
+    assert ("t.com", "now") not in got
+    # h2.net has fallback/link/self all at count 1 -> k=2 keeps the
+    # term-ASC pair (fallback, link); 'self' is pruned
+    assert got[("h2.net", "fallback")] == (1, 1)
+    assert got[("h2.net", "link")] == (1, 2)
+    assert ("h2.net", "self") not in got
+    assert all(t != "dropped" for (h, t) in got)
+
+
 def test_cdc_boundary_hex_case(spark):
     """cdc boundary_hex case regression (review finding): md5 hex is
     lowercase — 'A' and 'a' must select the same boundaries, and

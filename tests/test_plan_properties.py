@@ -861,6 +861,18 @@ def test_robots_filter_plan(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_anchor_text_plan(spark):
+    """corpus_anchor_text: ONE map-side-partial agg keyed (dst_host,
+    term) + the per-host top-k as WindowGroupLimit (map-side k-prune)
+    — no join, no Python; hub hosts never materialize full term
+    lists."""
+    plan = _qplan(spark, "corpus_anchor_text")
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_web_extract_plan(spark):
     """corpus_web_extract: html -> main-content -> classifier ->
     script-mix -> keep composed as ONE narrow chain (keep_cols
