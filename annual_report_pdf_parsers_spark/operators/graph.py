@@ -17,6 +17,109 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+    iterations: int = 2,
+) -> DataFrame:
+    """Weighted HITS (Kleinberg 1999) over an edge table ->
+    ``(node, hub, auth)`` after a FIXED number of iterations — the
+    hub/authority complement to `pagerank` (a page LINKING many
+    authorities is a hub; link-farm detection and seed selection use
+    both sides).
+
+    One iteration: ``auth_raw(v) = Σ_{u→v} round(hub(u)·w, 12)``
+    summed as DECIMAL(38,12), then L1-normalized
+    (``auth = round(raw/Σraw, 12)``, the deterministic normalization
+    choice — classic L2 needs a sqrt whose operand order is harder to
+    pin; L1 is standard in practice and keeps every round restatable);
+    then ``hub_raw(u) = Σ_{u→v} round(auth(v)·w, 12)`` normalized the
+    same way.  hub0 = round(1/N, 12).  Nodes missing a side score 0;
+    an all-zero side normalizes to 0 (guarded division).
+
+    Determinism: the `pagerank` decimal-sum discipline — round THEN
+    DECIMAL-sum (order-independent exact), ONE double division per
+    node per round against the decimal-exact global total, ROUND 12.
+
+    100 TB shape: per round two shuffle-hash joins + two map-side
+    partial aggs (score tables are node-scaled — never broadcast,
+    NOTES 4a); the L1 total is ONE scalar agg broadcast back;
+    localCheckpoint truncates lineage between rounds.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    e = edges.select(
+        src.alias("_src"), dst.alias("_dst"), w.alias("_w")
+    )
+
+    def _propagate(
+        scores: DataFrame, score_col: str, join_key: str,
+        group_key: str, out_col: str,
+    ) -> DataFrame:
+        """One half-round: spread `score_col` along edges from
+        `join_key` to `group_key`, decimal-sum, L1-normalize."""
+        contribs = e.join(
+            scores.hint("shuffle_hash"),
+            e[join_key] == scores["node"],
+        ).select(
+            F.col(group_key).alias("_g"),
+            F.round(F.col(score_col) * F.col("_w"), 12).alias("_c"),
+        )
+        raw = contribs.groupBy("_g").agg(
+            F.sum(F.col("_c").cast("decimal(38,12)")).alias("_r")
+        )
+        tot = raw.agg(
+            F.sum("_r").cast("decimal(38,12)").alias("_t")
+        )
+        return (
+            nodes.join(
+                raw.hint("shuffle_hash"),
+                nodes["node"] == raw["_g"],
+                "left",
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("_t") > 0,
+                    F.round(
+                        F.coalesce(
+                            F.col("_r").cast("double"), F.lit(0.0)
+                        )
+                        / F.col("_t").cast("double"),
+                        12,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(out_col),
+            )
+        )
+
+    hub = nodes.withColumn(
+        "hub", F.round(F.lit(1.0) / F.lit(float(n)), 12)
+    )
+    auth = None
+    for it in range(iterations):
+        auth = _propagate(hub, "hub", "_src", "_dst", "auth")
+        hub = _propagate(auth, "auth", "_dst", "_src", "hub")
+        if it < iterations - 1:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+    return hub.join(
+        auth.withColumnRenamed("node", "_an").hint("shuffle_hash"),
+        F.col("node") == F.col("_an"),
+    ).select("node", "hub", "auth")
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src_host",

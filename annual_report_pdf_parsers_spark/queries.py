@@ -2329,6 +2329,28 @@ def q_graph_pagerank(spark, sf):
     return pagerank(edges, iterations=3).select("node", "pr")
 
 
+def q_graph_hits(spark, sf):
+    """Weighted HITS (2 fixed iterations, L1 normalization) over the
+    host link graph from the shared link fixture — host<k>.net sources
+    are pure hubs, site<k>.com sinks pure authorities, self-edges give
+    the .net hosts both sides.  Oracle = the four half-rounds UNROLLED
+    as CTE triples (contribs, total, normalize) with the identical
+    rounded-contribution + DECIMAL(38,12)-sum + guarded-division
+    arithmetic."""
+    from .operators.graph import hits
+    from .operators.html import host_link_graph, links
+
+    d = load(spark, sf, "documents")
+    lk = links(d.select("doc_id", _link_fixture_page().alias("html")))
+    src = F.concat(
+        F.lit("host"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".net"),
+    )
+    edges = host_link_graph(lk.withColumn("src_host", src))
+    return hits(edges, iterations=2)
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -3930,7 +3952,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # only three with a prior driver row; the trigram-langid routing
     # keeps its regenerated-profile oracle + margin parity in the
     # local gate every session)
+    # graph_hits is BORN below-window (late-r05 addition after the
+    # window's rotation budget was spent on ops without any prior
+    # driver row); its full value-hash oracle runs in the local gate
+    # every session and it heads the r06 window queue.
     "dedup_exact": q_dedup_exact,
+    "graph_hits": q_graph_hits,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "media_chunk_dedup": q_media_chunk_dedup,
     "text_unigram_lm": q_text_unigram_lm,
@@ -7394,6 +7421,69 @@ def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 3) -> str:
 
 
 ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()
+
+
+def _hits_oracle_sql(iters: int = 2) -> str:
+    """graph_hits oracle — the link-graph edges regenerated from the
+    fixture arithmetic, then every HALF-round (spread, total,
+    L1-normalize) unrolled as a CTE triple with the engine's exact
+    round-then-DECIMAL(38,12)-sum + guarded-division arithmetic."""
+    parts = [
+        "WITH e AS ("
+        "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || "
+        "'.net' AS src_host, "
+        "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, "
+        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', "
+        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net' "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, "
+        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', 'ext.org' "
+        "FROM documents WHERE doc_id % 4 = 2), "
+        "eg AS (SELECT src_host, dst_host, COUNT(*) AS w FROM e "
+        "GROUP BY 1, 2), "
+        "nd AS (SELECT src_host AS node FROM eg "
+        "UNION SELECT dst_host FROM eg), "
+        "nn AS (SELECT COUNT(*) AS n FROM nd), "
+        "h0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 12) "
+        "AS s FROM nd, nn)"
+    ]
+    half = 0
+    prev = "h0"
+    for _ in range(iters):
+        for jk, gk, out in (
+            ("src_host", "dst_host", "a"),
+            ("dst_host", "src_host", "h"),
+        ):
+            half += 1
+            parts.append(
+                f", c{half} AS (SELECT eg.{gk} AS g, "
+                f"SUM(CAST(ROUND({prev}.s * eg.w, 12) "
+                "AS DECIMAL(38,12))) AS r "
+                f"FROM eg JOIN {prev} ON {prev}.node = eg.{jk} "
+                "GROUP BY 1), "
+                f"t{half} AS (SELECT CAST(SUM(r) AS DECIMAL(38,12)) "
+                f"AS t FROM c{half}), "
+                f"{out}{half} AS (SELECT nd.node, "
+                f"CASE WHEN t{half}.t > 0 THEN "
+                f"ROUND(COALESCE(CAST(c{half}.r AS DOUBLE), 0.0) / "
+                f"CAST(t{half}.t AS DOUBLE), 12) ELSE 0.0 END AS s "
+                f"FROM nd CROSS JOIN t{half} "
+                f"LEFT JOIN c{half} ON c{half}.g = nd.node)"
+            )
+            prev = f"{out}{half}"
+    a_final = f"a{half - 1}"
+    h_final = f"h{half}"
+    parts.append(
+        f" SELECT nd.node, {h_final}.s AS hub, {a_final}.s AS auth "
+        f"FROM nd JOIN {h_final} ON {h_final}.node = nd.node "
+        f"JOIN {a_final} ON {a_final}.node = nd.node"
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL["graph_hits"] = _hits_oracle_sql()
 
 ORACLE_SQL["html_outline"] = _html_outline_oracle_sql()
 

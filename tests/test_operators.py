@@ -2508,6 +2508,31 @@ def test_anchor_terms(spark):
     assert all(t != "dropped" for (h, t) in got)
 
 
+def test_graph_hits(spark):
+    """graph.hits on a hand-checked hub/authority graph: A->X, B->X,
+    B->Y (unit weights).  After one iteration auth concentrates on X
+    (2/3 vs 1/3), hubs on B (0.6 vs 0.4); pure sources score 0 auth,
+    pure sinks 0 hub; iterations<1 raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("A", "X", 1), ("B", "X", 1), ("B", "Y", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r.node: (r.hub, r.auth) for r in
+           hits(edges, iterations=1).collect()}
+    assert got["X"][1] == _pytest.approx(2 / 3, abs=1e-9)
+    assert got["Y"][1] == _pytest.approx(1 / 3, abs=1e-9)
+    assert got["A"][0] == _pytest.approx(0.4, abs=1e-9)
+    assert got["B"][0] == _pytest.approx(0.6, abs=1e-9)
+    assert got["A"][1] == 0.0 and got["B"][1] == 0.0
+    assert got["X"][0] == 0.0 and got["Y"][0] == 0.0
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)
+
+
 def test_cdc_boundary_hex_case(spark):
     """cdc boundary_hex case regression (review finding): md5 hex is
     lowercase — 'A' and 'a' must select the same boundaries, and

@@ -904,6 +904,17 @@ def test_link_graph_plan(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_hits_plan(spark):
+    """graph_hits: the per-round score joins pin shuffle_hash (score
+    tables are node-scaled — never broadcast-joined, NOTES 4a); the
+    only nested-loop is the 1-row L1-total broadcast; no cartesian,
+    no Python."""
+    plan = _qplan(spark, "graph_hits")
+    assert "CartesianProduct" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_pagerank_plan(spark):
     """graph_pagerank: the per-round joins pin shuffle_hash (rank and
     degree tables are node-scaled — never broadcast, NOTES 4a), no
