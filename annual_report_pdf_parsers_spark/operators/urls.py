@@ -124,6 +124,7 @@ def url_quality_score(
     url_col: str = "url",
     id_col: str = "doc_id",
     threshold: float = -0.5,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Soft URL-quality scoring: every curated word contributes
     weight × occurrences over the LOWERED url (replace-trick substring
@@ -140,7 +141,10 @@ def url_quality_score(
 
     100 TB shape: pure narrow projection+filter flags — no shuffle, no
     join; the word vocabulary is bounded by curation, not data.
-    Returns (id_col, url_col, url_score, url_keep).
+    Returns (id_col, url_col, url_score, url_keep, *keep_cols) —
+    ``keep_cols`` threads extra input columns through (the
+    quality_classifier convention, so compositions stay one narrow
+    chain instead of re-joining).
     """
     from ..functions.numeric import pin
     from .text import count_occurrences
@@ -162,6 +166,7 @@ def url_quality_score(
         F.col(url_col),
         F.round(F.col("_uq_sc"), 6).alias("url_score"),
         (F.col("_uq_sc") > F.lit(float(threshold))).alias("url_keep"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -2308,6 +2308,107 @@ def q_corpus_anchor_text(spark, sf):
     return anchor_terms(lk.withColumn("src_host", src), k=3)
 
 
+def q_corpus_frontier_score(spark, sf):
+    """The crawl-FRONTIER prioritization capstone: outlink candidates
+    -> domain blocklist -> robots longest-match -> soft url-quality ->
+    template-saturation counts -> host PageRank, fused into one ranked
+    keep decision per DISTINCT candidate url (public practice:
+    frontier schedulers rank by authority + novelty + policy).  Page
+    synth gives every doc ONE absolute outlink with a doc_id%5
+    quality-word arm (wiki/casino/news/download/blog), %7 target
+    hosts, and %50 page ids, so every component varies; site5.com is
+    blocklisted, ROBOTS_RULES block site0 ('/' disallow, the '/p/'
+    allow never matches these paths) and allow site2 explicitly.
+    ``n_seen`` counts blocklist-surviving candidate ROWS per (host,
+    digit-template) — the saturation signal.  frontier_score =
+    round(10·pr + url_score - 0.5·ln(1+n_seen), 6); keep = allowed
+    AND score > 0.  Oracle composes the VALUES rules + ROW_NUMBER
+    longest-match, the URL_WORD_WEIGHTS sum, the template counts, and
+    the shared _pagerank_rounds_sql chain over the frontier edges."""
+    from .operators.graph import pagerank
+    from .operators.html import host_link_graph, links
+    from .operators.urls import (
+        filter_blocked_domains,
+        robots_filter,
+        url_quality_score,
+        url_templates,
+    )
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    arm = (
+        F.when(did % 5 == 0, F.lit("wiki"))
+        .when(did % 5 == 1, F.lit("casino"))
+        .when(did % 5 == 2, F.lit("news"))
+        .when(did % 5 == 3, F.lit("download"))
+        .otherwise(F.lit("blog"))
+    )
+    page = F.concat(
+        F.lit('<a href="https://site'),
+        (did % 7).cast("string"),
+        F.lit(".com/"),
+        arm,
+        F.lit("/p/"),
+        (did % 50).cast("string"),
+        F.lit('">go</a>'),
+    )
+    lk = links(d.select("doc_id", page.alias("html")))
+    src = F.concat(
+        F.lit("host"), (did % 4).cast("string"), F.lit(".net")
+    )
+    edges = host_link_graph(lk.withColumn("src_host", src))
+    pr = pagerank(edges, iterations=2)
+
+    cand = filter_blocked_domains(
+        lk.select("doc_id", "href"), ["site5.com"], url_col="href"
+    )
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "host string, path_prefix string, allow boolean"
+    )
+    rb = robots_filter(cand, rules, url_col="href", id_col="doc_id")
+    uq = url_quality_score(
+        rb,
+        url_col="href",
+        id_col="doc_id",
+        keep_cols=("host", "allowed"),
+    )
+    tpl = url_templates(uq, url_col="href", id_col="doc_id", min_urls=1)
+    with_tpl = uq.withColumn(
+        "_tpl", F.regexp_replace(F.col("href"), "[0-9]+", "{n}")
+    )
+    joined = with_tpl.join(
+        tpl.hint("shuffle_hash").select(
+            F.col("host").alias("_th"),
+            F.col("template").alias("_tt"),
+            F.col("n_urls").alias("n_seen"),
+        ),
+        (F.col("host") == F.col("_th"))
+        & (F.col("_tpl") == F.col("_tt")),
+    )
+    scored = joined.join(
+        pr.hint("shuffle_hash").withColumnRenamed("node", "_pn"),
+        F.col("host") == F.col("_pn"),
+        "left",
+    )
+    prc = F.coalesce(F.col("pr"), F.lit(0.0))
+    fs = F.round(
+        F.lit(10.0) * prc
+        + F.col("url_score")
+        - F.lit(0.5) * F.log(F.lit(1.0) + F.col("n_seen")),
+        6,
+    )
+    return scored.select(
+        F.col("href"),
+        F.col("host"),
+        prc.alias("host_pr"),
+        F.col("url_score"),
+        F.col("n_seen"),
+        F.col("allowed"),
+        fs.alias("frontier_score"),
+        (F.col("allowed") & (fs > F.lit(0.0))).alias("keep"),
+    ).distinct()
+
+
 def q_graph_pagerank(spark, sf):
     """Weighted PageRank (3 fixed iterations, damping 0.85) over the
     host link graph built from the shared link fixture — hub sites
@@ -3803,7 +3904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_robots_filter": q_corpus_robots_filter,
     "corpus_url_templates": q_corpus_url_templates,
-    "corpus_url_quality": q_corpus_url_quality,
+    "corpus_frontier_score": q_corpus_frontier_score,
     "corpus_span_ladder": q_corpus_span_ladder,
     "corpus_assemble": q_corpus_assemble,
     "corpus_ingest": q_corpus_ingest,
@@ -3956,8 +4057,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window's rotation budget was spent on ops without any prior
     # driver row); its full value-hash oracle runs in the local gate
     # every session and it heads the r06 window queue.
+    # corpus_url_quality (r05; rotated below for corpus_frontier_score
+    # — the count×weight scoring arithmetic runs composed IN-WINDOW
+    # inside the frontier capstone with the SAME regenerated
+    # URL_WORD_WEIGHTS oracle via the shared _url_word_terms_sql
+    # fragment; the threshold url_keep compare stays proven by the
+    # local gate every session)
     "dedup_exact": q_dedup_exact,
     "graph_hits": q_graph_hits,
+    "corpus_url_quality": q_corpus_url_quality,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "media_chunk_dedup": q_media_chunk_dedup,
     "text_unigram_lm": q_text_unigram_lm,
@@ -4182,18 +4290,27 @@ _HOST_KEEP_SQL = (
 )
 
 
+def _url_word_terms_sql(var: str = "u") -> str:
+    """The url_quality_score count×weight sum REGENERATED from the
+    same URL_WORD_WEIGHTS dict in the same sorted word order (the
+    left-assoc terms after the 0.0 seed — identical IEEE op
+    sequence); shared by the corpus_url_quality and
+    corpus_frontier_score oracles."""
+    from .operators.urls import URL_WORD_WEIGHTS
+
+    return " + ".join(
+        f"((length({var}) - length(replace({var}, '{w}', ''))) "
+        f"/ {len(w)}) * CAST({float(wt)!r} AS DOUBLE)"
+        for w, wt in sorted(URL_WORD_WEIGHTS.items())
+    )
+
+
 def _url_quality_oracle_sql() -> str:
     """corpus_url_quality oracle — the count×weight arithmetic is
     REGENERATED from the same URL_WORD_WEIGHTS dict in the same sorted
     word order (left-assoc 0.0-seeded sum, identical IEEE op sequence),
     over the same host/suffix fixture arithmetic."""
-    from .operators.urls import URL_WORD_WEIGHTS
-
-    terms = " + ".join(
-        f"((length(u) - length(replace(u, '{w}', ''))) / {len(w)}) "
-        f"* CAST({float(wt)!r} AS DOUBLE)"
-        for w, wt in sorted(URL_WORD_WEIGHTS.items())
-    )
+    terms = _url_word_terms_sql()
     url_expr = (
         "'https://' || " + _HOST_SQL + " || '/p/' || "
         "CAST(doc_id AS VARCHAR) || CASE doc_id % 4 "
@@ -7371,28 +7488,38 @@ ORACLE_SQL["corpus_anchor_text"] = (
 )
 
 
-def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 3) -> str:
-    """graph_pagerank oracle — the link-graph edges regenerated from
-    the fixture arithmetic, then the iterations UNROLLED as CTE pairs
-    with the engine's exact rounding/decimal-sum discipline.  The
-    teleport numerator is the PYTHON-computed double repr (1.0 - d in
-    IEEE is NOT the decimal 0.15 — a bare SQL literal would fold in
-    DECIMAL and diverge in the 17th digit)."""
+# the shared-link-fixture edge body (graph_pagerank + graph_hits use
+# it verbatim; corpus_frontier_score passes its own body)
+_LINK_EDGES_SQL = (
+    "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || "
+    "'.net' AS src_host, "
+    "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, "
+    "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', "
+    "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net' "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, "
+    "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', 'ext.org' "
+    "FROM documents WHERE doc_id % 4 = 2"
+)
+
+
+def _pagerank_rounds_sql(
+    edges_sql: str, damping: float = 0.85, iters: int = 3
+) -> str:
+    """The e/eg/wd/nd/nn/p0..p{iters} CTE chain over an edge body —
+    the PageRank iterations UNROLLED as CTE pairs with the engine's
+    exact rounding/decimal-sum discipline, shared by the
+    graph_pagerank and corpus_frontier_score oracles.  The teleport
+    numerator is the PYTHON-computed double repr (1.0 - d in IEEE is
+    NOT the decimal 0.15 — a bare SQL literal would fold in DECIMAL
+    and diverge in the 17th digit).  Returns the CTE list WITHOUT the
+    leading WITH or a final SELECT; ranks end in p{iters}(node, pr)."""
     tp = repr(1.0 - damping)
     dp = repr(damping)
     parts = [
-        "WITH e AS ("
-        "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || "
-        "'.net' AS src_host, "
-        "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host "
-        "FROM documents "
-        "UNION ALL SELECT doc_id, "
-        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', "
-        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net' "
-        "FROM documents "
-        "UNION ALL SELECT doc_id, "
-        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', 'ext.org' "
-        "FROM documents WHERE doc_id % 4 = 2), "
+        f"e AS ({edges_sql}), "
         "eg AS (SELECT src_host, dst_host, COUNT(*) AS w FROM e "
         "GROUP BY 1, 2), "
         "wd AS (SELECT src_host, SUM(w) AS wd FROM eg GROUP BY 1), "
@@ -7416,11 +7543,13 @@ def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 3) -> str:
             f"FROM nd CROSS JOIN nn "
             f"LEFT JOIN c{k} ON c{k}.node = nd.node)"
         )
-    parts.append(f" SELECT node, pr FROM p{iters}")
     return "".join(parts)
 
 
-ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()
+ORACLE_SQL["graph_pagerank"] = (
+    f"WITH {_pagerank_rounds_sql(_LINK_EDGES_SQL)} "
+    "SELECT node, pr FROM p3"
+)
 
 
 def _hits_oracle_sql(iters: int = 2) -> str:
@@ -7429,18 +7558,7 @@ def _hits_oracle_sql(iters: int = 2) -> str:
     L1-normalize) unrolled as a CTE triple with the engine's exact
     round-then-DECIMAL(38,12)-sum + guarded-division arithmetic."""
     parts = [
-        "WITH e AS ("
-        "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || "
-        "'.net' AS src_host, "
-        "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host "
-        "FROM documents "
-        "UNION ALL SELECT doc_id, "
-        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', "
-        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net' "
-        "FROM documents "
-        "UNION ALL SELECT doc_id, "
-        "'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', 'ext.org' "
-        "FROM documents WHERE doc_id % 4 = 2), "
+        f"WITH e AS ({_LINK_EDGES_SQL}), "
         "eg AS (SELECT src_host, dst_host, COUNT(*) AS w FROM e "
         "GROUP BY 1, 2), "
         "nd AS (SELECT src_host AS node FROM eg "
@@ -7484,6 +7602,74 @@ def _hits_oracle_sql(iters: int = 2) -> str:
 
 
 ORACLE_SQL["graph_hits"] = _hits_oracle_sql()
+
+
+def _frontier_score_oracle_sql() -> str:
+    """corpus_frontier_score oracle — every component REGENERATED
+    independently: the frontier edges from the fixture arithmetic fed
+    through the shared `_pagerank_rounds_sql` chain (2 rounds -> p2),
+    the blocklist as the doc_id%7<>5 predicate, ROBOTS_RULES as a
+    VALUES CTE with the ROW_NUMBER (len DESC, allow DESC) longest
+    match, the URL_WORD_WEIGHTS sum via `_url_word_terms_sql`, and
+    the per-(host, digit-template) row counts — then the one fused
+    score/keep expression in the engine's exact operand order
+    ((10·pr + url_score) - 0.5·ln(1+n_seen), ROUND 6)."""
+    vals = ", ".join(
+        f"('{h}', '{p}', {'TRUE' if a else 'FALSE'})"
+        for h, p, a in ROBOTS_RULES
+    )
+    arm = (
+        "CASE doc_id % 5 WHEN 0 THEN 'wiki' WHEN 1 THEN 'casino' "
+        "WHEN 2 THEN 'news' WHEN 3 THEN 'download' ELSE 'blog' END"
+    )
+    edges = (
+        "SELECT doc_id, 'host' || CAST(doc_id % 4 AS VARCHAR) || "
+        "'.net' AS src_host, "
+        "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host "
+        "FROM documents"
+    )
+    return (
+        f"WITH {_pagerank_rounds_sql(edges, iters=2)}, "
+        "cand AS (SELECT doc_id, "
+        "'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/' || "
+        f"{arm} || '/p/' || CAST(doc_id % 50 AS VARCHAR) AS href, "
+        "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host, "
+        f"'/' || {arm} || '/p/' || CAST(doc_id % 50 AS VARCHAR) "
+        "AS path FROM documents WHERE doc_id % 7 <> 5), "
+        f"r AS (SELECT * FROM (VALUES {vals}) "
+        "AS t(host, path_prefix, allow)), "
+        "m AS (SELECT cand.doc_id, r.allow, ROW_NUMBER() OVER ("
+        "PARTITION BY cand.doc_id ORDER BY length(r.path_prefix) "
+        "DESC, r.allow DESC) AS rn FROM cand JOIN r "
+        "ON r.host = cand.host "
+        "AND starts_with(cand.path, r.path_prefix)), "
+        "al AS (SELECT cand.doc_id, cand.href, cand.host, "
+        "COALESCE(m.allow, TRUE) AS allowed FROM cand "
+        "LEFT JOIN (SELECT * FROM m WHERE rn = 1) m "
+        "ON m.doc_id = cand.doc_id), "
+        "sc AS (SELECT doc_id, href, host, allowed, "
+        f"0.0 + {_url_word_terms_sql('lower(href)')} AS s FROM al), "
+        "tpl AS (SELECT host AS th, "
+        "regexp_replace(href, '[0-9]+', '{n}', 'g') AS tt, "
+        "CAST(COUNT(*) AS BIGINT) AS n_seen FROM al GROUP BY 1, 2), "
+        "j AS (SELECT sc.href, sc.host, "
+        "COALESCE(p2.pr, CAST(0.0 AS DOUBLE)) AS host_pr, "
+        "ROUND(sc.s, 6) AS url_score, tpl.n_seen, sc.allowed "
+        "FROM sc JOIN tpl ON tpl.th = sc.host "
+        "AND tpl.tt = regexp_replace(sc.href, '[0-9]+', '{n}', 'g') "
+        "LEFT JOIN p2 ON p2.node = sc.host), "
+        "fin AS (SELECT *, "
+        "ROUND(CAST(10.0 AS DOUBLE) * host_pr + url_score - "
+        "CAST(0.5 AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) + "
+        "CAST(n_seen AS DOUBLE)), 6) AS frontier_score FROM j) "
+        "SELECT DISTINCT href, host, host_pr, url_score, n_seen, "
+        "allowed, frontier_score, "
+        "(allowed AND frontier_score > CAST(0.0 AS DOUBLE)) AS keep "
+        "FROM fin"
+    )
+
+
+ORACLE_SQL["corpus_frontier_score"] = _frontier_score_oracle_sql()
 
 ORACLE_SQL["html_outline"] = _html_outline_oracle_sql()
 

@@ -1439,6 +1439,16 @@ def test_url_quality_score_known_values(spark):
         True,
     )
     assert got[3] == (0.0, True)
+    # keep_cols threads extras through (the frontier-composition path)
+    kept = url_quality_score(
+        df.withColumn("extra", df.doc_id * 2), keep_cols=("extra",)
+    )
+    assert kept.columns == [
+        "doc_id", "url", "url_score", "url_keep", "extra"
+    ]
+    assert {r.doc_id: r.extra for r in kept.collect()} == {
+        1: 2, 2: 4, 3: 6
+    }
 
 
 def test_pack_sequences_boundary_crossing(spark):

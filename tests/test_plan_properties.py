@@ -313,6 +313,30 @@ def test_corpus_end_to_end_plan_bounded(spark):
     assert n <= 60, f"composed chain exchange blow-up: {n}"
 
 
+def test_corpus_frontier_score_plan_shape(spark):
+    """The frontier-prioritization capstone (blocklist -> robots ->
+    url-quality -> template counts -> 2-round PageRank -> fused
+    score) must stay a pure equi-join/agg DAG: the curation-bounded
+    robots rules are the ONLY broadcast (never the corpus- or
+    node-scaled sides — those are shuffle_hash by pin), and the
+    exchange count stays bounded across the pagerank rounds."""
+    from annual_report_pdf_parsers_spark.queries import QUERIES
+
+    df = QUERIES["corpus_frontier_score"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ONE broadcast: the per-host robots rule-array (curation-bounded)
+    assert plan.count("BroadcastHashJoin") == 1
+    # rank/template/candidate joins all shuffle_hash (corpus/node
+    # scaled): 2 pagerank rounds + edge-outweight + template + rank
+    assert plan.count("ShuffledHashJoin") == 5
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 16, f"frontier chain exchange blow-up: {n}"
+
+
 def test_dup_spans_and_langid_plan_shape(spark):
     """text_dup_spans: FOUR static exchanges — the fixture's
     scan-parallelism repartition appears once per corpus consumer
