@@ -2207,6 +2207,86 @@ def q_html_metadata(spark, sf):
     return metadata(d.select("doc_id", page.alias("html")))
 
 
+def q_html_tables(spark, sf):
+    """HTML table extraction (the webtext cell grid) over synthesized
+    pages: a cased <TABLE> with attributes, a %2 <thead> header row
+    with an entity probe and a cased-attr <th>, a fixed data row, a %3
+    second-row rotation (attr'd row with an EMPTY cell / whitespace
+    inside the <td open tag / a cell-less row that must emit nothing),
+    a %5 second table, and three decoys that must never match: a
+    commented-out table, a <track> tag (the <tr prefix), and a
+    script-quoted table.  Oracle = the same three-level extract_all
+    chain (table -> tr -> td|th, two groups zipped by index) after the
+    shared strip passes, regenerated from the engine's regex
+    constants."""
+    from .operators.html import tables
+
+    d = load(spark, sf, "documents")
+    return tables(d.select("doc_id", _table_fixture_page().alias("html")))
+
+
+def _table_fixture_page():
+    """Shared doc_id-derived table fixture (see q_html_tables); the
+    DuckDB restatement is _TABLE_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+    head = F.when(
+        did % 2 == 0,
+        F.lit(
+            '<thead><tr><th>Name</th><th CLASS="v">Val &amp; Co'
+            "</th></tr></thead>"
+        ),
+    ).otherwise(F.lit(""))
+    row1 = F.concat(
+        F.lit("<tr><td>A"),
+        (did % 10).cast("string"),
+        F.lit("</td><td>"),
+        (did % 100).cast("string"),
+        F.lit("</td></tr>"),
+    )
+    m3 = did % 3
+    row2 = (
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit('<tr class="alt"><td>B'),
+                (did % 5).cast("string"),
+                F.lit("</td><td></td></tr>"),
+            ),
+        )
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("<tr><td\n>B"),
+                (did % 5).cast("string"),
+                F.lit("</td></tr>"),
+            ),
+        )
+        .otherwise(F.lit("<tr> </tr>"))
+    )
+    t2 = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit('<table id="t2"><tr><td>T2-'),
+            (did % 7).cast("string"),
+            F.lit("</td></tr></table>"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('<p>pre</p><TABLE border="1">'),
+        head,
+        row1,
+        row2,
+        F.lit("</TABLE>"),
+        t2,
+        F.lit(
+            '<!-- <table><tr><td>ghost</td></tr></table> -->'
+            '<track src="x">'
+            '<script>var t = "<table><tr><td>js</td></tr></table>";'
+            "</script>"
+        ),
+    )
+
+
 ROBOTS_RULES = [
     ("site0.com", "/", False),
     ("site0.com", "/p/", True),
@@ -3881,6 +3961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_main_content_ctx": q_html_main_content_ctx,
     "html_outline": q_html_outline,
     "html_metadata": q_html_metadata,
+    "html_tables": q_html_tables,
     "html_links": q_html_links,
     "corpus_link_graph": q_corpus_link_graph,
     "corpus_anchor_text": q_corpus_anchor_text,
@@ -3901,7 +3982,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_dedup_funnel": q_corpus_dedup_funnel,
-    "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_robots_filter": q_corpus_robots_filter,
     "corpus_url_templates": q_corpus_url_templates,
     "corpus_frontier_score": q_corpus_frontier_score,
@@ -4063,9 +4143,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # URL_WORD_WEIGHTS oracle via the shared _url_word_terms_sql
     # fragment; the threshold url_keep compare stays proven by the
     # local gate every session)
+    # corpus_domain_filter (r04-green; rotated below for html_tables —
+    # its blocklist suffix-match predicate runs composed IN-WINDOW
+    # with a full value-hash oracle inside corpus_frontier_score via
+    # the shared filter_blocked_domains; the standalone form keeps its
+    # regenerated-blocklist oracle in the local gate every session)
     "dedup_exact": q_dedup_exact,
     "graph_hits": q_graph_hits,
     "corpus_url_quality": q_corpus_url_quality,
+    "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
     "media_chunk_dedup": q_media_chunk_dedup,
     "text_unigram_lm": q_text_unigram_lm,
@@ -7295,6 +7381,84 @@ def _html_links_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_links"] = _html_links_oracle_sql()
+
+
+# the DuckDB restatement of _table_fixture_page() — edit BOTH
+_TABLE_PAGE_SQL = (
+    "'<p>pre</p><TABLE border=\"1\">' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'<thead><tr><th>Name</th><th CLASS=\"v\">Val &amp; Co</th>"
+    "</tr></thead>' ELSE '' END) || "
+    "'<tr><td>A' || CAST(doc_id % 10 AS VARCHAR) || '</td><td>' || "
+    "CAST(doc_id % 100 AS VARCHAR) || '</td></tr>' || "
+    "(CASE doc_id % 3 "
+    "WHEN 0 THEN '<tr class=\"alt\"><td>B' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '</td><td></td></tr>' "
+    "WHEN 1 THEN '<tr><td' || chr(10) || '>B' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '</td></tr>' "
+    "ELSE '<tr> </tr>' END) || "
+    "'</TABLE>' || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '<table id=\"t2\"><tr><td>T2-' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || '</td></tr></table>' "
+    "ELSE '' END) || "
+    "'<!-- <table><tr><td>ghost</td></tr></table> -->"
+    "<track src=\"x\">"
+    "<script>var t = \"<table><tr><td>js</td></tr></table>\";"
+    "</script>'"
+)
+
+
+def _html_tables_oracle_sql() -> str:
+    """html_tables oracle — the strip passes + the THREE-level
+    extract_all chain (table body -> tr -> td|th with the tag-letter
+    and content groups zipped by index), all regenerated from the
+    engine's regex constants; 0-based positions BIGINT-cast at every
+    level (the driver-hash casting rule)."""
+    from .operators.html import (
+        CELL_RE,
+        COMMENT_RE,
+        HTML_ENTITIES,
+        SCRIPT_RE,
+        STYLE_RE,
+        TABLE_RE,
+        TAG_RE,
+        TR_RE,
+        WS_RUN_RE,
+    )
+
+    t = f"regexp_replace(cx[ci], '{TAG_RE}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    clean = f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_TABLE_PAGE_SQL} AS h "
+        "FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
+        f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS h "
+        "FROM d0), "
+        "t AS (SELECT doc_id, "
+        f"regexp_extract_all(h, '{TABLE_RE}', 1) AS tbs FROM d), "
+        "tb AS (SELECT doc_id, CAST(ti - 1 AS BIGINT) AS table_no, "
+        "tbs[ti] AS body FROM t, "
+        "UNNEST(generate_series(1, len(tbs))) AS g1(ti)), "
+        "r AS (SELECT doc_id, table_no, "
+        f"regexp_extract_all(body, '{TR_RE}', 1) AS rws FROM tb), "
+        "rw AS (SELECT doc_id, table_no, "
+        "CAST(ri - 1 AS BIGINT) AS row_no, rws[ri] AS raw FROM r, "
+        "UNNEST(generate_series(1, len(rws))) AS g2(ri)), "
+        "c AS (SELECT doc_id, table_no, row_no, "
+        f"regexp_extract_all(raw, '{CELL_RE}', 1) AS tg, "
+        f"regexp_extract_all(raw, '{CELL_RE}', 2) AS cx FROM rw) "
+        "SELECT doc_id, table_no, row_no, "
+        "CAST(ci - 1 AS BIGINT) AS col_no, "
+        "lower(tg[ci]) = 'h' AS is_header, "
+        f"{clean} AS cell "
+        "FROM c, UNNEST(generate_series(1, len(cx))) AS g3(ci)"
+    )
+
+
+ORACLE_SQL["html_tables"] = _html_tables_oracle_sql()
 
 # corpus_link_graph: the fixture hrefs are pure doc_id functions, so
 # the oracle REGENERATES the (src, dst) edges from the same arithmetic

@@ -2566,6 +2566,73 @@ def test_cdc_boundary_hex_case(spark):
         cdc_chunk_stats(df, boundary_hex="g")
 
 
+def test_html_tables(spark):
+    """html.tables: cell grid as relational rows — header flags,
+    entity decode, empty cell '', ragged rows, cell-less rows emit
+    nothing (row_no stays positional), nested-table truncation is
+    deterministic, commented/scripted/<track>/<thead> decoys never
+    match, NULL/table-less html emits nothing, staging clash
+    raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import tables
+
+    rows = [
+        (
+            1,
+            '<p>x</p><TABLE border="1"><thead><tr><th>Name</th>'
+            '<th CLASS="v">Val &amp; Co</th></tr></thead><tbody>'
+            "<tr><td>A1</td><td>42</td></tr>"
+            '<tr class="alt"><td>B2</td><td></td></tr></tbody></TABLE>'
+            "<!-- <table><tr><td>ghost</td></tr></table> -->"
+            '<track src="x">'
+            '<script>var t = "<table><tr><td>js</td></tr></table>";'
+            "</script>",
+        ),
+        (
+            2,
+            "<table><tr><td>outer<table><tr><td>inner</td></tr>"
+            "</table></td></tr></table>",
+        ),
+        (3, None),
+        (4, "<div>no tables</div>"),
+        (
+            5,
+            "<table><tr>\n</tr><tr><td\n>ws attr</td></tr></table>"
+            '<table id="t2"><tr><td>T2</td></tr></table>',
+        ),
+    ]
+    got = [
+        tuple(r)
+        for r in tables(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        )
+        .orderBy("doc_id", "table_no", "row_no", "col_no")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, 0, 0, True, "Name"),
+        (1, 0, 0, 1, True, "Val & Co"),
+        (1, 0, 1, 0, False, "A1"),
+        (1, 0, 1, 1, False, "42"),
+        (1, 0, 2, 0, False, "B2"),
+        (1, 0, 2, 1, False, ""),
+        # nested: outer body truncates at the inner's close -> the
+        # single cell's content tag-strips to both text runs
+        (2, 0, 0, 0, False, "outer inner"),
+        # the cell-less <tr> keeps its row_no slot (row 0 skipped)
+        (5, 0, 1, 0, False, "ws attr"),
+        (5, 1, 0, 0, False, "T2"),
+    ]
+    with _pytest.raises(ValueError, match="clash"):
+        tables(
+            spark.createDataFrame(
+                [(1, "<i>x</i>", "y")],
+                "doc_id long, html string, _tb_raw string",
+            )
+        )
+
+
 def test_html_links_and_graph(spark):
     """html.links: quoted hrefs only, comments/scripts stripped,
     href-less anchors skipped, anchors cleaned; host_link_graph:

@@ -872,6 +872,18 @@ def test_html_metadata_narrow(spark):
     assert "Generate" not in plan, plan
 
 
+def test_html_tables_plan(spark):
+    """html_tables: narrow + exactly TWO Generates (table->row,
+    row->cell) — zero exchanges, no join, no Python; each regex level
+    runs on the already-exploded fragment, never re-scanning the
+    page."""
+    plan = _qplan(spark, "html_tables")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 2, plan
+
+
 def test_robots_filter_plan(spark):
     """corpus_robots_filter: the big side never shuffles — the only
     exchange keys the curation-bounded rules agg, broadcast onto the
