@@ -3511,6 +3511,41 @@ def q_text_normalize(spark, sf):
     return text.normalize_text(injected).select("doc_id", "text")
 
 
+def q_text_mojibake(spark, sf):
+    """ftfy-style encoding repair: the corpus text is clean ASCII, so
+    the query injects deterministic mojibake suffixes BUILT FROM the
+    MOJIBAKE_PAIRS table itself (a %5 rotation over quote/punct,
+    currency/dash, symbol, accent arms, and a no-injection arm) —
+    both engines apply the identical injection, then the oracle
+    restates the identical fixed-order replace chain with the
+    length-trick counts on each pass's input.  Output value-hashes
+    the repaired text (md5, the corpus_web_extract convention)."""
+    from .operators.encoding import MOJIBAKE_PAIRS, fix_mojibake
+
+    p = {c: pat for pat, c in MOJIBAKE_PAIRS}
+    d = load(spark, sf, "documents")
+    m5 = F.col("doc_id") % 5
+    suffix = (
+        F.when(
+            m5 == 0,
+            F.lit(f" Caf{p['é']} {p['’']}x{p['’']}"),
+        )
+        .when(m5 == 1, F.lit(f" {p['€']}9 {p['—']} ok"))
+        .when(m5 == 2, F.lit(f" {p['«']}q{p['»']} 20{p['°']}"))
+        .when(m5 == 3, F.lit(f" na{p['ï']}ve {p['ñ']} {p['ü']}"))
+        .otherwise(F.lit(""))
+    )
+    injected = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return fix_mojibake(injected).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fixed_md5"),
+        "n_fixes",
+        "had_mojibake",
+    )
+
+
 def q_events_asof(spark, sf):
     """Distributed as-of join (task brief: a canonical operator Spark
     lacks) via the linear union+window form — each purchase event joined
@@ -4148,8 +4183,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with a full value-hash oracle inside corpus_frontier_score via
     # the shared filter_blocked_domains; the standalone form keeps its
     # regenerated-blocklist oracle in the local gate every session)
+    # text_mojibake is BORN below-window (late-r05 addition, same call
+    # as graph_hits); full value-hash oracle in the local gate every
+    # session; joins the r06 window queue behind graph_hits.
     "dedup_exact": q_dedup_exact,
     "graph_hits": q_graph_hits,
+    "text_mojibake": q_text_mojibake,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -7459,6 +7498,67 @@ def _html_tables_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_tables"] = _html_tables_oracle_sql()
+
+
+def _duck_str(s: str) -> str:
+    """A DuckDB string-literal expression for ``s``, splicing
+    non-printable chars (the sloppy-cp1252 control bytes, e.g. U+009D
+    in the right-double-quote mojibake pattern) as chr(n) — a raw
+    control char inside a quoted literal is lexer roulette."""
+    parts, buf = [], []
+
+    def flush():
+        if buf:
+            parts.append("'" + "".join(buf).replace("'", "''") + "'")
+            buf.clear()
+
+    for ch in s:
+        if ch.isprintable():
+            buf.append(ch)
+        else:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+    flush()
+    return " || ".join(parts) if parts else "''"
+
+
+def _mojibake_oracle_sql() -> str:
+    """text_mojibake oracle — the injection arms AND the fixed-order
+    replace chain both regenerated from MOJIBAKE_PAIRS (one CTE per
+    pair carrying the repaired text and the cumulative length-trick
+    count, each count on that pass's input — the scrub convention)."""
+    from .operators.encoding import MOJIBAKE_PAIRS
+
+    p = {c: pat for pat, c in MOJIBAKE_PAIRS}
+    arms = (
+        "CASE doc_id % 5 "
+        f"WHEN 0 THEN {_duck_str(' Caf' + p['é'] + ' ' + p['’'] + 'x' + p['’'])} "
+        f"WHEN 1 THEN {_duck_str(' ' + p['€'] + '9 ' + p['—'] + ' ok')} "
+        f"WHEN 2 THEN {_duck_str(' ' + p['«'] + 'q' + p['»'] + ' 20' + p['°'])} "
+        f"WHEN 3 THEN {_duck_str(' na' + p['ï'] + 've ' + p['ñ'] + ' ' + p['ü'])} "
+        "ELSE '' END"
+    )
+    ctes = [
+        f"m0 AS (SELECT doc_id, coalesce(text, '') || {arms} AS t, "
+        "CAST(0 AS DOUBLE) AS c FROM documents)"
+    ]
+    for i, (pat, rep) in enumerate(MOJIBAKE_PAIRS, start=1):
+        ps, rs = _duck_str(pat), _duck_str(rep)
+        ctes.append(
+            f"m{i} AS (SELECT doc_id, replace(t, {ps}, {rs}) AS t, "
+            f"c + (length(t) - length(replace(t, {ps}, ''))) "
+            f"/ {len(pat)} AS c FROM m{i - 1})"
+        )
+    n = len(MOJIBAKE_PAIRS)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT doc_id, md5(t) AS fixed_md5, "
+        "CAST(c AS BIGINT) AS n_fixes, "
+        f"c > 0 AS had_mojibake FROM m{n}"
+    )
+
+
+ORACLE_SQL["text_mojibake"] = _mojibake_oracle_sql()
 
 # corpus_link_graph: the fixture hrefs are pure doc_id functions, so
 # the oracle REGENERATES the (src, dst) edges from the same arithmetic

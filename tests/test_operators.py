@@ -2566,6 +2566,53 @@ def test_cdc_boundary_hex_case(spark):
         cdc_chunk_stats(df, boundary_hex="g")
 
 
+def test_fix_mojibake(spark):
+    """encoding.fix_mojibake: cp1252 mojibake repaired with exact
+    per-pass counts, clean text and NULL untouched (NULL -> ''), the
+    derived pair table includes the sloppy-cp1252 control-char case
+    (U+009D for the right double quote), and the documented
+    order-dependence on corrupt partial sequences is pinned."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.encoding import (
+        MOJIBAKE_PAIRS,
+        fix_mojibake,
+    )
+
+    # the ” pattern really carries the sloppy-cp1252 control char
+    assert ("â€\u009d", "”") in MOJIBAKE_PAIRS
+    rows = [
+        (1, "CafÃ© â€™quotedâ€™ costs â‚¬9 â€” naÃ¯ve"),
+        (2, "plain ascii text"),
+        (3, None),
+        (4, "Â«qÂ» at 20Â°C Ã± Ã¼ â€\u009dend"),
+        # corrupt partial sequence: repairing the '“' mints the tail
+        # of the en-dash pattern ('â€' + '“' == 'â€“') — the later
+        # pass then fires; deterministic, mirrored in the oracle
+        (5, "â€â€œ"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in fix_mojibake(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[1].text == "Café ’quoted’ costs €9 — naïve"
+    assert got[1].n_fixes == 6 and got[1].had_mojibake
+    assert got[2].text == "plain ascii text"
+    assert got[2].n_fixes == 0 and not got[2].had_mojibake
+    assert got[3].text == "" and got[3].n_fixes == 0
+    assert got[4].text == "«q» at 20°C ñ ü ”end"
+    assert got[4].n_fixes == 6
+    assert got[5].text == "–" and got[5].n_fixes == 2
+    with _pytest.raises(ValueError, match="clash"):
+        fix_mojibake(
+            spark.createDataFrame(
+                [(1, "x", "y")], "doc_id long, text string, _mj_0 string"
+            )
+        )
+
+
 def test_html_tables(spark):
     """html.tables: cell grid as relational rows — header flags,
     entity decode, empty cell '', ragged rows, cell-less rows emit

@@ -872,6 +872,17 @@ def test_html_metadata_narrow(spark):
     assert "Generate" not in plan, plan
 
 
+def test_text_mojibake_plan(spark):
+    """text_mojibake: the staged replace chain stays one narrow
+    codegen span — zero exchanges, no Generate, no join, no
+    Python."""
+    plan = _qplan(spark, "text_mojibake")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
 def test_html_tables_plan(spark):
     """html_tables: narrow + exactly TWO Generates (table->row,
     row->cell) — zero exchanges, no join, no Python; each regex level

@@ -2073,3 +2073,48 @@ def test_html_main_content_matches_python_model(spark, docs):
     }
     for i, bits in enumerate(docs):
         assert got[i] == model("".join(bits)), f"doc {i}: {bits!r}"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab \u00c3\u00e9\u00c2\u00ab\u00b0\u00e2"
+            "\u20ac\u2122\u0153\u201c\u201d\u2013\u009d"
+            "\u00ac\u00a2\u201a\u201e\u00a6x",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fix_mojibake_matches_python_model(spark, docs):
+    """encoding.fix_mojibake vs a direct sequential str.replace model
+    over an alphabet of pattern fragments, replacement characters, and
+    the sloppy-cp1252 control char (U+009D) -- partial/overlapping
+    corrupt sequences exercise the documented order-dependence; counts
+    are non-overlapping left-to-right in both (no pattern has a proper
+    prefix==suffix, so the length-trick count and str.count agree)."""
+    from annual_report_pdf_parsers_spark.operators.encoding import (
+        MOJIBAKE_PAIRS,
+        fix_mojibake,
+    )
+
+    def model(t):
+        n = 0
+        for pat, rep in MOJIBAKE_PAIRS:
+            n += t.count(pat)
+            t = t.replace(pat, rep)
+        return t, n
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_fixes)
+        for r in fix_mojibake(df).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == model(t), f"doc {i}: {t!r}"
