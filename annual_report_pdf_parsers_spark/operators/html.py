@@ -711,3 +711,169 @@ def tables(
         F.col("_tb_c.is_header").alias("is_header"),
         F.col("_tb_c.cell").alias("cell"),
     )
+
+
+META_DATE_RE = (
+    "(?is)<meta[^>]*?(?:property|name)[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"'](?:article:published_time|article:modified_time|date|"
+    "dc\\.date(?:\\.issued)?|publish(?:ed)?[-_]?date)[\"']"
+    "[^>]*?content[ \\t\\n\\r]*=[ \\t\\n\\r]*[\"']([^\"']*)[\"']"
+)
+TIME_DATE_RE = (
+    "(?is)<time[^>]*?datetime[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+ISO_DATE_RE = "^([0-9]{4})-([0-9]{2})-([0-9]{2})"
+URL_DATE_RE = (
+    "/((?:19|20)[0-9]{2})/([0-9]{1,2})(?:/([0-9]{1,2}))?(?:/|$)"
+)
+
+
+def _canon_date(y: Column, m: Column, d: Column) -> Column:
+    """'YYYY-MM-DD' when (y, m, d) is a REAL calendar date inside the
+    plausible-web-content window (1995-2035, correct day-in-month
+    incl. leap years), else NULL.  Pure integer arithmetic — identical
+    in Spark and DuckDB; no date parser, no timezone."""
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    max_d = (
+        F.when(m.isin(4, 6, 9, 11), F.lit(30))
+        .when(m == 2, F.when(leap, F.lit(29)).otherwise(F.lit(28)))
+        .otherwise(F.lit(31))
+    )
+    ok = (
+        y.isNotNull()
+        & m.isNotNull()
+        & d.isNotNull()
+        & y.between(1995, 2035)
+        & m.between(1, 12)
+        & (d >= 1)
+        & (d <= max_d)
+    )
+    return F.when(
+        ok,
+        F.concat_ws(
+            "-",
+            y.cast("string"),
+            F.lpad(m.cast("string"), 2, "0"),
+            F.lpad(d.cast("string"), 2, "0"),
+        ),
+    )
+
+
+def publish_date(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str | None = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Publish-DATE extraction (public practice: htmldate /
+    trafilatura's date stage — every news/blog corpus carries one).
+    First valid candidate wins across three sources in priority
+    order::
+
+        meta  — <meta property|name="article:published_time|
+                article:modified_time|date|dc.date[.issued]|
+                publish[ed][-_]date" content="...">
+        time  — <time datetime="...">
+        url   — a /YYYY/MM[/DD]/ path segment (missing day -> 01,
+                the htmldate convention)
+
+    meta/time values must START with an ISO 'YYYY-MM-DD' prefix
+    (documented — free-text dates are the parser-library trade this
+    engine doesn't make); every candidate is validated as a REAL
+    calendar date (1995-2035, day-in-month, leap years) by pure
+    integer arithmetic, so an invalid high-priority candidate FALLS
+    THROUGH to the next source.  Emits one row per document::
+
+        (doc_id, pub_date, date_source)
+
+    with pub_date 'YYYY-MM-DD' (a STRING, deliberately: cross-engine
+    date types disagree long before the arithmetic does) and
+    date_source in ('meta', 'time', 'url') or both NULL.  Script/
+    style/comment regions are stripped first; attribute order is
+    fixed (property/name before content) and values quoted, the
+    metadata() contract.  ``url_col=None`` skips the url source.
+
+    100 TB shape: pure narrow — one pinned stripped-html column, two
+    first-match extracts + three url-group extracts + integer
+    validation; no shuffle, no UDF, no date parser.
+    """
+    clash = sorted(
+        {
+            "_pd_h",
+            "_pd_m",
+            "_pd_t",
+            "_pd_m3",
+            "_pd_t3",
+            "_pd_u3",
+            "_pd_mc",
+            "_pd_tc",
+            "_pd_uc",
+        }
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"publish_date staging columns clash: {clash}"
+        )
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn("_pd_h", pin(h))
+    hc = F.col("_pd_h")
+    base = base.withColumn(
+        "_pd_m", pin(F.regexp_extract(hc, META_DATE_RE, 1))
+    ).withColumn("_pd_t", pin(F.regexp_extract(hc, TIME_DATE_RE, 1)))
+
+    # each source's (y, m, d) ints are staged as ONE pinned struct —
+    # the validation CASE references every component many times, and
+    # CollapseProject would otherwise re-inline the group extract into
+    # each reference (NOTES gotcha 2; ~20 tiny regex calls per source)
+    def ymd(raw: Column, re_: str) -> Column:
+        parts = [
+            F.nullif(F.regexp_extract(raw, re_, g), F.lit(""))
+            .cast("int")
+            .alias(n)
+            for g, n in ((1, "y"), (2, "m"), (3, "d"))
+        ]
+        return pin(F.struct(*parts))
+
+    base = base.withColumn(
+        "_pd_m3", ymd(F.col("_pd_m"), ISO_DATE_RE)
+    ).withColumn("_pd_t3", ymd(F.col("_pd_t"), ISO_DATE_RE))
+
+    def canon(s: str, day_default: Column | None = None) -> Column:
+        d = F.col(f"{s}.d")
+        if day_default is not None:
+            d = F.coalesce(d, day_default)
+        return _canon_date(F.col(f"{s}.y"), F.col(f"{s}.m"), d)
+
+    base = base.withColumn(
+        "_pd_mc", pin(canon("_pd_m3"))
+    ).withColumn("_pd_tc", pin(canon("_pd_t3")))
+    if url_col is not None:
+        u = F.coalesce(F.col(url_col).cast("string"), F.lit(""))
+        base = base.withColumn("_pd_u3", ymd(u, URL_DATE_RE))
+        url_canon = canon("_pd_u3", day_default=F.lit(1))
+    else:
+        url_canon = F.lit(None).cast("string")
+    base = base.withColumn("_pd_uc", pin(url_canon))
+    src = (
+        F.when(F.col("_pd_mc").isNotNull(), F.lit("meta"))
+        .when(F.col("_pd_tc").isNotNull(), F.lit("time"))
+        .when(F.col("_pd_uc").isNotNull(), F.lit("url"))
+    )
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(
+            F.col("_pd_mc"), F.col("_pd_tc"), F.col("_pd_uc")
+        ).alias("pub_date"),
+        src.alias("date_source"),
+    )

@@ -2298,6 +2298,92 @@ ROBOTS_RULES = [
 ]
 
 
+def q_html_pub_date(spark, sf):
+    """Publish-date extraction over synthesized (html, url) pairs: a
+    %6 rotation covering a valid article:published_time meta (a time
+    tag present but outranked), an INVALID meta date (Feb 30) falling
+    through to a leap-day <time> (years 2016/2020/2024 — the leap
+    rule non-vacuous three ways), unpadded /Y/M/D/ url dates, /Y/M/
+    url dates (day -> 01), an out-of-window url year (1990) plus a
+    free-text datetime (both must yield NULL), and a no-candidate
+    arm.  Dates vary with doc_id so the zero-pad and day-in-month
+    arithmetic is exercised across the corpus.  Oracle = the same
+    regex extracts + the same integer calendar validation,
+    regenerated from the engine constants."""
+    from .operators.html import publish_date
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    m6 = did % 6
+    y0 = (2015 + did % 20).cast("string")
+    mo0 = (1 + did % 12).cast("string")
+    dy0 = (1 + did % 28).cast("string")
+    iso0 = F.concat(
+        y0,
+        F.lit("-"),
+        F.lpad(mo0, 2, "0"),
+        F.lit("-"),
+        F.lpad(dy0, 2, "0"),
+    )
+    leap_y = (2016 + (did % 3) * 4).cast("string")
+    html = (
+        F.when(
+            m6 == 0,
+            F.concat(
+                F.lit(
+                    '<meta property="article:published_time" '
+                    'content="'
+                ),
+                iso0,
+                F.lit(
+                    'T08:30:00Z"><time datetime="2010-01-01">x'
+                    "</time>"
+                ),
+            ),
+        )
+        .when(
+            m6 == 1,
+            F.concat(
+                F.lit('<meta name="date" content="2021-02-30">'),
+                F.lit('<time datetime="'),
+                leap_y,
+                F.lit('-02-29T00:00">y</time>'),
+            ),
+        )
+        .when(m6 == 4, F.lit('<time datetime="May 5, 2020">w</time>'))
+        .otherwise(F.lit("<p>no date markup</p>"))
+    )
+    url = (
+        F.when(
+            m6 == 2,
+            F.concat(
+                F.lit("https://ex.com/"),
+                (2000 + did % 30).cast("string"),
+                F.lit("/"),
+                mo0,
+                F.lit("/"),
+                dy0,
+                F.lit("/post"),
+            ),
+        )
+        .when(
+            m6 == 3,
+            F.concat(
+                F.lit("https://ex.com/"),
+                (1996 + did % 30).cast("string"),
+                F.lit("/"),
+                mo0,
+                F.lit("/archive"),
+            ),
+        )
+        .when(m6 == 4, F.lit("https://ex.com/1990/05/06/old"))
+        .otherwise(F.lit("https://ex.com/plain"))
+    )
+    return publish_date(
+        d.select("doc_id", html.alias("html"), url.alias("url"))
+    )
+
+
 def q_corpus_robots_filter(spark, sf):
     """robots.txt longest-match crawl-policy filtering over a doc_id%7
     url rotation: disallow-all-except-/p/ (longest wins both ways), a
@@ -4189,6 +4275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "graph_hits": q_graph_hits,
     "text_mojibake": q_text_mojibake,
+    "html_pub_date": q_html_pub_date,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -7559,6 +7646,110 @@ def _mojibake_oracle_sql() -> str:
 
 
 ORACLE_SQL["text_mojibake"] = _mojibake_oracle_sql()
+
+
+def _pub_date_oracle_sql() -> str:
+    """html_pub_date oracle — the fixture arms, the strip passes, the
+    meta/time/url regex extracts, AND the integer calendar validation
+    (window, day-in-month, leap years) all regenerated from the
+    engine constants; priority = meta > time > url with invalid
+    candidates falling through, exactly the engine rule."""
+    from .operators.html import (
+        COMMENT_RE,
+        ISO_DATE_RE,
+        META_DATE_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+        TIME_DATE_RE,
+        URL_DATE_RE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace(chr(39), chr(39) * 2)
+
+    iso0 = (
+        "CAST(2015 + doc_id % 20 AS VARCHAR) || '-' || "
+        "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-' || "
+        "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')"
+    )
+    html = (
+        "CASE doc_id % 6 "
+        "WHEN 0 THEN '<meta property=\"article:published_time\" "
+        f"content=\"' || {iso0} || 'T08:30:00Z\">"
+        "<time datetime=\"2010-01-01\">x</time>' "
+        "WHEN 1 THEN '<meta name=\"date\" content=\"2021-02-30\">"
+        "<time datetime=\"' || "
+        "CAST(2016 + (doc_id % 3) * 4 AS VARCHAR) || "
+        "'-02-29T00:00\">y</time>' "
+        "WHEN 4 THEN '<time datetime=\"May 5, 2020\">w</time>' "
+        "ELSE '<p>no date markup</p>' END"
+    )
+    url = (
+        "CASE doc_id % 6 "
+        "WHEN 2 THEN 'https://ex.com/' || "
+        "CAST(2000 + doc_id % 30 AS VARCHAR) || '/' || "
+        "CAST(1 + doc_id % 12 AS VARCHAR) || '/' || "
+        "CAST(1 + doc_id % 28 AS VARCHAR) || '/post' "
+        "WHEN 3 THEN 'https://ex.com/' || "
+        "CAST(1996 + doc_id % 30 AS VARCHAR) || '/' || "
+        "CAST(1 + doc_id % 12 AS VARCHAR) || '/archive' "
+        "WHEN 4 THEN 'https://ex.com/1990/05/06/old' "
+        "ELSE 'https://ex.com/plain' END"
+    )
+
+    def canon(y: str, m: str, d: str) -> str:
+        return (
+            f"CASE WHEN {y} IS NOT NULL AND {m} IS NOT NULL "
+            f"AND {d} IS NOT NULL "
+            f"AND {y} BETWEEN 1995 AND 2035 "
+            f"AND {m} BETWEEN 1 AND 12 AND {d} >= 1 "
+            f"AND {d} <= (CASE WHEN {m} IN (4, 6, 9, 11) THEN 30 "
+            f"WHEN {m} = 2 THEN (CASE WHEN ({y} % 4 = 0 "
+            f"AND {y} % 100 <> 0) OR {y} % 400 = 0 "
+            "THEN 29 ELSE 28 END) ELSE 31 END) "
+            f"THEN CAST({y} AS VARCHAR) || '-' || "
+            f"lpad(CAST({m} AS VARCHAR), 2, '0') || '-' || "
+            f"lpad(CAST({d} AS VARCHAR), 2, '0') END"
+        )
+
+    def grp(raw: str, re_: str, g: int) -> str:
+        return (
+            f"CAST(NULLIF(regexp_extract({raw}, '{q(re_)}', {g}), "
+            "'') AS INT)"
+        )
+
+    return (
+        f"WITH d0 AS (SELECT doc_id, {html} AS h, {url} AS u "
+        "FROM documents), "
+        "d1 AS (SELECT doc_id, u, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{q(SCRIPT_RE)}', ' ', 'g'), "
+        f"'{q(STYLE_RE)}', ' ', 'g'), '{q(COMMENT_RE)}', ' ', 'g') "
+        "AS h FROM d0), "
+        "r AS (SELECT doc_id, u, "
+        f"regexp_extract(h, '{q(META_DATE_RE)}', 1) AS mr, "
+        f"regexp_extract(h, '{q(TIME_DATE_RE)}', 1) AS tr FROM d1), "
+        "g AS (SELECT doc_id, "
+        f"{grp('mr', ISO_DATE_RE, 1)} AS my, "
+        f"{grp('mr', ISO_DATE_RE, 2)} AS mm, "
+        f"{grp('mr', ISO_DATE_RE, 3)} AS md, "
+        f"{grp('tr', ISO_DATE_RE, 1)} AS ty, "
+        f"{grp('tr', ISO_DATE_RE, 2)} AS tm, "
+        f"{grp('tr', ISO_DATE_RE, 3)} AS td, "
+        f"{grp('u', URL_DATE_RE, 1)} AS uy, "
+        f"{grp('u', URL_DATE_RE, 2)} AS um, "
+        f"{grp('u', URL_DATE_RE, 3)} AS ud FROM r), "
+        "c AS (SELECT doc_id, "
+        f"{canon('my', 'mm', 'md')} AS mc, "
+        f"{canon('ty', 'tm', 'td')} AS tc, "
+        f"{canon('uy', 'um', 'COALESCE(ud, 1)')} AS uc FROM g) "
+        "SELECT doc_id, COALESCE(mc, tc, uc) AS pub_date, "
+        "CASE WHEN mc IS NOT NULL THEN 'meta' "
+        "WHEN tc IS NOT NULL THEN 'time' "
+        "WHEN uc IS NOT NULL THEN 'url' END AS date_source FROM c"
+    )
+
+
+ORACLE_SQL["html_pub_date"] = _pub_date_oracle_sql()
 
 # corpus_link_graph: the fixture hrefs are pure doc_id functions, so
 # the oracle REGENERATES the (src, dst) edges from the same arithmetic

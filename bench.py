@@ -169,6 +169,14 @@ HEADLINE = [
     "html_main_content_ctx",
     "corpus_link_graph",
     "graph_pagerank",
+    "graph_hits",
+    "corpus_frontier_score",
+    "html_metadata",
+    "corpus_robots_filter",
+    "corpus_anchor_text",
+    "html_tables",
+    "text_mojibake",
+    "html_pub_date",
 ]
 
 

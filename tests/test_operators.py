@@ -2566,6 +2566,78 @@ def test_cdc_boundary_hex_case(spark):
         cdc_chunk_stats(df, boundary_hex="g")
 
 
+def test_publish_date(spark):
+    """html.publish_date: meta > time > url priority with INVALID
+    candidates falling through (Feb 30 meta -> leap-day time; non-leap
+    Feb 29 time -> url), unpadded url dates zero-padded, missing url
+    day -> 01, out-of-window years rejected, free-text datetimes
+    rejected, commented-out meta ignored, NULL html/url -> NULL row,
+    url_col=None skips the url source, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import (
+        publish_date,
+    )
+
+    rows = [
+        (
+            1,
+            '<meta property="article:published_time" '
+            'content="2021-03-05T10:00:00Z">'
+            '<time datetime="2020-01-01">x</time>',
+            "https://a.com/2019/01/02/x",
+        ),
+        (2, '<meta name="DC.date.issued" content="2019-11-30">', None),
+        (
+            3,
+            '<meta name="date" content="2020-13-01">'
+            '<time datetime="2020-02-29T08:00">y</time>',
+            None,
+        ),
+        (
+            4,
+            '<time datetime="2021-02-29">z</time>',
+            "https://b.org/2018/7/4/post",
+        ),
+        (5, "<p>n</p>", "https://b.org/2017/05/page"),
+        (6, "<p>n</p>", "https://b.org/plain"),
+        (7, None, None),
+        (
+            8,
+            '<!-- <meta name="date" content="2020-01-01"> -->'
+            '<time datetime="May 5, 2020">w</time>',
+            "https://c.io/1994/05/06/old",
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, html string, url string"
+    )
+    got = {
+        r.doc_id: (r.pub_date, r.date_source)
+        for r in publish_date(df).collect()
+    }
+    assert got[1] == ("2021-03-05", "meta")
+    assert got[2] == ("2019-11-30", "meta")
+    assert got[3] == ("2020-02-29", "time")
+    assert got[4] == ("2018-07-04", "url")
+    assert got[5] == ("2017-05-01", "url")
+    for doc in (6, 7, 8):
+        assert got[doc] == (None, None), doc
+    no_url = {
+        r.doc_id: (r.pub_date, r.date_source)
+        for r in publish_date(df, url_col=None).collect()
+    }
+    assert no_url[4] == (None, None)
+    assert no_url[1] == ("2021-03-05", "meta")
+    with _pytest.raises(ValueError, match="clash"):
+        publish_date(
+            spark.createDataFrame(
+                [(1, "x", "u", "y")],
+                "doc_id long, html string, url string, _pd_h string",
+            )
+        )
+
+
 def test_fix_mojibake(spark):
     """encoding.fix_mojibake: cp1252 mojibake repaired with exact
     per-pass counts, clean text and NULL untouched (NULL -> ''), the

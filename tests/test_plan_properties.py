@@ -872,6 +872,18 @@ def test_html_metadata_narrow(spark):
     assert "Generate" not in plan, plan
 
 
+def test_html_pub_date_plan(spark):
+    """html_pub_date: pure narrow — the per-source (y, m, d) ints are
+    pinned STRUCTS so the calendar-validation CASE references
+    attributes, not re-inlined group extracts (NOTES gotcha 2); zero
+    exchanges, no Generate, no join, no Python."""
+    plan = _qplan(spark, "html_pub_date")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
 def test_text_mojibake_plan(spark):
     """text_mojibake: the staged replace chain stays one narrow
     codegen span — zero exchanges, no Generate, no join, no
