@@ -4125,12 +4125,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_oracle": q_pipeline_oracle,
     # ---- the driver's CORRECTNESS window is the FIRST 50 keys of this
     # ---- dict: 48 training-data ops + 2 flagship = 50 exactly.  Every
-    # ---- entry from here down already carries green driver rows from
+    # ---- entry from here down EITHER carries green driver rows from
     # ---- an earlier round (r04 for the dispatch variants and the
-    # ---- previous backfill set, r02/r03 for the rest) plus permanent
-    # ---- local-gate coverage (tests/test_oracle_parity.py runs ALL
-    # ---- oracled entries), so sliding below the window as new ops
-    # ---- land above is safe -----------------------------------------
+    # ---- previous backfill set, r02/r03 for the rest) OR is a
+    # ---- born-below late-r05 addition flagged as such in its comment
+    # ---- (graph_hits, text_mojibake, html_pub_date — the r06 window
+    # ---- queue); ALL of them have permanent local-gate coverage
+    # ---- (tests/test_oracle_parity.py runs ALL oracled entries), so
+    # ---- sliding below the window as new ops land above is safe ----
     # r06 rotation queue (OLDEST driver rows first): P1-P8, W2-W4,
     # U1-U3, O2-O3, A2/A4/A5, J5 (r02/r03 greens), then the r05-rotated
     # training ops below (all r04-green).
