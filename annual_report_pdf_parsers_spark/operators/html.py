@@ -713,6 +713,127 @@ def tables(
     )
 
 
+# group 1 = the list-kind letter (u/o, any case), group 2 = the list
+# body.  No backreference on the close tag (RE2 has none) — a nested
+# list truncates the outer body at the FIRST close of either kind,
+# deterministically in both engines (same trade as TABLE_RE).
+UL_OL_RE = "(?is)<([uo])l(?:[ \\t\\n\\r][^>]*)?>(.*?)</[uo]l>"
+# items REQUIRE a </li> close tag: RE2 has no lookahead, so the
+# HTML-legal implicit close (next <li> or list end) can't be expressed
+# portably — unclosed items are dropped, identically in both engines.
+LI_RE = "(?is)<li(?:[ \\t\\n\\r][^>]*)?>(.*?)</li>"
+
+
+def lists(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML LIST extraction — <ul>/<ol> items as relational rows, the
+    companion of :func:`tables` for the other structured-markup region
+    webtext carries (navigation menus, step lists, bullet summaries).
+    The reference engine's keyword-anchor keep-lists
+    (bnp/parser.py KEEP_LIST semantics) read exactly this shape once
+    the markup boundaries replace the x-y grid.
+
+    Emits one row per ITEM, in document order::
+
+        (doc_id, list_no, ordered, item_no, item)
+
+    ``list_no``/``item_no`` are 0-based positions; ``ordered`` marks
+    <ol> lists; ``item`` is cleaned with the shared block-text rules
+    (tag strip, entity decode, whitespace collapse, trim — an empty
+    item carries '').  Script/style/comment regions are stripped first
+    (a commented-out or document.write'd list is not a list).  The
+    open-tag regexes require whitespace or '>' after the tag name, so
+    <link>/<ulx> never match <li>/<ul>.  NESTED lists are the
+    documented lossy-but-deterministic trade of the no-parser design:
+    the outer body truncates at the FIRST close tag of either kind, so
+    inner items that closed before it attribute to the outer list.
+    Items without a </li> close are dropped (RE2 portability — see
+    LI_RE).  Lists with no closed items and NULL/list-less html emit
+    nothing.
+
+    100 TB shape: narrow + ONE posexplode (list->row) + ONE item
+    explode, zero exchanges, no UDF; the item-level regex pass runs on
+    the already-exploded list body, never re-scanning the page (the
+    lambda-attribute rule, NOTES gotcha 3).
+    """
+    clash = sorted(
+        {"_li_h", "_li_ls", "_li_tg", "_li_bd", "_li_raw", "_li_it"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(f"lists staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = (
+        df.withColumn("_li_h", pin(h))
+        .withColumn(
+            "_li_tg",
+            pin(
+                F.regexp_extract_all(
+                    F.col("_li_h"), F.lit(UL_OL_RE), 1
+                )
+            ),
+        )
+        .withColumn(
+            "_li_bd",
+            pin(
+                F.regexp_extract_all(
+                    F.col("_li_h"), F.lit(UL_OL_RE), 2
+                )
+            ),
+        )
+    )
+    tg = F.col("_li_tg")
+    lsts = F.transform(
+        F.col("_li_bd"),
+        lambda b, i: F.struct(
+            i.cast("long").alias("list_no"),
+            (
+                F.lower(F.element_at(tg, (i + 1).cast("int")))
+                == "o"
+            ).alias("ordered"),
+            b.alias("raw"),
+        ),
+    )
+    per_list = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(lsts).alias("_li_ls"),
+    ).select(
+        "doc_id",
+        F.col("_li_ls.list_no").alias("list_no"),
+        F.col("_li_ls.ordered").alias("ordered"),
+        F.col("_li_ls.raw").alias("_li_raw"),
+    )
+    items = F.transform(
+        F.regexp_extract_all(F.col("_li_raw"), F.lit(LI_RE), 1),
+        lambda c, i: F.struct(
+            i.cast("long").alias("item_no"),
+            _block_text(c).alias("item"),
+        ),
+    )
+    return per_list.select(
+        "doc_id",
+        "list_no",
+        "ordered",
+        F.explode(items).alias("_li_it"),
+    ).select(
+        "doc_id",
+        "list_no",
+        "ordered",
+        F.col("_li_it.item_no").alias("item_no"),
+        F.col("_li_it.item").alias("item"),
+    )
+
+
 META_DATE_RE = (
     "(?is)<meta[^>]*?(?:property|name)[ \\t\\n\\r]*=[ \\t\\n\\r]*"
     "[\"'](?:article:published_time|article:modified_time|date|"

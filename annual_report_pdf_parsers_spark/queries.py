@@ -2287,6 +2287,72 @@ def _table_fixture_page():
     )
 
 
+def q_html_lists(spark, sf):
+    """HTML list extraction (<ul>/<ol> items as relational rows) over
+    synthesized pages: a cased <UL> with attributes holding an
+    entity-probed item and a cased-attr item, a %3 third-item rotation
+    (whitespace inside the <li open tag / an EMPTY item kept as '' /
+    an UNCLOSED item that must be dropped), a %2 cased <OL> (ordered
+    flag), a %5 nested ul+ol whose outer body truncates at the first
+    close of either kind (inner items attribute to the outer list),
+    and three decoys that must never match: a commented-out list, a
+    <link> tag (the <li prefix), and a script-quoted list.  Oracle =
+    the same two-level extract_all chain (list kind/body groups zipped
+    by index -> li items) after the shared strip passes, regenerated
+    from the engine's regex constants."""
+    from .operators.html import lists
+
+    d = load(spark, sf, "documents")
+    return lists(d.select("doc_id", _list_fixture_page().alias("html")))
+
+
+def _list_fixture_page():
+    """Shared doc_id-derived list fixture (see q_html_lists); the
+    DuckDB restatement is _LIST_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+    m3 = did % 3
+    rot = (
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit("<li\n>Ws "),
+                (did % 5).cast("string"),
+                F.lit("</li>"),
+            ),
+        )
+        .when(m3 == 1, F.lit("<li></li>"))
+        .otherwise(F.lit("<li>dropped no close"))
+    )
+    ol2 = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<OL start="3"><li>Step '),
+            (did % 5).cast("string"),
+            F.lit("</li><li>Step b</li></OL>"),
+        ),
+    ).otherwise(F.lit(""))
+    nested = F.when(
+        did % 5 == 0,
+        F.lit("<ul><li>outer</li><ol><li>inner</li></ol></ul>"),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('<p>pre</p><UL class="menu"><li>First &amp; '),
+        (did % 7).cast("string"),
+        F.lit('</li><li CLASS="x">Second '),
+        (did % 10).cast("string"),
+        F.lit("</li>"),
+        rot,
+        F.lit("</UL>"),
+        ol2,
+        nested,
+        F.lit(
+            "<!-- <ul><li>ghost</li></ul> -->"
+            '<link href="x">'
+            '<script>var l = "<ol><li>js</li></ol>";</script>'
+        ),
+    )
+
+
 ROBOTS_RULES = [
     ("site0.com", "/", False),
     ("site0.com", "/p/", True),
@@ -4083,6 +4149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_outline": q_html_outline,
     "html_metadata": q_html_metadata,
     "html_tables": q_html_tables,
+    "html_lists": q_html_lists,
     "html_links": q_html_links,
     "corpus_link_graph": q_corpus_link_graph,
     "corpus_anchor_text": q_corpus_anchor_text,
@@ -4101,7 +4168,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- corpus decisions ---------------------------------------------
     "corpus_c4_filters": q_corpus_c4_filters,
     "corpus_dsir_sample": q_corpus_dsir_sample,
-    "corpus_end_to_end": q_corpus_end_to_end,
     "corpus_dedup_funnel": q_corpus_dedup_funnel,
     "corpus_robots_filter": q_corpus_robots_filter,
     "corpus_url_templates": q_corpus_url_templates,
@@ -4274,7 +4340,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text_mojibake is BORN below-window (late-r05 addition, same call
     # as graph_hits); full value-hash oracle in the local gate every
     # session; joins the r06 window queue behind graph_hits.
+    # corpus_end_to_end (r04-green; rotated below for html_lists — the
+    # SAME six-stage chain runs in-window stage-for-stage via
+    # corpus_dedup_funnel, whose full value-hash oracle shares
+    # _e2e_stages/_e2e_chain_sql with it, and every constituent stage
+    # keeps its own in-window row)
     "dedup_exact": q_dedup_exact,
+    "corpus_end_to_end": q_corpus_end_to_end,
     "graph_hits": q_graph_hits,
     "text_mojibake": q_text_mojibake,
     "html_pub_date": q_html_pub_date,
@@ -7587,6 +7659,70 @@ def _html_tables_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_tables"] = _html_tables_oracle_sql()
+
+
+_LIST_PAGE_SQL = (
+    "'<p>pre</p><UL class=\"menu\"><li>First &amp; ' || "
+    "CAST(doc_id % 7 AS VARCHAR) || "
+    "'</li><li CLASS=\"x\">Second ' || "
+    "CAST(doc_id % 10 AS VARCHAR) || '</li>' || "
+    "(CASE doc_id % 3 WHEN 0 THEN '<li' || chr(10) || '>Ws ' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '</li>' "
+    "WHEN 1 THEN '<li></li>' ELSE '<li>dropped no close' END) || "
+    "'</UL>' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '<OL start=\"3\"><li>Step ' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '</li><li>Step b</li></OL>' "
+    "ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'<ul><li>outer</li><ol><li>inner</li></ol></ul>' ELSE '' END) || "
+    "'<!-- <ul><li>ghost</li></ul> --><link href=\"x\">"
+    "<script>var l = \"<ol><li>js</li></ol>\";</script>'"
+)
+
+
+def _html_lists_oracle_sql() -> str:
+    """html_lists oracle — the strip passes + the TWO-level extract_all
+    chain (list kind/body groups zipped by index -> li items), all
+    regenerated from the engine's regex constants; 0-based positions
+    BIGINT-cast at every level (the driver-hash casting rule)."""
+    from .operators.html import (
+        COMMENT_RE,
+        HTML_ENTITIES,
+        LI_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        UL_OL_RE,
+        WS_RUN_RE,
+    )
+
+    t = f"regexp_replace(its[ii], '{TAG_RE}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    clean = f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_LIST_PAGE_SQL} AS h "
+        "FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
+        f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS h "
+        "FROM d0), "
+        "t AS (SELECT doc_id, "
+        f"regexp_extract_all(h, '{UL_OL_RE}', 1) AS tg, "
+        f"regexp_extract_all(h, '{UL_OL_RE}', 2) AS bd FROM d), "
+        "l AS (SELECT doc_id, CAST(li - 1 AS BIGINT) AS list_no, "
+        "lower(tg[li]) = 'o' AS ordered, bd[li] AS raw FROM t, "
+        "UNNEST(generate_series(1, len(bd))) AS g1(li)), "
+        "c AS (SELECT doc_id, list_no, ordered, "
+        f"regexp_extract_all(raw, '{LI_RE}', 1) AS its FROM l) "
+        "SELECT doc_id, list_no, ordered, "
+        "CAST(ii - 1 AS BIGINT) AS item_no, "
+        f"{clean} AS item "
+        "FROM c, UNNEST(generate_series(1, len(its))) AS g2(ii)"
+    )
+
+
+ORACLE_SQL["html_lists"] = _html_lists_oracle_sql()
 
 
 def _duck_str(s: str) -> str:

@@ -2752,6 +2752,59 @@ def test_html_tables(spark):
         )
 
 
+def test_html_lists(spark):
+    """html.lists: ul/ol items as relational rows — ordered flags,
+    entity decode, empty item '', whitespace in the open tag, unclosed
+    items dropped, nested truncation attributes inner closed items to
+    the outer list, commented/scripted/<link> decoys never match,
+    NULL/list-less html emits nothing, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import lists
+
+    rows = [
+        (
+            1,
+            '<p>x</p><UL class="menu"><li>First &amp; A</li>'
+            '<li CLASS="x">Second</li><li\n>Ws</li><li></li>'
+            "<li>dropped no close</UL>"
+            '<OL start="3"><li>Step 1</li></OL>'
+            "<!-- <ul><li>ghost</li></ul> -->"
+            '<link href="x">'
+            '<script>var l = "<ol><li>js</li></ol>";</script>',
+        ),
+        # nested: outer <ul> body truncates at the inner's </ol>, so
+        # the inner's closed item attributes to the OUTER list
+        (2, "<ul><li>outer</li><ol><li>inner</li></ol></ul>"),
+        (3, None),
+        (4, "<div>no lists</div>"),
+    ]
+    got = [
+        tuple(r)
+        for r in lists(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        )
+        .orderBy("doc_id", "list_no", "item_no")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, False, 0, "First & A"),
+        (1, 0, False, 1, "Second"),
+        (1, 0, False, 2, "Ws"),
+        (1, 0, False, 3, ""),
+        (1, 1, True, 0, "Step 1"),
+        (2, 0, False, 0, "outer"),
+        (2, 0, False, 1, "inner"),
+    ]
+    with _pytest.raises(ValueError, match="clash"):
+        lists(
+            spark.createDataFrame(
+                [(1, "<i>x</i>", "y")],
+                "doc_id long, html string, _li_raw string",
+            )
+        )
+
+
 def test_html_links_and_graph(spark):
     """html.links: quoted hrefs only, comments/scripts stripped,
     href-less anchors skipped, anchors cleaned; host_link_graph:

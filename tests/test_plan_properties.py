@@ -907,6 +907,18 @@ def test_html_tables_plan(spark):
     assert plan.count("Generate") == 2, plan
 
 
+def test_html_lists_plan(spark):
+    """html_lists: narrow + exactly TWO Generates (list->row,
+    row->item) — zero exchanges, no join, no Python; the item-level
+    regex runs on the already-exploded list body, never re-scanning
+    the page."""
+    plan = _qplan(spark, "html_lists")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 2, plan
+
+
 def test_robots_filter_plan(spark):
     """corpus_robots_filter: the big side never shuffles — the only
     exchange keys the curation-bounded rules agg, broadcast onto the
