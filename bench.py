@@ -177,6 +177,7 @@ HEADLINE = [
     "html_tables",
     "text_mojibake",
     "html_pub_date",
+    "html_lists",
 ]
 
 
