@@ -2951,6 +2951,78 @@ def q_corpus_url_templates(spark, sf):
     return url_templates(withu, min_urls=2)
 
 
+def q_corpus_sitemap(spark, sf):
+    """Sitemap-XML entry extraction over synthesized sitemap pages:
+    a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
+    and a %2 <lastmod>, a cased <URL rel=..> whose loc goes JUNK on
+    %11 (host -> NULL, never a throw), a %3 loc-less block that must
+    drop while later entry_no keeps the source gap, a %5
+    <sitemap> index entry (is_index), and a commented-out decoy that
+    must never match.  Oracle = the same block/loc/lastmod extract
+    chain regenerated from the engine's regex constants + a generic
+    scheme://host restatement of host_of."""
+    from .operators.urls import sitemap_entries
+
+    d = load(spark, sf, "documents")
+    return sitemap_entries(
+        d.select("doc_id", _sitemap_fixture_page().alias("xml"))
+    )
+
+
+def _sitemap_fixture_page():
+    """Shared doc_id-derived sitemap fixture (see q_corpus_sitemap);
+    the DuckDB restatement is _SITEMAP_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+    h7 = (did % 7).cast("string")
+    lastmod = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("<lastmod>2024-0"),
+            ((did % 9) + 1).cast("string"),
+            F.lit("-11</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    loc2 = F.when(did % 11 == 0, F.lit("junk loc")).otherwise(
+        F.concat(
+            F.lit("https://site"),
+            h7,
+            F.lit(".com/two/"),
+            (did % 10).cast("string"),
+        )
+    )
+    locless = F.when(
+        did % 3 == 0, F.lit("<url><priority>0.5</priority></url>")
+    ).otherwise(F.lit(""))
+    smap = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit("<sitemap><loc>https://site"),
+            h7,
+            F.lit(".com/sitemaps/s"),
+            (did % 4).cast("string"),
+            F.lit(".xml</loc></sitemap>"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> '),
+        F.lit("https://www.Site"),
+        h7,
+        F.lit(".com/page/"),
+        (did % 50).cast("string"),
+        F.lit("?a=1&amp;b=2 </loc>"),
+        lastmod,
+        F.lit('</url><URL rel="x"><loc>'),
+        loc2,
+        F.lit("</loc></URL>"),
+        locless,
+        smap,
+        F.lit(
+            "<!-- <url><loc>https://ghost.example/</loc></url> -->"
+            "</urlset>"
+        ),
+    )
+
+
 def q_corpus_c4_filters(spark, sf):
     """C4 heuristic cleanup (Raffel et al. 2020 §2.2) over a
     doc_id-derived multi-line fixture exercising every rule: a kept
@@ -4170,7 +4242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dsir_sample": q_corpus_dsir_sample,
     "corpus_dedup_funnel": q_corpus_dedup_funnel,
     "corpus_robots_filter": q_corpus_robots_filter,
-    "corpus_url_templates": q_corpus_url_templates,
+    "corpus_sitemap": q_corpus_sitemap,
     "corpus_frontier_score": q_corpus_frontier_score,
     "corpus_span_ladder": q_corpus_span_ladder,
     "corpus_assemble": q_corpus_assemble,
@@ -4345,7 +4417,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus_dedup_funnel, whose full value-hash oracle shares
     # _e2e_stages/_e2e_chain_sql with it, and every constituent stage
     # keeps its own in-window row)
+    # corpus_url_templates (r05-born; rotated below for corpus_sitemap
+    # — its host+digit-template counts run composed IN-WINDOW with a
+    # full value-hash oracle inside corpus_frontier_score's saturation
+    # stage; the standalone form keeps its regenerated oracle in the
+    # local gate every session)
     "dedup_exact": q_dedup_exact,
+    "corpus_url_templates": q_corpus_url_templates,
     "corpus_end_to_end": q_corpus_end_to_end,
     "graph_hits": q_graph_hits,
     "text_mojibake": q_text_mojibake,
@@ -7723,6 +7801,70 @@ def _html_lists_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_lists"] = _html_lists_oracle_sql()
+
+
+_SITEMAP_PAGE_SQL = (
+    "'<?xml version=\"1.0\"?><urlset><url><loc> https://www.Site' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com/page/' || "
+    "CAST(doc_id % 50 AS VARCHAR) || '?a=1&amp;b=2 </loc>' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '<lastmod>2024-0' || "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) || '-11</lastmod>' "
+    "ELSE '' END) || "
+    "'</url><URL rel=\"x\"><loc>' || "
+    "(CASE WHEN doc_id % 11 = 0 THEN 'junk loc' "
+    "ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.com/two/' || CAST(doc_id % 10 AS VARCHAR) END) || "
+    "'</loc></URL>' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "'<url><priority>0.5</priority></url>' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'<sitemap><loc>https://site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.com/sitemaps/s' || CAST(doc_id % 4 AS VARCHAR) || "
+    "'.xml</loc></sitemap>' ELSE '' END) || "
+    "'<!-- <url><loc>https://ghost.example/</loc></url> --></urlset>'"
+)
+
+
+def _corpus_sitemap_oracle_sql() -> str:
+    """corpus_sitemap oracle — the comment strip + block extract_all
+    (kind/body groups zipped by index) -> per-block first loc/lastmod,
+    all regenerated from the engine's regex constants; host restated
+    generically as lower(scheme://AUTHORITY) with the leading-www
+    strip ('' -> NULL mirrors try_parse_url's junk contract for every
+    fixture arm)."""
+    from .operators.html import COMMENT_RE, HTML_ENTITIES
+    from .operators.urls import LASTMOD_RE, LOC_RE, SITEMAP_BLOCK_RE
+
+    t = "lr"
+    for ent, ch in HTML_ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    host = (
+        "NULLIF(regexp_replace(lower(regexp_extract(loc, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+        "'^www\\.', ''), '')"
+    )
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_SITEMAP_PAGE_SQL} AS x "
+        "FROM documents), "
+        "d AS (SELECT doc_id, "
+        f"regexp_replace(x, '{COMMENT_RE}', ' ', 'g') AS x FROM d0), "
+        "t AS (SELECT doc_id, "
+        f"regexp_extract_all(x, '{SITEMAP_BLOCK_RE}', 1) AS kd, "
+        f"regexp_extract_all(x, '{SITEMAP_BLOCK_RE}', 2) AS bd "
+        "FROM d), "
+        "e AS (SELECT doc_id, CAST(ei - 1 AS BIGINT) AS entry_no, "
+        "lower(kd[ei]) = 'sitemap' AS is_index, "
+        f"regexp_extract(bd[ei], '{LOC_RE}', 1) AS lr, "
+        f"regexp_extract(bd[ei], '{LASTMOD_RE}', 1) AS lm FROM t, "
+        "UNNEST(generate_series(1, len(bd))) AS g(ei)), "
+        f"c AS (SELECT doc_id, entry_no, is_index, trim({t}) AS loc, "
+        "NULLIF(trim(lm), '') AS lastmod FROM e) "
+        "SELECT doc_id, entry_no, is_index, loc, lastmod, "
+        f"{host} AS host FROM c WHERE loc <> ''"
+    )
+
+
+ORACLE_SQL["corpus_sitemap"] = _corpus_sitemap_oracle_sql()
 
 
 def _duck_str(s: str) -> str:

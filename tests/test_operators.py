@@ -2882,3 +2882,56 @@ def test_pagerank_matches_python_model(spark):
     # c receives from both a and b; d has no in-edges -> teleport floor
     assert got["c"] > got["d"]
     assert got["d"] == round((1.0 - d) / n, 12)
+
+
+def test_sitemap_entries(spark):
+    """urls.sitemap_entries: url + sitemapindex blocks as rows —
+    is_index flags, entity-decoded/trimmed loc, lastmod ''/absent ->
+    NULL, loc-less blocks dropped (entry_no keeps the source gap),
+    cased tags + attrs match, commented-out decoys never match,
+    host = shared normalization (www-strip/lower; junk -> NULL),
+    NULL/entry-less xml emits nothing, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        sitemap_entries,
+    )
+
+    rows = [
+        (
+            1,
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc> https://www.Site.com/a&amp;b </loc>"
+            "<lastmod>2024-01-15</lastmod></url>"
+            "<URL week=\"x\"><loc>https://site.com/two</loc>"
+            "<lastmod>  </lastmod></URL>"
+            "<url><priority>0.5</priority></url>"
+            "<sitemap><loc>https://site.com/s1.xml</loc></sitemap>"
+            "<!-- <url><loc>https://ghost.com/</loc></url> -->"
+            "</urlset>",
+        ),
+        (2, "<urlset><url><loc>junk no scheme</loc></url></urlset>"),
+        (3, None),
+        (4, "<urlset></urlset>"),
+    ]
+    got = [
+        tuple(r)
+        for r in sitemap_entries(
+            spark.createDataFrame(rows, "doc_id long, xml string")
+        )
+        .orderBy("doc_id", "entry_no")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, False, "https://www.Site.com/a&b", "2024-01-15", "site.com"),
+        (1, 1, False, "https://site.com/two", None, "site.com"),
+        (1, 3, True, "https://site.com/s1.xml", None, "site.com"),
+        (2, 0, False, "junk no scheme", None, None),
+    ]
+    with _pytest.raises(ValueError, match="clash"):
+        sitemap_entries(
+            spark.createDataFrame(
+                [(1, "<x/>", "y")],
+                "doc_id long, xml string, _site_loc string",
+            )
+        )

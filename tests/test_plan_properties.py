@@ -995,3 +995,14 @@ def test_pagerank_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_corpus_sitemap_plan(spark):
+    """corpus_sitemap: narrow + exactly ONE Generate (block->entry) —
+    zero exchanges, no join, no Python; the per-entry loc/lastmod
+    regexes run on the already-exploded block body."""
+    plan = _qplan(spark, "corpus_sitemap")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 1, plan
