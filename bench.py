@@ -178,6 +178,7 @@ HEADLINE = [
     "text_mojibake",
     "html_pub_date",
     "html_lists",
+    "corpus_sitemap",
 ]
 
 
