@@ -998,3 +998,102 @@ def publish_date(
         ).alias("pub_date"),
         src.alias("date_source"),
     )
+
+
+# The open tag must carry type="application/ld+json" (any attribute
+# position, either quote style, case-insensitive via (?is)); [^>]*?
+# keeps the scan inside the tag.  RE2-safe: lazy quantifiers only, no
+# backreferences or lookahead.
+JSONLD_RE = (
+    "(?is)<script[ \\t\\n\\r][^>]*?type[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>"
+)
+# The four schema.org fields the extraction tier actually consumes
+# downstream: (json path key, output column).
+JSONLD_FIELDS = [
+    ("@type", "item_type"),
+    ("name", "name"),
+    ("headline", "headline"),
+    ("datePublished", "date_published"),
+]
+
+
+def _json_scalar(v: Column) -> Column:
+    """Scalar-only contract: array/object-valued fields -> NULL.  The
+    two engines normalize nested-JSON serialization differently
+    (whitespace, key order preservation), so composite values are
+    deliberately outside the cross-engine contract."""
+    return F.when(
+        F.substring(v, 1, 1).isin("[", "{"), F.lit(None)
+    ).otherwise(v)
+
+
+def jsonld(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """JSON-LD structured-data extraction — schema.org blocks from
+    ``<script type="application/ld+json">`` as relational rows, the
+    machine-readable twin of :func:`metadata` (publishers duplicate
+    title/date/author into JSON-LD precisely so extractors don't have
+    to parse the visible markup; htmldate and trafilatura both read
+    this block first).
+
+    Emits one row per JSON-LD script block, in document order::
+
+        (doc_id, block_no, is_valid, item_type, name, headline,
+         date_published)
+
+    ``is_valid`` marks blocks that parse as JSON at all (malformed
+    blocks keep their row — block positions stay stable — with every
+    field NULL); field extraction is ``get_json_object`` on the raw
+    block (JVM-side Jackson, no UDF) with a ROOT-ARRAY rule: a block
+    whose first non-space char is '[' reads ``$[0].field`` (the
+    common publisher shape is a one-element array), a root object
+    reads ``$.field``.  ``@graph`` indirection is NOT followed
+    (documented out of scope — a deterministic no-parser trade like
+    :func:`tables` nesting).  Values are SCALAR-ONLY: array/object
+    values -> NULL (see _json_scalar); JSON string escapes (\\uXXXX,
+    \\n, \\") are decoded by both engines' parsers identically.  XML
+    comments are stripped first (a commented-out block is not data);
+    a literal ``</script>`` INSIDE a JSON string truncates the block
+    (real-world JSON-LD escapes it as ``<\\/script>`` per the HTML
+    spec, which the JSON parser then reads back as ``</script>``).
+
+    100 TB shape: narrow + ONE posexplode (block->row), zero
+    exchanges, no UDF; the per-field parses run on the already-
+    exploded block attribute (the lambda-attribute rule).  Each
+    get_json_object call re-parses the block (4 parses/row) — the
+    Spark-4 single-parse upgrade is parse_json + variant_get, kept
+    out for cross-engine oracle simplicity at 4 fields.
+    """
+    clash = sorted({"_jl_h", "_jl_bl", "_jl_b"} & set(df.columns))
+    if clash:
+        raise ValueError(f"jsonld staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(h, COMMENT_RE, " ")
+    base = df.withColumn("_jl_h", pin(h)).withColumn(
+        "_jl_bl",
+        pin(F.regexp_extract_all(F.col("_jl_h"), F.lit(JSONLD_RE), 1)),
+    )
+    per_block = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col("_jl_bl")).alias("block_no", "_jl_b"),
+    )
+    raw = F.col("_jl_b")
+    is_arr = F.substring(F.ltrim(raw), 1, 1) == "["
+    fields = [
+        _json_scalar(
+            F.when(
+                is_arr, F.get_json_object(raw, f"$[0]['{key}']")
+            ).otherwise(F.get_json_object(raw, f"$['{key}']"))
+        ).alias(out)
+        for key, out in JSONLD_FIELDS
+    ]
+    return per_block.select(
+        "doc_id",
+        F.col("block_no").cast("long").alias("block_no"),
+        F.get_json_object(raw, "$").isNotNull().alias("is_valid"),
+        *fields,
+    )

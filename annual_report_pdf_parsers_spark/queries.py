@@ -2951,6 +2951,90 @@ def q_corpus_url_templates(spark, sf):
     return url_templates(withu, min_urls=2)
 
 
+def q_html_jsonld(spark, sf):
+    """JSON-LD structured-data extraction over synthesized pages: an
+    Article object block whose name goes NESTED-OBJECT on %7 (the
+    scalar-only contract -> NULL) and carries \\u-escaped text
+    otherwise (both engines' JSON parsers decode escapes), a %2
+    headline, a %3 ROOT-ARRAY Product block read through $[0] with
+    a single-quoted type attribute, a %5 MALFORMED block that keeps
+    its row with is_valid False and all fields NULL, plus two decoys
+    that must never match (a type-less script and a commented-out
+    block).  Oracle = the same comment strip + block extract_all +
+    json_extract_string chain with the identical root-array and
+    scalar-only CASE rules, regenerated from the engine's
+    JSONLD_RE/JSONLD_FIELDS constants."""
+    from .operators.html import jsonld
+
+    d = load(spark, sf, "documents")
+    return jsonld(
+        d.select("doc_id", _jsonld_fixture_page().alias("html"))
+    )
+
+
+def _jsonld_fixture_page():
+    """Shared doc_id-derived JSON-LD fixture (see q_html_jsonld); the
+    DuckDB restatement is _JSONLD_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+    name_val = F.when(did % 7 == 0, F.lit('{"x": 1}')).otherwise(
+        F.concat(
+            F.lit('"Doc '),
+            (did % 50).cast("string"),
+            F.lit(' \\u0026 Co"'),
+        )
+    )
+    headline = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(', "headline": "H'),
+            (did % 9).cast("string"),
+            F.lit('"'),
+        ),
+    ).otherwise(F.lit(""))
+    block_a = F.concat(
+        F.lit(
+            '<script async type="application/ld+json">'
+            '{"@type": "Article", "name": '
+        ),
+        name_val,
+        headline,
+        F.lit(', "datePublished": "2024-0'),
+        ((did % 9) + 1).cast("string"),
+        F.lit('-05", "author": {"@type": "Person"}}</script>'),
+    )
+    block_b = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(
+                "<script type='application/ld+json'>"
+                '[{"@type": "Product", "name": "P'
+            ),
+            (did % 10).cast("string"),
+            F.lit('"}, {"@type": "Decoy"}]</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    block_c = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(
+                '<script type="application/ld+json">{"name": "x'
+            ),
+            (did % 4).cast("string"),
+            F.lit('"</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<head><script>var a = 1;</script>"),
+        block_a,
+        block_b,
+        block_c,
+        F.lit(
+            '<!-- <script type="application/ld+json">'
+            '{"@type": "Ghost"}</script> --></head>'
+        ),
+    )
+
+
 def q_corpus_sitemap(spark, sf):
     """Sitemap-XML entry extraction over synthesized sitemap pages:
     a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
@@ -4222,6 +4306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_metadata": q_html_metadata,
     "html_tables": q_html_tables,
     "html_lists": q_html_lists,
+    "html_jsonld": q_html_jsonld,
     "html_links": q_html_links,
     "corpus_link_graph": q_corpus_link_graph,
     "corpus_anchor_text": q_corpus_anchor_text,
@@ -4257,7 +4342,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_embed_prune": q_corpus_embed_prune,
     # -- events / temporal --------------------------------------------
     "events_slide_window": q_events_slide_window,
-    "events_stream_window": q_events_stream_window,
     # -- flagship (pipeline_oracle = the oracled fixture form) --------
     "pipeline_extract": q_pipeline_extract,
     "pipeline_oracle": q_pipeline_oracle,
@@ -4428,6 +4512,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_hits": q_graph_hits,
     "text_mojibake": q_text_mojibake,
     "html_pub_date": q_html_pub_date,
+    # events_stream_window (r04-green driver row; the windowed-agg
+    # shape stays in-window via events_slide_window — the streaming
+    # source/watermark half keeps its r04 row + the local gate, which
+    # runs the real AvailableNow stream every session) rotated below
+    # for html_jsonld
+    "events_stream_window": q_events_stream_window,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -7865,6 +7955,75 @@ def _corpus_sitemap_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_sitemap"] = _corpus_sitemap_oracle_sql()
+
+
+_JSONLD_PAGE_SQL = (
+    "'<head><script>var a = 1;</script>"
+    "<script async type=\"application/ld+json\">"
+    "{\"@type\": \"Article\", \"name\": ' || "
+    "(CASE WHEN doc_id % 7 = 0 THEN '{\"x\": 1}' "
+    "ELSE '\"Doc ' || CAST(doc_id % 50 AS VARCHAR) || "
+    "' \\u0026 Co\"' END) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN ', \"headline\": \"H' || "
+    "CAST(doc_id % 9 AS VARCHAR) || '\"' ELSE '' END) || "
+    "', \"datePublished\": \"2024-0' || "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) || "
+    "'-05\", \"author\": {\"@type\": \"Person\"}}</script>' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "'<script type=''application/ld+json''>"
+    "[{\"@type\": \"Product\", \"name\": \"P' || "
+    "CAST(doc_id % 10 AS VARCHAR) || "
+    "'\"}, {\"@type\": \"Decoy\"}]</script>' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'<script type=\"application/ld+json\">{\"name\": \"x' || "
+    "CAST(doc_id % 4 AS VARCHAR) || '\"</script>' ELSE '' END) || "
+    "'<!-- <script type=\"application/ld+json\">"
+    "{\"@type\": \"Ghost\"}</script> --></head>'"
+)
+
+
+def _html_jsonld_oracle_sql() -> str:
+    """html_jsonld oracle — the comment strip + block extract_all +
+    json_extract_string chain regenerated from the engine's JSONLD_RE/
+    JSONLD_FIELDS constants, with the identical root-array ($[0] when
+    the first non-space char is '[') and scalar-only (array/object
+    value -> NULL) CASE rules; the json_valid guard doubles as both
+    the is_valid column and DuckDB's malformed-input protection
+    (json_extract_string THROWS on invalid JSON where Spark's
+    get_json_object returns NULL)."""
+    from .operators.html import COMMENT_RE, JSONLD_FIELDS, JSONLD_RE
+
+    re_sql = JSONLD_RE.replace("'", "''")
+    exts = ", ".join(
+        "CASE WHEN json_valid(raw) THEN "
+        "CASE WHEN left(ltrim(raw), 1) = '[' "
+        f"THEN json_extract_string(raw, '$[0].\"{k}\"') "
+        f"ELSE json_extract_string(raw, '$.\"{k}\"') END END "
+        f"AS _v_{o}"
+        for k, o in JSONLD_FIELDS
+    )
+    outs = ", ".join(
+        f"CASE WHEN left(_v_{o}, 1) IN ('[', '{{') THEN NULL "
+        f"ELSE _v_{o} END AS {o}"
+        for _, o in JSONLD_FIELDS
+    )
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_JSONLD_PAGE_SQL} AS h "
+        "FROM documents), "
+        "d AS (SELECT doc_id, "
+        f"regexp_replace(h, '{COMMENT_RE}', ' ', 'g') AS h FROM d0), "
+        "t AS (SELECT doc_id, "
+        f"regexp_extract_all(h, '{re_sql}', 1) AS bl FROM d), "
+        "b AS (SELECT doc_id, CAST(bi - 1 AS BIGINT) AS block_no, "
+        "bl[bi] AS raw FROM t, "
+        "UNNEST(generate_series(1, len(bl))) AS g(bi)), "
+        "e AS (SELECT doc_id, block_no, "
+        f"json_valid(raw) AS is_valid, {exts} FROM b) "
+        f"SELECT doc_id, block_no, is_valid, {outs} FROM e"
+    )
+
+
+ORACLE_SQL["html_jsonld"] = _html_jsonld_oracle_sql()
 
 
 def _duck_str(s: str) -> str:

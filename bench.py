@@ -179,6 +179,7 @@ HEADLINE = [
     "html_pub_date",
     "html_lists",
     "corpus_sitemap",
+    "html_jsonld",
 ]
 
 

@@ -2935,3 +2935,62 @@ def test_sitemap_entries(spark):
                 "doc_id long, xml string, _site_loc string",
             )
         )
+
+
+def test_html_jsonld(spark):
+    """html.jsonld: ld+json script blocks as rows — root object and
+    root array ($[0]) shapes, scalar-only values (nested object ->
+    NULL), \\u escapes decoded, malformed block keeps its row with
+    is_valid False, type attribute in any position/quote style,
+    plain-script + commented decoys never match, NULL/blockless html
+    emits nothing, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import jsonld
+
+    rows = [
+        (
+            1,
+            "<head><script>var x = 1;</script>"
+            '<script async type="application/ld+json">'
+            '{"@type": "Article", "name": "Caf\\u00e9 \\u0026 Bar",'
+            ' "headline": "H1", "datePublished": "2024-03-05",'
+            ' "author": {"@type": "Person"}}</script>'
+            "<!-- <script type=\"application/ld+json\">"
+            '{"@type": "Ghost"}</script> -->'
+            "<script type='application/ld+json'>"
+            '[{"@type": "Product", "name": "P9"},'
+            ' {"@type": "Ignored"}]</script></head>',
+        ),
+        # malformed JSON: row kept, is_valid False, all fields NULL;
+        # nested-object name -> NULL under the scalar-only contract
+        (
+            2,
+            '<script type="application/ld+json">{"name": </script>'
+            '<script type="application/ld+json">'
+            '{"@type": "Thing", "name": {"x": 1}}</script>',
+        ),
+        (3, None),
+        (4, "<script>no type</script><p>x</p>"),
+    ]
+    got = [
+        tuple(r)
+        for r in jsonld(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        )
+        .orderBy("doc_id", "block_no")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, True, "Article", "Café & Bar", "H1", "2024-03-05"),
+        (1, 1, True, "Product", "P9", None, None),
+        (2, 0, False, None, None, None, None),
+        (2, 1, True, "Thing", None, None, None),
+    ]
+    with _pytest.raises(ValueError, match="clash"):
+        jsonld(
+            spark.createDataFrame(
+                [(1, "<i>x</i>", "y")],
+                "doc_id long, html string, _jl_b string",
+            )
+        )

@@ -1006,3 +1006,14 @@ def test_corpus_sitemap_plan(spark):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Generate") == 1, plan
+
+
+def test_html_jsonld_plan(spark):
+    """html_jsonld: narrow + exactly ONE Generate (block->row) — zero
+    exchanges, no join, no Python; the per-field get_json_object
+    parses run on the already-exploded block attribute."""
+    plan = _qplan(spark, "html_jsonld")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 1, plan
