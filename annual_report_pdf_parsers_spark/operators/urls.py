@@ -416,3 +416,134 @@ def sitemap_entries(
             host_of(F.col("_site_loc")).alias("host"),
         )
     )
+
+
+FEED_BLOCK_RE = (
+    "(?is)<(item|entry)(?:[ \\t\\n\\r][^>]*)?>(.*?)</(?:item|entry)>"
+)
+FEED_TITLE_RE = "(?is)<title(?:[ \\t\\n\\r][^>]*)?>(.*?)</title>"
+# RSS puts the url in the <link> TEXT; Atom self-closes <link href=..>
+# (no close tag), so the two shapes need separate regexes.
+FEED_LINK_TEXT_RE = "(?is)<link(?:[ \\t\\n\\r][^>]*)?>(.*?)</link>"
+FEED_LINK_HREF_RE = (
+    "(?is)<link[^>]*?href[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+FEED_DATE_RE = (
+    "(?is)<(?:pubdate|published|updated)(?:[ \\t\\n\\r][^>]*)?>"
+    "(.*?)</(?:pubdate|published|updated)>"
+)
+CDATA_RE = "(?s)<!\\[CDATA\\[(.*?)\\]\\]>"
+
+
+def feed_items(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """RSS/Atom feed-item extraction — the FRESHNESS companion of
+    :func:`sitemap_entries` (a crawler discovers new urls from feeds
+    between sitemap refreshes; news/blog corpora are seeded from
+    exactly this shape).  Handles BOTH syndication dialects in one
+    pass: RSS 2.0 ``<item>`` (link as element TEXT, ``<pubDate>``)
+    and Atom ``<entry>`` (link as a self-closing ``href`` attribute,
+    ``<published>``/``<updated>``).
+
+    Emits one row per item/entry block, in document order::
+
+        (doc_id, item_no, is_atom, title, link, pub_date, host)
+
+    ``is_atom`` marks <entry> blocks; ``title`` resolves CDATA
+    spec-faithfully — ``<![CDATA[..]]>`` content is taken LITERALLY
+    (XML forbids entity expansion inside CDATA) while plain text
+    nodes are entity-decoded; ``link`` = the first link TEXT if
+    non-blank else the first link ``href`` attribute, entity-decoded
+    (feeds must &amp;-escape urls); ``pub_date`` = the first
+    pubDate/published/updated text, trimmed, kept a STRING (the
+    html.publish_date rule — RFC-822 vs ISO-8601 parsing diverges
+    across engines long before the comparison does); absent and
+    blank both -> NULL for all three (regexp_extract cannot tell
+    them apart); ``host`` = the shared :func:`host_of` normalization
+    (junk -> NULL, never a throw).  XML comments are stripped first
+    (comment strip is CDATA-blind — the documented no-parser trade);
+    a mismatched close (``<item>..</entry>``) truncates at the first
+    close of either kind (the tables rule).  Blocks are NOT dropped
+    on missing fields — item positions stay stable.
+
+    100 TB shape: narrow + ONE posexplode (block->row), zero
+    exchanges, no UDF; per-item regexes run on the already-exploded
+    block body (the lambda-attribute rule, NOTES gotcha 3).
+    """
+    clash = sorted(
+        {"_fd_x", "_fd_tg", "_fd_bd", "_fd_b", "_fd_ti", "_fd_ln"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(f"feed_items staging columns clash: {clash}")
+    from ..functions.numeric import pin
+    from .html import COMMENT_RE, HTML_ENTITIES
+
+    x = F.coalesce(F.col(xml_col).cast("string"), F.lit(""))
+    x = F.regexp_replace(x, COMMENT_RE, " ")
+    base = (
+        df.withColumn("_fd_x", pin(x))
+        .withColumn(
+            "_fd_tg",
+            pin(
+                F.regexp_extract_all(
+                    F.col("_fd_x"), F.lit(FEED_BLOCK_RE), 1
+                )
+            ),
+        )
+        .withColumn(
+            "_fd_bd",
+            pin(
+                F.regexp_extract_all(
+                    F.col("_fd_x"), F.lit(FEED_BLOCK_RE), 2
+                )
+            ),
+        )
+    )
+    per_item = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("_fd_tg"),
+        F.posexplode(F.col("_fd_bd")).alias("item_no", "_fd_b"),
+    )
+    b = F.col("_fd_b")
+
+    def decoded(raw: Column) -> Column:
+        for ent, ch in HTML_ENTITIES:
+            raw = F.replace(raw, F.lit(ent), F.lit(ch))
+        return raw
+
+    t_raw = F.regexp_extract(b, FEED_TITLE_RE, 1)
+    t_cd = F.regexp_extract(t_raw, CDATA_RE, 1)
+    title = F.when(t_cd != "", F.trim(t_cd)).otherwise(
+        F.trim(decoded(t_raw))
+    )
+    l_txt = F.trim(decoded(F.regexp_extract(b, FEED_LINK_TEXT_RE, 1)))
+    l_href = F.trim(
+        decoded(F.regexp_extract(b, FEED_LINK_HREF_RE, 1))
+    )
+    link = F.when(l_txt != "", l_txt).otherwise(l_href)
+    return (
+        per_item.withColumn("_fd_ti", F.nullif(title, F.lit("")))
+        .withColumn("_fd_ln", F.nullif(link, F.lit("")))
+        .select(
+            "doc_id",
+            F.col("item_no").cast("long").alias("item_no"),
+            (
+                F.lower(
+                    F.element_at(
+                        F.col("_fd_tg"),
+                        (F.col("item_no") + 1).cast("int"),
+                    )
+                )
+                == "entry"
+            ).alias("is_atom"),
+            F.col("_fd_ti").alias("title"),
+            F.col("_fd_ln").alias("link"),
+            F.nullif(
+                F.trim(F.regexp_extract(b, FEED_DATE_RE, 1)), F.lit("")
+            ).alias("pub_date"),
+            host_of(F.col("_fd_ln")).alias("host"),
+        )
+    )

@@ -3035,6 +3035,85 @@ def _jsonld_fixture_page():
     )
 
 
+def q_corpus_feed_items(spark, sf):
+    """RSS/Atom feed-item extraction over synthesized feed pages: an
+    RSS item with an entity-escaped title/link and a %2 pubDate, a %3
+    CDATA-titled item whose &amp; must stay LITERAL (XML forbids
+    entity expansion inside CDATA) with no link (NULL link/host), a
+    %11 junk-link item behind a <linkage> decoy (NULL host via the
+    host_of junk contract), a %5 Atom <entry> with a self-closing
+    href link + <updated>, and a commented-out item that must never
+    match.  Oracle = the same block/title/link/date extract chain
+    with the identical CDATA and text-else-href CASE rules,
+    regenerated from the engine's regex constants."""
+    from .operators.urls import feed_items
+
+    d = load(spark, sf, "documents")
+    return feed_items(
+        d.select("doc_id", _feed_fixture_page().alias("xml"))
+    )
+
+
+def _feed_fixture_page():
+    """Shared doc_id-derived feed fixture (see q_corpus_feed_items);
+    the DuckDB restatement is _FEED_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+    h7 = (did % 7).cast("string")
+    item1 = F.concat(
+        F.lit("<item><title> Breaking &amp; A"),
+        (did % 9).cast("string"),
+        F.lit(" </title><link>https://www.News"),
+        h7,
+        F.lit(".com/a/"),
+        (did % 10).cast("string"),
+        F.lit("?x=1&amp;y=2</link>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("<pubDate>Mon, 0"),
+                ((did % 9) + 1).cast("string"),
+                F.lit(" Jan 2024</pubDate>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</item>"),
+    )
+    item2 = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit("<item><title><![CDATA[C &amp; D "),
+            (did % 5).cast("string"),
+            F.lit("]]></title></item>"),
+        ),
+    ).otherwise(F.lit(""))
+    item3 = F.when(
+        did % 11 == 0,
+        F.lit("<item><linkage>z</linkage><link>junk url</link></item>"),
+    ).otherwise(F.lit(""))
+    atom = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit('<entry><title type="text">Atom T'),
+            (did % 4).cast("string"),
+            F.lit('</title><link rel="alternate" href="https://Blog'),
+            h7,
+            F.lit(".example/p/"),
+            (did % 6).cast("string"),
+            F.lit('"/><updated>2024-02-0'),
+            ((did % 9) + 1).cast("string"),
+            F.lit("</updated></entry>"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<rss><channel><title>Chan</title>"),
+        item1,
+        item2,
+        item3,
+        F.lit("</channel></rss>"),
+        atom,
+        F.lit("<!-- <item><title>ghost</title></item> -->"),
+    )
+
+
 def q_corpus_sitemap(spark, sf):
     """Sitemap-XML entry extraction over synthesized sitemap pages:
     a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
@@ -4518,6 +4597,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # runs the real AvailableNow stream every session) rotated below
     # for html_jsonld
     "events_stream_window": q_events_stream_window,
+    # corpus_feed_items + html_jsonld-era late ops are BORN below-window
+    # (the r06 window queue) with full value-hash oracles in the local
+    # gate every session
+    "corpus_feed_items": q_corpus_feed_items,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -8024,6 +8107,100 @@ def _html_jsonld_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_jsonld"] = _html_jsonld_oracle_sql()
+
+
+_FEED_PAGE_SQL = (
+    "'<rss><channel><title>Chan</title>"
+    "<item><title> Breaking &amp; A' || "
+    "CAST(doc_id % 9 AS VARCHAR) || "
+    "' </title><link>https://www.News' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || "
+    "CAST(doc_id % 10 AS VARCHAR) || '?x=1&amp;y=2</link>' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '<pubDate>Mon, 0' || "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) || ' Jan 2024</pubDate>' "
+    "ELSE '' END) || '</item>' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "'<item><title><![CDATA[C &amp; D ' || "
+    "CAST(doc_id % 5 AS VARCHAR) || ']]></title></item>' "
+    "ELSE '' END) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN "
+    "'<item><linkage>z</linkage><link>junk url</link></item>' "
+    "ELSE '' END) || "
+    "'</channel></rss>' || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'<entry><title type=\"text\">Atom T' || "
+    "CAST(doc_id % 4 AS VARCHAR) || "
+    "'</title><link rel=\"alternate\" href=\"https://Blog' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.example/p/' || "
+    "CAST(doc_id % 6 AS VARCHAR) || '\"/><updated>2024-02-0' || "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) || '</updated></entry>' "
+    "ELSE '' END) || "
+    "'<!-- <item><title>ghost</title></item> -->'"
+)
+
+
+def _corpus_feed_items_oracle_sql() -> str:
+    """corpus_feed_items oracle — the comment strip + block
+    extract_all (tag/body groups zipped by index) -> per-item
+    title/link/date extracts with the identical CDATA-literal and
+    text-else-href CASE rules, all regenerated from the engine's
+    regex constants; host restated generically as
+    lower(scheme://AUTHORITY) with the leading-www strip (the
+    sitemap-oracle form — '' -> NULL mirrors host_of's junk
+    contract)."""
+    from .operators.html import COMMENT_RE, HTML_ENTITIES
+    from .operators.urls import (
+        CDATA_RE,
+        FEED_BLOCK_RE,
+        FEED_DATE_RE,
+        FEED_LINK_HREF_RE,
+        FEED_LINK_TEXT_RE,
+        FEED_TITLE_RE,
+    )
+
+    def esc(r: str) -> str:
+        return r.replace("'", "''")
+
+    def dec(e: str) -> str:
+        for ent, ch in HTML_ENTITIES:
+            e = f"replace({e}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+        return e
+
+    host = (
+        "NULLIF(regexp_replace(lower(regexp_extract(link, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+        "'^www\\.', ''), '')"
+    )
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_FEED_PAGE_SQL} AS x "
+        "FROM documents), "
+        "d AS (SELECT doc_id, "
+        f"regexp_replace(x, '{COMMENT_RE}', ' ', 'g') AS x FROM d0), "
+        "t AS (SELECT doc_id, "
+        f"regexp_extract_all(x, '{esc(FEED_BLOCK_RE)}', 1) AS tg, "
+        f"regexp_extract_all(x, '{esc(FEED_BLOCK_RE)}', 2) AS bd "
+        "FROM d), "
+        "e AS (SELECT doc_id, CAST(ei - 1 AS BIGINT) AS item_no, "
+        "lower(tg[ei]) = 'entry' AS is_atom, bd[ei] AS b FROM t, "
+        "UNNEST(generate_series(1, len(bd))) AS g(ei)), "
+        "f AS (SELECT doc_id, item_no, is_atom, "
+        f"regexp_extract(b, '{esc(FEED_TITLE_RE)}', 1) AS traw, "
+        f"regexp_extract(regexp_extract(b, '{esc(FEED_TITLE_RE)}', 1), "
+        f"'{esc(CDATA_RE)}', 1) AS tcd, "
+        f"trim({dec('regexp_extract(b, ' + chr(39) + esc(FEED_LINK_TEXT_RE) + chr(39) + ', 1)')}) AS ltxt, "
+        f"trim({dec('regexp_extract(b, ' + chr(39) + esc(FEED_LINK_HREF_RE) + chr(39) + ', 1)')}) AS lhref, "
+        f"regexp_extract(b, '{esc(FEED_DATE_RE)}', 1) AS draw FROM e), "
+        "g2 AS (SELECT doc_id, item_no, is_atom, "
+        "NULLIF(CASE WHEN tcd <> '' THEN trim(tcd) "
+        f"ELSE trim({dec('traw')}) END, '') AS title, "
+        "NULLIF(CASE WHEN ltxt <> '' THEN ltxt ELSE lhref END, '') "
+        "AS link, NULLIF(trim(draw), '') AS pub_date FROM f) "
+        "SELECT doc_id, item_no, is_atom, title, link, pub_date, "
+        f"{host} AS host FROM g2"
+    )
+
+
+ORACLE_SQL["corpus_feed_items"] = _corpus_feed_items_oracle_sql()
 
 
 def _duck_str(s: str) -> str:

@@ -180,6 +180,7 @@ HEADLINE = [
     "html_lists",
     "corpus_sitemap",
     "html_jsonld",
+    "corpus_feed_items",
 ]
 
 

@@ -2994,3 +2994,64 @@ def test_html_jsonld(spark):
                 "doc_id long, html string, _jl_b string",
             )
         )
+
+
+def test_feed_items(spark):
+    """urls.feed_items: RSS item (text link, pubDate, entity decode)
+    and Atom entry (href link, updated) in one pass — CDATA titles
+    taken literally (no entity expansion), absent/blank fields NULL,
+    junk link -> NULL host, <linkage> never matches <link>, commented
+    items never match, NULL/feed-less xml emits nothing, staging
+    clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.urls import feed_items
+
+    rows = [
+        (
+            1,
+            "<rss><channel><title>Chan</title>"
+            "<item><title> Breaking &amp; A </title>"
+            "<link>https://www.News1.com/a/1?x=1&amp;y=2</link>"
+            "<pubDate> Mon, 05 Jan 2024 </pubDate></item>"
+            "<item><title><![CDATA[C &amp; D]]></title></item>"
+            "<item><linkage>z</linkage><link>junk url</link></item>"
+            "<!-- <item><title>ghost</title></item> -->"
+            "</channel></rss>",
+        ),
+        (
+            2,
+            '<feed><entry><title type="text">Atom T</title>'
+            '<link rel="alternate" href="https://blog2.example/p/3"/>'
+            "<updated>2024-02-05</updated></entry></feed>",
+        ),
+        (3, None),
+        (4, "<rss><channel><title>empty</title></channel></rss>"),
+    ]
+    got = [
+        tuple(r)
+        for r in feed_items(
+            spark.createDataFrame(rows, "doc_id long, xml string")
+        )
+        .orderBy("doc_id", "item_no")
+        .collect()
+    ]
+    assert got == [
+        (
+            1, 0, False, "Breaking & A",
+            "https://www.News1.com/a/1?x=1&y=2",
+            "Mon, 05 Jan 2024", "news1.com",
+        ),
+        # CDATA literal: the &amp; inside CDATA is NOT decoded
+        (1, 1, False, "C &amp; D", None, None, None),
+        (1, 2, False, None, "junk url", None, None),
+        (2, 0, True, "Atom T", "https://blog2.example/p/3",
+         "2024-02-05", "blog2.example"),
+    ]
+    with _pytest.raises(ValueError, match="clash"):
+        feed_items(
+            spark.createDataFrame(
+                [(1, "<i>x</i>", "y")],
+                "doc_id long, xml string, _fd_b string",
+            )
+        )

@@ -1017,3 +1017,14 @@ def test_html_jsonld_plan(spark):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Generate") == 1, plan
+
+
+def test_corpus_feed_items_plan(spark):
+    """corpus_feed_items: narrow + exactly ONE Generate (block->item)
+    — zero exchanges, no join, no Python; per-item title/link/date
+    regexes run on the already-exploded block body."""
+    plan = _qplan(spark, "corpus_feed_items")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 1, plan
