@@ -1097,3 +1097,106 @@ def jsonld(
         F.get_json_object(raw, "$").isNotNull().alias("is_valid"),
         *fields,
     )
+
+
+LINK_TAG_RE = "(?is)(<link(?:[ \\t\\n\\r][^>]*)?>)"
+REL_ATTR_RE = (
+    "(?is)[ \\t\\n\\r]rel[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+HREFLANG_ATTR_RE = (
+    "(?is)[ \\t\\n\\r]hreflang[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+HREF_ATTR_RE = (
+    "(?is)[ \\t\\n\\r]href[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+
+
+def hreflang_alternates(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hreflang alternate-language link extraction — the TRANSLATION-
+    CLUSTER signal (``<link rel="alternate" hreflang=..>``): pages
+    publishing hreflang sets declare "these N urls are the same
+    content in N languages", which is exactly how a training-data
+    pipeline aligns parallel corpora and avoids counting a
+    translation as a near-dup of its siblings.
+
+    Emits one row per alternate declaration, in document order::
+
+        (doc_id, link_no, hreflang, href, is_default, host)
+
+    ``link_no`` is the 0-based position among ALL <link> tags (a
+    non-alternate tag leaves a gap — positions stay stable, the
+    sitemap rule); a tag qualifies when its ``rel`` token LIST
+    contains ``alternate`` (rel is space-separated per the HTML spec
+    — ``rel="alternate help"`` qualifies, ``rel="alternated"`` does
+    not), its ``hreflang`` is non-blank, and its ``href`` is
+    non-blank; attributes match in ANY order/quote style but REQUIRE
+    a leading whitespace boundary (``data-href=`` never matches
+    ``href=``).  ``hreflang`` is lowercased + trimmed (BCP-47 tags
+    are case-insensitive); ``is_default`` marks ``x-default``;
+    ``href`` is entity-decoded + trimmed; ``host`` via the shared
+    urls.host_of (junk -> NULL).  Comments and scripts are stripped
+    first (a commented-out or document.write'd link is not a
+    declaration).
+
+    100 TB shape: narrow + ONE posexplode (tag->row), zero
+    exchanges, no UDF; attribute regexes run on the already-exploded
+    tag (the lambda-attribute rule).
+    """
+    clash = sorted(
+        {"_hl_h", "_hl_tags", "_hl_t", "_hl_lang", "_hl_href"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"hreflang_alternates staging columns clash: {clash}"
+        )
+    from ..functions.numeric import pin
+    from .urls import host_of
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(h, SCRIPT_RE, " "), COMMENT_RE, " "
+    )
+    base = df.withColumn("_hl_h", pin(h)).withColumn(
+        "_hl_tags",
+        pin(
+            F.regexp_extract_all(F.col("_hl_h"), F.lit(LINK_TAG_RE), 1)
+        ),
+    )
+    per_tag = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col("_hl_tags")).alias("link_no", "_hl_t"),
+    )
+    t = F.col("_hl_t")
+    rel_tokens = F.split(
+        F.lower(F.trim(F.regexp_extract(t, REL_ATTR_RE, 1))),
+        "[ \\t\\n\\r]+",
+    )
+    href = F.regexp_extract(t, HREF_ATTR_RE, 1)
+    for ent, ch in HTML_ENTITIES:
+        href = F.replace(href, F.lit(ent), F.lit(ch))
+    return (
+        per_tag.withColumn(
+            "_hl_lang",
+            F.lower(F.trim(F.regexp_extract(t, HREFLANG_ATTR_RE, 1))),
+        )
+        .withColumn("_hl_href", F.trim(href))
+        .filter(
+            F.array_contains(rel_tokens, "alternate")
+            & (F.col("_hl_lang") != "")
+            & (F.col("_hl_href") != "")
+        )
+        .select(
+            "doc_id",
+            F.col("link_no").cast("long").alias("link_no"),
+            F.col("_hl_lang").alias("hreflang"),
+            F.col("_hl_href").alias("href"),
+            (F.col("_hl_lang") == "x-default").alias("is_default"),
+            host_of(F.col("_hl_href")).alias("host"),
+        )
+    )

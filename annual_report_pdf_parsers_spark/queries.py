@@ -3114,6 +3114,84 @@ def _feed_fixture_page():
     )
 
 
+def q_html_hreflang(spark, sf):
+    """Hreflang alternate extraction over synthesized pages: a
+    reversed-attr single-quoted CASED-lang alternate with an
+    entity-escaped cased-www href (always), a %2 multi-token
+    rel="alternate help" x-default, a %7 junk-href alternate (host ->
+    NULL via the host_of junk contract), and five decoys that must
+    never match (stylesheet rel, rel="alternated", blank hreflang,
+    data-href, commented + scripted links) — the decoy arms also make
+    link_no gaps non-vacuous.  Oracle = the same tag extract_all +
+    per-attribute regexes with the identical rel-token-list rule,
+    regenerated from the engine's regex constants."""
+    from .operators.html import hreflang_alternates
+
+    d = load(spark, sf, "documents")
+    return hreflang_alternates(
+        d.select("doc_id", _hreflang_fixture_page().alias("html"))
+    )
+
+
+def _hreflang_fixture_page():
+    """Shared doc_id-derived hreflang fixture (see q_html_hreflang);
+    the DuckDB restatement is _HREFLANG_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+    h7 = (did % 7).cast("string")
+    alt1 = F.concat(
+        F.lit('<link hreflang="FR" rel="alternate" '),
+        F.lit("href='https://www.Ex"),
+        h7,
+        F.lit(".com/fr/"),
+        (did % 10).cast("string"),
+        F.lit("?a=1&amp;b=2'>"),
+    )
+    alt2 = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<link rel="alternate help" hreflang="x-default" '),
+            F.lit('href="https://ex'),
+            h7,
+            F.lit('.com/">'),
+        ),
+    ).otherwise(F.lit(""))
+    junk = F.when(
+        did % 7 == 0,
+        F.lit('<link rel="alternate" hreflang="de" href="junk url">'),
+    ).otherwise(F.lit(""))
+    decoy3 = F.when(
+        did % 3 == 0,
+        F.lit('<link rel="alternated" hreflang="de" href="https://x.de/">'),
+    ).otherwise(F.lit(""))
+    decoy5 = F.when(
+        did % 5 == 0,
+        F.lit('<link rel="alternate" hreflang="" href="https://y.com/">'),
+    ).otherwise(F.lit(""))
+    decoy11 = F.when(
+        did % 11 == 0,
+        F.lit(
+            '<link rel="alternate" hreflang="pt" '
+            'data-href="https://z.pt/">'
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('<head><link rel="stylesheet" href="s.css">'),
+        alt1,
+        decoy3,
+        alt2,
+        decoy5,
+        junk,
+        decoy11,
+        F.lit(
+            '<!-- <link rel="alternate" hreflang="it" '
+            'href="https://g.it/"> -->'
+            "<script>var l = '<link rel=\"alternate\" "
+            'hreflang="nl" href="https://j.nl/">'
+            "';</script></head>"
+        ),
+    )
+
+
 def q_corpus_sitemap(spark, sf):
     """Sitemap-XML entry extraction over synthesized sitemap pages:
     a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
@@ -4601,6 +4679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (the r06 window queue) with full value-hash oracles in the local
     # gate every session
     "corpus_feed_items": q_corpus_feed_items,
+    "html_hreflang": q_html_hreflang,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -8201,6 +8280,86 @@ def _corpus_feed_items_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_feed_items"] = _corpus_feed_items_oracle_sql()
+
+
+_HREFLANG_PAGE_SQL = (
+    "'<head><link rel=\"stylesheet\" href=\"s.css\">"
+    "<link hreflang=\"FR\" rel=\"alternate\" "
+    "href=''https://www.Ex' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.com/fr/' || CAST(doc_id % 10 AS VARCHAR) || "
+    "'?a=1&amp;b=2''>' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '<link rel=\"alternated\" "
+    "hreflang=\"de\" href=\"https://x.de/\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '<link rel=\"alternate help\" "
+    "hreflang=\"x-default\" href=\"https://ex' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com/\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '<link rel=\"alternate\" "
+    "hreflang=\"\" href=\"https://y.com/\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN '<link rel=\"alternate\" "
+    "hreflang=\"de\" href=\"junk url\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN '<link rel=\"alternate\" "
+    "hreflang=\"pt\" data-href=\"https://z.pt/\">' ELSE '' END) || "
+    "'<!-- <link rel=\"alternate\" hreflang=\"it\" "
+    "href=\"https://g.it/\"> -->"
+    "<script>var l = ''<link rel=\"alternate\" hreflang=\"nl\" "
+    "href=\"https://j.nl/\">'';</script></head>'"
+)
+
+
+def _html_hreflang_oracle_sql() -> str:
+    """html_hreflang oracle — the script+comment strip + link-tag
+    extract_all + per-attribute regexes with the identical
+    rel-token-list, lowercase-hreflang, and entity-decode rules, all
+    regenerated from the engine's regex constants; host restated
+    generically (the sitemap-oracle form)."""
+    from .operators.html import (
+        COMMENT_RE,
+        HREF_ATTR_RE,
+        HREFLANG_ATTR_RE,
+        HTML_ENTITIES,
+        LINK_TAG_RE,
+        REL_ATTR_RE,
+        SCRIPT_RE,
+    )
+
+    def esc(r: str) -> str:
+        return r.replace("'", "''")
+
+    href = f"regexp_extract(t, '{esc(HREF_ATTR_RE)}', 1)"
+    for ent, ch in HTML_ENTITIES:
+        href = f"replace({href}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    host = (
+        "NULLIF(regexp_replace(lower(regexp_extract(href, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+        "'^www\\.', ''), '')"
+    )
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_HREFLANG_PAGE_SQL} AS h "
+        "FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace(h, "
+        f"'{esc(SCRIPT_RE)}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') "
+        "AS h FROM d0), "
+        "tt AS (SELECT doc_id, "
+        f"regexp_extract_all(h, '{esc(LINK_TAG_RE)}', 1) AS tags "
+        "FROM d), "
+        "e AS (SELECT doc_id, CAST(ti - 1 AS BIGINT) AS link_no, "
+        "tags[ti] AS t FROM tt, "
+        "UNNEST(generate_series(1, len(tags))) AS g(ti)), "
+        "f AS (SELECT doc_id, link_no, "
+        "string_split_regex(lower(trim(regexp_extract(t, "
+        f"'{esc(REL_ATTR_RE)}', 1))), '[ \\t\\n\\r]+') AS rel_toks, "
+        "lower(trim(regexp_extract(t, "
+        f"'{esc(HREFLANG_ATTR_RE)}', 1))) AS hreflang, "
+        f"trim({href}) AS href FROM e) "
+        "SELECT doc_id, link_no, hreflang, href, "
+        "hreflang = 'x-default' AS is_default, "
+        f"{host} AS host FROM f "
+        "WHERE list_contains(rel_toks, 'alternate') "
+        "AND hreflang <> '' AND href <> ''"
+    )
+
+
+ORACLE_SQL["html_hreflang"] = _html_hreflang_oracle_sql()
 
 
 def _duck_str(s: str) -> str:

@@ -181,6 +181,7 @@ HEADLINE = [
     "corpus_sitemap",
     "html_jsonld",
     "corpus_feed_items",
+    "html_hreflang",
 ]
 
 

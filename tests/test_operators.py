@@ -3055,3 +3055,55 @@ def test_feed_items(spark):
                 "doc_id long, xml string, _fd_b string",
             )
         )
+
+
+def test_hreflang_alternates(spark):
+    """html.hreflang_alternates: rel token-list rule (alternate in a
+    multi-token rel qualifies, 'alternated' does not), any attribute
+    order/quote style, whitespace boundary (data-href never matches),
+    hreflang lowercased, x-default flag, entity-decoded href, link_no
+    gaps stable under filtering, commented/scripted decoys never
+    match, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import (
+        hreflang_alternates,
+    )
+
+    rows = [
+        (
+            1,
+            '<link rel="stylesheet" href="s.css">'
+            '<link hreflang="FR" rel="alternate" '
+            "href='https://www.Ex1.com/fr?a=1&amp;b=2'>"
+            '<link rel="alternate help" hreflang="x-default" '
+            'href="https://ex1.com/">'
+            '<link rel="alternated" hreflang="de" href="https://x.de/">'
+            '<link rel="alternate" hreflang="" href="https://y.com/">'
+            '<link rel="alternate" hreflang="es" href="">'
+            '<link rel="alternate" hreflang="pt" data-href="https://z.pt/">'
+            "<!-- <link rel=\"alternate\" hreflang=\"it\" href=\"https://g.it/\"> -->"
+            '<script>var l = \'<link rel="alternate" hreflang="nl" href="https://j.nl/">\';</script>',
+        ),
+        (2, None),
+        (3, "<p>no links</p>"),
+    ]
+    got = [
+        tuple(r)
+        for r in hreflang_alternates(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        )
+        .orderBy("doc_id", "link_no")
+        .collect()
+    ]
+    assert got == [
+        (1, 1, "fr", "https://www.Ex1.com/fr?a=1&b=2", False, "ex1.com"),
+        (1, 2, "x-default", "https://ex1.com/", True, "ex1.com"),
+    ]
+    with _pytest.raises(ValueError, match="clash"):
+        hreflang_alternates(
+            spark.createDataFrame(
+                [(1, "<i>x</i>", "y")],
+                "doc_id long, html string, _hl_t string",
+            )
+        )

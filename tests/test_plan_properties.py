@@ -1028,3 +1028,14 @@ def test_corpus_feed_items_plan(spark):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Generate") == 1, plan
+
+
+def test_html_hreflang_plan(spark):
+    """html_hreflang: narrow + exactly ONE Generate (tag->row) — zero
+    exchanges, no join, no Python; attribute regexes run on the
+    already-exploded link tag."""
+    plan = _qplan(spark, "html_hreflang")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 1, plan
