@@ -406,7 +406,10 @@ CHARSET_RE = (
 
 
 def metadata(
-    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Page METADATA extraction — title, meta description, canonical
     url, declared language, charset (public practice: these head
@@ -414,10 +417,12 @@ def metadata(
     keys before any body text is parsed; WARC/WET tooling extracts
     the same set).  One row per document::
 
-        (doc_id, title, meta_description, canonical_url, html_lang,
-         charset)
+        (doc_id, [keep_cols...], title, meta_description,
+         canonical_url, html_lang, charset)
 
-    First match wins for every field.  ``title`` and
+    ``keep_cols`` are passed through untouched (the composition
+    convention — urls.canonical_dedup threads the crawl url this
+    way).  First match wins for every field.  ``title`` and
     ``meta_description`` are cleaned with the shared block-text rules
     (tag strip, entity decode, whitespace collapse, trim);
     ``canonical_url`` stays RAW (the href contract of `links`);
@@ -457,6 +462,7 @@ def metadata(
 
     return base.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         F.nullif(_block_text(first(TITLE_RE)), F.lit("")).alias(
             "title"
         ),

@@ -547,3 +547,68 @@ def feed_items(
             host_of(F.col("_fd_ln")).alias("host"),
         )
     )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-aware URL dedup — the crawl-dedup rule publishers
+    opt into: a page declaring ``<link rel="canonical">`` to another
+    url IS that url for dedup purposes (CommonCrawl-style pipelines
+    fold mobile/AMP/print/session variants this way BEFORE any
+    content hashing).  Composes :func:`html.metadata`'s canonical
+    extraction (keep_cols-threading the crawl url through its narrow
+    chain) with :func:`canonicalize_url` over the EFFECTIVE url.
+
+    One row per document::
+
+        (doc_id, url, canon_key, keep_id, n_members, used_canonical,
+         is_dup)
+
+    A canonical declaration is honored only when ABSOLUTE http(s)
+    (relative hrefs would need base-url resolution — a parser-free
+    deterministic trade: they fall back to the crawl url, flagged by
+    ``used_canonical`` = false); ``canon_key`` =
+    canonicalize_url(honored canonical ELSE crawl url);
+    ``keep_id`` = min doc_id per key; ``is_dup`` marks every other
+    member.
+
+    100 TB shape: the metadata extraction stays narrow (zero
+    exchanges); ONE hash exchange on canon_key for the count agg;
+    the count-back join PINS shuffle_hash — the counts table scales
+    with the corpus, so an AQE broadcast would serialize the build
+    on the driver (the dedup_soft_weights trap, NOTES r05 #19).
+    """
+    from .html import metadata
+
+    m = metadata(
+        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
+    )
+    cano = F.col("canonical_url")
+    honored = F.coalesce(
+        cano.rlike("(?i)^https?://"), F.lit(False)
+    )
+    d = m.select(
+        "doc_id",
+        F.col(url_col).alias("url"),
+        honored.alias("used_canonical"),
+        canonicalize_url(
+            F.when(honored, cano).otherwise(F.col(url_col))
+        ).alias("canon_key"),
+    )
+    counts = d.groupBy("canon_key").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return d.join(counts.hint("shuffle_hash"), "canon_key").select(
+        "doc_id",
+        "url",
+        "canon_key",
+        "keep_id",
+        "n_members",
+        "used_canonical",
+        (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+    )

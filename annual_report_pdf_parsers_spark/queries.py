@@ -3192,6 +3192,83 @@ def _hreflang_fixture_page():
     )
 
 
+def q_corpus_canonical_dedup(spark, sf):
+    """Canonical-aware url dedup over synthesized crawl rows: four
+    grime variants per logical url (www+case, utm+gclid, trailing
+    slash+fragment) that must collapse onto one clean key, a %3
+    absolute CASED-host canonical that pulls the page OUT of its
+    grime group (used_canonical), a %7-not-%3 RELATIVE canonical
+    that must be ignored (fallback to the crawl url), and a
+    commented-out canonical decoy placed BEFORE the real one.
+    Oracle = the canonical key reconstructed arithmetically from the
+    same doc_id arms (the dedup_url_canonical precedent) + the same
+    count agg and keep rule."""
+    from .operators.urls import canonical_dedup
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    lid = (did % 40).cast("string")
+    h5 = (did % 5).cast("string")
+    v = did % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://site"), h5, F.lit(".com/p/"), lid,
+                F.lit("?id="), lid,
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), h5, F.lit(".COM/p/"), lid,
+                F.lit("?id="), lid,
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://site"), h5, F.lit(".com/p/"), lid,
+                F.lit("?utm_source=ad&id="), lid, F.lit("&gclid=zz"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), h5, F.lit(".com/p/"), lid,
+                F.lit("/?id="), lid, F.lit("#frag"),
+            )
+        )
+    )
+    html = F.concat(
+        F.lit(
+            '<!-- <link rel="canonical" href="https://ghost.com/">'
+            " --><head>"
+        ),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://SiteC'),
+                F.lit(".com/canon/"),
+                (did % 8).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            did % 7 == 0,
+            F.concat(
+                F.lit("<link rel='canonical' href='/rel/"),
+                (did % 6).cast("string"),
+                F.lit("'>"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    return canonical_dedup(
+        d.select("doc_id", url.alias("url"), html.alias("html"))
+    )
+
+
 def q_corpus_sitemap(spark, sf):
     """Sitemap-XML entry extraction over synthesized sitemap pages:
     a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
@@ -4680,6 +4757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gate every session
     "corpus_feed_items": q_corpus_feed_items,
     "html_hreflang": q_html_hreflang,
+    "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -8360,6 +8438,50 @@ def _html_hreflang_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_hreflang"] = _html_hreflang_oracle_sql()
+
+
+def _corpus_canonical_dedup_oracle_sql() -> str:
+    """corpus_canonical_dedup oracle — canonical key reconstructed
+    ARITHMETICALLY from the fixture's doc_id arms (the
+    dedup_url_canonical precedent: the oracle proves the grime
+    variants collapse exactly onto the clean form the engine's
+    canonicalize_url computes), then the same count agg + min-id
+    keep rule."""
+    lid = "CAST(doc_id % 40 AS VARCHAR)"
+    h5 = "CAST(doc_id % 5 AS VARCHAR)"
+    url = (
+        "CASE doc_id % 4 "
+        f"WHEN 0 THEN 'https://site' || {h5} || '.com/p/' || {lid} "
+        f"|| '?id=' || {lid} "
+        f"WHEN 1 THEN 'HTTPS://WWW.Site' || {h5} || '.COM/p/' || "
+        f"{lid} || '?id=' || {lid} "
+        f"WHEN 2 THEN 'https://site' || {h5} || '.com/p/' || {lid} "
+        f"|| '?utm_source=ad&id=' || {lid} || '&gclid=zz' "
+        f"ELSE 'https://site' || {h5} || '.com/p/' || {lid} || "
+        f"'/?id=' || {lid} || '#frag' END"
+    )
+    key = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'https://sitec.com/canon/' "
+        "|| CAST(doc_id % 8 AS VARCHAR) "
+        f"ELSE 'https://site' || {h5} || '.com/p/' || {lid} || "
+        f"'?id=' || {lid} END"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {url} AS url, "
+        "doc_id % 3 = 0 AS used_canonical, "
+        f"{key} AS canon_key FROM documents), "
+        "c AS (SELECT canon_key, MIN(doc_id) AS keep_id, "
+        "COUNT(*) AS n_members FROM d GROUP BY canon_key) "
+        "SELECT d.doc_id, d.url, d.canon_key, c.keep_id, "
+        "c.n_members, d.used_canonical, "
+        "d.doc_id <> c.keep_id AS is_dup "
+        "FROM d JOIN c USING (canon_key)"
+    )
+
+
+ORACLE_SQL["corpus_canonical_dedup"] = (
+    _corpus_canonical_dedup_oracle_sql()
+)
 
 
 def _duck_str(s: str) -> str:

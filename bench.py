@@ -182,6 +182,7 @@ HEADLINE = [
     "html_jsonld",
     "corpus_feed_items",
     "html_hreflang",
+    "corpus_canonical_dedup",
 ]
 
 

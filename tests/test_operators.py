@@ -3107,3 +3107,52 @@ def test_hreflang_alternates(spark):
                 "doc_id long, html string, _hl_t string",
             )
         )
+
+
+def test_canonical_dedup(spark):
+    """urls.canonical_dedup: absolute canonical honored (cased host
+    lowered into the key), relative canonical falls back to the crawl
+    url, grimy variants (www/case/tracking/slash+fragment) collapse
+    onto the clean key, keep_id = min doc_id, commented canonical
+    never wins."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        canonical_dedup,
+    )
+
+    rows = [
+        # 1+2: same logical url through grime; 2 also declares an
+        # absolute canonical elsewhere -> it LEAVES the grime group
+        (1, "https://site1.com/p/9?id=9", "<p>x</p>"),
+        (
+            2,
+            "HTTPS://WWW.SITE1.COM/p/9?utm_source=a&id=9#frag",
+            '<!-- <link rel="canonical" href="https://ghost.com/"> -->'
+            '<link rel="canonical" href="https://SiteC.com/canon/3">',
+        ),
+        # 3: relative canonical ignored -> stays on its own url
+        (
+            3,
+            "https://site1.com/p/9/?id=9",
+            "<link rel='canonical' href='/rel/2'>",
+        ),
+        # 4: self-canonical group of one
+        (4, "https://other.com/a", None),
+    ]
+    got = {
+        r["doc_id"]: (
+            r["canon_key"], r["keep_id"], r["n_members"],
+            r["used_canonical"], r["is_dup"],
+        )
+        for r in canonical_dedup(
+            spark.createDataFrame(
+                rows, "doc_id long, url string, html string"
+            )
+        ).collect()
+    }
+    k = "https://site1.com/p/9?id=9"
+    assert got[1] == (k, 1, 2, False, False)
+    assert got[2] == (
+        "https://sitec.com/canon/3", 2, 1, True, False
+    )
+    assert got[3] == (k, 1, 2, False, True)
+    assert got[4] == ("https://other.com/a", 4, 1, False, False)

@@ -1039,3 +1039,16 @@ def test_html_hreflang_plan(spark):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Generate") == 1, plan
+
+
+def test_corpus_canonical_dedup_plan(spark):
+    """corpus_canonical_dedup: the metadata extraction stays narrow;
+    TWO canon_key hash exchanges (count agg + join co-partition) and
+    a PINNED shuffle_hash count-back join — never a broadcast (the
+    counts table scales with the corpus: the dedup_soft_weights
+    trap); no Python."""
+    plan = _qplan(spark, "corpus_canonical_dedup")
+    assert plan.count("Exchange") == 2, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
