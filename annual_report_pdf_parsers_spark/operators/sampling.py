@@ -631,3 +631,60 @@ def dsir_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def fetch_schedule(
+    df: DataFrame,
+    host_col: str = "host",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    per_window: int = 2,
+    n_windows: int = 4,
+) -> DataFrame:
+    """Crawl-politeness fetch scheduling — the frontier->fetcher step:
+    a polite crawler may issue at most ``per_window`` requests per
+    host per time window, so the top-scored candidates of each host
+    are assigned to the next ``n_windows`` windows and the rest are
+    deferred to a later planning round.  This is the quota
+    generalization of :func:`quota_topk_per_group` (a schedule is a
+    quota with a TIMELINE), and at 100 TB it is the op that keeps a
+    mega-host from serializing the fetch fleet.
+
+    Appends to each KEPT row (rank <= per_window * n_windows)::
+
+        fetch_rank  -- 1-based rank within the host
+                       (score desc, id asc — the explicit total
+                       tie-break, oracle-reproducible)
+        window_no   -- 0-based fetch window: (fetch_rank-1) DIV
+                       per_window (integer arithmetic, no doubles;
+                       Spark DIV == DuckDB // on positives)
+
+    Dropped rows are the next round's frontier — re-plan, don't
+    queue unbounded state.
+
+    100 TB shape: ONE hash exchange on ``host_col``; the visible
+    rank filter lets Catalyst plan the WindowGroupLimit PARTIAL
+    top-k prune map-side (at most k rows per (host, map partition)
+    transit the exchange — the quota_topk lesson), so a hot host
+    cannot skew the shuffle.
+    """
+    if per_window < 1 or n_windows < 1:
+        raise ValueError(
+            "per_window and n_windows must be >= 1, got "
+            f"{per_window}/{n_windows}"
+        )
+    picked = quota_topk_per_group(
+        df,
+        group_col=host_col,
+        order_col=score_col,
+        id_col=id_col,
+        k=per_window * n_windows,
+        rank_col="_fs_rnk",
+    )
+    return picked.select(
+        *df.columns,
+        F.col("_fs_rnk").alias("fetch_rank"),
+        F.expr(f"(_fs_rnk - 1) DIV {int(per_window)}")
+        .cast("long")
+        .alias("window_no"),
+    )

@@ -3269,6 +3269,31 @@ def q_corpus_canonical_dedup(spark, sf):
     )
 
 
+def q_corpus_fetch_schedule(spark, sf):
+    """Crawl-politeness fetch scheduling over a synthesized frontier:
+    17 hosts x ~30 candidates at sf0.01 with a deterministic integer
+    score ((doc_id*37) %% 101 — collisions make the id tie-break
+    non-vacuous), 3 fetches/window over 4 windows so every host
+    overflows (deferred rows dropped).  Oracle = the same ROW_NUMBER
+    window with the explicit (score DESC, doc_id ASC) tie-break +
+    integer floor-division window assignment (Spark DIV == DuckDB
+    // on positives, the epoch_plan rule)."""
+    from .operators.sampling import fetch_schedule
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    frontier = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (did % 17).cast("string"), F.lit(".com")
+        ).alias("host"),
+        ((did * 37) % 101).alias("score"),
+    )
+    return fetch_schedule(
+        frontier, per_window=3, n_windows=4
+    )
+
+
 def q_corpus_sitemap(spark, sf):
     """Sitemap-XML entry extraction over synthesized sitemap pages:
     a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
@@ -4758,6 +4783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_feed_items": q_corpus_feed_items,
     "html_hreflang": q_html_hreflang,
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
+    "corpus_fetch_schedule": q_corpus_fetch_schedule,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -8481,6 +8507,20 @@ def _corpus_canonical_dedup_oracle_sql() -> str:
 
 ORACLE_SQL["corpus_canonical_dedup"] = (
     _corpus_canonical_dedup_oracle_sql()
+)
+
+
+ORACLE_SQL["corpus_fetch_schedule"] = (
+    "WITH d AS (SELECT doc_id, "
+    "'site' || CAST(doc_id % 17 AS VARCHAR) || '.com' AS host, "
+    "(doc_id * 37) % 101 AS score FROM documents), "
+    "r AS (SELECT doc_id, host, score, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY host "
+    "ORDER BY score DESC, doc_id ASC) AS BIGINT) AS fetch_rank "
+    "FROM d) "
+    "SELECT doc_id, host, score, fetch_rank, "
+    "CAST((fetch_rank - 1) // 3 AS BIGINT) AS window_no "
+    "FROM r WHERE fetch_rank <= 12"
 )
 
 

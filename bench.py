@@ -183,6 +183,7 @@ HEADLINE = [
     "corpus_feed_items",
     "html_hreflang",
     "corpus_canonical_dedup",
+    "corpus_fetch_schedule",
 ]
 
 

@@ -3156,3 +3156,42 @@ def test_canonical_dedup(spark):
     )
     assert got[3] == (k, 1, 2, False, True)
     assert got[4] == ("https://other.com/a", 4, 1, False, False)
+
+
+def test_fetch_schedule(spark):
+    """sampling.fetch_schedule: per-host top-(rate*windows) keep with
+    score-desc/id-asc tie-break, 0-based window assignment by integer
+    division, overflow rows deferred (dropped), invalid rates raise,
+    rank staging clash surfaces via quota_topk's guard."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        fetch_schedule,
+    )
+
+    rows = [
+        # host a: 6 candidates, scores force reordering; tie at 50
+        (1, "a.com", 10), (2, "a.com", 50), (3, "a.com", 50),
+        (4, "a.com", 70), (5, "a.com", 20), (6, "a.com", 60),
+        # host b: fewer than one full window
+        (7, "b.com", 5),
+    ]
+    got = {
+        r["doc_id"]: (r["fetch_rank"], r["window_no"])
+        for r in fetch_schedule(
+            spark.createDataFrame(
+                rows, "doc_id long, host string, score long"
+            ),
+            per_window=2,
+            n_windows=2,
+        ).collect()
+    }
+    # host a keeps top 4 of 6: 70,60,50(id2),50(id3); windows 0,0,1,1
+    assert got == {
+        4: (1, 0), 6: (2, 0), 2: (3, 1), 3: (4, 1), 7: (1, 0),
+    }
+    with _pytest.raises(ValueError, match=">= 1"):
+        fetch_schedule(
+            spark.createDataFrame(rows, "doc_id long, host string, score long"),
+            per_window=0,
+        )

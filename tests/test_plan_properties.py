@@ -1052,3 +1052,15 @@ def test_corpus_canonical_dedup_plan(spark):
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_fetch_schedule_plan(spark):
+    """corpus_fetch_schedule: ONE host hash exchange with the
+    WindowGroupLimit partial top-k prune map-side (the quota_topk
+    lesson — a hot host cannot skew the shuffle); no join, no
+    Python."""
+    plan = _qplan(spark, "corpus_fetch_schedule")
+    assert plan.count("Exchange") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
