@@ -1206,3 +1206,65 @@ def hreflang_alternates(
             host_of(F.col("_hl_href")).alias("host"),
         )
     )
+
+
+def translation_clusters(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Translation-cluster induction — :func:`hreflang_alternates`
+    composed into the PARALLEL-CORPUS table: every page declaring an
+    hreflang set names the same cluster, so deduping the declared
+    (cluster, language, url) triples across pages yields one row per
+    language edition per cluster — the join key for aligning
+    translations and the exclusion key for cross-lingual near-dup
+    scoring.
+
+    One row per distinct language edition::
+
+        (cluster_key, hreflang, href, n_langs)
+
+    ``cluster_key`` = the set's ``x-default`` href when declared,
+    else the lexicographic MIN href (deterministic under partial
+    declarations — every member page of a consistent set derives
+    the same key); ``n_langs`` = distinct languages in the cluster
+    (x-default counts as its own pseudo-language, faithful to the
+    declaration).  Pages declaring nothing contribute nothing.
+
+    100 TB shape: the extraction stays narrow; ONE doc_id exchange
+    for the per-page key agg, the key-back join PINNED shuffle_hash
+    (alternate tables scale with the corpus; an AQE broadcast would
+    serialize the build on the driver — the dedup_soft_weights
+    trap), one distinct exchange, and n_langs as a WINDOW over the
+    deduped pairs so that table is consumed once.  The extraction
+    subtree is derived twice (keys branch + join branch) — at
+    production scale materialize the alternates table first (the
+    LADDER rule).
+    """
+    alts = hreflang_alternates(df, html_col=html_col, id_col=id_col)
+    keys = alts.groupBy("doc_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_default"), F.col("href"))),
+            F.min("href"),
+        ).alias("cluster_key")
+    )
+    pairs = (
+        alts.join(keys.hint("shuffle_hash"), "doc_id")
+        .select("cluster_key", "hreflang", "href")
+        .distinct()
+    )
+    # n_langs as a WINDOW collect_set, not agg+join-back: the deduped
+    # pairs table is consumed ONCE (an agg+join would re-derive the
+    # whole extraction subtree per consumer — pin()-ned projections
+    # never canonicalize equal, so ReusedExchange cannot fire: the
+    # LADDER lesson)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_key")
+    return pairs.select(
+        "cluster_key",
+        "hreflang",
+        "href",
+        F.size(F.collect_set("hreflang").over(w))
+        .cast("long")
+        .alias("n_langs"),
+    )

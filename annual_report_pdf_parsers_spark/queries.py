@@ -3294,6 +3294,59 @@ def q_corpus_fetch_schedule(spark, sf):
     )
 
 
+def q_corpus_translation_clusters(spark, sf):
+    """Translation-cluster induction over synthesized hreflang sets:
+    25 logical clusters (~20 declaring pages each at sf0.01, so the
+    cross-page triple dedup is NON-vacuous), en+fr always, de on
+    even clusters (sizes vary), x-default on %3 clusters (key rule
+    exercises BOTH arms: x-default href vs lexicographic min — de <
+    en < fr), %7 pages declare nothing.  Oracle composes the shared
+    _hreflang_alts_ctes fragment with the same key agg, triple
+    distinct, and n_langs count-back."""
+    from .operators.html import translation_clusters
+
+    d = load(spark, sf, "documents")
+    return translation_clusters(
+        d.select(
+            "doc_id", _translation_fixture_page().alias("html")
+        )
+    )
+
+
+def _translation_fixture_page():
+    """Shared doc_id-derived hreflang-set fixture (see
+    q_corpus_translation_clusters); the DuckDB restatement is
+    _TRANSLATION_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+    g = (did % 25).cast("string")
+
+    def alt(lang: str, leaf: str) -> Column:
+        return F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" '),
+            F.lit('href="https://ex'),
+            g,
+            F.lit(f'.com/{leaf}">'),
+        )
+
+    xdef = F.concat(
+        F.lit('<link rel="alternate" hreflang="x-default" '),
+        F.lit('href="https://ex'),
+        g,
+        F.lit('.com/">'),
+    )
+    decl = F.concat(
+        alt("en", "en"),
+        alt("fr", "fr"),
+        F.when(did % 25 % 2 == 0, alt("de", "de")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 25 % 3 == 0, xdef).otherwise(F.lit("")),
+    )
+    return F.when(
+        did % 7 == 0, F.lit("<p>no declarations</p>")
+    ).otherwise(decl)
+
+
 def q_corpus_sitemap(spark, sf):
     """Sitemap-XML entry extraction over synthesized sitemap pages:
     a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
@@ -4784,6 +4837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_hreflang": q_html_hreflang,
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
+    "corpus_translation_clusters": q_corpus_translation_clusters,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -8410,12 +8464,16 @@ _HREFLANG_PAGE_SQL = (
 )
 
 
-def _html_hreflang_oracle_sql() -> str:
-    """html_hreflang oracle — the script+comment strip + link-tag
+def _hreflang_alts_ctes(page_sql: str) -> str:
+    """Parametrized hreflang-alternates CTE chain (the
+    _html_main_ctes precedent): the script+comment strip + link-tag
     extract_all + per-attribute regexes with the identical
     rel-token-list, lowercase-hreflang, and entity-decode rules, all
     regenerated from the engine's regex constants; host restated
-    generically (the sitemap-oracle form)."""
+    generically (the sitemap-oracle form).  Ends in a relation
+    ``alts(doc_id, link_no, hreflang, href, is_default, host)`` —
+    shared by the standalone html_hreflang oracle and the
+    corpus_translation_clusters composition."""
     from .operators.html import (
         COMMENT_RE,
         HREF_ATTR_RE,
@@ -8438,7 +8496,7 @@ def _html_hreflang_oracle_sql() -> str:
         "'^www\\.', ''), '')"
     )
     return (
-        f"WITH d0 AS (SELECT doc_id, {_HREFLANG_PAGE_SQL} AS h "
+        f"d0 AS (SELECT doc_id, {page_sql} AS h "
         "FROM documents), "
         "d AS (SELECT doc_id, regexp_replace(regexp_replace(h, "
         f"'{esc(SCRIPT_RE)}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') "
@@ -8454,16 +8512,51 @@ def _html_hreflang_oracle_sql() -> str:
         f"'{esc(REL_ATTR_RE)}', 1))), '[ \\t\\n\\r]+') AS rel_toks, "
         "lower(trim(regexp_extract(t, "
         f"'{esc(HREFLANG_ATTR_RE)}', 1))) AS hreflang, "
-        f"trim({href}) AS href FROM e) "
-        "SELECT doc_id, link_no, hreflang, href, "
+        f"trim({href}) AS href FROM e), "
+        "alts AS (SELECT doc_id, link_no, hreflang, href, "
         "hreflang = 'x-default' AS is_default, "
         f"{host} AS host FROM f "
         "WHERE list_contains(rel_toks, 'alternate') "
-        "AND hreflang <> '' AND href <> ''"
+        "AND hreflang <> '' AND href <> '')"
     )
 
 
-ORACLE_SQL["html_hreflang"] = _html_hreflang_oracle_sql()
+ORACLE_SQL["html_hreflang"] = (
+    f"WITH {_hreflang_alts_ctes(_HREFLANG_PAGE_SQL)} "
+    "SELECT doc_id, link_no, hreflang, href, is_default, host "
+    "FROM alts"
+)
+
+
+_TRANSLATION_PAGE_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN '<p>no declarations</p>' ELSE "
+    "'<link rel=\"alternate\" hreflang=\"en\" href=\"https://ex' "
+    "|| CAST(doc_id % 25 AS VARCHAR) || '.com/en\">' || "
+    "'<link rel=\"alternate\" hreflang=\"fr\" href=\"https://ex' "
+    "|| CAST(doc_id % 25 AS VARCHAR) || '.com/fr\">' || "
+    "(CASE WHEN doc_id % 25 % 2 = 0 THEN "
+    "'<link rel=\"alternate\" hreflang=\"de\" href=\"https://ex' "
+    "|| CAST(doc_id % 25 AS VARCHAR) || '.com/de\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 25 % 3 = 0 THEN "
+    "'<link rel=\"alternate\" hreflang=\"x-default\" "
+    "href=\"https://ex' || CAST(doc_id % 25 AS VARCHAR) || "
+    "'.com/\">' ELSE '' END) END"
+)
+
+
+ORACLE_SQL["corpus_translation_clusters"] = (
+    f"WITH {_hreflang_alts_ctes(_TRANSLATION_PAGE_SQL)}, "
+    "keys AS (SELECT doc_id, COALESCE("
+    "MAX(CASE WHEN is_default THEN href END), MIN(href)) "
+    "AS cluster_key FROM alts GROUP BY doc_id), "
+    "pairs AS (SELECT DISTINCT k.cluster_key, a.hreflang, a.href "
+    "FROM alts a JOIN keys k USING (doc_id)), "
+    "sizes AS (SELECT cluster_key, "
+    "COUNT(DISTINCT hreflang) AS n_langs FROM pairs "
+    "GROUP BY cluster_key) "
+    "SELECT p.cluster_key, p.hreflang, p.href, s.n_langs "
+    "FROM pairs p JOIN sizes s USING (cluster_key)"
+)
 
 
 def _corpus_canonical_dedup_oracle_sql() -> str:

@@ -184,6 +184,7 @@ HEADLINE = [
     "html_hreflang",
     "corpus_canonical_dedup",
     "corpus_fetch_schedule",
+    "corpus_translation_clusters",
 ]
 
 

@@ -3195,3 +3195,42 @@ def test_fetch_schedule(spark):
             spark.createDataFrame(rows, "doc_id long, host string, score long"),
             per_window=0,
         )
+
+
+def test_translation_clusters(spark):
+    """html.translation_clusters: pages declaring the same hreflang
+    set collapse to one cluster (x-default key when declared, else
+    min href), n_langs counts distinct languages incl. x-default,
+    declaration-less pages contribute nothing."""
+    from annual_report_pdf_parsers_spark.operators.html import (
+        translation_clusters,
+    )
+
+    set_a = (
+        '<link rel="alternate" hreflang="en" href="https://a.com/en">'
+        '<link rel="alternate" hreflang="fr" href="https://a.com/fr">'
+        '<link rel="alternate" hreflang="x-default" href="https://a.com/">'
+    )
+    set_b = (
+        '<link rel="alternate" hreflang="de" href="https://b.com/de">'
+        '<link rel="alternate" hreflang="en" href="https://b.com/en">'
+    )
+    rows = [
+        (1, set_a),
+        (2, set_a),          # same set declared on a second page
+        (3, set_b),          # no x-default -> min href keys it
+        (4, "<p>nothing</p>"),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in translation_clusters(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).collect()
+    )
+    assert got == [
+        ("https://a.com/", "en", "https://a.com/en", 3),
+        ("https://a.com/", "fr", "https://a.com/fr", 3),
+        ("https://a.com/", "x-default", "https://a.com/", 3),
+        ("https://b.com/de", "de", "https://b.com/de", 2),
+        ("https://b.com/de", "en", "https://b.com/en", 2),
+    ]

@@ -1064,3 +1064,18 @@ def test_corpus_fetch_schedule_plan(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_corpus_translation_clusters_plan(spark):
+    """corpus_translation_clusters: key agg + PINNED shuffle_hash
+    key-back join + triple distinct + n_langs WINDOW = exactly 4
+    exchanges, ONE join, extraction subtree derived exactly twice
+    (keys + join branches — the documented cost; the first agg+join
+    draft re-derived it 4x at 8 exchanges / 3 joins); never a
+    broadcast, no Python."""
+    plan = _qplan(spark, "corpus_translation_clusters")
+    assert plan.count("Exchange") == 4, plan
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Generate") == 2, plan
