@@ -481,6 +481,88 @@ def metadata(
     )
 
 
+META_ROBOTS_RE = (
+    "(?is)<meta[^>]*?name[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']robots[\"'][^>]*?content[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+_DIR_TRIM_RE = "^[ \\t\\n\\r]+|[ \\t\\n\\r]+$"
+
+
+def robots_meta(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Meta-robots page-level crawl policy — the PAGE-side dual of
+    corpus_robots_filter (robots.txt is the host's word; ``<meta
+    name="robots">`` is the page's own): a corpus that keeps noindex
+    pages republishes content its publisher withdrew, so crawl
+    pipelines drop them before extraction.  One row per document::
+
+        (doc_id, [keep_cols...], noindex, nofollow, noarchive, keep)
+
+    Directive semantics follow the de-facto spec (Google/Bing robots
+    meta): the ``content`` attribute is a comma-separated directive
+    list; directives are case-insensitive and whitespace-trimmed;
+    MULTIPLE robots meta tags union their directives; ``none``
+    expands to ``noindex + nofollow``.  ``keep`` = NOT noindex.
+    Only the generic ``robots`` name is honored — bot-specific names
+    (``googlebot`` etc.) are crawler-identity decisions this engine
+    deliberately does not take (documented narrowing).  Attribute
+    order is fixed (``name`` before ``content``, the META_DESC_RE
+    contract) and values must be quoted.  Script/style/comment
+    regions are stripped first (a commented-out or document.write'd
+    directive is not policy).  NULL html behaves as '' (all-false,
+    keep).
+
+    100 TB shape: pure narrow — one pinned stripped-html column, one
+    extract_all + in-expression token flatten; no shuffle, no
+    Generate, no UDF.
+    """
+    clash = sorted({"_rm_h", "_rm_toks"} & set(df.columns))
+    if clash:
+        raise ValueError(f"robots_meta staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn("_rm_h", pin(h))
+    toks = F.transform(
+        F.flatten(
+            F.transform(
+                F.regexp_extract_all(
+                    F.col("_rm_h"), F.lit(META_ROBOTS_RE), 1
+                ),
+                lambda c: F.split(F.lower(c), ","),
+            )
+        ),
+        lambda t: F.regexp_replace(t, _DIR_TRIM_RE, ""),
+    )
+    # pin the token array: noindex/nofollow/noarchive/keep would
+    # otherwise each inline the whole extract+flatten chain (the
+    # gotcha-2 staging rule)
+    staged = base.withColumn("_rm_toks", pin(toks))
+    tk = F.col("_rm_toks")
+    none_ = F.array_contains(tk, "none")
+    noindex = F.array_contains(tk, "noindex") | none_
+    return staged.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        noindex.alias("noindex"),
+        (F.array_contains(tk, "nofollow") | none_).alias("nofollow"),
+        F.array_contains(tk, "noarchive").alias("noarchive"),
+        (~noindex).alias("keep"),
+    )
+
+
 def dst_host_of(src: Column, href: Column) -> Column:
     """Target host of one outlink: absolute http(s) hrefs resolve via
     host parsing (junk absolute hrefs -> the source host, never a

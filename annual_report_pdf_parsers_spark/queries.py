@@ -3192,6 +3192,48 @@ def _hreflang_fixture_page():
     )
 
 
+def q_html_robots_meta(spark, sf):
+    """Meta-robots page policy over synthesized pages: a %2
+    cased+padded 'NoIndex , nofollow' list, a %3 cased-name NONE
+    expansion (noindex AND nofollow), a %5 two-tag union (noarchive +
+    a tab-padded nofollow in a SEPARATE tag), and three decoys that
+    must never match — a description meta containing the word, a
+    commented-out noindex, a bot-specific googlebot tag (documented
+    narrowing: only the generic name is policy).  Oracle = the same
+    extract_all + comma-split + trim + token-membership chain,
+    regenerated from the engine's regex constants."""
+    from .operators.html import robots_meta
+
+    d = load(spark, sf, "documents")
+    return robots_meta(
+        d.select("doc_id", _robots_meta_fixture_page().alias("html"))
+    )
+
+
+def _robots_meta_fixture_page():
+    """Shared doc_id-derived meta-robots fixture (see
+    q_html_robots_meta); the DuckDB restatement is _ROBOTS_PAGE_SQL —
+    edit BOTH."""
+    did = F.col("doc_id")
+
+    def arm(mod: int, tag: str):
+        return F.when(did % mod == 0, F.lit(tag)).otherwise(F.lit(""))
+
+    return F.concat(
+        F.lit('<head><meta name="description" content="noindex decoy">'),
+        arm(2, '<meta name="robots" content="NoIndex , nofollow">'),
+        arm(3, '<meta name="ROBOTS" content="NONE">'),
+        arm(
+            5,
+            '<META name="robots" content="noarchive">'
+            '<meta name="robots" content=" nofollow\t">',
+        ),
+        arm(7, '<!-- <meta name="robots" content="noindex"> -->'),
+        arm(11, '<meta name="googlebot" content="noindex">'),
+        F.lit("</head>"),
+    )
+
+
 def q_corpus_canonical_dedup(spark, sf):
     """Canonical-aware url dedup over synthesized crawl rows: four
     grime variants per logical url (www+case, utm+gclid, trailing
@@ -4834,6 +4876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (the r06 window queue) with full value-hash oracles in the local
     # gate every session
     "corpus_feed_items": q_corpus_feed_items,
+    "html_robots_meta": q_html_robots_meta,
     "html_hreflang": q_html_hreflang,
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
@@ -8557,6 +8600,69 @@ ORACLE_SQL["corpus_translation_clusters"] = (
     "SELECT p.cluster_key, p.hreflang, p.href, s.n_langs "
     "FROM pairs p JOIN sizes s USING (cluster_key)"
 )
+
+
+_ROBOTS_PAGE_SQL = (
+    "'<head><meta name=\"description\" content=\"noindex decoy\">' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'<meta name=\"robots\" content=\"NoIndex , nofollow\">' "
+    "ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "'<meta name=\"ROBOTS\" content=\"NONE\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'<META name=\"robots\" content=\"noarchive\">"
+    "<meta name=\"robots\" content=\" nofollow\t\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN "
+    "'<!-- <meta name=\"robots\" content=\"noindex\"> -->' "
+    "ELSE '' END) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN "
+    "'<meta name=\"googlebot\" content=\"noindex\">' ELSE '' END) || "
+    "'</head>'"
+)
+
+
+def _robots_meta_oracle_sql() -> str:
+    """html_robots_meta oracle — the strip passes + one extract_all +
+    comma-split + per-token ws-trim + token membership, regenerated
+    from the engine's regex constants (META_ROBOTS_RE, _DIR_TRIM_RE,
+    the strip REs).  The trim regexp_replace needs the 'g' flag: a
+    token padded on BOTH sides is two matches (Spark replaces all by
+    default)."""
+    from .operators.html import (
+        COMMENT_RE,
+        META_ROBOTS_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+        _DIR_TRIM_RE,
+    )
+
+    def esc(r: str) -> str:
+        return r.replace("'", "''")
+
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_ROBOTS_PAGE_SQL} AS h "
+        "FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{esc(SCRIPT_RE)}', ' ', 'g'), "
+        f"'{esc(STYLE_RE)}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') "
+        "AS h FROM d0), "
+        "t AS (SELECT doc_id, list_transform(flatten(list_transform("
+        f"regexp_extract_all(h, '{esc(META_ROBOTS_RE)}', 1), "
+        "c -> string_split(lower(c), ','))), "
+        f"s -> regexp_replace(s, '{_DIR_TRIM_RE}', '', 'g')) "
+        "AS toks FROM d) "
+        "SELECT doc_id, "
+        "list_contains(toks, 'noindex') OR list_contains(toks, 'none') "
+        "AS noindex, "
+        "list_contains(toks, 'nofollow') OR list_contains(toks, 'none') "
+        "AS nofollow, "
+        "list_contains(toks, 'noarchive') AS noarchive, "
+        "NOT (list_contains(toks, 'noindex') "
+        "OR list_contains(toks, 'none')) AS keep FROM t"
+    )
+
+
+ORACLE_SQL["html_robots_meta"] = _robots_meta_oracle_sql()
 
 
 def _corpus_canonical_dedup_oracle_sql() -> str:

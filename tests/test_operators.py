@@ -3109,6 +3109,62 @@ def test_hreflang_alternates(spark):
         )
 
 
+def test_robots_meta(spark):
+    """html.robots_meta: comma-split + trim + case-insensitive
+    directive tokens, multi-tag union, none -> noindex+nofollow,
+    description/commented/scripted/googlebot decoys never match,
+    NULL html -> all-false keep, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import (
+        robots_meta,
+    )
+
+    rows = [
+        # cased + padded directives in one tag
+        (1, '<meta name="robots" content=" NoIndex ,\tnofollow ">'),
+        # none expansion, cased name attr
+        (2, '<meta name="ROBOTS" content="NONE">'),
+        # multi-tag union: noarchive + nofollow, noindex stays false
+        (
+            3,
+            '<meta name="robots" content="noarchive">'
+            '<p>x</p><meta name="robots" content="nofollow">',
+        ),
+        # decoys only: description-with-the-word, commented, scripted,
+        # bot-specific
+        (
+            4,
+            '<meta name="description" content="noindex all">'
+            '<!-- <meta name="robots" content="noindex"> -->'
+            "<script>document.write('<meta name=\"robots\" "
+            "content=\"noindex\">');</script>"
+            '<meta name="googlebot" content="noindex">',
+        ),
+        (5, None),
+    ]
+    got = {
+        r["doc_id"]: (r["noindex"], r["nofollow"], r["noarchive"], r["keep"])
+        for r in robots_meta(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).collect()
+    }
+    assert got == {
+        1: (True, True, False, False),
+        2: (True, True, False, False),
+        3: (False, True, True, True),
+        4: (False, False, False, True),
+        5: (False, False, False, True),
+    }
+    with _pytest.raises(ValueError, match="clash"):
+        robots_meta(
+            spark.createDataFrame(
+                [(1, "<i>x</i>", "y")],
+                "doc_id long, html string, _rm_toks string",
+            )
+        )
+
+
 def test_canonical_dedup(spark):
     """urls.canonical_dedup: absolute canonical honored (cased host
     lowered into the key), relative canonical falls back to the crawl

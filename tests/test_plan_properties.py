@@ -1041,6 +1041,17 @@ def test_html_hreflang_plan(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_html_robots_meta_plan(spark):
+    """html_robots_meta: pure narrow — zero exchanges, zero Generate
+    (the token flatten is an expression, not an explode), no join, no
+    Python."""
+    plan = _qplan(spark, "html_robots_meta")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_corpus_canonical_dedup_plan(spark):
     """corpus_canonical_dedup: the metadata extraction stays narrow;
     TWO canon_key hash exchanges (count agg + join co-partition) and
