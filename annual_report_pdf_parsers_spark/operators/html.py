@@ -1350,3 +1350,91 @@ def translation_clusters(
         .cast("long")
         .alias("n_langs"),
     )
+
+
+def bitext_pairs(
+    clusters: DataFrame,
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_ratio: float = 0.5,
+    materialize: bool = False,
+) -> DataFrame:
+    """Bitext candidate mining — :func:`translation_clusters` composed
+    with the crawled corpus into the PARALLEL-TEXT pair table (public
+    practice: Resnik & Smith 2003 "The Web as a Parallel Corpus";
+    ParaCrawl-style pipelines start from url-aligned document pairs
+    sanity-filtered by length ratio before sentence alignment).  One
+    row per within-cluster unordered language pair::
+
+        (cluster_key, lang_a, lang_b, href_a, href_b,
+         tokens_a, tokens_b, len_ratio, keep)
+
+    Members join the corpus on ``href == url`` INNER (a candidate
+    needs both sides crawled); ``x-default`` rows are aliases of a
+    member, not languages, and are excluded; ``lang_a < lang_b``
+    orders each pair once.  ``len_ratio`` = round(min/max whitespace
+    token count, 6), pinned to 0.0 when the longer side is empty
+    (never an ANSI division throw — the epoch_plan rule); ``keep`` =
+    ``len_ratio >= min_ratio``, the Gale-Church-style length-ratio
+    sanity filter.  A language declaring two hrefs in one cluster
+    yields one candidate per href (deterministic, declaration-
+    faithful).
+
+    100 TB shape: token counts attach NARROW on the docs side before
+    the href join; the href join and the pair self-join are both
+    PINNED shuffle_hash (members and corpus scale with the crawl —
+    the AQE-broadcast trap); the self-join runs on aliased views of
+    ONE member plan so the cluster_key exchange can reuse — but when
+    ``clusters`` carries pin()-ned extraction columns ReusedExchange
+    cannot fire (the LADDER rule): pass ``materialize=True`` to
+    localCheckpoint the member table first (write-then-read at
+    production scale).  Cluster sizes are bounded by the language
+    count, so the within-key pair expansion never skews.
+    """
+    if not (0.0 < min_ratio <= 1.0):
+        raise ValueError(f"min_ratio must be in (0, 1]: {min_ratio}")
+    clash = sorted({"_bt_url", "_bt_tok"} & set(docs.columns))
+    if clash:
+        raise ValueError(f"bitext_pairs staging columns clash: {clash}")
+    from .text import token_count
+
+    sized = docs.select(
+        F.col(url_col).alias("_bt_url"),
+        token_count(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long")
+        .alias("_bt_tok"),
+    )
+    m = (
+        clusters.filter(F.col("hreflang") != "x-default")
+        .select("cluster_key", "hreflang", "href")
+        .join(
+            sized.hint("shuffle_hash"),
+            F.col("href") == F.col("_bt_url"),
+        )
+        .select("cluster_key", "hreflang", "href", "_bt_tok")
+    )
+    if materialize:
+        m = m.localCheckpoint(eager=False)
+    a, b = m.alias("a"), m.alias("b")
+    ta = F.col("a._bt_tok").cast("double")
+    tb = F.col("b._bt_tok").cast("double")
+    mx = F.greatest(ta, tb)
+    ratio = F.when(mx == 0, F.lit(0.0)).otherwise(
+        F.round(F.least(ta, tb) / mx, 6)
+    )
+    return a.join(
+        b.hint("shuffle_hash"),
+        (F.col("a.cluster_key") == F.col("b.cluster_key"))
+        & (F.col("a.hreflang") < F.col("b.hreflang")),
+    ).select(
+        F.col("a.cluster_key").alias("cluster_key"),
+        F.col("a.hreflang").alias("lang_a"),
+        F.col("b.hreflang").alias("lang_b"),
+        F.col("a.href").alias("href_a"),
+        F.col("b.href").alias("href_b"),
+        F.col("a._bt_tok").alias("tokens_a"),
+        F.col("b._bt_tok").alias("tokens_b"),
+        ratio.alias("len_ratio"),
+        (ratio >= F.lit(min_ratio)).alias("keep"),
+    )

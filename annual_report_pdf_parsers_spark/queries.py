@@ -3389,6 +3389,48 @@ def _translation_fixture_page():
     ).otherwise(decl)
 
 
+def q_corpus_bitext_pairs(spark, sf):
+    """Bitext candidate mining composed end-to-end: the translation
+    fixture's hreflang sets -> translation_clusters -> pair mining
+    against a synthesized crawled corpus whose urls match the declared
+    hrefs and whose token counts come from repeat('w ', n) arms — fr
+    docs on %4 clusters are 3x the en length so the 0.5 length-ratio
+    filter fires (keep false), de docs (even clusters) stay within
+    ratio.  materialize=True: the member table carries pin()-ned
+    extraction columns, so the self-join must checkpoint (the LADDER
+    rule).  Oracle composes the shared _hreflang_alts_ctes chain with
+    the same docs arms, token rule, and ratio CASE."""
+    from .operators.html import bitext_pairs, translation_clusters
+
+    d = load(spark, sf, "documents")
+    clusters = translation_clusters(
+        d.select("doc_id", _translation_fixture_page().alias("html"))
+    )
+    did = F.col("doc_id")
+    k = did % 25
+    lang_idx = F.expr("doc_id DIV 25")
+    lang = (
+        F.when(lang_idx == 0, F.lit("en"))
+        .when(lang_idx == 1, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    ntok = (
+        F.when(lang_idx == 0, k + 20)
+        .when(
+            lang_idx == 1,
+            F.when(k % 4 == 0, (k + 20) * 3).otherwise(k + 22),
+        )
+        .otherwise(k + 21)
+    ).cast("int")
+    docs = d.filter(did < 75).select(
+        F.concat(
+            F.lit("https://ex"), k.cast("string"), F.lit(".com/"), lang
+        ).alias("url"),
+        F.repeat(F.lit("w "), ntok).alias("text"),
+    )
+    return bitext_pairs(clusters, docs, materialize=True)
+
+
 def q_corpus_sitemap(spark, sf):
     """Sitemap-XML entry extraction over synthesized sitemap pages:
     a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
@@ -4881,6 +4923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
     "corpus_translation_clusters": q_corpus_translation_clusters,
+    "corpus_bitext_pairs": q_corpus_bitext_pairs,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -8600,6 +8643,55 @@ ORACLE_SQL["corpus_translation_clusters"] = (
     "SELECT p.cluster_key, p.hreflang, p.href, s.n_langs "
     "FROM pairs p JOIN sizes s USING (cluster_key)"
 )
+
+
+def _bitext_pairs_oracle_sql() -> str:
+    """corpus_bitext_pairs oracle — the shared hreflang CTE chain +
+    the translation-cluster key/dedup stages, members (x-default
+    excluded) joined to the restated docs arms, then the ordered
+    self-join with the identical token rule and ratio CASE (0.0 when
+    the longer side is empty)."""
+    from .operators import text
+
+    k = "doc_id % 25"
+    ntok = (
+        f"CASE doc_id // 25 WHEN 0 THEN 20 + {k} "
+        f"WHEN 1 THEN (CASE WHEN {k} % 4 = 0 THEN 3 * (20 + {k}) "
+        f"ELSE 22 + {k} END) ELSE 21 + {k} END"
+    )
+    return (
+        f"WITH {_hreflang_alts_ctes(_TRANSLATION_PAGE_SQL)}, "
+        "keys AS (SELECT doc_id, COALESCE("
+        "MAX(CASE WHEN is_default THEN href END), MIN(href)) "
+        "AS cluster_key FROM alts GROUP BY doc_id), "
+        "cpairs AS (SELECT DISTINCT k.cluster_key, a.hreflang, a.href "
+        "FROM alts a JOIN keys k USING (doc_id)), "
+        "members AS (SELECT cluster_key, hreflang, href FROM cpairs "
+        "WHERE hreflang <> 'x-default'), "
+        "docs AS (SELECT "
+        f"'https://ex' || CAST({k} AS VARCHAR) || '.com/' || "
+        "(CASE doc_id // 25 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' "
+        "ELSE 'de' END) AS url, "
+        f"repeat('w ', {ntok}) AS text "
+        "FROM documents WHERE doc_id < 75), "
+        "sized AS (SELECT url, CAST(len(list_filter("
+        f"regexp_split_to_array(text, '{text.WS_SPLIT_RE2}'), "
+        "x -> x <> '')) AS BIGINT) AS tok FROM docs), "
+        "m AS (SELECT cluster_key, hreflang, href, tok "
+        "FROM members JOIN sized ON href = url), "
+        "paired AS (SELECT a.cluster_key, a.hreflang AS lang_a, "
+        "b.hreflang AS lang_b, a.href AS href_a, b.href AS href_b, "
+        "a.tok AS tokens_a, b.tok AS tokens_b, "
+        "CASE WHEN greatest(a.tok, b.tok) = 0 THEN 0.0 "
+        "ELSE round(CAST(least(a.tok, b.tok) AS DOUBLE) / "
+        "CAST(greatest(a.tok, b.tok) AS DOUBLE), 6) END AS len_ratio "
+        "FROM m a JOIN m b ON a.cluster_key = b.cluster_key "
+        "AND a.hreflang < b.hreflang) "
+        "SELECT *, len_ratio >= 0.5 AS keep FROM paired"
+    )
+
+
+ORACLE_SQL["corpus_bitext_pairs"] = _bitext_pairs_oracle_sql()
 
 
 _ROBOTS_PAGE_SQL = (

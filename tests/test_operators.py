@@ -3165,6 +3165,61 @@ def test_robots_meta(spark):
         )
 
 
+def test_bitext_pairs(spark):
+    """html.bitext_pairs: within-cluster ordered language pairs,
+    x-default excluded, missing-doc sides dropped (inner join),
+    len_ratio = round(min/max, 6) with the empty-side 0.0 pin, keep
+    at the 0.5 default, min_ratio validation + staging clash raise."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import (
+        bitext_pairs,
+    )
+
+    clusters = spark.createDataFrame(
+        [
+            ("c1", "en", "u-en", 3),
+            ("c1", "fr", "u-fr", 3),
+            ("c1", "x-default", "u-en", 3),
+            ("c2", "en", "u2-en", 2),
+            ("c2", "de", "u2-de", 2),   # u2-de never crawled -> drops
+            ("c3", "en", "u3-en", 2),
+            ("c3", "es", "u3-es", 2),   # es side empty -> ratio 0.0
+        ],
+        "cluster_key string, hreflang string, href string, n_langs int",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("u-en", "one two three four"),
+            ("u-fr", "un deux trois"),
+            ("u2-en", "a b"),
+            ("u3-en", "a b c"),
+            ("u3-es", None),
+        ],
+        "url string, text string",
+    )
+    got = {
+        (r["cluster_key"], r["lang_a"], r["lang_b"]): (
+            r["tokens_a"],
+            r["tokens_b"],
+            r["len_ratio"],
+            r["keep"],
+        )
+        for r in bitext_pairs(clusters, docs).collect()
+    }
+    assert got == {
+        ("c1", "en", "fr"): (4, 3, 0.75, True),
+        ("c3", "en", "es"): (3, 0, 0.0, False),
+    }
+    with _pytest.raises(ValueError, match="min_ratio"):
+        bitext_pairs(clusters, docs, min_ratio=0.0)
+    with _pytest.raises(ValueError, match="clash"):
+        bitext_pairs(
+            clusters,
+            docs.withColumn("_bt_tok", docs.url),
+        )
+
+
 def test_canonical_dedup(spark):
     """urls.canonical_dedup: absolute canonical honored (cased host
     lowered into the key), relative canonical falls back to the crawl

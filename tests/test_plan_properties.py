@@ -1052,6 +1052,21 @@ def test_html_robots_meta_plan(spark):
     assert "Join" not in plan, plan
 
 
+def test_corpus_bitext_pairs_plan(spark):
+    """corpus_bitext_pairs (materialize=True): the pair self-join runs
+    over the CHECKPOINTED member table — exactly TWO cluster_key
+    exchanges feeding ONE pinned ShuffledHashJoin; never a broadcast
+    (members scale with the crawl — the soft_weights AQE trap), never
+    a cartesian/BNLJ, no Python."""
+    plan = _qplan(spark, "corpus_bitext_pairs")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_corpus_canonical_dedup_plan(spark):
     """corpus_canonical_dedup: the metadata extraction stays narrow;
     TWO canon_key hash exchanges (count agg + join co-partition) and
