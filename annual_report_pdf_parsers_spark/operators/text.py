@@ -1444,6 +1444,72 @@ def chunk_windows(
     )
 
 
+# Sentence rule: a sentence is a maximal run of non-terminal chars
+# closed by a run of terminal punctuation ([.!?]+), plus one unclosed
+# tail.  \z (absolute end-of-input) instead of $ — Java's $ also
+# matches before a final line terminator where RE2's does not; \z
+# means the same thing in both.  Deliberately NAIVE about
+# abbreviations/decimals ("Dr. Smith" splits) — the deterministic
+# cross-engine rule a quality signal needs, not a linguistic parser.
+SENT_SPLIT_RE = "[^.!?]*[.!?]+|[^.!?]+\\z"
+_SENT_TRIM_RE = "^[ \\t\\n\\r]+|[ \\t\\n\\r]+$"
+
+
+def sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation into rows — the alignment/quality
+    primitive (public practice: C4's >=3-sentence doc rule, bitext
+    sentence alignment, and per-sentence quality scoring all consume
+    sentence units; Raffel et al. 2020 §2.2 counts sentences by
+    terminal punctuation exactly like this).  One row per sentence::
+
+        (doc_id, sent_no, sentence, n_tokens)
+
+    Sentences are maximal runs closed by terminal punctuation
+    ([.!?]+, the run kept on the sentence) plus one unclosed tail;
+    each is whitespace-trimmed (the explicit ASCII class) and blank
+    segments (whitespace-only tails after a closed sentence) are
+    dropped BEFORE numbering, so ``sent_no`` is dense 0-based over
+    emitted sentences.  A detached punctuation run ("a. . b") stays
+    its own sentence — deterministic, not linguistic.  NULL text
+    behaves as '' (zero rows — the c4_filters convention).
+    ``n_tokens`` uses the shared ws-run token rule.
+
+    100 TB shape: pure narrow + ONE posexplode; the sentence array is
+    pin()-staged once and per-sentence expressions run on the
+    already-exploded attribute (the gotcha-3 rule).
+    """
+    clash = sorted({"_sn_arr", "_sn_s"} & set(df.columns))
+    if clash:
+        raise ValueError(f"sentences staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(text_col), F.lit(""))
+    arr = F.filter(
+        F.transform(
+            F.regexp_extract_all(h, F.lit(SENT_SPLIT_RE), 0),
+            lambda s: F.regexp_replace(s, _SENT_TRIM_RE, ""),
+        ),
+        lambda s: s != "",
+    )
+    return (
+        df.withColumn("_sn_arr", pin(arr))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.col("_sn_arr")).alias("sent_no", "_sn_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("sent_no").cast("long").alias("sent_no"),
+            F.col("_sn_s").alias("sentence"),
+            token_count(F.col("_sn_s")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 # Cross-engine-identical single-char classes for script_mix_stats:
 # pure codepoint ranges (no \p{...} script properties — Java and RE2
 # disagree at the edges of Unicode script classes; byte/codepoint

@@ -4168,6 +4168,30 @@ def q_text_chunk_windows(spark, sf):
     )
 
 
+def q_text_sentences(spark, sf):
+    """Sentence segmentation over synthesized multi-sentence docs: a
+    three-sentence base with internal double-space and a tab separator
+    (trim non-vacuous), a %3 unclosed tail, a %5 ellipsis arm where
+    the punct RUN stays on its sentence ('Ellipsis wait...'), and the
+    %15 overlap where the unclosed tail merges into the following
+    sentence (maximal-run rule).  Oracle = the same extract_all(re, 0)
+    + trim + blank-drop + dense 0-based numbering + ws-token counts."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.lit("Doc "),
+        did.cast("string"),
+        F.lit(" opens here. Second  sentence is longer!\tThird one?"),
+        F.when(
+            did % 3 == 0, F.lit(" trailing tail with no terminal")
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" Ellipsis wait... more.")).otherwise(
+            F.lit("")
+        ),
+    )
+    return text.sentences(d.select("doc_id", t.alias("text")))
+
+
 def q_text_script_mix(spark, sf):
     """Mojibake/script-mix detection over a doc_id%4 probe rotation on
     a 40-char text base: clean ASCII tail, a U+FFFD + C0-control tail
@@ -4924,6 +4948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
     "corpus_translation_clusters": q_corpus_translation_clusters,
     "corpus_bitext_pairs": q_corpus_bitext_pairs,
+    "text_sentences": q_text_sentences,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -8643,6 +8668,42 @@ ORACLE_SQL["corpus_translation_clusters"] = (
     "SELECT p.cluster_key, p.hreflang, p.href, s.n_langs "
     "FROM pairs p JOIN sizes s USING (cluster_key)"
 )
+
+
+def _text_sentences_oracle_sql() -> str:
+    """text_sentences oracle — the same fixture arms, then
+    extract_all(SENT_SPLIT_RE, 0) + explicit-class trim + blank drop
+    + dense numbering + the shared ws-token count, regenerated from
+    the engine's constants ('g' on the trim: both sides may be
+    padded)."""
+    from .operators.text import SENT_SPLIT_RE, _SENT_TRIM_RE
+
+    page = (
+        "'Doc ' || CAST(doc_id AS VARCHAR) || "
+        "' opens here. Second  sentence is longer!' || chr(9) || "
+        "'Third one?' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN "
+        "' trailing tail with no terminal' ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN "
+        "' Ellipsis wait... more.' ELSE '' END)"
+    )
+    return (
+        f"WITH p AS (SELECT doc_id, {page} AS h FROM documents), "
+        "seg AS (SELECT doc_id, list_filter(list_transform("
+        f"regexp_extract_all(h, '{SENT_SPLIT_RE}', 0), "
+        f"s -> regexp_replace(s, '{_SENT_TRIM_RE}', '', 'g')), "
+        "s -> s <> '') AS arr FROM p), "
+        "e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_no, "
+        "arr[i] AS sentence FROM seg, "
+        "UNNEST(generate_series(1, len(arr))) AS g(i)) "
+        "SELECT doc_id, sent_no, sentence, "
+        "CAST(len(list_filter(regexp_split_to_array(sentence, "
+        + _WSRE2
+        + "), x -> x <> '')) AS BIGINT) AS n_tokens FROM e"
+    )
+
+
+ORACLE_SQL["text_sentences"] = _text_sentences_oracle_sql()
 
 
 def _bitext_pairs_oracle_sql() -> str:

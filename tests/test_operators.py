@@ -3165,6 +3165,49 @@ def test_robots_meta(spark):
         )
 
 
+def test_sentences(spark):
+    """text.sentences: maximal runs closed by terminal-punct runs,
+    unclosed tail kept, ws-only tail dropped, detached punct run stays,
+    naive abbreviation split pinned, dense 0-based sent_no, NULL ->
+    zero rows, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.text import sentences
+
+    rows = [
+        (1, "One. Two!  Three? tail"),
+        (2, "Dr. Smith went. "),
+        (3, "a. . b"),
+        (4, None),
+        (5, "..."),
+    ]
+    got = {}
+    for r in sentences(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["sent_no"], r["sentence"], r["n_tokens"])
+        )
+    assert got == {
+        1: [
+            (0, "One.", 1),
+            (1, "Two!", 1),
+            (2, "Three?", 1),
+            (3, "tail", 1),
+        ],
+        # the documented naive rule: "Dr." splits; trailing ws tail drops
+        2: [(0, "Dr.", 1), (1, "Smith went.", 2)],
+        3: [(0, "a.", 1), (1, ".", 1), (2, "b", 1)],
+        5: [(0, "...", 1)],
+    }
+    with _pytest.raises(ValueError, match="clash"):
+        sentences(
+            spark.createDataFrame(
+                [(1, "x", "y")], "doc_id long, text string, _sn_s string"
+            )
+        )
+
+
 def test_bitext_pairs(spark):
     """html.bitext_pairs: within-cluster ordered language pairs,
     x-default excluded, missing-doc sides dropped (inner join),

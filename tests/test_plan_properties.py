@@ -1052,6 +1052,17 @@ def test_html_robots_meta_plan(spark):
     assert "Join" not in plan, plan
 
 
+def test_text_sentences_plan(spark):
+    """text_sentences: narrow + exactly ONE Generate (sentence array
+    -> rows) — zero exchanges, no join, no Python; the token count
+    runs on the already-exploded sentence attribute."""
+    plan = _qplan(spark, "text_sentences")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_corpus_bitext_pairs_plan(spark):
     """corpus_bitext_pairs (materialize=True): the pair self-join runs
     over the CHECKPOINTED member table — exactly TWO cluster_key
