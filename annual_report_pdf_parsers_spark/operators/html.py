@@ -481,6 +481,96 @@ def metadata(
     )
 
 
+def _meta_attr_re(attr: str, value: str) -> str:
+    """Meta-tag content regex for one (attr, value) pair — the
+    META_DESC_RE contract generalized: fixed attribute order (``attr``
+    before ``content``), quoted values, case-insensitive."""
+    return (
+        f"(?is)<meta[^>]*?{attr}[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+        f"[\"']{value}[\"'][^>]*?content[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+        "[\"']([^\"']*)[\"']"
+    )
+
+
+# Open Graph uses the ``property`` attribute (RDFa), Twitter cards use
+# ``name`` — both are meta/content pairs (public spec: ogp.me, the
+# Twitter card markup docs).
+OPENGRAPH_FIELDS = [
+    ("og_title", "property", "og:title", "text"),
+    ("og_description", "property", "og:description", "text"),
+    ("og_image", "property", "og:image", "raw"),
+    ("og_url", "property", "og:url", "raw"),
+    ("og_type", "property", "og:type", "lower"),
+    ("twitter_card", "name", "twitter:card", "lower"),
+]
+
+
+def opengraph(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Open Graph / Twitter-card extraction — the SOCIAL-metadata twin
+    of :func:`metadata` (public practice: og:title/og:description are
+    often the cleanest publisher-authored summary of a page, og:url is
+    a canonical-url signal, og:type routes article-vs-site pages).
+    One row per document::
+
+        (doc_id, [keep_cols...], og_title, og_description, og_image,
+         og_url, og_type, twitter_card)
+
+    og: fields match on the ``property`` attribute (RDFa, per ogp.me),
+    twitter_card on ``name`` — a ``name="og:title"`` tag is NOT Open
+    Graph and never matches (documented strictness).  First match wins
+    per field.  Text fields (title/description) are cleaned with the
+    shared block-text rules (entity decode, ws collapse, trim); url
+    fields (image/url) stay RAW (the href contract); type/card are
+    lowercased + trimmed.  Absent and present-but-blank both -> NULL;
+    NULL html behaves as ''.  Attribute order is fixed (``property``/
+    ``name`` before ``content``) and values must be quoted — the
+    metadata() contract.  Script/style/comment regions are stripped
+    first.
+
+    100 TB shape: pure narrow — one pinned stripped-html column, six
+    regexp_extract passes; no shuffle, no UDF.
+    """
+    clash = sorted({"_og_h"} & set(df.columns))
+    if clash:
+        raise ValueError(f"opengraph staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn("_og_h", pin(h))
+    hc = F.col("_og_h")
+
+    def field(attr: str, value: str, mode: str) -> Column:
+        raw = F.regexp_extract(hc, _meta_attr_re(attr, value), 1)
+        if mode == "text":
+            out = _block_text(raw)
+        elif mode == "lower":
+            out = F.lower(F.trim(raw))
+        else:
+            out = raw
+        return F.nullif(out, F.lit(""))
+
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        *[
+            field(attr, value, mode).alias(name)
+            for name, attr, value, mode in OPENGRAPH_FIELDS
+        ],
+    )
+
+
 META_ROBOTS_RE = (
     "(?is)<meta[^>]*?name[ \\t\\n\\r]*=[ \\t\\n\\r]*"
     "[\"']robots[\"'][^>]*?content[ \\t\\n\\r]*=[ \\t\\n\\r]*"

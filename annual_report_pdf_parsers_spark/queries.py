@@ -3192,6 +3192,67 @@ def _hreflang_fixture_page():
     )
 
 
+def q_html_opengraph(spark, sf):
+    """Open Graph / Twitter-card extraction over synthesized pages: an
+    entity+double-space og:title (block-text clean non-vacuous), a
+    single-quoted og:description whose &lt;b&gt; decodes AFTER the tag
+    strip (stays literal), a cased raw og:image url, a cased og:type
+    ('Article' -> 'article'), a %11-before-%3 BLANK og:image arm (first
+    match wins, blank -> NULL — the documented interaction), and two
+    decoys that must never match (a commented-out og:title, a
+    name="og:title" tag — og is property-attributed).  Oracle = the
+    same six extractions regenerated from OPENGRAPH_FIELDS +
+    _meta_attr_re."""
+    from .operators.html import opengraph
+
+    d = load(spark, sf, "documents")
+    return opengraph(
+        d.select("doc_id", _opengraph_fixture_page().alias("html"))
+    )
+
+
+def _opengraph_fixture_page():
+    """Shared doc_id-derived Open Graph fixture (see q_html_opengraph);
+    the DuckDB restatement is _OG_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+
+    def arm(mod: int, tag: str):
+        return F.when(did % mod == 0, F.lit(tag)).otherwise(F.lit(""))
+
+    img = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit('<meta property="og:image" content="https://img.Ex'),
+            (did % 5).cast("string"),
+            F.lit('.com/i.png">'),
+        ),
+    ).otherwise(F.lit(""))
+    url = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit('<meta property="og:url" content="https://ex'),
+            (did % 5).cast("string"),
+            F.lit('.com/page">'),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit(
+            '<head><!-- <meta property="og:title" content="ghost"> -->'
+            '<meta name="og:title" content="not og">'
+            '<meta property="og:title" content="OG &amp; Title '
+        ),
+        (did % 9).cast("string"),
+        F.lit('  here">'),
+        arm(11, '<meta property="og:image" content="">'),
+        img,
+        arm(2, "<meta property='og:description' content='Desc &lt;b&gt; x'>"),
+        arm(5, '<meta property="og:type" content="Article">'),
+        url,
+        arm(2, '<meta name="twitter:card" content="SUMMARY_large_image">'),
+        F.lit("</head>"),
+    )
+
+
 def q_html_robots_meta(spark, sf):
     """Meta-robots page policy over synthesized pages: a %2
     cased+padded 'NoIndex , nofollow' list, a %3 cased-name NONE
@@ -4943,6 +5004,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gate every session
     "corpus_feed_items": q_corpus_feed_items,
     "html_robots_meta": q_html_robots_meta,
+    "html_opengraph": q_html_opengraph,
     "html_hreflang": q_html_hreflang,
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
@@ -8753,6 +8815,82 @@ def _bitext_pairs_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_bitext_pairs"] = _bitext_pairs_oracle_sql()
+
+
+_OG_PAGE_SQL = (
+    "'<head><!-- <meta property=\"og:title\" content=\"ghost\"> -->"
+    "<meta name=\"og:title\" content=\"not og\">"
+    "<meta property=\"og:title\" content=\"OG &amp; Title ' || "
+    "CAST(doc_id % 9 AS VARCHAR) || '  here\">' || "
+    "(CASE WHEN doc_id % 11 = 0 THEN "
+    "'<meta property=\"og:image\" content=\"\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "'<meta property=\"og:image\" content=\"https://img.Ex' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.com/i.png\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'<meta property=''og:description'' "
+    "content=''Desc &lt;b&gt; x''>' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'<meta property=\"og:type\" content=\"Article\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN "
+    "'<meta property=\"og:url\" content=\"https://ex' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.com/page\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'<meta name=\"twitter:card\" content=\"SUMMARY_large_image\">' "
+    "ELSE '' END) || '</head>'"
+)
+
+
+def _opengraph_oracle_sql() -> str:
+    """html_opengraph oracle — the six first-match extractions over
+    the identically stripped html, regenerated from OPENGRAPH_FIELDS
+    + _meta_attr_re + the shared block-text chain (one site to
+    edit)."""
+    from .operators.html import (
+        COMMENT_RE,
+        HTML_ENTITIES,
+        OPENGRAPH_FIELDS,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        WS_RUN_RE,
+        _meta_attr_re,
+    )
+
+    def esc(r: str) -> str:
+        return r.replace(chr(39), chr(39) * 2)
+
+    def btxt(x: str) -> str:
+        t = f"regexp_replace({x}, '{TAG_RE}', ' ', 'g')"
+        for ent, ch in HTML_ENTITIES:
+            t = (
+                f"replace({t}, '{ent}', "
+                f"'{ch.replace(chr(39), chr(39) * 2)}')"
+            )
+        return f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+
+    fields = []
+    for name, attr, value, mode in OPENGRAPH_FIELDS:
+        e = f"regexp_extract(h, '{esc(_meta_attr_re(attr, value))}', 1)"
+        if mode == "text":
+            x = btxt(e)
+        elif mode == "lower":
+            x = f"lower(trim({e}))"
+        else:
+            x = e
+        fields.append(f"NULLIF({x}, '') AS {name}")
+    return (
+        f"WITH d0 AS (SELECT doc_id, {_OG_PAGE_SQL} AS h "
+        "FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
+        f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS h "
+        "FROM d0) "
+        "SELECT doc_id, " + ", ".join(fields) + " FROM d"
+    )
+
+
+ORACLE_SQL["html_opengraph"] = _opengraph_oracle_sql()
 
 
 _ROBOTS_PAGE_SQL = (

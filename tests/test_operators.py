@@ -3109,6 +3109,60 @@ def test_hreflang_alternates(spark):
         )
 
 
+def test_opengraph(spark):
+    """html.opengraph: property-attributed og fields vs name-attributed
+    twitter_card, first match wins (blank first -> NULL), block-text
+    clean on title/description, raw urls, lowered type/card,
+    name="og:title" + commented decoys never match, NULL html -> all
+    NULL, staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import opengraph
+
+    rows = [
+        (
+            1,
+            '<!-- <meta property="og:title" content="ghost"> -->'
+            '<meta name="og:title" content="not og">'
+            '<meta property="og:title" content="A &amp;  B">'
+            "<meta property='og:type' content='Article'>"
+            '<meta property="og:image" content="https://IMG.ex/i.png">'
+            '<meta name="twitter:card" content="Summary">',
+        ),
+        # blank first match wins over the later real one
+        (
+            2,
+            '<meta property="og:description" content="">'
+            '<meta property="og:description" content="real">',
+        ),
+        (3, None),
+    ]
+    got = {
+        r["doc_id"]: (
+            r["og_title"],
+            r["og_description"],
+            r["og_image"],
+            r["og_url"],
+            r["og_type"],
+            r["twitter_card"],
+        )
+        for r in opengraph(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).collect()
+    }
+    assert got == {
+        1: ("A & B", None, "https://IMG.ex/i.png", None, "article", "summary"),
+        2: (None, None, None, None, None, None),
+        3: (None, None, None, None, None, None),
+    }
+    with _pytest.raises(ValueError, match="clash"):
+        opengraph(
+            spark.createDataFrame(
+                [(1, "x", "y")], "doc_id long, html string, _og_h string"
+            )
+        )
+
+
 def test_robots_meta(spark):
     """html.robots_meta: comma-split + trim + case-insensitive
     directive tokens, multi-tag union, none -> noindex+nofollow,

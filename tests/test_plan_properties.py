@@ -1041,6 +1041,17 @@ def test_html_hreflang_plan(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_html_opengraph_plan(spark):
+    """html_opengraph: pure narrow — zero exchanges, zero Generate,
+    no join, no Python (six regexp_extract passes over one pinned
+    stripped-html column)."""
+    plan = _qplan(spark, "html_opengraph")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_html_robots_meta_plan(spark):
     """html_robots_meta: pure narrow — zero exchanges, zero Generate
     (the token flatten is an expression, not an explode), no join, no
