@@ -206,3 +206,59 @@ def pagerank(
         if it < iterations - 1:
             pr = pr.localCheckpoint(eager=False)
     return pr
+
+
+def hop_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    seed_col: str = "host",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded BFS hop distance from seed hosts over the link graph ->
+    ``(node, hops)`` — the crawl-frontier DEPTH signal (public
+    practice: crawlers bound exploration by link depth from trusted
+    seeds, and seed-distance is a classic spam/quality prior à la
+    TrustRank, Gyöngyi et al. 2004).
+
+    ``hops`` = minimum number of directed edges from ANY seed; seeds
+    emit 0 (even seeds absent from the graph — a known host is a known
+    host); only nodes REACHED within ``max_hops`` are emitted
+    (unreachable is absence, not a sentinel — the fetch_schedule
+    deferred-row discipline).  Level semantics: frontier_h = distinct
+    targets of frontier_{h-1}; a node on several levels resolves by
+    the final MIN — integer-exact, no decimal discipline needed, so
+    the oracle is a plain unrolled CTE chain.
+
+    100 TB shape: per round ONE pinned shuffle_hash join (frontier and
+    edges are both graph-scaled — never broadcast, the NOTES-4a trap)
+    + one distinct; ONE final min agg instead of per-round aggs;
+    localCheckpoint truncates lineage between rounds (the pagerank
+    pattern).  Parallel edges need no pre-dedup: the per-level
+    distinct absorbs them.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    frontier = seeds.select(F.col(seed_col).alias("node")).distinct()
+    levels = [frontier.withColumn("hops", F.lit(0))]
+    for h in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(
+                e.hint("shuffle_hash"), frontier["node"] == e["_src"]
+            )
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+        )
+        if h < max_hops:
+            frontier = frontier.localCheckpoint(eager=False)
+        levels.append(frontier.withColumn("hops", F.lit(h)))
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.unionByName(lv)
+    return dist.groupBy("node").agg(
+        F.min("hops").cast("long").alias("hops")
+    )

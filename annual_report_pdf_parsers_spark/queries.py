@@ -2684,6 +2684,33 @@ def q_graph_hits(spark, sf):
     return hits(edges, iterations=2)
 
 
+def q_graph_hop_distance(spark, sf):
+    """Bounded BFS (max_hops=3) over a synthesized chain+shortcut
+    graph: n<k> -> n<k+1> for k in 0..39 plus n<k> -> n<k+10>
+    shortcuts on %5 nodes, seeds n0 / n25 / an isolated host absent
+    from the graph (emits hops 0).  The shortcut arms make MIN across
+    levels non-vacuous (n20 is 2 hops via two shortcuts, 20 via the
+    chain; chain nodes near n25 resolve to the nearer seed).  Oracle =
+    the three frontier levels unrolled as distinct-join CTEs + one
+    final MIN."""
+    from .operators.graph import hop_distance
+
+    d = load(spark, sf, "documents")
+    k = F.col("doc_id") % 40
+    chain = d.select(
+        F.concat(F.lit("n"), k.cast("string")).alias("src_host"),
+        F.concat(F.lit("n"), (k + 1).cast("string")).alias("dst_host"),
+    )
+    short = d.filter(k % 5 == 0).select(
+        F.concat(F.lit("n"), k.cast("string")).alias("src_host"),
+        F.concat(F.lit("n"), (k + 10).cast("string")).alias("dst_host"),
+    )
+    seeds = spark.createDataFrame(
+        [("n0",), ("n25",), ("isolated.seed",)], "host string"
+    )
+    return hop_distance(chain.unionByName(short), seeds, max_hops=3)
+
+
 def q_text_line_stats(spark, sf):
     """Gopher LINE-level signals (bullet-start / ellipsis-end /
     duplicate-line fractions).  The synthetic corpus is single-line, so
@@ -5011,6 +5038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_translation_clusters": q_corpus_translation_clusters,
     "corpus_bitext_pairs": q_corpus_bitext_pairs,
     "text_sentences": q_text_sentences,
+    "graph_hop_distance": q_graph_hop_distance,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -8730,6 +8758,44 @@ ORACLE_SQL["corpus_translation_clusters"] = (
     "SELECT p.cluster_key, p.hreflang, p.href, s.n_langs "
     "FROM pairs p JOIN sizes s USING (cluster_key)"
 )
+
+
+def _hop_distance_oracle_sql(max_hops: int = 3) -> str:
+    """graph_hop_distance oracle — the chain+shortcut edge arms
+    restated arithmetically, then each BFS level as a distinct-join
+    CTE and ONE final MIN over the level union (integer-exact: no
+    rounding discipline needed)."""
+    k = "CAST(doc_id % 40 AS VARCHAR)"
+    edges = (
+        f"SELECT 'n' || {k} AS src, "
+        "'n' || CAST(doc_id % 40 + 1 AS VARCHAR) AS dst "
+        "FROM documents "
+        f"UNION ALL SELECT 'n' || {k}, "
+        "'n' || CAST(doc_id % 40 + 10 AS VARCHAR) "
+        "FROM documents WHERE doc_id % 40 % 5 = 0"
+    )
+    parts = [
+        f"e AS ({edges}), "
+        "f0 AS (SELECT DISTINCT host AS node FROM (VALUES ('n0'), "
+        "('n25'), ('isolated.seed')) AS s(host))"
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f", f{h} AS (SELECT DISTINCT e.dst AS node "
+            f"FROM f{h - 1} JOIN e ON f{h - 1}.node = e.src)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT node, {h} AS hops FROM f{h}"
+        for h in range(0, max_hops + 1)
+    )
+    return (
+        "WITH " + "".join(parts) + " "
+        "SELECT node, CAST(MIN(hops) AS BIGINT) AS hops "
+        f"FROM ({union}) GROUP BY node"
+    )
+
+
+ORACLE_SQL["graph_hop_distance"] = _hop_distance_oracle_sql()
 
 
 def _text_sentences_oracle_sql() -> str:

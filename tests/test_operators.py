@@ -3109,6 +3109,40 @@ def test_hreflang_alternates(spark):
         )
 
 
+def test_hop_distance(spark):
+    """graph.hop_distance: min hops across levels (shortcut beats
+    chain), bound enforced (nodes past max_hops absent), absent seed
+    emits 0, parallel edges absorbed, cycle safe, max_hops
+    validation."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.graph import (
+        hop_distance,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"),
+            ("a", "b"),          # parallel edge
+            ("b", "c"),
+            ("c", "d"),
+            ("a", "c"),          # shortcut: c is 1 hop, not 2
+            ("d", "a"),          # cycle back to the seed
+            ("x", "y"),          # disconnected from the seed
+        ],
+        "src_host string, dst_host string",
+    )
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "host string")
+    got = {
+        r["node"]: r["hops"]
+        for r in hop_distance(edges, seeds, max_hops=2).collect()
+    }
+    # d is 2 hops (a->c->d); the cycle re-reaches a at 2 but MIN keeps 0
+    assert got == {"a": 0, "ghost": 0, "b": 1, "c": 1, "d": 2}
+    with _pytest.raises(ValueError, match="max_hops"):
+        hop_distance(edges, seeds, max_hops=0)
+
+
 def test_opengraph(spark):
     """html.opengraph: property-attributed og fields vs name-attributed
     twitter_card, first match wins (blank first -> NULL), block-text

@@ -1041,6 +1041,21 @@ def test_html_hreflang_plan(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_graph_hop_distance_plan(spark):
+    """graph_hop_distance: rounds checkpoint, so the visible plan is
+    the LAST level — ONE pinned ShuffledHashJoin, never a broadcast
+    (frontier and edges are graph-scaled) or cartesian, <= 5 hash
+    exchanges (join co-partition, level distinct, final min agg), no
+    Python."""
+    plan = _qplan(spark, "graph_hop_distance")
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_html_opengraph_plan(spark):
     """html_opengraph: pure narrow — zero exchanges, zero Generate,
     no join, no Python (six regexp_extract passes over one pinned
