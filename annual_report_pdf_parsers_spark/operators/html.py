@@ -481,6 +481,86 @@ def metadata(
     )
 
 
+# open-tag boundary: '<p' must be followed by whitespace, '/', or '>'
+# so '<pre' / '<param' never count as '<p' (the html_tables '<t([dh])'
+# lesson applied to counting)
+DOM_TAG_BOUNDARY = "[ \\t\\n\\r/>]"
+DOM_COUNTED_TAGS = ["p", "div", "table", "li", "a"]
+
+
+def dom_stats(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Per-document DOM shape statistics — the DISPATCH-stage routing
+    signal (the north-star pipeline classifies each document by
+    markup shape before choosing an extraction strategy: table-heavy
+    pages take the grid path, list/paragraph pages the text-density
+    path; Boilerpipe/jusText both consume exactly these shallow
+    features).  One row per document::
+
+        (doc_id, [keep_cols...], n_tags, n_p, n_div, n_table, n_li,
+         n_a, text_chars, markup_frac)
+
+    ``n_tags`` counts every markup tag after script/style/comment
+    stripping; per-tag counts match OPEN tags with a boundary guard
+    ('<p' then whitespace//>/ '>' — '<pre>' is not a '<p>').
+    ``text_chars`` = length of the block-text cleanup of the whole
+    stripped page (tag strip, entity decode, ws collapse, trim — the
+    shared rules); ``markup_frac`` = round(1 - text_chars /
+    raw_chars, 6), 0.0 for empty pages (guarded division — the ANSI
+    rule).  NULL html behaves as ''.
+
+    100 TB shape: pure narrow — one pinned stripped-html column,
+    regexp_count passes over it (JVM codegen); no shuffle, no
+    Generate, no UDF.
+    """
+    clash = sorted({"_ds_h", "_ds_tc"} & set(df.columns))
+    if clash:
+        raise ValueError(f"dom_stats staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h0 = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h0, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn("_ds_h", pin(h))
+    hc = F.col("_ds_h")
+    # text_chars feeds two outputs — pin so the block-text regex
+    # chain evaluates once (the gotcha-2 staging rule)
+    base = base.withColumn("_ds_tc", pin(F.length(_block_text(hc))))
+
+    def cnt(tag: str) -> Column:
+        return F.regexp_count(
+            hc, F.lit(f"(?i)<{tag}{DOM_TAG_BOUNDARY}")
+        ).cast("long")
+
+    tc = F.col("_ds_tc")
+    raw_len = F.length(h0)
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        F.regexp_count(hc, F.lit(TAG_RE)).cast("long").alias("n_tags"),
+        *[cnt(t).alias(f"n_{t}") for t in DOM_COUNTED_TAGS],
+        tc.cast("long").alias("text_chars"),
+        F.when(raw_len == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - tc.cast("double") / raw_len.cast("double"),
+                6,
+            )
+        )
+        .alias("markup_frac"),
+    )
+
+
 def _meta_attr_re(attr: str, value: str) -> str:
     """Meta-tag content regex for one (attr, value) pair — the
     META_DESC_RE contract generalized: fixed attribute order (``attr``

@@ -3219,6 +3219,45 @@ def _hreflang_fixture_page():
     )
 
 
+def q_corpus_dom_stats(spark, sf):
+    """DOM shape stats over synthesized pages: a two-paragraph base
+    with title/style/script regions (style 'p{' and a scripted ghost
+    '<p>' must never count), a %3 table arm, a %5 list arm whose
+    '<pre>' exercises the open-tag boundary guard (not a '<p>'), and
+    a %2 anchor arm; text_chars/markup_frac run the shared block-text
+    cleanup over the whole page.  Oracle = the same strip + counted
+    extract_all + block-text chain regenerated from the engine
+    constants."""
+    from .operators.html import dom_stats
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+
+    def arm(mod: int, tag: str):
+        return F.when(did % mod == 0, F.lit(tag)).otherwise(F.lit(""))
+
+    page = F.concat(
+        F.lit(
+            "<html><head><title>T</title><style>p{color:red}</style>"
+            "</head><body><div><p>"
+        ),
+        F.substring(F.col("text"), 1, 40),
+        F.lit("</p><p>second  para &amp; more</p></div>"),
+        arm(3, "<table><tr><td>1</td><td>2</td></tr></table>"),
+        arm(5, "<ul><li>x</li><li>y</li><pre>not a p</pre></ul>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<a href="https://ex'),
+                (did % 9).cast("string"),
+                F.lit('.com/">link text</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<script>var p = "<p>ghost</p>";</script></body></html>'),
+    )
+    return dom_stats(d.select("doc_id", page.alias("html")))
+
+
 def q_html_opengraph(spark, sf):
     """Open Graph / Twitter-card extraction over synthesized pages: an
     entity+double-space og:title (block-text clean non-vacuous), a
@@ -5032,6 +5071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_feed_items": q_corpus_feed_items,
     "html_robots_meta": q_html_robots_meta,
     "html_opengraph": q_html_opengraph,
+    "corpus_dom_stats": q_corpus_dom_stats,
     "html_hreflang": q_html_hreflang,
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
@@ -8905,6 +8945,69 @@ _OG_PAGE_SQL = (
     "'<meta name=\"twitter:card\" content=\"SUMMARY_large_image\">' "
     "ELSE '' END) || '</head>'"
 )
+
+
+_DOM_PAGE_SQL = (
+    "'<html><head><title>T</title><style>p{color:red}</style>"
+    "</head><body><div><p>' || substr(text, 1, 40) || "
+    "'</p><p>second  para &amp; more</p></div>' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "'<table><tr><td>1</td><td>2</td></tr></table>' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'<ul><li>x</li><li>y</li><pre>not a p</pre></ul>' "
+    "ELSE '' END) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'<a href=\"https://ex' || CAST(doc_id % 9 AS VARCHAR) || "
+    "'.com/\">link text</a>' ELSE '' END) || "
+    "'<script>var p = \"<p>ghost</p>\";</script></body></html>'"
+)
+
+
+def _dom_stats_oracle_sql() -> str:
+    """corpus_dom_stats oracle — the strip passes + tag counts via
+    len(regexp_extract_all) + the shared block-text chain, all
+    regenerated from the engine constants (DOM_COUNTED_TAGS /
+    DOM_TAG_BOUNDARY / TAG_RE — one site to edit)."""
+    from .operators.html import (
+        COMMENT_RE,
+        DOM_COUNTED_TAGS,
+        DOM_TAG_BOUNDARY,
+        HTML_ENTITIES,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        WS_RUN_RE,
+    )
+
+    t = f"regexp_replace(h, '{TAG_RE}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    btxt = f"trim(regexp_replace({t}, '{WS_RUN_RE}', ' ', 'g'))"
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(h, "
+        f"'(?i)<{tag}{DOM_TAG_BOUNDARY}')) AS BIGINT) AS n_{tag}"
+        for tag in DOM_COUNTED_TAGS
+    )
+    return (
+        f"WITH d0 AS (SELECT doc_id, COALESCE({_DOM_PAGE_SQL}, '') "
+        "AS h0 FROM documents), "
+        "d AS (SELECT doc_id, h0, regexp_replace(regexp_replace("
+        f"regexp_replace(h0, '{SCRIPT_RE}', ' ', 'g'), "
+        f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS h "
+        "FROM d0), "
+        "c AS (SELECT doc_id, h0, "
+        f"CAST(len(regexp_extract_all(h, '{TAG_RE}')) AS BIGINT) "
+        f"AS n_tags, {counts}, "
+        f"CAST(length({btxt}) AS BIGINT) AS text_chars FROM d) "
+        "SELECT doc_id, n_tags, n_p, n_div, n_table, n_li, n_a, "
+        "text_chars, "
+        "CASE WHEN length(h0) = 0 THEN 0.0 ELSE "
+        "ROUND(1.0 - CAST(text_chars AS DOUBLE) / "
+        "CAST(length(h0) AS DOUBLE), 6) END AS markup_frac FROM c"
+    )
+
+
+ORACLE_SQL["corpus_dom_stats"] = _dom_stats_oracle_sql()
 
 
 def _opengraph_oracle_sql() -> str:

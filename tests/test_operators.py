@@ -3109,6 +3109,59 @@ def test_hreflang_alternates(spark):
         )
 
 
+def test_dom_stats(spark):
+    """html.dom_stats: boundary-guarded open-tag counts (<pre> is not
+    <p>, </p> never counts), style/script/comment regions stripped
+    before counting, block-text text_chars, guarded markup_frac (0.0
+    on empty/NULL), staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import dom_stats
+
+    html1 = (
+        "<style>p{x}</style><div><p>ab&amp;c</p><pre>q</pre>"
+        '<a href="u">t</a></div>'
+        "<script><p>ghost</p></script><!-- <table> -->"
+    )
+    rows = [(1, html1), (2, None), (3, "plain text only")]
+    got = {
+        r["doc_id"]: (
+            r["n_tags"],
+            r["n_p"],
+            r["n_div"],
+            r["n_table"],
+            r["n_li"],
+            r["n_a"],
+            r["text_chars"],
+        )
+        for r in dom_stats(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).collect()
+    }
+    # stripped html1: <div><p>ab&amp;c</p><pre>q</pre><a href="u">t</a></div>
+    # tags: div p /p pre /pre a /a /div = 8; text 'ab&c q t' = 8 chars
+    assert got == {
+        1: (8, 1, 1, 0, 0, 1, 8),
+        2: (0, 0, 0, 0, 0, 0, 0),
+        3: (0, 0, 0, 0, 0, 0, len("plain text only")),
+    }
+    mf = {
+        r["doc_id"]: r["markup_frac"]
+        for r in dom_stats(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).collect()
+    }
+    assert mf[2] == 0.0
+    assert mf[3] == 0.0  # all text: 1 - 15/15
+    assert 0.0 < mf[1] < 1.0
+    with _pytest.raises(ValueError, match="clash"):
+        dom_stats(
+            spark.createDataFrame(
+                [(1, "x", "y")], "doc_id long, html string, _ds_h string"
+            )
+        )
+
+
 def test_hop_distance(spark):
     """graph.hop_distance: min hops across levels (shortcut beats
     chain), bound enforced (nodes past max_hops absent), absent seed

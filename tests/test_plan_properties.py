@@ -1041,6 +1041,17 @@ def test_html_hreflang_plan(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_corpus_dom_stats_plan(spark):
+    """corpus_dom_stats: pure narrow — zero exchanges, zero Generate,
+    no join, no Python (regexp_count passes over one pinned
+    stripped-html column)."""
+    plan = _qplan(spark, "corpus_dom_stats")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_graph_hop_distance_plan(spark):
     """graph_hop_distance: rounds checkpoint, so the visible plan is
     the LAST level — ONE pinned ShuffledHashJoin, never a broadcast
