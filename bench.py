@@ -185,6 +185,14 @@ HEADLINE = [
     "corpus_canonical_dedup",
     "corpus_fetch_schedule",
     "corpus_translation_clusters",
+    # continuation-session additions (appended — earlier keys stay
+    # comparable)
+    "html_robots_meta",
+    "corpus_bitext_pairs",
+    "text_sentences",
+    "html_opengraph",
+    "graph_hop_distance",
+    "corpus_dom_stats",
 ]
 
 
