@@ -1522,6 +1522,144 @@ def translation_clusters(
     )
 
 
+IMG_TAG_RE = "(?is)(<img(?:[ \\t\\n\\r][^>]*)?/?>)"
+SRC_ATTR_RE = (
+    "(?is)[ \\t\\n\\r]src[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+ALT_ATTR_RE = (
+    "(?is)[ \\t\\n\\r]alt[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+
+
+def images(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Image-reference extraction — ``<img src alt>`` as relational
+    rows, the MULTIMODAL bridge (public practice: LAION-style
+    image-text datasets are mined from exactly these (src, alt)
+    pairs; the binary decode side lives in operators/multimodal.py).
+    One row per img tag with a non-blank ``src``, in document
+    order::
+
+        (doc_id, img_no, src, alt, host)
+
+    ``img_no`` is the 0-based position among ALL img tags (a src-less
+    tag leaves a gap — the hreflang/sitemap position rule).
+    Attributes match in any order but REQUIRE a leading whitespace
+    boundary (``data-src`` never matches — the lazy-loading
+    attribute is a different contract, documented).  ``src`` is
+    entity-decoded + trimmed (the href contract); ``alt`` is cleaned
+    with the shared block-text rules (entity decode, ws collapse,
+    trim — it is human text) and absent AND blank both -> NULL;
+    ``host`` via the shared urls.host_of (junk/relative -> NULL).
+    Script/style/comment regions are stripped first.
+
+    100 TB shape: narrow + ONE posexplode (tag->row), zero
+    exchanges, no UDF; attribute regexes run on the already-exploded
+    tag (the gotcha-3 rule).
+    """
+    clash = sorted(
+        {"_im_h", "_im_tags", "_im_t", "_im_src", "_im_alt"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(f"images staging columns clash: {clash}")
+    from ..functions.numeric import pin
+    from .urls import host_of
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn("_im_h", pin(h)).withColumn(
+        "_im_tags",
+        pin(F.regexp_extract_all(F.col("_im_h"), F.lit(IMG_TAG_RE), 1)),
+    )
+    per_tag = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col("_im_tags")).alias("img_no", "_im_t"),
+    )
+    t = F.col("_im_t")
+    src = F.regexp_extract(t, SRC_ATTR_RE, 1)
+    for ent, ch in HTML_ENTITIES:
+        src = F.replace(src, F.lit(ent), F.lit(ch))
+    src = F.trim(src)
+    alt = F.nullif(
+        _block_text(F.regexp_extract(t, ALT_ATTR_RE, 1)), F.lit("")
+    )
+    # pin BOTH attribute chains: the in-op src filter and any
+    # downstream caption filter (alt non-null + token count) would
+    # otherwise re-inline the whole replace/regex chain per condition
+    # (the cleanup-pipeline pin() scenario, measured 4-5x)
+    return (
+        per_tag.withColumn("_im_src", pin(src))
+        .withColumn("_im_alt", pin(alt))
+        .filter(F.col("_im_src") != "")
+        .select(
+            "doc_id",
+            F.col("img_no").cast("long").alias("img_no"),
+            F.col("_im_src").alias("src"),
+            F.col("_im_alt").alias("alt"),
+            host_of(F.col("_im_src")).alias("host"),
+        )
+    )
+
+
+def image_captions(
+    images_df: DataFrame, min_alt_tokens: int = 3
+) -> DataFrame:
+    """Alt-text caption mining — :func:`images` output reduced to one
+    (image, caption) pair per distinct ``src``, the LAION-style
+    image-text training-data step (Schuhmann et al. 2021 mine
+    image-alt pairs from Common Crawl exactly this way).
+
+    Captions must have >= ``min_alt_tokens`` ws-run tokens (short
+    alts like "logo" carry no training signal).  An image referenced
+    from many pages keeps its BEST caption: longest (chars), ties ->
+    lexicographically smallest, then smallest doc_id — a total order,
+    so the result is deterministic.  One row per distinct src::
+
+        (src, alt, alt_tokens, n_refs)
+
+    ``n_refs`` counts qualifying references (the popularity prior).
+
+    100 TB shape: ONE src-keyed exchange — the keep-best rule is a
+    ``min(struct(-len, alt, doc_id))`` AGGREGATE (map-side partial),
+    NEVER a window over hot keys (a viral image would sort one task
+    — the keep_best/ccnet_tiers lesson).
+    """
+    if min_alt_tokens < 1:
+        raise ValueError("min_alt_tokens must be >= 1")
+    from .text import token_count
+
+    kept = images_df.filter(
+        F.col("alt").isNotNull()
+        & (token_count(F.col("alt")) >= min_alt_tokens)
+    )
+    agg = kept.groupBy("src").agg(
+        F.min(
+            F.struct(
+                (-F.length("alt")).alias("_neg_len"),
+                F.col("alt").alias("_alt"),
+                F.col("doc_id").alias("_did"),
+            )
+        ).alias("_best"),
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+    )
+    return agg.select(
+        "src",
+        F.col("_best._alt").alias("alt"),
+        token_count(F.col("_best._alt")).cast("long").alias("alt_tokens"),
+        "n_refs",
+    )
+
+
 def bitext_pairs(
     clusters: DataFrame,
     docs: DataFrame,

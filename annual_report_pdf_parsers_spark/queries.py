@@ -3319,6 +3319,92 @@ def _opengraph_fixture_page():
     )
 
 
+def q_html_images(spark, sf):
+    """Image-reference extraction over synthesized pages: a shared-src
+    main image with an entity + double-space alt (block-text clean
+    non-vacuous), a %2 short-alt arm, a %3 relative no-alt arm (host
+    NULL, alt NULL), a %5 single-quoted blank-alt arm (alt NULL, cased
+    host lowered), and decoys that must never match — a %7 data-src
+    lazy-loading tag (src required; leaves an img_no gap), a commented
+    and a scripted img.  Oracle = the shared _images_ctes chain
+    regenerated from the engine's regex constants."""
+    from .operators.html import images
+
+    d = load(spark, sf, "documents")
+    return images(
+        d.select("doc_id", _images_fixture_page().alias("html"))
+    )
+
+
+def q_corpus_image_captions(spark, sf):
+    """LAION-style alt-text caption mining composed end-to-end over
+    the images fixture: short alts (< 3 tokens) and NULL alts filter
+    out; each shared src keeps its BEST caption (longest alt — the
+    2-digit 'number 10..12' arms beat the 1-digit ones — ties by
+    lexicographic alt then doc_id) with n_refs counting qualifying
+    references.  Oracle = the same imgs chain + the keep-best rule
+    restated as an explicit-total-order ROW_NUMBER."""
+    from .operators.html import image_captions, images
+
+    d = load(spark, sf, "documents")
+    return image_captions(
+        images(d.select("doc_id", _images_fixture_page().alias("html")))
+    )
+
+
+def _images_fixture_page():
+    """Shared doc_id-derived img fixture (see q_html_images /
+    q_corpus_image_captions); the DuckDB restatement is
+    _IMAGES_PAGE_SQL — edit BOTH."""
+    did = F.col("doc_id")
+    k = (did % 20).cast("string")
+    main = F.concat(
+        F.lit('<img alt="A  scenic &amp; detailed view number '),
+        (did % 13).cast("string"),
+        F.lit(' of landmark" src="https://img.ex/'),
+        k,
+        F.lit('.jpg">'),
+    )
+    short = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<img src="https://img.ex/s'),
+            k,
+            F.lit('.png" alt="tiny logo">'),
+        ),
+    ).otherwise(F.lit(""))
+    noalt = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit('<img src="/relative/img'), k, F.lit('.gif">')
+        ),
+    ).otherwise(F.lit(""))
+    blank = F.when(
+        did % 5 == 0,
+        F.lit("<img src='https://cdn.Ex.com/b.jpg' alt=''>"),
+    ).otherwise(F.lit(""))
+    lazy = F.when(
+        did % 7 == 0,
+        F.lit(
+            '<img data-src="https://lazy.ex/l.jpg" '
+            'alt="lazy loaded image here">'
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<body>"),
+        main,
+        short,
+        noalt,
+        blank,
+        lazy,
+        F.lit(
+            '<!-- <img src="https://g.ex/c.jpg" alt="ghost commented'
+            ' image"> --><script>var i = \'<img src="https://j.ex/s.jpg"'
+            ' alt="scripted ghost image">\';</script></body>'
+        ),
+    )
+
+
 def q_html_robots_meta(spark, sf):
     """Meta-robots page policy over synthesized pages: a %2
     cased+padded 'NoIndex , nofollow' list, a %3 cased-name NONE
@@ -5072,6 +5158,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_robots_meta": q_html_robots_meta,
     "html_opengraph": q_html_opengraph,
     "corpus_dom_stats": q_corpus_dom_stats,
+    "html_images": q_html_images,
+    "corpus_image_captions": q_corpus_image_captions,
     "html_hreflang": q_html_hreflang,
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
@@ -9060,6 +9148,121 @@ def _opengraph_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_opengraph"] = _opengraph_oracle_sql()
+
+
+_IMAGES_PAGE_SQL = (
+    "'<body><img alt=\"A  scenic &amp; detailed view number ' || "
+    "CAST(doc_id % 13 AS VARCHAR) || "
+    "' of landmark\" src=\"https://img.ex/' || "
+    "CAST(doc_id % 20 AS VARCHAR) || '.jpg\">' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'<img src=\"https://img.ex/s' || CAST(doc_id % 20 AS VARCHAR) "
+    "|| '.png\" alt=\"tiny logo\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "'<img src=\"/relative/img' || CAST(doc_id % 20 AS VARCHAR) || "
+    "'.gif\">' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'<img src=''https://cdn.Ex.com/b.jpg'' alt=''''>' "
+    "ELSE '' END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN "
+    "'<img data-src=\"https://lazy.ex/l.jpg\" "
+    "alt=\"lazy loaded image here\">' ELSE '' END) || "
+    "'<!-- <img src=\"https://g.ex/c.jpg\" alt=\"ghost commented"
+    " image\"> --><script>var i = ''<img src=\"https://j.ex/s.jpg\""
+    " alt=\"scripted ghost image\">'';</script></body>'"
+)
+
+
+def _images_ctes(page_sql: str) -> str:
+    """Parametrized img-extraction CTE chain (the _hreflang_alts_ctes
+    precedent): strip passes + img-tag extract_all + per-attribute
+    src/alt regexes with the identical entity-decode and block-text
+    rules, regenerated from the engine's regex constants.  Ends in a
+    relation ``imgs(doc_id, img_no, src, alt, host)`` — shared by the
+    html_images and corpus_image_captions oracles."""
+    from .operators.html import (
+        ALT_ATTR_RE,
+        COMMENT_RE,
+        HTML_ENTITIES,
+        IMG_TAG_RE,
+        SCRIPT_RE,
+        SRC_ATTR_RE,
+        STYLE_RE,
+        TAG_RE,
+        WS_RUN_RE,
+    )
+
+    def esc(r: str) -> str:
+        return r.replace(chr(39), chr(39) * 2)
+
+    src = f"regexp_extract(t, '{esc(SRC_ATTR_RE)}', 1)"
+    for ent, ch in HTML_ENTITIES:
+        src = (
+            f"replace({src}, '{ent}', "
+            f"'{ch.replace(chr(39), chr(39) * 2)}')"
+        )
+    alt = f"regexp_replace(regexp_extract(t, '{esc(ALT_ATTR_RE)}', 1), '{TAG_RE}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        alt = (
+            f"replace({alt}, '{ent}', "
+            f"'{ch.replace(chr(39), chr(39) * 2)}')"
+        )
+    alt = f"trim(regexp_replace({alt}, '{WS_RUN_RE}', ' ', 'g'))"
+    host = (
+        "NULLIF(regexp_replace(lower(regexp_extract(src, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+        "'^www\\.', ''), '')"
+    )
+    return (
+        f"d0 AS (SELECT doc_id, {page_sql} AS h FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(h, '{esc(SCRIPT_RE)}', ' ', 'g'), "
+        f"'{esc(STYLE_RE)}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') "
+        "AS h FROM d0), "
+        "tt AS (SELECT doc_id, "
+        f"regexp_extract_all(h, '{esc(IMG_TAG_RE)}', 1) AS tags "
+        "FROM d), "
+        "e AS (SELECT doc_id, CAST(ti - 1 AS BIGINT) AS img_no, "
+        "tags[ti] AS t FROM tt, "
+        "UNNEST(generate_series(1, len(tags))) AS g(ti)), "
+        "f AS (SELECT doc_id, img_no, "
+        f"trim({src}) AS src, NULLIF({alt}, '') AS alt FROM e), "
+        "imgs AS (SELECT doc_id, img_no, src, alt, "
+        f"{host} AS host FROM f WHERE src <> '')"
+    )
+
+
+ORACLE_SQL["html_images"] = (
+    f"WITH {_images_ctes(_IMAGES_PAGE_SQL)} "
+    "SELECT doc_id, img_no, src, alt, host FROM imgs"
+)
+
+
+def _image_captions_oracle_sql() -> str:
+    """corpus_image_captions oracle — the shared imgs chain + the
+    token-count filter and the keep-best rule restated as an
+    explicit-total-order ROW_NUMBER (length DESC, alt, doc_id — the
+    exact struct-min order the engine aggregates with)."""
+    from .operators import text
+
+    ntok = (
+        "len(list_filter(regexp_split_to_array(alt, "
+        f"'{text.WS_SPLIT_RE2}'), x -> x <> ''))"
+    )
+    return (
+        f"WITH {_images_ctes(_IMAGES_PAGE_SQL)}, "
+        f"kept AS (SELECT * FROM imgs WHERE alt IS NOT NULL "
+        f"AND {ntok} >= 3), "
+        "r AS (SELECT src, alt, doc_id, "
+        "ROW_NUMBER() OVER (PARTITION BY src "
+        "ORDER BY length(alt) DESC, alt, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY src) AS n_refs FROM kept) "
+        f"SELECT src, alt, CAST({ntok} AS BIGINT) AS alt_tokens, "
+        "CAST(n_refs AS BIGINT) AS n_refs FROM r WHERE rn = 1"
+    )
+
+
+ORACLE_SQL["corpus_image_captions"] = _image_captions_oracle_sql()
 
 
 _ROBOTS_PAGE_SQL = (

@@ -3109,6 +3109,66 @@ def test_hreflang_alternates(spark):
         )
 
 
+def test_images_and_captions(spark):
+    """html.images: src required (data-src never matches, gap kept in
+    img_no), alt block-text cleaned (absent AND blank -> NULL),
+    relative src -> NULL host, commented/scripted decoys never match.
+    image_captions: < min tokens filtered, keep-best = longest alt
+    then lexicographic then doc_id, n_refs counts qualifying refs."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import (
+        image_captions,
+        images,
+    )
+
+    rows = [
+        (
+            1,
+            '<img data-src="https://lazy.ex/l.jpg" alt="never matched">'
+            '<img src="https://a.ex/i.jpg" alt="a  big &amp; shiny thing">'
+            "<img src='/rel/p.png'>"
+            '<img src="https://b.ex/j.jpg" alt="">'
+            '<!-- <img src="https://g.ex/c.jpg" alt="ghost gone now"> -->',
+        ),
+        # same src as doc 1's first real img, longer alt -> wins
+        (2, '<img src="https://a.ex/i.jpg" alt="a much longer caption here">'),
+        # same src, same LENGTH as doc 2's alt -> lexicographic tie-break
+        (3, '<img src="https://a.ex/i.jpg" alt="z much longer caption here">'),
+        (4, '<img src="https://a.ex/i.jpg" alt="too short">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    imgs = {
+        (r["doc_id"], r["img_no"]): (r["src"], r["alt"], r["host"])
+        for r in images(df).collect()
+    }
+    assert imgs == {
+        (1, 1): ("https://a.ex/i.jpg", "a big & shiny thing", "a.ex"),
+        (1, 2): ("/rel/p.png", None, None),
+        (1, 3): ("https://b.ex/j.jpg", None, "b.ex"),
+        (2, 0): ("https://a.ex/i.jpg", "a much longer caption here", "a.ex"),
+        (3, 0): ("https://a.ex/i.jpg", "z much longer caption here", "a.ex"),
+        (4, 0): ("https://a.ex/i.jpg", "too short", "a.ex"),
+    }
+    caps = {
+        r["src"]: (r["alt"], r["alt_tokens"], r["n_refs"])
+        for r in image_captions(images(df)).collect()
+    }
+    # 'too short' (2 tokens) filtered; longest wins; length tie ->
+    # lexicographic min ('a...' < 'z...')
+    assert caps == {
+        "https://a.ex/i.jpg": ("a much longer caption here", 5, 3),
+    }
+    with _pytest.raises(ValueError, match="min_alt_tokens"):
+        image_captions(images(df), min_alt_tokens=0)
+    with _pytest.raises(ValueError, match="clash"):
+        images(
+            spark.createDataFrame(
+                [(1, "x", "y")], "doc_id long, html string, _im_t string"
+            )
+        )
+
+
 def test_dom_stats(spark):
     """html.dom_stats: boundary-guarded open-tag counts (<pre> is not
     <p>, </p> never counts), style/script/comment regions stripped

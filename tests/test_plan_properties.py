@@ -1041,6 +1041,34 @@ def test_html_hreflang_plan(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_html_images_plan(spark):
+    """html_images: narrow + exactly ONE Generate (tag->row) — zero
+    exchanges, no join, no Python."""
+    plan = _qplan(spark, "html_images")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_corpus_image_captions_plan(spark):
+    """corpus_image_captions: the keep-best rule is an AGGREGATE
+    (map-side partial min-struct), never a window over hot srcs —
+    exactly ONE src exchange, no Sort, no Window, no join, no
+    Python."""
+    plan = _qplan(spark, "corpus_image_captions")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    # struct-min plans as SortAggregate: partition-LOCAL sorts are the
+    # agg's mechanism — a global sort (rangepartitioning) is what the
+    # hot-key rule forbids
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # the pinned alt chain must not re-inline into the caption filter
+    assert plan.count("(?is)[ \\t\\n\\r]alt") <= 2, plan
+
+
 def test_corpus_dom_stats_plan(spark):
     """corpus_dom_stats: pure narrow — zero exchanges, zero Generate,
     no join, no Python (regexp_count passes over one pinned
