@@ -612,3 +612,62 @@ def canonical_dedup(
         "used_canonical",
         (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-over-crawl page diff — per-url change detection between
+    two snapshots, the REFETCH/freshness signal (public practice:
+    incremental crawlers schedule recrawls from observed change rates,
+    Cho & Garcia-Molina 2003; the page-level complement of
+    `dedup.incremental_lsh_flags` (near-dup vs the previous crawl) and
+    `corpus_drift` (token-level distribution shift)).  One row per url
+    seen in EITHER snapshot::
+
+        (url, status, old_digest, new_digest)
+
+    ``status``: 'added' (new only), 'removed' (old only), 'changed'
+    (both, md5(text) differs), 'unchanged' (both, equal).  NULL text
+    digests as '' (the c4_filters convention); the digest of the
+    missing side is NULL.  Each side is pre-deduped to one digest per
+    url (MIN — a url crawled twice in one snapshot resolves
+    deterministically).
+
+    100 TB shape: two url-keyed map-side-partial MIN aggs + ONE
+    full-outer join PINNED shuffle_hash (both snapshots are
+    corpus-scaled — the AQE-broadcast trap); digests are computed
+    narrow BEFORE the aggs so only (url, md5) shuffles, never text.
+    """
+    def digested(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(url_col).alias(f"_cd_url_{side}"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                f"_cd_md5_{side}"
+            ),
+        ).groupBy(f"_cd_url_{side}").agg(
+            F.min(f"_cd_md5_{side}").alias(f"{side}_digest")
+        )
+
+    o, n = digested(old, "old"), digested(new, "new")
+    j = o.join(
+        n.hint("shuffle_hash"),
+        o["_cd_url_old"] == n["_cd_url_new"],
+        "full_outer",
+    )
+    od, nd = F.col("old_digest"), F.col("new_digest")
+    return j.select(
+        F.coalesce(F.col("_cd_url_old"), F.col("_cd_url_new")).alias(
+            "url"
+        ),
+        F.when(od.isNull(), F.lit("added"))
+        .when(nd.isNull(), F.lit("removed"))
+        .when(od == nd, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        od.alias("old_digest"),
+        nd.alias("new_digest"),
+    )

@@ -3644,6 +3644,39 @@ def q_corpus_bitext_pairs(spark, sf):
     return bitext_pairs(clusters, docs, materialize=True)
 
 
+def q_corpus_crawl_diff(spark, sf):
+    """Crawl-over-crawl page diff between two synthesized snapshots:
+    the old crawl is the corpus; the new crawl drops %3 urls
+    (removed), rewrites %5-not-%3 texts (changed), keeps the rest
+    (unchanged), and adds a '/new' url per %7 doc (added) — all four
+    statuses non-vacuous at sf0.01.  Oracle = the same per-side MIN
+    digest aggs + a FULL OUTER JOIN with the identical status CASE."""
+    from .operators.urls import crawl_diff
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://s"),
+        (did % 9).cast("string"),
+        F.lit(".com/p"),
+        did.cast("string"),
+    )
+    old = d.select(url.alias("url"), "text")
+    changed = F.when(
+        did % 5 == 0, F.concat(F.col("text"), F.lit(" updated content"))
+    ).otherwise(F.col("text"))
+    new = (
+        d.filter(did % 3 != 0)
+        .select(url.alias("url"), changed.alias("text"))
+        .unionByName(
+            d.filter(did % 7 == 0).select(
+                F.concat(url, F.lit("/new")).alias("url"), "text"
+            )
+        )
+    )
+    return crawl_diff(old, new)
+
+
 def q_corpus_sitemap(spark, sf):
     """Sitemap-XML entry extraction over synthesized sitemap pages:
     a cased-host url with a leading/trailing-ws + &amp;-escaped <loc>
@@ -5160,6 +5193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dom_stats": q_corpus_dom_stats,
     "html_images": q_html_images,
     "corpus_image_captions": q_corpus_image_captions,
+    "corpus_crawl_diff": q_corpus_crawl_diff,
     "html_hreflang": q_html_hreflang,
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
@@ -8885,6 +8919,28 @@ ORACLE_SQL["corpus_translation_clusters"] = (
     "GROUP BY cluster_key) "
     "SELECT p.cluster_key, p.hreflang, p.href, s.n_langs "
     "FROM pairs p JOIN sizes s USING (cluster_key)"
+)
+
+
+ORACLE_SQL["corpus_crawl_diff"] = (
+    "WITH u AS (SELECT doc_id, 'https://s' || "
+    "CAST(doc_id % 9 AS VARCHAR) || '.com/p' || "
+    "CAST(doc_id AS VARCHAR) AS url, text FROM documents), "
+    "o AS (SELECT url, MIN(md5(COALESCE(text, ''))) AS old_digest "
+    "FROM u GROUP BY url), "
+    "n0 AS (SELECT url, COALESCE(CASE WHEN doc_id % 5 = 0 "
+    "THEN text || ' updated content' ELSE text END, '') AS text "
+    "FROM u WHERE doc_id % 3 <> 0 "
+    "UNION ALL SELECT url || '/new', COALESCE(text, '') "
+    "FROM u WHERE doc_id % 7 = 0), "
+    "n AS (SELECT url, MIN(md5(text)) AS new_digest "
+    "FROM n0 GROUP BY url) "
+    "SELECT COALESCE(o.url, n.url) AS url, "
+    "CASE WHEN old_digest IS NULL THEN 'added' "
+    "WHEN new_digest IS NULL THEN 'removed' "
+    "WHEN old_digest = new_digest THEN 'unchanged' "
+    "ELSE 'changed' END AS status, old_digest, new_digest "
+    "FROM o FULL OUTER JOIN n ON o.url = n.url"
 )
 
 

@@ -3109,6 +3109,61 @@ def test_hreflang_alternates(spark):
         )
 
 
+def test_crawl_diff(spark):
+    """urls.crawl_diff: all four statuses, NULL text digests as '',
+    within-snapshot duplicate urls resolve by MIN digest, missing-side
+    digest NULL."""
+    from annual_report_pdf_parsers_spark.operators.urls import crawl_diff
+
+    old = spark.createDataFrame(
+        [
+            ("u1", "same"),
+            ("u2", "before"),
+            ("u3", "gone"),
+            ("u4", None),       # NULL text == ''
+            ("u5", "bbb"),      # duplicate url in one snapshot:
+            ("u5", "aaa"),      # MIN digest wins deterministically
+        ],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "same"),
+            ("u2", "after"),
+            ("u4", ""),
+            ("u6", "brand new"),
+            ("u5", "aaa"),
+        ],
+        "url string, text string",
+    )
+    got = {
+        r["url"]: (
+            r["status"],
+            r["old_digest"] is None,
+            r["new_digest"] is None,
+        )
+        for r in crawl_diff(old, new).collect()
+    }
+    import hashlib
+
+    min_u5 = min(
+        hashlib.md5(b"aaa").hexdigest(), hashlib.md5(b"bbb").hexdigest()
+    )
+    u5_status = (
+        "unchanged"
+        if min_u5 == hashlib.md5(b"aaa").hexdigest()
+        else "changed"
+    )
+    assert got == {
+        "u1": ("unchanged", False, False),
+        "u2": ("changed", False, False),
+        "u3": ("removed", False, True),
+        "u4": ("unchanged", False, False),  # NULL == '' -> same digest
+        "u5": (u5_status, False, False),
+        "u6": ("added", True, False),
+    }
+
+
 def test_images_and_captions(spark):
     """html.images: src required (data-src never matches, gap kept in
     img_no), alt block-text cleaned (absent AND blank -> NULL),

@@ -1041,6 +1041,20 @@ def test_html_hreflang_plan(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_corpus_crawl_diff_plan(spark):
+    """corpus_crawl_diff: only (url, md5) shuffles — two url-keyed
+    partial-agg exchanges + the full-outer join co-partition, ONE
+    pinned ShuffledHashJoin, never a broadcast (both snapshots are
+    corpus-scaled), no Python."""
+    plan = _qplan(spark, "corpus_crawl_diff")
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_html_images_plan(spark):
     """html_images: narrow + exactly ONE Generate (tag->row) — zero
     exchanges, no join, no Python."""
