@@ -1460,6 +1460,95 @@ def hreflang_alternates(
     )
 
 
+TYPE_ATTR_RE = (
+    "(?is)[ \\t\\n\\r]type[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+FEED_MIME_TYPES = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+
+
+def feed_discovery(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """RSS/Atom feed AUTODISCOVERY — ``<link rel="alternate"
+    type="application/rss+xml|atom+xml" href>`` declarations as rows,
+    the standard way a page advertises its feed (the RSS
+    autodiscovery convention); the discovery step upstream of
+    `urls.feed_items` the way `urls.sitemap_entries` is upstream of
+    the frontier.  One row per qualifying link, in document order::
+
+        (doc_id, link_no, feed_type, href, host)
+
+    ``link_no`` is the 0-based position among ALL <link> tags (gaps
+    stable — the hreflang rule); a tag qualifies when its ``rel``
+    token LIST contains ``alternate`` and its ``type`` (lowercased,
+    trimmed — MIME types are case-insensitive) is one of
+    FEED_MIME_TYPES, mapping to ``feed_type`` 'rss'/'atom'; ``href``
+    is entity-decoded + trimmed and must be non-blank; ``host`` via
+    the shared urls.host_of.  Comments and scripts are stripped
+    first.
+
+    100 TB shape: narrow + ONE posexplode, zero exchanges, no UDF
+    (the hreflang_alternates shape).
+    """
+    clash = sorted(
+        {"_fd_h", "_fd_tags", "_fd_t", "_fd_type", "_fd_href"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"feed_discovery staging columns clash: {clash}"
+        )
+    from ..functions.numeric import pin
+    from .urls import host_of
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(h, SCRIPT_RE, " "), COMMENT_RE, " "
+    )
+    base = df.withColumn("_fd_h", pin(h)).withColumn(
+        "_fd_tags",
+        pin(
+            F.regexp_extract_all(F.col("_fd_h"), F.lit(LINK_TAG_RE), 1)
+        ),
+    )
+    per_tag = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col("_fd_tags")).alias("link_no", "_fd_t"),
+    )
+    t = F.col("_fd_t")
+    rel_tokens = F.split(
+        F.lower(F.trim(F.regexp_extract(t, REL_ATTR_RE, 1))),
+        "[ \\t\\n\\r]+",
+    )
+    href = F.regexp_extract(t, HREF_ATTR_RE, 1)
+    for ent, ch in HTML_ENTITIES:
+        href = F.replace(href, F.lit(ent), F.lit(ch))
+    mime = F.lower(F.trim(F.regexp_extract(t, TYPE_ATTR_RE, 1)))
+    feed_type = F.lit(None).cast("string")
+    for m, name in sorted(FEED_MIME_TYPES.items()):
+        feed_type = F.when(mime == m, F.lit(name)).otherwise(feed_type)
+    return (
+        per_tag.withColumn("_fd_type", feed_type)
+        .withColumn("_fd_href", F.trim(href))
+        .filter(
+            F.array_contains(rel_tokens, "alternate")
+            & F.col("_fd_type").isNotNull()
+            & (F.col("_fd_href") != "")
+        )
+        .select(
+            "doc_id",
+            F.col("link_no").cast("long").alias("link_no"),
+            F.col("_fd_type").alias("feed_type"),
+            F.col("_fd_href").alias("href"),
+            host_of(F.col("_fd_href")).alias("host"),
+        )
+    )
+
+
 def translation_clusters(
     df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
 ) -> DataFrame:

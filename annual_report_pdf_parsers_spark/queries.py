@@ -3405,6 +3405,53 @@ def _images_fixture_page():
     )
 
 
+def q_html_feed_discovery(spark, sf):
+    """Feed autodiscovery over synthesized pages: an RSS link with an
+    entity-escaped %3 href variant, a %2 Atom arm with CASED mime type
+    + reversed single-quoted attrs + relative href (host NULL), and
+    four decoys that must never match (rel=alternate type=text/html,
+    rel=stylesheet with a feed type, blank href, commented link).
+    Oracle = the same tag extract_all + rel-token-list + lowered-mime
+    CASE regenerated from FEED_MIME_TYPES."""
+    from .operators.html import feed_discovery
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    k = (did % 11).cast("string")
+    rss = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" '),
+        F.lit('href="https://ex'),
+        k,
+        F.when(did % 3 == 0, F.lit(".com/feed?a=1&amp;b=2")).otherwise(
+            F.lit(".com/feed.xml")
+        ),
+        F.lit('">'),
+    )
+    atom = F.when(
+        did % 2 == 0,
+        F.lit(
+            "<link type='Application/Atom+XML' rel='alternate' "
+            "href='/atom.xml'>"
+        ),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit(
+            '<head><link rel="alternate" type="text/html" '
+            'href="https://m.ex/">'
+            '<link rel="stylesheet" type="application/rss+xml" '
+            'href="https://s.ex/f.xml">'
+        ),
+        rss,
+        atom,
+        F.lit(
+            '<link rel="alternate" type="application/rss+xml" href="">'
+            '<!-- <link rel="alternate" type="application/rss+xml" '
+            'href="https://g.ex/f.xml"> --></head>'
+        ),
+    )
+    return feed_discovery(d.select("doc_id", page.alias("html")))
+
+
 def q_html_robots_meta(spark, sf):
     """Meta-robots page policy over synthesized pages: a %2
     cased+padded 'NoIndex , nofollow' list, a %3 cased-name NONE
@@ -5194,6 +5241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_images": q_html_images,
     "corpus_image_captions": q_corpus_image_captions,
     "corpus_crawl_diff": q_corpus_crawl_diff,
+    "html_feed_discovery": q_html_feed_discovery,
     "html_hreflang": q_html_hreflang,
     "corpus_canonical_dedup": q_corpus_canonical_dedup,
     "corpus_fetch_schedule": q_corpus_fetch_schedule,
@@ -9319,6 +9367,85 @@ def _image_captions_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_image_captions"] = _image_captions_oracle_sql()
+
+
+def _feed_discovery_oracle_sql() -> str:
+    """html_feed_discovery oracle — the link-tag chain with the
+    rel-token-list rule + the lowered-mime feed-type CASE, regenerated
+    from the engine's constants (LINK_TAG_RE / REL_ATTR_RE /
+    TYPE_ATTR_RE / HREF_ATTR_RE / FEED_MIME_TYPES)."""
+    from .operators.html import (
+        COMMENT_RE,
+        FEED_MIME_TYPES,
+        HREF_ATTR_RE,
+        HTML_ENTITIES,
+        LINK_TAG_RE,
+        REL_ATTR_RE,
+        SCRIPT_RE,
+        TYPE_ATTR_RE,
+    )
+
+    def esc(r: str) -> str:
+        return r.replace(chr(39), chr(39) * 2)
+
+    page = (
+        "'<head><link rel=\"alternate\" type=\"text/html\" "
+        "href=\"https://m.ex/\">"
+        "<link rel=\"stylesheet\" type=\"application/rss+xml\" "
+        "href=\"https://s.ex/f.xml\">"
+        "<link rel=\"alternate\" type=\"application/rss+xml\" "
+        "href=\"https://ex' || CAST(doc_id % 11 AS VARCHAR) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN '.com/feed?a=1&amp;b=2' "
+        "ELSE '.com/feed.xml' END) || '\">' || "
+        "(CASE WHEN doc_id % 2 = 0 THEN "
+        "'<link type=''Application/Atom+XML'' rel=''alternate'' "
+        "href=''/atom.xml''>' ELSE '' END) || "
+        "'<link rel=\"alternate\" type=\"application/rss+xml\" "
+        "href=\"\">"
+        "<!-- <link rel=\"alternate\" type=\"application/rss+xml\" "
+        "href=\"https://g.ex/f.xml\"> --></head>'"
+    )
+    href = f"regexp_extract(t, '{esc(HREF_ATTR_RE)}', 1)"
+    for ent, ch in HTML_ENTITIES:
+        href = (
+            f"replace({href}, '{ent}', "
+            f"'{ch.replace(chr(39), chr(39) * 2)}')"
+        )
+    ftype = "CASE " + " ".join(
+        f"WHEN mime = '{m}' THEN '{name}'"
+        for m, name in sorted(FEED_MIME_TYPES.items())
+    ) + " END"
+    host = (
+        "NULLIF(regexp_replace(lower(regexp_extract(href, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+        "'^www\\.', ''), '')"
+    )
+    return (
+        f"WITH d0 AS (SELECT doc_id, {page} AS h FROM documents), "
+        "d AS (SELECT doc_id, regexp_replace(regexp_replace(h, "
+        f"'{esc(SCRIPT_RE)}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') "
+        "AS h FROM d0), "
+        "tt AS (SELECT doc_id, "
+        f"regexp_extract_all(h, '{esc(LINK_TAG_RE)}', 1) AS tags "
+        "FROM d), "
+        "e AS (SELECT doc_id, CAST(ti - 1 AS BIGINT) AS link_no, "
+        "tags[ti] AS t FROM tt, "
+        "UNNEST(generate_series(1, len(tags))) AS g(ti)), "
+        "f AS (SELECT doc_id, link_no, "
+        "string_split_regex(lower(trim(regexp_extract(t, "
+        f"'{esc(REL_ATTR_RE)}', 1))), '[ \\t\\n\\r]+') AS rel_toks, "
+        "lower(trim(regexp_extract(t, "
+        f"'{esc(TYPE_ATTR_RE)}', 1))) AS mime, "
+        f"trim({href}) AS href FROM e), "
+        f"q AS (SELECT doc_id, link_no, {ftype} AS feed_type, href "
+        "FROM f WHERE list_contains(rel_toks, 'alternate') "
+        "AND href <> '') "
+        "SELECT doc_id, link_no, feed_type, href, "
+        f"{host} AS host FROM q WHERE feed_type IS NOT NULL"
+    )
+
+
+ORACLE_SQL["html_feed_discovery"] = _feed_discovery_oracle_sql()
 
 
 _ROBOTS_PAGE_SQL = (

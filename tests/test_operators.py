@@ -3109,6 +3109,51 @@ def test_hreflang_alternates(spark):
         )
 
 
+def test_feed_discovery(spark):
+    """html.feed_discovery: rel token-list + lowered mime gate, rss vs
+    atom mapping, relative href -> NULL host, wrong-type / wrong-rel /
+    blank-href / commented decoys never match, link_no gaps stable,
+    staging clash raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.html import (
+        feed_discovery,
+    )
+
+    rows = [
+        (
+            1,
+            '<link rel="alternate" type="text/html" href="https://m.ex/">'
+            '<link rel="alternate feed" type="APPLICATION/RSS+XML" '
+            "href='https://Ex.com/f.xml?a=1&amp;2'>"
+            "<link type='application/atom+xml' rel='alternate' "
+            "href='/atom.xml'>"
+            '<link rel="stylesheet" type="application/rss+xml" href="https://s.ex/f.xml">'
+            '<link rel="alternate" type="application/rss+xml" href="">'
+            '<!-- <link rel="alternate" type="application/rss+xml" href="https://g.ex/f.xml"> -->',
+        ),
+        (2, None),
+    ]
+    got = [
+        tuple(r)
+        for r in feed_discovery(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        )
+        .orderBy("doc_id", "link_no")
+        .collect()
+    ]
+    assert got == [
+        (1, 1, "rss", "https://Ex.com/f.xml?a=1&2", "ex.com"),
+        (1, 2, "atom", "/atom.xml", None),
+    ]
+    with _pytest.raises(ValueError, match="clash"):
+        feed_discovery(
+            spark.createDataFrame(
+                [(1, "x", "y")], "doc_id long, html string, _fd_t string"
+            )
+        )
+
+
 def test_crawl_diff(spark):
     """urls.crawl_diff: all four statuses, NULL text digests as '',
     within-snapshot duplicate urls resolve by MIN digest, missing-side

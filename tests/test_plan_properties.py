@@ -1041,6 +1041,16 @@ def test_html_hreflang_plan(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_html_feed_discovery_plan(spark):
+    """html_feed_discovery: narrow + exactly ONE Generate — zero
+    exchanges, no join, no Python (the hreflang shape)."""
+    plan = _qplan(spark, "html_feed_discovery")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_corpus_crawl_diff_plan(spark):
     """corpus_crawl_diff: only (url, md5) shuffles — two url-keyed
     partial-agg exchanges + the full-outer join co-partition, ONE
