@@ -193,6 +193,10 @@ HEADLINE = [
     "html_opengraph",
     "graph_hop_distance",
     "corpus_dom_stats",
+    "html_images",
+    "corpus_image_captions",
+    "corpus_crawl_diff",
+    "html_feed_discovery",
 ]
 
 
