@@ -205,3 +205,82 @@ def sliding_window_counts(
             "sum_value",
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per `by` group: step i+1 counts only
+    when it happens STRICTLY after the earliest completion of step i
+    (the product-analytics funnel; the reference's keyword-anchor
+    keep-lists are the page-local analogue of "this row counts only
+    after its anchor", bnp/parser.py:120-141 — this is the event-time
+    general form).
+
+    Semantics (deterministic regardless of intra-timestamp ordering):
+    t1 = min ts of step-1 events; t_{i+1} = min ts of step-(i+1) events
+    with ts STRICTLY greater than t_i.  Equal-timestamp step pairs do
+    NOT advance the funnel — a tie carries no order information, and
+    any tie-break on event ids would be engine-private.
+
+    Plan shape: ONE exchange keyed by `by`; each step after the first
+    is a running-min window over the SAME sort (default RANGE frame, so
+    ties are all visible), staged one select per step because window
+    expressions cannot nest; the final per-group aggregation extends
+    the window's clustering (subset rule — no second exchange).
+
+    100 TB shape: linear in events, no join, no broadcast; hot users
+    (bots with 10^8 events) land in one partition — pre-filter by the
+    step whitelist first (done here: a filter on `type_col` pushes to
+    the scan), and split pathological keys by time range exactly like
+    asof_join's note above.
+
+    Returns one row per group: step times (t_1..t_n), `depth` (number
+    of steps completed in order), `converted`, and `us_to_convert`
+    (integer microseconds t_1 -> t_n when converted, else NULL).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    by = list(by)
+    ts = F.col(on)
+    staged = events.filter(F.col(type_col).isin(*steps)).select(
+        *by, on, type_col
+    )
+    # default ordered-window frame = RANGE UNBOUNDED PRECEDING ..
+    # CURRENT ROW: every row sees all rows at-or-before its OWN ts,
+    # ties included — strict `<` below is what enforces the order
+    w = Window.partitionBy(*by).orderBy(ts.asc())
+    run_prev = F.min(
+        F.when(F.col(type_col) == steps[0], ts)
+    ).over(w)
+    cands = [F.when(F.col(type_col) == steps[0], ts).alias("_c_1")]
+    for i, step in enumerate(steps[1:], start=2):
+        staged = staged.withColumn(f"_r_{i - 1}", run_prev)
+        cand = F.when(
+            (F.col(type_col) == step) & (F.col(f"_r_{i - 1}") < ts), ts
+        )
+        cands.append(cand.alias(f"_c_{i}"))
+        run_prev = F.min(cand).over(w)
+    staged = staged.select(*by, *[c for c in cands])
+    agg = staged.groupBy(*by).agg(
+        *[F.min(f"_c_{i}").alias(f"t_{i}") for i in range(1, len(steps) + 1)]
+    )
+    depth = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        depth = F.when(F.col(f"t_{i}").isNotNull(), i).otherwise(depth)
+    n = len(steps)
+    converted = F.col(f"t_{n}").isNotNull()
+    return agg.select(
+        *by,
+        *[f"t_{i}" for i in range(1, n + 1)],
+        depth.cast("int").alias("depth"),
+        converted.alias("converted"),
+        F.when(
+            converted,
+            F.expr(f"timestampdiff(MICROSECOND, t_1, t_{n})"),
+        ).alias("us_to_convert"),
+    )

@@ -4609,6 +4609,31 @@ def q_events_slide_window(spark, sf):
     )
 
 
+def q_events_funnel(spark, sf):
+    """Ordered view->click->purchase funnel per user (strictly-after
+    step rule).  Fixture arms make every depth non-vacuous at sf0.01:
+    user%5==0 drops clicks (depth stalls at 1 even though purchases
+    exist — the ORDER is what's checked), %5==1 drops purchases
+    (depth 2), and %7==3 floors view/click timestamps to the hour so
+    equal-ts step pairs appear and the STRICT-after rule is exercised
+    (a tie must NOT advance the funnel).  Oracle restates the
+    running-min windows with the same RANGE frame + strict compare."""
+    e = load(spark, sf, "events")
+    u, t, ty = F.col("user_id"), F.col("ts"), F.col("event_type")
+    kept = e.filter(
+        ~((u % 5 == 0) & (ty == F.lit("click")))
+        & ~((u % 5 == 1) & (ty == F.lit("purchase")))
+    )
+    tied = kept.withColumn(
+        "ts",
+        F.when(
+            (u % 7 == 3) & ty.isin("view", "click"),
+            F.date_trunc("hour", t),
+        ).otherwise(t),
+    )
+    return temporal.funnel(tied)
+
+
 def q_events_stream_window(spark, sf):
     """Structured Streaming driver-gate entry: the REAL streaming path
     (file-source readStream -> watermark -> tumbling 5-min window agg
@@ -5249,6 +5274,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bitext_pairs": q_corpus_bitext_pairs,
     "text_sentences": q_text_sentences,
     "graph_hop_distance": q_graph_hop_distance,
+    # events_funnel is BORN below-window (late-r05 addition, the
+    # graph_hits call); full value-hash oracle in the local gate every
+    # session; joins the r06 window queue.
+    "events_funnel": q_events_funnel,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10179,4 +10208,43 @@ ORACLE_SQL["media_chunk_dedup"] = (
     "  THEN COALESCE(n_shared_chunks, 0) / n_chunks "
     "  ELSE 0.0 END, 6) AS shared_frac "
     "FROM hxd x LEFT JOIN pd ON pd.doc_id = x.doc_id"
+)
+
+# events_funnel: the same fixture filter/tie-floor arms, then the
+# funnel's two staged running-min windows (default RANGE frame — ties
+# all visible; strict `<` enforces the order) and the per-user min
+# aggregation; us_to_convert as an exact epoch_us BIGINT difference.
+ORACLE_SQL["events_funnel"] = (
+    "WITH base AS (SELECT user_id, "
+    "  CASE WHEN user_id % 7 = 3 AND event_type IN ('view', 'click') "
+    "    THEN date_trunc('hour', ts) ELSE ts END AS ts, event_type "
+    "  FROM events "
+    "  WHERE NOT (user_id % 5 = 0 AND event_type = 'click') "
+    "    AND NOT (user_id % 5 = 1 AND event_type = 'purchase') "
+    "    AND event_type IN ('view', 'click', 'purchase')), "
+    "s1 AS (SELECT user_id, ts, event_type, "
+    "  MIN(CASE WHEN event_type = 'view' THEN ts END) OVER "
+    "    (PARTITION BY user_id ORDER BY ts "
+    "     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1 "
+    "  FROM base), "
+    "s2 AS (SELECT user_id, ts, event_type, r1, "
+    "  MIN(CASE WHEN event_type = 'click' AND r1 < ts THEN ts END) "
+    "    OVER (PARTITION BY user_id ORDER BY ts "
+    "     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2 "
+    "  FROM s1), "
+    "f AS (SELECT user_id, "
+    "  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_1, "
+    "  MIN(CASE WHEN event_type = 'click' AND r1 < ts THEN ts END) "
+    "    AS t_2, "
+    "  MIN(CASE WHEN event_type = 'purchase' AND r2 < ts THEN ts END) "
+    "    AS t_3 "
+    "  FROM s2 GROUP BY user_id) "
+    "SELECT user_id, t_1, t_2, t_3, "
+    "CAST(CASE WHEN t_3 IS NOT NULL THEN 3 "
+    "  WHEN t_2 IS NOT NULL THEN 2 "
+    "  WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth, "
+    "t_3 IS NOT NULL AS converted, "
+    "CASE WHEN t_3 IS NOT NULL THEN epoch_us(t_3) - epoch_us(t_1) END "
+    "  AS us_to_convert "
+    "FROM f"
 )

@@ -3689,3 +3689,54 @@ def test_translation_clusters(spark):
         ("https://b.com/de", "de", "https://b.com/de", 2),
         ("https://b.com/de", "en", "https://b.com/en", 2),
     ]
+
+
+def test_funnel_order_and_tie_semantics(spark):
+    """The funnel advances only on STRICTLY-later steps: out-of-order
+    purchases don't count, an equal-ts click does not advance past its
+    view, and a user without the first step has depth 0."""
+    from datetime import datetime as dt
+
+    from annual_report_pdf_parsers_spark.operators.temporal import funnel
+
+    rows = [
+        # u1: clean ordered funnel
+        (1, dt(2024, 1, 1, 0, 0), "view"),
+        (1, dt(2024, 1, 1, 0, 5), "click"),
+        (1, dt(2024, 1, 1, 0, 9), "purchase"),
+        # u2: purchase BEFORE the click -> never counts, depth 2
+        (2, dt(2024, 1, 1, 0, 0), "view"),
+        (2, dt(2024, 1, 1, 0, 1), "purchase"),
+        (2, dt(2024, 1, 1, 0, 2), "click"),
+        # u3: click tied with the view must NOT advance; later one does
+        (3, dt(2024, 1, 1, 0, 0), "view"),
+        (3, dt(2024, 1, 1, 0, 0), "click"),
+        (3, dt(2024, 1, 1, 0, 3), "click"),
+        (3, dt(2024, 1, 1, 0, 4), "purchase"),
+        # u4: no view at all -> depth 0 even with later steps present
+        (4, dt(2024, 1, 1, 0, 0), "click"),
+        (4, dt(2024, 1, 1, 0, 1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel(df).collect()
+    }
+    assert out[1]["depth"] == 3 and out[1]["converted"]
+    assert out[1]["us_to_convert"] == 9 * 60 * 1_000_000
+    assert out[2]["depth"] == 2 and not out[2]["converted"]
+    assert out[3]["depth"] == 3
+    assert out[3]["t_2"] == dt(2024, 1, 1, 0, 3)  # not the tied click
+    assert out[4]["depth"] == 0 and out[4]["t_1"] is None
+
+
+def test_funnel_rejects_single_step(spark):
+    from annual_report_pdf_parsers_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(
+        [(1, 1, "view")], "user_id long, ts long, event_type string"
+    )
+    with pytest.raises(ValueError, match="at least two"):
+        funnel(df, steps=("view",))

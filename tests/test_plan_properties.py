@@ -1205,3 +1205,14 @@ def test_corpus_translation_clusters_plan(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Generate") == 2, plan
+
+
+def test_events_funnel_plan(spark):
+    """events_funnel: ONE user-keyed hash exchange — the two staged
+    running-min windows share the sort and the final per-user agg
+    extends the window's clustering (subset rule); no join, no
+    Python."""
+    plan = _qplan(spark, "events_funnel")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
