@@ -284,3 +284,75 @@ def funnel(
             F.expr(f"timestampdiff(MICROSECOND, t_1, t_{n})"),
         ).alias("us_to_convert"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    on: str = "ts",
+    user_col: str = "user_id",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event (epoch-anchored calendar periods), then counted
+    distinctly at each per-user period offset — the standard
+    product-analytics retention table, all-integer day arithmetic so
+    both engines agree bit-for-bit.
+
+    cohort period  = days-since-1970-01-01(first day) DIV period_days
+    period offset  = (event day - first day) DIV period_days
+    retention      = n_users / cohort size (offset-0 users), the one
+                     division, ROUND 6.
+
+    Plan shape: per-user min-day agg (exchange 1) + user-keyed join
+    back (exchange 2 on the probe side; the agg side reuses its own
+    partitioning) — PINNED shuffle_hash, the first-day table scales
+    with the user base so a broadcast would be the dedup_soft_weights
+    AQE trap; the (cohort, offset, user) dedup level needs NO exchange
+    (user-partitioning co-locates every such group — subset rule),
+    then one (cohort, offset) exchange and a cohort-keyed window for
+    the cohort size over the aggregated (tiny) matrix.
+
+    100 TB shape: linear; no broadcast of anything corpus-scaled; the
+    matrix itself is bounded by periods^2 x cohorts, never by events.
+    """
+    d = F.to_date(F.col(on))
+    epoch = F.lit("1970-01-01").cast("date")
+    firsts = (
+        events.select(F.col(user_col).alias("u"), d.alias("d"))
+        .groupBy("u")
+        .agg(F.min("d").alias("d0"))
+    )
+    ev = events.select(F.col(user_col).alias("u"), d.alias("d"))
+    joined = ev.join(firsts.hint("shuffle_hash"), on="u")
+    staged = joined.select(
+        "u",
+        (F.datediff(F.col("d0"), epoch) / period_days)
+        .cast("long")  # floor: both operands non-negative
+        .alias("cohort_period"),
+        (F.datediff(F.col("d"), F.col("d0")) / period_days)
+        .cast("long")
+        .alias("period_offset"),
+    )
+    matrix = staged.groupBy("cohort_period", "period_offset").agg(
+        F.countDistinct("u").alias("n_users")
+    )
+    wc = Window.partitionBy("cohort_period")
+    out = matrix.select(
+        F.date_add(
+            epoch, (F.col("cohort_period") * period_days).cast("int")
+        ).alias("cohort_start"),
+        "period_offset",
+        "n_users",
+        F.max(
+            F.when(F.col("period_offset") == 0, F.col("n_users"))
+        ).over(wc).alias("cohort_size"),
+    )
+    return out.select(
+        "cohort_start",
+        "period_offset",
+        "n_users",
+        "cohort_size",
+        F.round(
+            F.col("n_users") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention"),
+    )

@@ -4634,6 +4634,19 @@ def q_events_funnel(spark, sf):
     return temporal.funnel(tied)
 
 
+def q_events_retention(spark, sf):
+    """Weekly cohort retention over a deterministically-churned events
+    slice: user%3 staggers sign-up week (3 cohorts), user%5 scales how
+    long the user stays active (offsets 0..4 all populated, partial
+    retention in every cohort).  All-integer day arithmetic; the one
+    division is the final retention ratio, ROUND 6."""
+    e = load(spark, sf, "events")
+    u, dom = F.col("user_id"), F.dayofmonth("ts")
+    lo = 1 + (u % 3) * 7
+    hi = lo + (u % 5) * 6 + 2
+    return temporal.retention_cohorts(e.filter(dom.between(lo, hi)))
+
+
 def q_events_stream_window(spark, sf):
     """Structured Streaming driver-gate entry: the REAL streaming path
     (file-source readStream -> watermark -> tumbling 5-min window agg
@@ -5274,10 +5287,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bitext_pairs": q_corpus_bitext_pairs,
     "text_sentences": q_text_sentences,
     "graph_hop_distance": q_graph_hop_distance,
-    # events_funnel is BORN below-window (late-r05 addition, the
-    # graph_hits call); full value-hash oracle in the local gate every
-    # session; joins the r06 window queue.
+    # events_funnel + events_retention are BORN below-window (late-r05
+    # additions, the graph_hits call); full value-hash oracles in the
+    # local gate every session; they join the r06 window queue.
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10247,4 +10261,29 @@ ORACLE_SQL["events_funnel"] = (
     "CASE WHEN t_3 IS NOT NULL THEN epoch_us(t_3) - epoch_us(t_1) END "
     "  AS us_to_convert "
     "FROM f"
+)
+
+# events_retention: the same churn-slice arms, then all-integer day
+# arithmetic — epoch-anchored cohort period, per-user period offset
+# (both floor DIV 7), distinct-user matrix, cohort size via the
+# offset-0 window, one final division ROUND 6.
+ORACLE_SQL["events_retention"] = (
+    "WITH base AS (SELECT user_id AS u, CAST(ts AS DATE) AS d "
+    "  FROM events WHERE day(ts) BETWEEN 1 + (user_id % 3) * 7 "
+    "    AND 1 + (user_id % 3) * 7 + (user_id % 5) * 6 + 2), "
+    "f AS (SELECT u, MIN(d) AS d0 FROM base GROUP BY u), "
+    "s AS (SELECT base.u, "
+    "  CAST(datediff('day', DATE '1970-01-01', d0) // 7 AS BIGINT) "
+    "    AS cp, "
+    "  CAST(datediff('day', d0, d) // 7 AS BIGINT) AS po "
+    "  FROM base JOIN f USING (u)), "
+    "m AS (SELECT cp, po, CAST(COUNT(DISTINCT u) AS BIGINT) "
+    "  AS n_users FROM s GROUP BY cp, po), "
+    "w AS (SELECT cp, po, n_users, "
+    "  MAX(CASE WHEN po = 0 THEN n_users END) "
+    "    OVER (PARTITION BY cp) AS cohort_size FROM m) "
+    "SELECT DATE '1970-01-01' + CAST(cp * 7 AS INT) AS cohort_start, "
+    "po AS period_offset, n_users, cohort_size, "
+    "ROUND(n_users / CAST(cohort_size AS DOUBLE), 6) AS retention "
+    "FROM w"
 )

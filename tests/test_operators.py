@@ -3740,3 +3740,33 @@ def test_funnel_rejects_single_step(spark):
     )
     with pytest.raises(ValueError, match="at least two"):
         funnel(df, steps=("view",))
+
+
+def test_retention_cohorts_semantics(spark):
+    """Two users in one cohort, one churning after week 0; a third
+    user starting a period later forms its own cohort with its own
+    size denominator."""
+    from datetime import datetime as dt
+
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1)), (1, dt(2024, 1, 9)),   # w0 + w1
+        (2, dt(2024, 1, 2)),                         # w0 only
+        (3, dt(2024, 1, 8)), (3, dt(2024, 1, 16)),  # later cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (str(r["cohort_start"]), r["period_offset"]): r
+        for r in retention_cohorts(df).collect()
+    }
+    # 2024-01-01 lands in epoch week 2817 starting 2023-12-28
+    a0 = out[("2023-12-28", 0)]
+    assert a0["n_users"] == 2 and a0["cohort_size"] == 2
+    a1 = out[("2023-12-28", 1)]
+    assert a1["n_users"] == 1 and a1["retention"] == 0.5
+    b0 = out[("2024-01-04", 0)]
+    assert b0["n_users"] == 1 and b0["retention"] == 1.0
+    assert ("2024-01-04", 1) in out and len(out) == 4

@@ -1216,3 +1216,17 @@ def test_events_funnel_plan(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_events_retention_plan(spark):
+    """events_retention: user agg + PINNED shuffle_hash first-day join
+    (the first-day table scales with the user base — never broadcast)
+    + (cohort, offset) agg + cohort window over the tiny matrix = 4
+    exchanges, ONE join; the (cohort, offset, user) dedup level runs
+    exchange-free on the join's user partitioning (subset rule); no
+    Python."""
+    plan = _qplan(spark, "events_retention")
+    assert plan.count("Exchange") == 4, plan
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
