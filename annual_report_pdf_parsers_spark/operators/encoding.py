@@ -112,3 +112,75 @@ def fix_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(
         *[f"_mj_{i}" for i in range(len(MOJIBAKE_PAIRS) + 1)]
     )
+
+
+# de-hyphenation passes, in APPLICATION order (module-level one-site
+# constants: the oracle restates exactly these)
+SOFT_HYPHEN = "­"
+# letter '-' newline letter — lowercase ONLY on both sides: list-item
+# dashes (" - item"), uppercase compounds ("A-\nB") and numeric ranges
+# ("3-\n4") are NOT wrap artifacts and must survive
+DEHYPHEN_JOIN_RE = "([a-z])-\\n([a-z])"
+TRAIL_WS_RE = "[ \\t]+\\n"
+
+
+def dehyphenate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repair PDF/OCR text-extraction wrap artifacts — the webtext
+    twin of the reference's numeric de-noising (its extracted columns
+    never carry wraps because tabula re-flows cells; free text does).
+    Three fixed-order passes, each counted on its own INPUT:
+
+    1. soft hyphens (U+00AD) removed outright — including at line
+       breaks, where removal deliberately leaves the break unjoined
+       (a soft hyphen alone is a RENDERING hint, not evidence the
+       line was wrapped mid-word);
+    2. line-break hyphenation joined: lowercase-letter '-' newline
+       lowercase-letter -> the two letters (the wrap artifact proper);
+       consecutive wraps ("a-\\nb-\\nc") repair only the FIRST break —
+       both engines' regexp scans resume AFTER the match in the
+       ORIGINAL string, so the behavior is deterministic and
+       cross-engine identical (unit-pinned);
+    3. trailing spaces/tabs before a newline trimmed (n counted in
+       CHARS removed, honest naming — match counts would hide width).
+
+    Only regex constructs identical in Java + RE2 are used (character
+    classes, groups); replacement backreferences differ by SYNTAX only
+    ($1 Java / \\1 RE2) — each side states its own.
+
+    100 TB shape: narrow bounded replace chain in whole-stage codegen
+    above the scan, pin()-staged per pass (the fix_mojibake pattern);
+    no shuffle, no UDF.  NULL text behaves as ''.
+    """
+    clash = sorted({f"_dh_{i}" for i in range(4)} & set(df.columns))
+    if clash:
+        raise ValueError(f"dehyphenate staging columns clash: {clash}")
+    out = df.withColumn(
+        "_dh_0",
+        pin(F.coalesce(F.col(text_col).cast("string"), F.lit(""))),
+    )
+    s0 = F.col("_dh_0")
+    n_soft = (
+        F.length(s0)
+        - F.length(F.replace(s0, F.lit(SOFT_HYPHEN), F.lit("")))
+    ).cast("long")
+    out = out.withColumn(
+        "_dh_1", pin(F.replace(s0, F.lit(SOFT_HYPHEN), F.lit("")))
+    )
+    s1 = F.col("_dh_1")
+    joined = F.regexp_replace(s1, DEHYPHEN_JOIN_RE, "$1$2")
+    n_joins = ((F.length(s1) - F.length(joined)) / F.lit(2)).cast(
+        "long"
+    )
+    out = out.withColumn("_dh_2", pin(joined))
+    s2 = F.col("_dh_2")
+    trimmed = F.regexp_replace(s2, TRAIL_WS_RE, "\n")
+    n_trail = (F.length(s2) - F.length(trimmed)).cast("long")
+    out = (
+        out.withColumn("_dh_3", pin(trimmed))
+        .withColumn("n_soft_hyphens", n_soft)
+        .withColumn("n_line_joins", n_joins)
+        .withColumn("n_trail_ws", n_trail)
+        .withColumn("had_hyphenation", n_joins > F.lit(0))
+        .withColumn(text_col, F.col("_dh_3"))
+    )
+    return out.drop(*[f"_dh_{i}" for i in range(4)])

@@ -4567,6 +4567,38 @@ def q_text_mojibake(spark, sf):
     )
 
 
+def q_text_dehyphenate(spark, sf):
+    """PDF/OCR wrap-artifact repair over injected %4 arms: two wrap
+    joins; soft hyphens (mid-word x2); trailing space+tab runs; and a
+    no-fix-shaped arm that pins every NEGATIVE rule at the gate — the
+    spaced dash, uppercase and digit neighbors all survive, and the
+    consecutive-wrap chain 'a-\\nb-\\nc' repairs only its FIRST break
+    (scan-resume rule).  Oracle restates the identical three-pass
+    chain (RE2 '\\1' backreference syntax, chr() literals)."""
+    from .operators.encoding import dehyphenate
+
+    d = load(spark, sf, "documents")
+    m4 = F.col("doc_id") % 4
+    sh = "­"
+    suffix = (
+        F.when(m4 == 0, F.lit(" hy-\nphen and line-\nbreak repairs"))
+        .when(m4 == 1, F.lit(f" soft{sh}hyphen he{sh}re"))
+        .when(m4 == 2, F.lit(" trail  \t\nnext line"))
+        .otherwise(F.lit(" keep - it A-\nB 3-\n4 a-\nb-\nc"))
+    )
+    injected = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return dehyphenate(injected).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fixed_md5"),
+        "n_soft_hyphens",
+        "n_line_joins",
+        "n_trail_ws",
+        "had_hyphenation",
+    )
+
+
 def q_events_asof(spark, sf):
     """Distributed as-of join (task brief: a canonical operator Spark
     lacks) via the linear union+window form — each purchase event joined
@@ -5292,6 +5324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # local gate every session; they join the r06 window queue.
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "text_dehyphenate": q_text_dehyphenate,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10286,4 +10319,38 @@ ORACLE_SQL["events_retention"] = (
     "po AS period_offset, n_users, cohort_size, "
     "ROUND(n_users / CAST(cohort_size AS DOUBLE), 6) AS retention "
     "FROM w"
+)
+
+# text_dehyphenate: the same %4 injection arms, then the identical
+# three fixed-order passes with length-trick counts on each pass's
+# input; RE2 replacement backreferences (\1\2), newline/tab/soft-
+# hyphen as chr() literals so the SQL carries no invisible bytes.
+ORACLE_SQL["text_dehyphenate"] = (
+    "WITH inj AS (SELECT doc_id, text || CASE doc_id % 4 "
+    "  WHEN 0 THEN ' hy-' || chr(10) || 'phen and line-' || chr(10) "
+    "    || 'break repairs' "
+    "  WHEN 1 THEN ' soft' || chr(173) || 'hyphen he' || chr(173) "
+    "    || 're' "
+    "  WHEN 2 THEN ' trail  ' || chr(9) || chr(10) || 'next line' "
+    "  ELSE ' keep - it A-' || chr(10) || 'B 3-' || chr(10) "
+    "    || '4 a-' || chr(10) || 'b-' || chr(10) || 'c' END AS t "
+    "  FROM documents), "
+    "s0 AS (SELECT doc_id, COALESCE(t, '') AS s FROM inj), "
+    "p1 AS (SELECT doc_id, "
+    "  length(s) - length(replace(s, chr(173), '')) AS n_soft, "
+    "  replace(s, chr(173), '') AS s1 FROM s0), "
+    "p2 AS (SELECT doc_id, n_soft, "
+    "  (length(s1) - length(regexp_replace(s1, "
+    "    '([a-z])-\\n([a-z])', '\\1\\2', 'g'))) // 2 AS n_joins, "
+    "  regexp_replace(s1, '([a-z])-\\n([a-z])', '\\1\\2', 'g') AS s2 "
+    "  FROM p1), "
+    "p3 AS (SELECT doc_id, n_soft, n_joins, "
+    "  length(s2) - length(regexp_replace(s2, '[ \\t]+\\n', chr(10), "
+    "    'g')) AS n_trail, "
+    "  regexp_replace(s2, '[ \\t]+\\n', chr(10), 'g') AS s3 FROM p2) "
+    "SELECT doc_id, md5(s3) AS fixed_md5, "
+    "CAST(n_soft AS BIGINT) AS n_soft_hyphens, "
+    "CAST(n_joins AS BIGINT) AS n_line_joins, "
+    "CAST(n_trail AS BIGINT) AS n_trail_ws, "
+    "n_joins > 0 AS had_hyphenation FROM p3"
 )

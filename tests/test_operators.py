@@ -3770,3 +3770,45 @@ def test_retention_cohorts_semantics(spark):
     b0 = out[("2024-01-04", 0)]
     assert b0["n_users"] == 1 and b0["retention"] == 1.0
     assert ("2024-01-04", 1) in out and len(out) == 4
+
+
+def test_dehyphenate_semantics(spark):
+    """Wrap joins fire only lowercase-to-lowercase; consecutive wraps
+    repair only the first break (scan-resume rule); soft hyphens
+    vanish without joining their line break; trailing ws counted in
+    chars; NULL text behaves as ''."""
+    from annual_report_pdf_parsers_spark.operators.encoding import (
+        dehyphenate,
+    )
+
+    rows = [
+        (1, "exam-\nple and hy-\nphen"),
+        (2, "a-\nb-\nc"),              # only the first break joins
+        (3, "A-\nB 3-\n4 x - \ny"),    # none of these join
+        (4, "so­ft and br­\neak"),
+        (5, "trail  \t\nnext \n"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dehyphenate(df).collect()}
+    assert out[1]["text"] == "example and hyphen"
+    assert out[1]["n_line_joins"] == 2 and out[1]["had_hyphenation"]
+    assert out[2]["text"] == "ab-\nc" and out[2]["n_line_joins"] == 1
+    assert out[3]["n_line_joins"] == 0 and not out[3]["had_hyphenation"]
+    # the spaced dash keeps its trailing space trimmed by pass 3
+    assert out[3]["text"] == "A-\nB 3-\n4 x -\ny"
+    assert out[4]["text"] == "soft and br\neak"
+    assert out[4]["n_soft_hyphens"] == 2 and out[4]["n_line_joins"] == 0
+    assert out[5]["text"] == "trail\nnext\n"
+    assert out[5]["n_trail_ws"] == 4
+    assert out[6]["text"] == "" and out[6]["n_line_joins"] == 0
+
+
+def test_dehyphenate_staging_clash(spark):
+    from annual_report_pdf_parsers_spark.operators.encoding import (
+        dehyphenate,
+    )
+
+    df = spark.createDataFrame([(1, "x", "y")], "doc_id long, text string, _dh_1 string")
+    with pytest.raises(ValueError, match="staging columns clash"):
+        dehyphenate(df)

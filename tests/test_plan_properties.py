@@ -1230,3 +1230,13 @@ def test_events_retention_plan(spark):
     assert plan.count("ShuffledHashJoin") == 1, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_text_dehyphenate_plan(spark):
+    """text_dehyphenate: zero-exchange narrow replace chain — no
+    join, no Generate, no Python."""
+    plan = _qplan(spark, "text_dehyphenate")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
