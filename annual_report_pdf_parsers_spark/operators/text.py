@@ -1692,3 +1692,103 @@ def corpus_health_report(
             ).alias("suspect_frac"),
         )
     )
+
+
+# code-likeness signal tables (one site: the DuckDB oracle is
+# REGENERATED from these — queries.py::_code_stats_oracle_sql)
+CODE_SYMBOLS = "{};=()[]<>"
+CODE_KEYWORDS = (
+    "def ", "return", "import ", "function", "var ", "const ",
+    "#include", "class ", "void ", "print(",
+)
+
+
+def code_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-content detection (the RedPajama/StarCoder-style routing
+    signal: code must be filtered OR routed to a code subset, never
+    scored by prose heuristics).  Deterministic counting signals only
+    — no tokenizer, no model:
+
+    - ``symbol_frac``: structural-symbol chars (braces/semicolons/
+      brackets/comparison) over total chars;
+    - ``kw_hits``: case-SENSITIVE literal keyword occurrences (code
+      keywords are case-sensitive; "DEF" is not Python);
+    - ``indent_frac``: lines starting with 4 spaces or a tab (the
+      non-overlap replace-trick on the line-start markers);
+    - ``has_fence``: a markdown ``` fence anywhere;
+    - ``is_code``: fence, OR symbol-dense text with >= 2 keyword
+      hits, OR >= 40% indented lines (round-then-compare on the
+      fracs, the repo's cross-engine float discipline).
+
+    100 TB shape: zero-exchange narrow counting chain in whole-stage
+    codegen; the ~20 length/replace pairs run on ONE pin()-staged
+    text attribute (the lang_id trap: inlined they re-evaluate per
+    reference).  NULL text behaves as ''.
+    """
+    from ..functions.numeric import pin
+
+    clash = sorted(
+        {"_cd_t", "_cd_sym", "_cd_kw", "_cd_lines", "_cd_ind"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(f"code_stats staging columns clash: {clash}")
+    out = df.withColumn(
+        "_cd_t",
+        pin(F.coalesce(F.col(text_col).cast("string"), F.lit(""))),
+    )
+    t = F.col("_cd_t")
+    n_sym = sum(
+        (count_occurrences(t, c) for c in CODE_SYMBOLS), F.lit(0.0)
+    ).cast("long")
+    n_kw = sum(
+        (count_occurrences(t, k) for k in CODE_KEYWORDS), F.lit(0.0)
+    ).cast("long")
+    n_lines = F.when(
+        F.length(t) > 0, count_occurrences(t, "\n").cast("long") + 1
+    ).otherwise(F.lit(0).cast("long"))
+    n_ind = (
+        count_occurrences(t, "\n    ")
+        + count_occurrences(t, "\n\t")
+        + F.when(
+            t.startswith("    ") | t.startswith("\t"), 1
+        ).otherwise(0)
+    ).cast("long")
+    out = (
+        out.withColumn("_cd_sym", pin(n_sym))
+        .withColumn("_cd_kw", pin(n_kw))
+        .withColumn("_cd_lines", pin(n_lines))
+        .withColumn("_cd_ind", pin(n_ind))
+    )
+    symbol_frac = F.when(
+        F.length(t) > 0,
+        F.round(
+            F.col("_cd_sym") / F.length(t).cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    indent_frac = F.when(
+        F.col("_cd_lines") > 0,
+        F.round(
+            F.col("_cd_ind") / F.col("_cd_lines").cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    has_fence = F.instr(t, "```") > 0
+    out = (
+        out.withColumn("n_symbols", F.col("_cd_sym"))
+        .withColumn("symbol_frac", pin(symbol_frac))
+        .withColumn("kw_hits", F.col("_cd_kw"))
+        .withColumn("n_lines", F.col("_cd_lines"))
+        .withColumn("indent_frac", pin(indent_frac))
+        .withColumn("has_fence", has_fence)
+    )
+    is_code = (
+        F.col("has_fence")
+        | (
+            (F.col("symbol_frac") >= 0.03)
+            & (F.col("kw_hits") >= 2)
+        )
+        | (F.col("indent_frac") >= 0.4)
+    )
+    return out.withColumn("is_code", is_code).drop(
+        "_cd_t", "_cd_sym", "_cd_kw", "_cd_lines", "_cd_ind"
+    )

@@ -4599,6 +4599,40 @@ def q_text_dehyphenate(spark, sf):
     )
 
 
+# code_stats fixture arms — ONE site: the engine injects these
+# literals and the oracle builder rewrites the same strings into
+# chr(10)-concatenated SQL (no invisible bytes in the SQL text)
+_CODE_ARMS = (
+    "\ndef f(x):\n    return x + 1\n    print(y)\nimport os",
+    "\nfunction g() { var x = 1; const y = [2]; }",
+    "\n```\nplain code block\n```",
+)
+
+
+def q_text_code_detect(spark, sf):
+    """Code-content detection over a %4 probe rotation on a 40-char
+    prose base: no-injection prose, a Python-shaped arm (keywords +
+    indented lines), a JS-shaped arm (symbol-dense one-liner), and a
+    fenced block — all three is_code routes fire at sf0.01 and the
+    prose arm stays false.  Oracle = the SAME symbol/keyword/indent
+    counting chain regenerated from CODE_SYMBOLS/CODE_KEYWORDS."""
+    d = load(spark, sf, "documents")
+    base = F.substring(F.col("text"), 1, 40)
+    m4 = F.col("doc_id") % 4
+    inj = (
+        F.when(m4 == 1, F.concat(base, F.lit(_CODE_ARMS[0])))
+        .when(m4 == 2, F.concat(base, F.lit(_CODE_ARMS[1])))
+        .when(m4 == 3, F.concat(base, F.lit(_CODE_ARMS[2])))
+        .otherwise(base)
+    )
+    return text.code_stats(
+        d.select("doc_id", inj.alias("text"))
+    ).select(
+        "doc_id", "n_symbols", "symbol_frac", "kw_hits", "n_lines",
+        "indent_frac", "has_fence", "is_code",
+    )
+
+
 def q_events_asof(spark, sf):
     """Distributed as-of join (task brief: a canonical operator Spark
     lacks) via the linear union+window form — each purchase event joined
@@ -5325,6 +5359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "text_dehyphenate": q_text_dehyphenate,
+    "text_code_detect": q_text_code_detect,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10354,3 +10389,66 @@ ORACLE_SQL["text_dehyphenate"] = (
     "CAST(n_trail AS BIGINT) AS n_trail_ws, "
     "n_joins > 0 AS had_hyphenation FROM p3"
 )
+
+
+def _code_stats_oracle_sql() -> str:
+    """Regenerated from CODE_SYMBOLS/CODE_KEYWORDS/_CODE_ARMS (the
+    langid pattern: one table, two engines); newlines in the arms are
+    rewritten to chr(10) concatenation so the SQL carries no
+    control bytes."""
+    from .operators.text import CODE_KEYWORDS, CODE_SYMBOLS
+
+    def lit(s: str) -> str:
+        return (
+            "'"
+            + s.replace("'", "''")
+            .replace("\t", "' || chr(9) || '")
+            .replace("\n", "' || chr(10) || '")
+            + "'"
+        )
+
+    sym = " + ".join(
+        f"(length(s) - length(replace(s, '{c}', '')))"
+        for c in CODE_SYMBOLS
+    )
+    kw = " + ".join(
+        f"(length(s) - length(replace(s, {lit(k)}, ''))) // {len(k)}"
+        for k in CODE_KEYWORDS
+    )
+    arms = " ".join(
+        f"WHEN {i} THEN substr(text, 1, 40) || {lit(a)}"
+        for i, a in enumerate(_CODE_ARMS, start=1)
+    )
+    return (
+        f"WITH inj AS (SELECT doc_id, CASE doc_id % 4 {arms} "
+        "  ELSE substr(text, 1, 40) END AS s FROM documents), "
+        f"c AS (SELECT doc_id, s, CAST({sym} AS BIGINT) AS n_symbols, "
+        f"  CAST({kw} AS BIGINT) AS kw_hits, "
+        "  CASE WHEN length(s) > 0 THEN "
+        "    length(s) - length(replace(s, chr(10), '')) + 1 "
+        "    ELSE 0 END AS n_lines, "
+        "  (length(s) - length(replace(s, chr(10) || '    ', ''))) "
+        "    // 5 "
+        "  + (length(s) - length(replace(s, chr(10) || chr(9), ''))) "
+        "    // 2 "
+        "  + CASE WHEN substr(s, 1, 4) = '    ' "
+        "      OR substr(s, 1, 1) = chr(9) THEN 1 ELSE 0 END "
+        "    AS n_ind, "
+        "  position('```' IN s) > 0 AS has_fence FROM inj), "
+        "f AS (SELECT doc_id, n_symbols, "
+        "  CASE WHEN length(s) > 0 THEN "
+        "    ROUND(n_symbols / CAST(length(s) AS DOUBLE), 6) "
+        "    ELSE 0.0 END AS symbol_frac, "
+        "  kw_hits, CAST(n_lines AS BIGINT) AS n_lines, "
+        "  CASE WHEN n_lines > 0 THEN "
+        "    ROUND(n_ind / CAST(n_lines AS DOUBLE), 6) "
+        "    ELSE 0.0 END AS indent_frac, "
+        "  has_fence FROM c) "
+        "SELECT doc_id, n_symbols, symbol_frac, kw_hits, n_lines, "
+        "indent_frac, has_fence, "
+        "(has_fence OR (symbol_frac >= 0.03 AND kw_hits >= 2) "
+        "  OR indent_frac >= 0.4) AS is_code FROM f"
+    )
+
+
+ORACLE_SQL["text_code_detect"] = _code_stats_oracle_sql()

@@ -3812,3 +3812,36 @@ def test_dehyphenate_staging_clash(spark):
     df = spark.createDataFrame([(1, "x", "y")], "doc_id long, text string, _dh_1 string")
     with pytest.raises(ValueError, match="staging columns clash"):
         dehyphenate(df)
+
+
+def test_code_stats_routes(spark):
+    """All three is_code routes and the prose negative: fence alone;
+    symbol-dense + keywords; indent-majority; and prose with one
+    keyword-looking word staying false."""
+    from annual_report_pdf_parsers_spark.operators.text import code_stats
+
+    rows = [
+        (1, "plain prose that might return something someday"),
+        (2, "function g() { var x = 1; const y = [2]; }"),
+        (3, "intro\n    indented\n    also indented"),
+        (4, "text\n```\nblock\n```"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in code_stats(df).collect()}
+    assert not out[1]["is_code"] and out[1]["kw_hits"] == 1
+    assert out[2]["is_code"] and out[2]["symbol_frac"] >= 0.03
+    assert out[3]["is_code"] and out[3]["indent_frac"] >= 0.4
+    assert out[3]["n_lines"] == 3
+    assert out[4]["is_code"] and out[4]["has_fence"]
+    assert not out[5]["is_code"] and out[5]["n_lines"] == 0
+
+
+def test_code_stats_staging_clash(spark):
+    from annual_report_pdf_parsers_spark.operators.text import code_stats
+
+    df = spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, _cd_kw int"
+    )
+    with pytest.raises(ValueError, match="staging columns clash"):
+        code_stats(df)

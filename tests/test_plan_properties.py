@@ -1240,3 +1240,14 @@ def test_text_dehyphenate_plan(spark):
     assert "Join" not in plan, plan
     assert "Generate" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_text_code_detect_plan(spark):
+    """text_code_detect: zero-exchange narrow counting chain — no
+    join, no Generate, no Python (the ~20 length/replace pairs run on
+    the pinned text attribute)."""
+    plan = _qplan(spark, "text_code_detect")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
