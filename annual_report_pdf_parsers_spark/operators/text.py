@@ -1792,3 +1792,65 @@ def code_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("is_code", is_code).drop(
         "_cd_t", "_cd_sym", "_cd_kw", "_cd_lines", "_cd_ind"
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    k: int = 10,
+    min_df: int = 2,
+    max_df: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index construction: per token, the document frequency
+    and the top-k postings by (tf DESC, doc_id ASC) — the build step
+    of a distributed retrieval index (the tfidf_topk transpose: that
+    op ranks tokens within a doc; this ranks docs within a token).
+
+    ``min_df``/``max_df`` prune the vocabulary BEFORE the posting
+    rank: hapax noise (df < min_df) carries no retrieval value, and
+    stopwords (df > max_df) are exactly the keys that would melt a
+    token-partitioned shuffle — the max_df cap is this op's named
+    skew mitigation (the dedup max_df / simhash max_band_freq
+    analogue), applied relationally before any per-token window.
+
+    100 TB shape: (1) one map-side-partial agg keyed by (token, doc)
+    builds tf; (2) one keyed by token builds df; (3) the df table is
+    corpus-scaled, so the join pins shuffle_hash (NOTES 4a: an AQE
+    broadcast of a corpus-scaled table is a serial driver build);
+    (4) rank <= k sits directly over its window, so Catalyst plans
+    WindowGroupLimit — each map task keeps only k postings per token
+    before the exchange, and with the max_df cap the per-token group
+    is bounded.  Returns (token, df_docs, doc_id, tf, rank).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1 or max_df < min_df:
+        raise ValueError("need 1 <= min_df <= max_df")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .filter(F.col("df_docs").between(min_df, max_df))
+    )
+    pruned = tf.join(dfreq.hint("shuffle_hash"), "token")
+    w = Window.partitionBy("token").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pruned.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+        .select("token", "df_docs", "doc_id", "tf", "rank")
+    )

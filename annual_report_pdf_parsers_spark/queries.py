@@ -2804,6 +2804,20 @@ def q_text_tfidf_topk(spark, sf):
     )
 
 
+def q_corpus_inverted_index(spark, sf):
+    """Inverted-index build over the ws-noise corpus: top-3 postings
+    per token with df bounds [2, 400] — the probe tokens ('ws',
+    'probe', 'end', 'nb', 'sp') recur in ~1/3 of docs so they survive
+    the df pruning, corpus-wide stopword-ish tokens exceed max_df and
+    are CUT (the cap is non-vacuous at sf0.01), and hapax tokens fall
+    under min_df.  Oracle = the same two aggregations, the BETWEEN
+    pruning, and ROW_NUMBER over (tf DESC, doc_id)."""
+    return text.inverted_index(
+        _with_ws_noise(load(spark, sf, "documents")),
+        k=3, min_df=2, max_df=400,
+    )
+
+
 def q_corpus_drift(spark, sf):
     """Snapshot-drift report: ref = the ws-noise corpus, new = the same
     corpus with every 5th doc dropped (scraper-loss signal) and a spam
@@ -5360,6 +5374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "text_dehyphenate": q_text_dehyphenate,
     "text_code_detect": q_text_code_detect,
+    "corpus_inverted_index": q_corpus_inverted_index,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10452,3 +10467,25 @@ def _code_stats_oracle_sql() -> str:
 
 
 ORACLE_SQL["text_code_detect"] = _code_stats_oracle_sql()
+
+# corpus_inverted_index: same ws-noise corpus + lowered ws-run tokens
+# (the tfidf tokenization), (token, doc) and token aggregations, df
+# BETWEEN pruning, ROW_NUMBER over (tf DESC, doc_id) capped at 3.
+ORACLE_SQL["corpus_inverted_index"] = (
+    "WITH wsbase AS (SELECT doc_id, "
+    f"text || {_WS_NOISE_SQL} AS text FROM documents), "
+    "tk AS (SELECT doc_id, unnest(list_transform(list_filter("
+    "regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
+    "w -> lower(w))) AS token FROM wsbase), "
+    "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+    "  FROM tk GROUP BY doc_id, token), "
+    "dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs "
+    "  FROM tf GROUP BY token "
+    "  HAVING COUNT(*) BETWEEN 2 AND 400), "
+    "rk AS (SELECT f.token, d.df_docs, f.doc_id, f.tf, "
+    "  CAST(ROW_NUMBER() OVER (PARTITION BY f.token "
+    "    ORDER BY f.tf DESC, f.doc_id) AS BIGINT) AS \"rank\" "
+    "  FROM tf f JOIN dfq d ON f.token = d.token) "
+    "SELECT token, df_docs, doc_id, tf, \"rank\" FROM rk "
+    "WHERE \"rank\" <= 3"
+)

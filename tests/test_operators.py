@@ -3845,3 +3845,43 @@ def test_code_stats_staging_clash(spark):
     )
     with pytest.raises(ValueError, match="staging columns clash"):
         code_stats(df)
+
+
+def test_inverted_index_semantics(spark):
+    """df bounds prune hapax and stopwords; postings rank by
+    (tf DESC, doc_id ASC); k caps the posting list."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        inverted_index,
+    )
+
+    rows = [
+        (1, "apple apple banana the"),
+        (2, "apple banana banana the"),
+        (3, "apple cherry the"),
+        (4, "the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = inverted_index(df, k=2, min_df=2, max_df=3).collect()
+    by_tok = {}
+    for r in out:
+        by_tok.setdefault(r["token"], []).append(r)
+    # 'the' has df=4 > max_df -> cut; 'cherry' df=1 < min_df -> cut
+    assert set(by_tok) == {"apple", "banana"}
+    apple = sorted(by_tok["apple"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in apple] == [1, 2]  # tf 2 first, then id
+    assert apple[0]["tf"] == 2 and apple[0]["df_docs"] == 3
+    assert len(apple) == 2  # doc 3 pruned by k=2
+    banana = sorted(by_tok["banana"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in banana] == [2, 1]
+
+
+def test_inverted_index_rejects_bad_bounds(spark):
+    from annual_report_pdf_parsers_spark.operators.text import (
+        inverted_index,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_df"):
+        inverted_index(df, min_df=5, max_df=2)
+    with pytest.raises(ValueError, match="k must"):
+        inverted_index(df, k=0)

@@ -1251,3 +1251,19 @@ def test_text_code_detect_plan(spark):
     assert "Join" not in plan, plan
     assert "Generate" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_inverted_index_plan(spark):
+    """corpus_inverted_index: (token, doc) tf agg + token df agg +
+    PINNED shuffle_hash join (df table is corpus-scaled — never
+    broadcast) + token re-key = 4 exchanges, ONE join, and the
+    rank<=k filter plans WindowGroupLimit (map-side posting prune);
+    the tokenize subtree is derived twice (df + probe branches — the
+    tfidf shape); no Python."""
+    plan = _qplan(spark, "corpus_inverted_index")
+    assert plan.count("Exchange") == 4, plan
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Generate") == 2, plan
+    assert "EvalPython" not in plan, plan
