@@ -2818,6 +2818,61 @@ def q_corpus_inverted_index(spark, sf):
     )
 
 
+def q_corpus_warc_records(spark, sf):
+    """WARC-archive ingestion over archives synthesized from the
+    documents table: every doc carries a response record whose
+    Content-Length TRUNCATES the payload for the %5 arm (the bounded-
+    read rule is value-hashed via payload_md5), %3 docs append a
+    second request record (multi-record archives, rec_no order), and
+    %7 docs append a header-less metadata block that must surface as
+    an is_valid=false row with its rec_no gap kept.  Oracle = the
+    same version-line split + per-fragment header regexes + clen-
+    bounded substr."""
+    from .operators.warc import warc_records
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    crlf = F.lit("\r\n")
+    p1 = F.substring(F.col("text"), 1, 60)
+    l1 = F.when(
+        did % 5 == 0, F.greatest(F.length(p1) - 10, F.lit(0))
+    ).otherwise(F.length(p1))
+    uri = F.concat(
+        F.lit("https://ex"),
+        (did % 20).cast("string"),
+        F.lit(".org/p/"),
+        did.cast("string"),
+    )
+    rec1 = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: response"), crlf,
+        F.lit("WARC-Target-URI: "), uri, crlf,
+        F.lit("WARC-Date: 2024-01-15T00:00:00Z"), crlf,
+        F.lit("Content-Length: "), l1.cast("string"), crlf, crlf,
+        p1, crlf, crlf,
+    )
+    rec2 = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: request"), crlf,
+        F.lit("WARC-Target-URI: "), uri, crlf,
+        F.lit("WARC-Date: 2024-01-15T00:00:01Z"), crlf,
+        F.lit("Content-Length: 14"), crlf, crlf,
+        F.lit("GET / HTTP/1.1"), crlf, crlf,
+    )
+    bad = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: metadata"), crlf,
+        F.lit("No-Uri: x"), crlf, crlf,
+        F.lit("junk"),
+    )
+    arc = F.concat(
+        rec1,
+        F.when(did % 3 == 0, rec2).otherwise(F.lit("")),
+        F.when(did % 7 == 0, bad).otherwise(F.lit("")),
+    )
+    return warc_records(d.select("doc_id", arc.alias("warc")))
+
+
 def q_corpus_drift(spark, sf):
     """Snapshot-drift report: ref = the ws-noise corpus, new = the same
     corpus with every 5th doc dropped (scraper-loss signal) and a spam
@@ -5375,6 +5430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dehyphenate": q_text_dehyphenate,
     "text_code_detect": q_text_code_detect,
     "corpus_inverted_index": q_corpus_inverted_index,
+    "corpus_warc_records": q_corpus_warc_records,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10488,4 +10544,64 @@ ORACLE_SQL["corpus_inverted_index"] = (
     "  FROM tf f JOIN dfq d ON f.token = d.token) "
     "SELECT token, df_docs, doc_id, tf, \"rank\" FROM rk "
     "WHERE \"rank\" <= 3"
+)
+
+# corpus_warc_records: the same synthesized archives (CRLF as
+# chr(13)||chr(10) so the SQL carries no control bytes), version-line
+# split with the rec_no = i-1 indexing, header regexes over the
+# before-blank-line fragment only, and the Content-Length-bounded
+# payload substr; absent-and-blank headers both NULL via NULLIF.
+_CRLF_SQL = "chr(13) || chr(10)"
+ORACLE_SQL["corpus_warc_records"] = (
+    f"WITH c AS (SELECT {_CRLF_SQL} AS nl FROM (VALUES (1))), "
+    "base AS (SELECT doc_id, substr(text, 1, 60) AS p1, "
+    "  'https://ex' || CAST(doc_id % 20 AS VARCHAR) || '.org/p/' || "
+    "  CAST(doc_id AS VARCHAR) AS uri FROM documents), "
+    "lens AS (SELECT doc_id, p1, uri, "
+    "  CASE WHEN doc_id % 5 = 0 THEN greatest(length(p1) - 10, 0) "
+    "  ELSE length(p1) END AS l1 FROM base), "
+    "arcs AS (SELECT doc_id, "
+    "  'WARC/1.0' || nl || 'WARC-Type: response' || nl || "
+    "  'WARC-Target-URI: ' || uri || nl || "
+    "  'WARC-Date: 2024-01-15T00:00:00Z' || nl || "
+    "  'Content-Length: ' || CAST(l1 AS VARCHAR) || nl || nl || "
+    "  p1 || nl || nl || "
+    "  CASE WHEN doc_id % 3 = 0 THEN "
+    "    'WARC/1.0' || nl || 'WARC-Type: request' || nl || "
+    "    'WARC-Target-URI: ' || uri || nl || "
+    "    'WARC-Date: 2024-01-15T00:00:01Z' || nl || "
+    "    'Content-Length: 14' || nl || nl || "
+    "    'GET / HTTP/1.1' || nl || nl ELSE '' END || "
+    "  CASE WHEN doc_id % 7 = 0 THEN "
+    "    'WARC/1.0' || nl || 'WARC-Type: metadata' || nl || "
+    "    'No-Uri: x' || nl || nl || 'junk' ELSE '' END AS arc "
+    "  FROM lens, c), "
+    "bl AS (SELECT doc_id, "
+    "  string_split_regex(arc, 'WARC/1\\.0') AS arr FROM arcs), "
+    "rc AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS rec_no, "
+    "  arr[i] AS b FROM bl, "
+    "  UNNEST(generate_series(2, len(arr))) AS g(i)), "
+    "pr AS (SELECT doc_id, rec_no, b, "
+    "  position((nl || nl) IN b) AS ba, "
+    "  CASE WHEN position((nl || nl) IN b) > 0 "
+    "    THEN substr(b, 1, position((nl || nl) IN b) - 1) "
+    "    ELSE b END AS hdr FROM rc, c), "
+    "f AS (SELECT doc_id, rec_no, b, ba, "
+    "  NULLIF(regexp_extract(hdr, 'WARC-Type: ([^\\r\\n]+)', 1), '') "
+    "    AS warc_type, "
+    "  NULLIF(regexp_extract(hdr, "
+    "    'WARC-Target-URI: ([^\\r\\n]+)', 1), '') AS target_uri, "
+    "  NULLIF(regexp_extract(hdr, 'WARC-Date: ([^\\r\\n]+)', 1), '') "
+    "    AS warc_date, "
+    "  CASE WHEN regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) "
+    "    <> '' THEN CAST(regexp_extract(hdr, "
+    "    'Content-Length: ([0-9]+)', 1) AS BIGINT) END "
+    "    AS content_length FROM pr), "
+    "v AS (SELECT *, (target_uri IS NOT NULL "
+    "  AND content_length IS NOT NULL AND ba > 0) AS is_valid FROM f) "
+    "SELECT doc_id, rec_no, warc_type, target_uri, warc_date, "
+    "content_length, "
+    "CASE WHEN is_valid THEN "
+    "  md5(substr(substr(b, ba + 4), 1, content_length)) END "
+    "  AS payload_md5, is_valid FROM v"
 )

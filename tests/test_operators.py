@@ -3885,3 +3885,63 @@ def test_inverted_index_rejects_bad_bounds(spark):
         inverted_index(df, min_df=5, max_df=2)
     with pytest.raises(ValueError, match="k must"):
         inverted_index(df, k=0)
+
+
+def test_warc_records_semantics(spark):
+    """Bounded read truncates at Content-Length; multi-record archives
+    keep rec_no order; header-less blocks stay as invalid rows; a
+    header name inside the PAYLOAD must not leak into the fields;
+    NULL/empty archives emit no rows."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.warc import (
+        warc_records,
+    )
+
+    nl = "\r\n"
+
+    def rec(t, uri, clen, payload):
+        return (
+            "WARC/1.0" + nl + "WARC-Type: " + t + nl
+            + "WARC-Target-URI: " + uri + nl
+            + "WARC-Date: 2024-01-15T00:00:00Z" + nl
+            + "Content-Length: " + str(clen) + nl + nl
+            + payload + nl + nl
+        )
+
+    sneaky = "body WARC-Target-URI: https://evil.example/x tail"
+    rows = [
+        (1, rec("response", "https://a.org/1", 5, "hello there")),
+        (2, rec("response", "https://b.org/2", 3, "abc")
+            + rec("request", "https://b.org/2", 2, "hi")),
+        (3, "WARC/1.0" + nl + "WARC-Type: metadata" + nl
+            + "No-Uri: x" + nl + nl + "junk"),
+        (4, rec("response", "https://c.org", len(sneaky), sneaky)),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, warc string")
+    out = warc_records(df).collect()
+    by = {}
+    for r in out:
+        by[(r["doc_id"], r["rec_no"])] = r
+    assert by[(1, 1)]["payload_md5"] == hashlib.md5(b"hello").hexdigest()
+    assert by[(2, 1)]["warc_type"] == "response"
+    assert by[(2, 2)]["warc_type"] == "request"
+    bad = by[(3, 1)]
+    assert not bad["is_valid"] and bad["target_uri"] is None
+    assert bad["warc_type"] == "metadata"
+    assert by[(4, 1)]["target_uri"] == "https://c.org"
+    assert {d for d, _ in by} == {1, 2, 3, 4}
+
+
+def test_warc_records_staging_clash(spark):
+    from annual_report_pdf_parsers_spark.operators.warc import (
+        warc_records,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "y")], "doc_id long, warc string, _wr_b string"
+    )
+    with pytest.raises(ValueError, match="staging columns clash"):
+        warc_records(df)

@@ -1267,3 +1267,14 @@ def test_corpus_inverted_index_plan(spark):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Generate") == 2, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_warc_records_plan(spark):
+    """corpus_warc_records: zero-exchange narrow chain — ONE Generate
+    (record posexplode), per-fragment header regexes, no join, no
+    Python."""
+    plan = _qplan(spark, "corpus_warc_records")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
