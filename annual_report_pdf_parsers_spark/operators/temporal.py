@@ -356,3 +356,60 @@ def retention_cohorts(
             F.col("n_users") / F.col("cohort_size").cast("double"), 6
         ).alias("retention"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    gap_minutes: float = 30.0,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most frequent length-n event-type paths WITHIN sessions
+    (navigation path mining — the sequence signal funnels collapse
+    away: a funnel fixes the steps, paths DISCOVER them).
+
+    A path is n consecutive events of one session ordered by
+    (ts, order_col) — the explicit unique-id tie-break makes
+    equal-timestamp order engine-deterministic (sessionize itself is
+    tie-safe: a row-frame cumsum over an equal-ts pair yields the
+    same session number in either order).  Paths crossing a session
+    boundary are not paths; rows whose n-1 leads run off the session
+    emit nothing.
+
+    Plan shape: sessionize's ONE user-keyed exchange; the lead window
+    re-sorts locally on (user, session_no, ts, id) without a second
+    exchange (subset rule); then one path-keyed count exchange and
+    the global top-k as TakeOrderedAndProject (ties broken by path
+    ascending — the k boundary is deterministic).
+
+    100 TB shape: linear; the count agg is map-side partial (hot
+    paths are absorbed exactly like hot tokens in vocab_topk); k
+    bounds the driver merge.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    by = list(by)
+    s = sessionize(events, on=on, by=by, gap_minutes=gap_minutes)
+    w = Window.partitionBy(*by, "session_no").orderBy(
+        F.col(on).asc(), F.col(order_col).asc()
+    )
+    parts = [F.col(type_col)] + [
+        F.lead(F.col(type_col), i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(sep, *parts)
+    complete = parts[-1].isNotNull()
+    return (
+        s.select(F.when(complete, path).alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
+    )

@@ -4769,6 +4769,18 @@ def q_events_funnel(spark, sf):
     return temporal.funnel(tied)
 
 
+def q_events_session_paths(spark, sf):
+    """Top-25 3-step event-type paths within 12-hour-gap sessions:
+    the wide gap makes multi-event sessions (and hence competing path
+    counts) dense at sf0.01, so the (count DESC, path ASC) k-boundary
+    tie-break is non-vacuous.  Oracle restates sessionize's integer-µs
+    gap rule, the (ts, event_id)-ordered leads, and the same ORDER
+    BY/LIMIT."""
+    return temporal.session_paths(
+        load(spark, sf, "events"), n=3, k=25, gap_minutes=720.0
+    )
+
+
 def q_events_retention(spark, sf):
     """Weekly cohort retention over a deterministically-churned events
     slice: user%3 staggers sign-up week (3 cohorts), user%5 scales how
@@ -5431,6 +5443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_code_detect": q_text_code_detect,
     "corpus_inverted_index": q_corpus_inverted_index,
     "corpus_warc_records": q_corpus_warc_records,
+    "events_session_paths": q_events_session_paths,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10604,4 +10617,27 @@ ORACLE_SQL["corpus_warc_records"] = (
     "CASE WHEN is_valid THEN "
     "  md5(substr(substr(b, ba + 4), 1, content_length)) END "
     "  AS payload_md5, is_valid FROM v"
+)
+
+# events_session_paths: sessionize's integer-µs gap cumsum (the
+# events_sessionize oracle fragment at gap 720 min = 43.2e9 µs), then
+# 3-grams via leads ordered (ts, event_id) within (user, session),
+# complete paths only, count + the same deterministic top-k.
+ORACLE_SQL["events_session_paths"] = (
+    "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+    "  CASE WHEN lag(ts) OVER w IS NULL "
+    "    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000 "
+    "  THEN 1 ELSE 0 END AS ns "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, event_id, event_type, "
+    "  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts "
+    "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM o), "
+    "p AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2 "
+    "  || '>' || lead(event_type, 2) OVER w2 AS path, "
+    "  lead(event_type, 2) OVER w2 AS l2 FROM s "
+    "  WINDOW w2 AS (PARTITION BY user_id, session_no "
+    "    ORDER BY ts, event_id)) "
+    "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM p "
+    "WHERE l2 IS NOT NULL GROUP BY path "
+    "ORDER BY n_occurrences DESC, path LIMIT 25"
 )

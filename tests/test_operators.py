@@ -3945,3 +3945,51 @@ def test_warc_records_staging_clash(spark):
     )
     with pytest.raises(ValueError, match="staging columns clash"):
         warc_records(df)
+
+
+def test_session_paths_semantics(spark):
+    """Paths never cross a session boundary; equal-ts order is fixed
+    by the id tie-break; short sessions emit nothing."""
+    from datetime import datetime as dt
+
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        session_paths,
+    )
+
+    rows = [
+        # session A: a > b > c and b > c > d
+        (1, 101, dt(2024, 1, 1, 0, 0), "a"),
+        (1, 102, dt(2024, 1, 1, 0, 1), "b"),
+        (1, 103, dt(2024, 1, 1, 0, 2), "c"),
+        (1, 104, dt(2024, 1, 1, 0, 3), "d"),
+        # session B starts after the 30-min gap: only 2 events -> none
+        (1, 105, dt(2024, 1, 1, 2, 0), "a"),
+        (1, 106, dt(2024, 1, 1, 2, 1), "b"),
+        # u2: equal-ts pair ordered by event_id: x(201) then y(202)
+        (2, 201, dt(2024, 1, 1, 0, 0), "x"),
+        (2, 202, dt(2024, 1, 1, 0, 0), "y"),
+        (2, 203, dt(2024, 1, 1, 0, 1), "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["path"]: r["n_occurrences"]
+        for r in session_paths(df, n=3, k=10).collect()
+    }
+    assert out == {"a>b>c": 1, "b>c>d": 1, "x>y>z": 1}
+
+
+def test_session_paths_rejects_bad_params(spark):
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        session_paths,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, "a")],
+        "user_id long, event_id long, ts long, event_type string",
+    )
+    with pytest.raises(ValueError, match="n must"):
+        session_paths(df, n=1)
+    with pytest.raises(ValueError, match="k must"):
+        session_paths(df, k=0)

@@ -1278,3 +1278,16 @@ def test_corpus_warc_records_plan(spark):
     assert plan.count("Generate") == 1, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_events_session_paths_plan(spark):
+    """events_session_paths: user exchange (sessionize) + path count
+    exchange = 2; the lead window re-sorts LOCALLY on the session key
+    (subset rule, no third exchange) and the top-k plans
+    TakeOrderedAndProject (no global sort); no join, no Python."""
+    plan = _qplan(spark, "events_session_paths")
+    assert plan.count("Exchange") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
