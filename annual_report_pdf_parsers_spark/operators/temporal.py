@@ -413,3 +413,71 @@ def session_paths(
         .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def rate_spikes(
+    events: DataFrame,
+    on: str = "ts",
+    key_col: str = "event_type",
+    window_hours: int = 24,
+    factor: int = 3,
+    min_hours: int = 12,
+) -> DataFrame:
+    """Hourly event-rate spike detection: an hour is a spike when its
+    count exceeds ``factor`` times the trailing-window hourly mean —
+    the crawl/ops health monitor (error-rate bursts, scraper loops).
+
+    ALL-INTEGER determinism: the mean is never materialized — the
+    comparison cross-multiplies (n * trailing_hours > factor *
+    trailing_sum), so there is no float anywhere and both engines
+    agree bit-for-bit.  The trailing window is a RANGE frame over the
+    integer hour slot (gap hours are absent ROWS but present RANGE —
+    a quiet-then-burst pattern is judged against real hours, not
+    against the previous k populated rows); hours with fewer than
+    ``min_hours`` trailing observations are never flagged (cold
+    start).
+
+    Plan shape: one (key, slot) count exchange with map-side partial,
+    then one key exchange for the trailing window over the ALREADY
+    AGGREGATED (tiny: keys x hours) table.  100 TB: events never sort
+    globally; the window input is bounded by cardinality, not volume.
+    """
+    if window_hours < 1 or factor < 1 or min_hours < 1:
+        raise ValueError("window_hours, factor, min_hours must be >= 1")
+    ntz = dict(events.dtypes).get(on) == "timestamp_ntz"
+    ts = F.col(on).cast("timestamp") if ntz else F.col(on)
+    out_t = "timestamp_ntz" if ntz else "timestamp"
+    slot = (F.unix_micros(ts) / F.lit(3_600_000_000)).cast("long")
+    hourly = events.groupBy(
+        F.col(key_col), slot.alias("_slot")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_slot").asc())
+        .rangeBetween(-window_hours, -1)
+    )
+    staged = hourly.select(
+        key_col,
+        "_slot",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("trailing_hours"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long")
+        .alias("trailing_sum"),
+    )
+    return staged.select(
+        key_col,
+        F.timestamp_micros(F.col("_slot") * F.lit(3_600_000_000))
+        .cast(out_t)
+        .alias("hour_start"),
+        "n_events",
+        "trailing_hours",
+        "trailing_sum",
+        (
+            (F.col("trailing_hours") >= min_hours)
+            & (
+                F.col("n_events") * F.col("trailing_hours")
+                > F.lit(factor) * F.col("trailing_sum")
+            )
+        ).alias("is_spike"),
+    )

@@ -671,3 +671,93 @@ def crawl_diff(
         od.alias("old_digest"),
         nd.alias("new_digest"),
     )
+
+
+def robots_rules(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """robots.txt parsing into relational rule rows — the ingestion
+    step UPSTREAM of `robots_filter` (which consumes a (host, prefix,
+    allow) rules table; this op produces it from the raw fetched
+    files).  RFC 9309 grouping: consecutive ``User-agent`` lines form
+    one group header and the rules that follow bind to EVERY agent of
+    that group, so the output joins each rule line to each of its
+    group's agents.  Rules appearing before any group header are
+    invalid per the RFC and are dropped (group_no 0 never joins);
+    ``Sitemap`` lines are group-independent and emit agent-NULL rows.
+
+    Line discipline (all cross-engine-exact): CR stripped (CRLF
+    files), ``#`` comments cut, space/tab trimmed EXPLICITLY via
+    ``[ \\t]`` classes (native trim() is space-only — the
+    line_stats lesson), directive names lowercased (case-insensitive
+    per RFC), agent names lowercased, values kept verbatim (path
+    prefixes are case-sensitive).  An EMPTY Disallow value is the
+    allow-all idiom and keeps its row.
+
+    Plan shape: ONE host-keyed exchange for the group-numbering
+    window (lag + cumsum over line order); the agents/rules branches
+    re-derive the cheap line subtree (the tfidf shape) and join with
+    PINNED shuffle_hash on (host, group_no) — both tables scale with
+    the crawl, never broadcast.  100 TB: robots files are KB-bounded
+    by convention, so per-host line counts cannot skew a task.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col).cast("string"), F.lit("")),
+                "\n",
+            )
+        ).alias("_rl_no", "_rl_raw"),
+    )
+    s = F.replace(F.col("_rl_raw"), F.lit("\r"), F.lit(""))
+    s = F.regexp_replace(s, "#.*", "")
+    s = F.regexp_replace(s, "^[ \\t]+|[ \\t]+$", "")
+    staged = lines.select(
+        "host",
+        (F.col("_rl_no") + 1).cast("long").alias("line_no"),
+        F.lower(
+            F.regexp_extract(s, "^([A-Za-z][A-Za-z-]*)[ \\t]*:", 1)
+        ).alias("directive"),
+        F.regexp_replace(
+            F.regexp_extract(
+                s, "^[A-Za-z][A-Za-z-]*[ \\t]*:(.*)$", 1
+            ),
+            "^[ \\t]+|[ \\t]+$",
+            "",
+        ).alias("value"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("line_no").asc())
+    is_ua = F.col("directive") == "user-agent"
+    boundary = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = staged.withColumn(
+        "group_no",
+        F.sum(boundary.cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    agents = grouped.filter(is_ua).select(
+        "host",
+        "group_no",
+        F.lower(F.col("value")).alias("agent"),
+    )
+    rules = grouped.filter(
+        F.col("directive").isin("allow", "disallow", "crawl-delay")
+        & (F.col("group_no") >= 1)
+    ).select("host", "group_no", "line_no", "directive", "value")
+    joined = rules.join(
+        agents.hint("shuffle_hash"), on=["host", "group_no"]
+    ).select("host", "group_no", "agent", "line_no", "directive", "value")
+    sitemaps = grouped.filter(F.col("directive") == "sitemap").select(
+        "host",
+        F.lit(None).cast("long").alias("group_no"),
+        F.lit(None).cast("string").alias("agent"),
+        "line_no",
+        F.lit("sitemap").alias("directive"),
+        "value",
+    )
+    return joined.unionByName(sitemaps)

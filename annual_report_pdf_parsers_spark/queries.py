@@ -2818,6 +2818,49 @@ def q_corpus_inverted_index(spark, sf):
     )
 
 
+def q_corpus_robots_rules(spark, sf):
+    """robots.txt parsing over %4 synthesized files: a standard
+    group with crawl-delay + sitemap; a CRLF file with a TWO-agent
+    group (the rule fans out to both), a trailing comment on a rule
+    line, and an empty-value Allow; an invalid rules-before-any-group
+    arm that must emit only its grouped tail; and an uppercase/tab
+    arm pinning directive case-folding and [ \\t] trimming.  Oracle
+    restates the line split, the three cleanup passes, the lag+cumsum
+    grouping, and the agent fan-out join."""
+    from .operators.urls import robots_rules
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    m4 = did % 4
+    txt = (
+        F.when(
+            m4 == 0,
+            F.lit(
+                "User-Agent: *\nDisallow: /private/\n"
+                "Allow: /private/ok\nCrawl-Delay: 2\n"
+                "Sitemap: https://maps.example/s.xml"
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.lit(
+                "# header\r\nUser-agent: googlebot\r\n"
+                "User-Agent: bingbot\r\nDisallow: /a # note\r\n"
+                "\r\nUser-agent: *\r\nAllow:\r\n"
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.lit("Disallow: /early\nUser-Agent: *\nDisallow: /x"),
+        )
+        .otherwise(F.lit("USER-AGENT:\t*\nDISALLOW:\t/Tab  "))
+    )
+    host = F.concat(F.lit("site"), did.cast("string"), F.lit(".org"))
+    return robots_rules(
+        d.select(host.alias("host"), txt.alias("robots_txt"))
+    )
+
+
 def q_corpus_warc_records(spark, sf):
     """WARC-archive ingestion over archives synthesized from the
     documents table: every doc carries a response record whose
@@ -4781,6 +4824,26 @@ def q_events_session_paths(spark, sf):
     )
 
 
+def q_events_rate_spikes(spark, sf):
+    """Hourly spike detection with an injected error burst: the error
+    events of hour 12, day 20 are replicated x5 (union of 4 extra
+    copies — deterministic, no randomness), so exactly that (type,
+    hour) must flag against its trailing 24-hour window while the
+    uninjected types stay quiet.  The spike rule is pure-integer
+    cross-multiplication — no float appears anywhere in the oracle
+    comparison either."""
+    e = load(spark, sf, "events")
+    burst = e.filter(
+        (F.dayofmonth("ts") == 20)
+        & (F.hour("ts") == 12)
+        & (F.col("event_type") == "error")
+    )
+    boosted = e
+    for _ in range(4):
+        boosted = boosted.unionByName(burst)
+    return temporal.rate_spikes(boosted)
+
+
 def q_events_retention(spark, sf):
     """Weekly cohort retention over a deterministically-churned events
     slice: user%3 staggers sign-up week (3 cohorts), user%5 scales how
@@ -5444,6 +5507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_inverted_index": q_corpus_inverted_index,
     "corpus_warc_records": q_corpus_warc_records,
     "events_session_paths": q_events_session_paths,
+    "events_rate_spikes": q_events_rate_spikes,
+    "corpus_robots_rules": q_corpus_robots_rules,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10640,4 +10705,80 @@ ORACLE_SQL["events_session_paths"] = (
     "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM p "
     "WHERE l2 IS NOT NULL GROUP BY path "
     "ORDER BY n_occurrences DESC, path LIMIT 25"
+)
+
+# events_rate_spikes: same x5 burst injection, integer hour slots
+# (epoch_us floor-div), RANGE 24..1 PRECEDING trailing window over
+# the aggregated table, and the all-integer cross-multiplied rule.
+ORACLE_SQL["events_rate_spikes"] = (
+    "WITH burst AS (SELECT ts, event_type FROM events "
+    "  WHERE day(ts) = 20 AND hour(ts) = 12 "
+    "    AND event_type = 'error'), "
+    "all_e AS (SELECT ts, event_type FROM events "
+    "  UNION ALL SELECT ts, event_type FROM burst, "
+    "    UNNEST(generate_series(1, 4)) AS g(i)), "
+    "h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot, "
+    "  COUNT(*) AS n FROM all_e GROUP BY 1, 2), "
+    "t AS (SELECT event_type, slot, n, "
+    "  COUNT(*) OVER w AS th, COALESCE(SUM(n) OVER w, 0) AS tsum "
+    "  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY slot "
+    "    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+    "SELECT event_type, make_timestamp(slot * 3600000000) "
+    "  AS hour_start, CAST(n AS BIGINT) AS n_events, "
+    "CAST(th AS BIGINT) AS trailing_hours, "
+    "CAST(tsum AS BIGINT) AS trailing_sum, "
+    "(th >= 12 AND n * th > 3 * tsum) AS is_spike FROM t"
+)
+
+# corpus_robots_rules: the same %4 fixture (control bytes as chr()),
+# line split + CR strip + comment cut + [ \t] trims, directive/value
+# extracts (single-line input, so Java-$ vs RE2 drift cannot arise),
+# lag+cumsum grouping, agent fan-out join, sitemap agent-NULL union.
+ORACLE_SQL["corpus_robots_rules"] = (
+    "WITH src AS (SELECT 'site' || CAST(doc_id AS VARCHAR) || '.org' "
+    "  AS host, CASE doc_id % 4 "
+    "  WHEN 0 THEN 'User-Agent: *' || chr(10) || "
+    "    'Disallow: /private/' || chr(10) || 'Allow: /private/ok' || "
+    "    chr(10) || 'Crawl-Delay: 2' || chr(10) || "
+    "    'Sitemap: https://maps.example/s.xml' "
+    "  WHEN 1 THEN '# header' || chr(13) || chr(10) || "
+    "    'User-agent: googlebot' || chr(13) || chr(10) || "
+    "    'User-Agent: bingbot' || chr(13) || chr(10) || "
+    "    'Disallow: /a # note' || chr(13) || chr(10) || chr(13) || "
+    "    chr(10) || 'User-agent: *' || chr(13) || chr(10) || "
+    "    'Allow:' || chr(13) || chr(10) "
+    "  WHEN 2 THEN 'Disallow: /early' || chr(10) || "
+    "    'User-Agent: *' || chr(10) || 'Disallow: /x' "
+    "  ELSE 'USER-AGENT:' || chr(9) || '*' || chr(10) || "
+    "    'DISALLOW:' || chr(9) || '/Tab  ' END AS txt FROM documents), "
+    "sp AS (SELECT host, string_split(txt, chr(10)) AS arr FROM src), "
+    "ln AS (SELECT host, CAST(i AS BIGINT) AS line_no, "
+    "  regexp_replace(regexp_replace(replace(arr[i], chr(13), ''), "
+    "    '#.*', ''), '^[ \\t]+|[ \\t]+$', '', 'g') AS s "
+    "  FROM sp, UNNEST(generate_series(1, len(arr))) AS g(i)), "
+    "d AS (SELECT host, line_no, "
+    "  lower(regexp_extract(s, '^([A-Za-z][A-Za-z-]*)[ \\t]*:', 1)) "
+    "    AS directive, "
+    "  regexp_replace(regexp_extract(s, "
+    "    '^[A-Za-z][A-Za-z-]*[ \\t]*:(.*)$', 1), "
+    "    '^[ \\t]+|[ \\t]+$', '', 'g') AS value FROM ln), "
+    "bd AS (SELECT *, CASE WHEN directive = 'user-agent' "
+    "  AND NOT COALESCE(lag(directive = 'user-agent') OVER w, FALSE) "
+    "  THEN 1 ELSE 0 END AS b FROM d "
+    "  WINDOW w AS (PARTITION BY host ORDER BY line_no)), "
+    "grp AS (SELECT *, CAST(SUM(b) OVER (PARTITION BY host "
+    "  ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+    "  AS group_no FROM bd), "
+    "ag AS (SELECT host, group_no, lower(value) AS agent FROM grp "
+    "  WHERE directive = 'user-agent'), "
+    "ru AS (SELECT host, group_no, line_no, directive, value "
+    "  FROM grp WHERE directive IN ('allow', 'disallow', "
+    "  'crawl-delay') AND group_no >= 1) "
+    "SELECT ru.host, ru.group_no, ag.agent, ru.line_no, "
+    "  ru.directive, ru.value "
+    "FROM ru JOIN ag ON ru.host = ag.host "
+    "  AND ru.group_no = ag.group_no "
+    "UNION ALL SELECT host, CAST(NULL AS BIGINT), "
+    "  CAST(NULL AS VARCHAR), line_no, 'sitemap', value FROM grp "
+    "WHERE directive = 'sitemap'"
 )

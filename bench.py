@@ -197,6 +197,15 @@ HEADLINE = [
     "corpus_image_captions",
     "corpus_crawl_diff",
     "html_feed_discovery",
+    # second-continuation additions (appended — earlier keys stay
+    # comparable)
+    "events_funnel",
+    "events_retention",
+    "events_session_paths",
+    "text_dehyphenate",
+    "text_code_detect",
+    "corpus_inverted_index",
+    "corpus_warc_records",
 ]
 
 

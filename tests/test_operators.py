@@ -3993,3 +3993,68 @@ def test_session_paths_rejects_bad_params(spark):
         session_paths(df, n=1)
     with pytest.raises(ValueError, match="k must"):
         session_paths(df, k=0)
+
+
+def test_rate_spikes_semantics(spark):
+    """Integer cross-multiplied rule: a x5 hour flags once the
+    trailing window is warm; cold-start hours never flag; RANGE
+    trailing windows see real hours across gaps."""
+    from datetime import datetime as dt, timedelta
+
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        rate_spikes,
+    )
+
+    base = dt(2024, 1, 1)
+    rows = []
+    # 30 steady hours at 2 events/hour, then one 12-event burst hour
+    for h in range(30):
+        for i in range(2):
+            rows.append((base + timedelta(hours=h, minutes=i), "e"))
+    for i in range(12):
+        rows.append((base + timedelta(hours=30, minutes=i), "e"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        r["hour_start"]: r
+        for r in rate_spikes(df, min_hours=12).collect()
+    }
+    burst = out[base + timedelta(hours=30)]
+    # 12 * 24 > 3 * 48 -> spike
+    assert burst["is_spike"] and burst["trailing_sum"] == 48
+    assert not out[base + timedelta(hours=29)]["is_spike"]
+    # hour 5 has only 5 trailing hours < min_hours -> cold start
+    assert not out[base + timedelta(hours=5)]["is_spike"]
+
+
+def test_robots_rules_grouping(spark):
+    """Two-agent groups fan rules out; pre-group rules drop; comments
+    and CRLF strip; empty Disallow keeps its row; sitemap rows are
+    agent-NULL."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        robots_rules,
+    )
+
+    txt = (
+        "Disallow: /orphan\r\n"
+        "User-agent: A\r\nUser-agent: B\r\n"
+        "Disallow: /x # hidden\r\n"
+        "\r\n"
+        "User-agent: *\r\nDisallow:\r\n"
+        "Sitemap: https://s.example/m.xml\r\n"
+    )
+    df = spark.createDataFrame([("h1", txt)], "host string, robots_txt string")
+    out = robots_rules(df).collect()
+    rules = sorted(
+        (r["group_no"], r["agent"], r["directive"], r["value"])
+        for r in out
+        if r["directive"] != "sitemap"
+    )
+    assert rules == [
+        (1, "a", "disallow", "/x"),
+        (1, "b", "disallow", "/x"),
+        (2, "*", "disallow", ""),
+    ]
+    sm = [r for r in out if r["directive"] == "sitemap"]
+    assert len(sm) == 1 and sm[0]["agent"] is None
+    assert sm[0]["value"] == "https://s.example/m.xml"
+    assert not any(r["value"] == "/orphan" for r in out)

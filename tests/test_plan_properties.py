@@ -1291,3 +1291,26 @@ def test_events_session_paths_plan(spark):
     assert "rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_events_rate_spikes_plan(spark):
+    """events_rate_spikes: one (key, slot) count exchange with
+    map-side partial + one key exchange for the trailing RANGE window
+    over the aggregated table = 2 exchanges (+ the fixture's burst
+    union scans); no join, no Python."""
+    plan = _qplan(spark, "events_rate_spikes")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_corpus_robots_rules_plan(spark):
+    """corpus_robots_rules: host window exchange + the (host, group)
+    fan-out join's two exchanges — PINNED shuffle_hash, both sides
+    crawl-scaled (never broadcast); the line subtree is re-derived
+    across the agents/rules/sitemap branches (the tfidf shape); no
+    Python."""
+    plan = _qplan(spark, "corpus_robots_rules")
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
