@@ -206,6 +206,8 @@ HEADLINE = [
     "text_code_detect",
     "corpus_inverted_index",
     "corpus_warc_records",
+    "events_rate_spikes",
+    "corpus_robots_rules",
 ]
 
 
