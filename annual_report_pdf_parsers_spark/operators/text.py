@@ -1854,3 +1854,84 @@ def inverted_index(
         .filter(F.col("rank") <= k)
         .select("token", "df_docs", "doc_id", "tf", "rank")
     )
+
+
+# license/compliance marker table, in PRIORITY order — first marker
+# present wins, so more-specific phrases MUST precede their prefixes
+# ('cc by-sa' before 'cc by'; the DuckDB oracle is REGENERATED from
+# this table, queries.py::_license_oracle_sql)
+LICENSE_MARKERS = (
+    ("public-domain", "public domain"),
+    ("cc0", "cc0"),
+    ("cc-by-sa", "creative commons attribution-sharealike"),
+    ("cc-by-sa", "cc by-sa"),
+    ("cc-by", "creative commons attribution"),
+    ("cc-by", "cc by"),
+    ("gfdl", "gnu free documentation"),
+    ("mit", "mit license"),
+    ("apache-2.0", "apache license"),
+    ("all-rights-reserved", "all rights reserved"),
+)
+OPEN_LICENSES = frozenset(
+    {"public-domain", "cc0", "cc-by-sa", "cc-by", "gfdl", "mit",
+     "apache-2.0"}
+)
+
+
+def license_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """License/compliance detection — the training-data filter that
+    decides whether a page's text is openly licensed (the C4/Gopher
+    recipes filter on quality; a compliance-aware corpus build also
+    routes on THIS signal; public practice, e.g. the BigScience ROOTS
+    and StarCoder license filters).
+
+    Detection is first-match over LICENSE_MARKERS on the LOWERED
+    text: the table is priority-ordered so specific phrases beat
+    their own prefixes ('cc by-sa' contains 'cc by' — table order is
+    the tie rule, one site, oracle regenerated).  Also emitted:
+    ``n_license_markers`` (how many DISTINCT table rows match —
+    conflicting declarations are a red flag worth counting),
+    ``has_copyright`` (© or the word), and ``is_openly_licensed``
+    (detected license in OPEN_LICENSES; all-rights-reserved and
+    no-detection are both false).
+
+    100 TB shape: zero-exchange narrow marker scan (bounded replace/
+    position chain in codegen) on ONE pin()-staged lowered text
+    attribute.  NULL text behaves as ''.
+    """
+    from ..functions.numeric import pin
+
+    if "_lic_t" in df.columns:
+        raise ValueError("license_stats staging column clash: _lic_t")
+    out = df.withColumn(
+        "_lic_t",
+        pin(
+            F.lower(
+                F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+            )
+        ),
+    )
+    t = F.col("_lic_t")
+    hits = [F.instr(t, m) > 0 for _, m in LICENSE_MARKERS]
+    license_col = F.lit(None).cast("string")
+    for (lic, _), hit in reversed(list(zip(LICENSE_MARKERS, hits))):
+        license_col = F.when(hit, F.lit(lic)).otherwise(license_col)
+    n_markers = sum(
+        (h.cast("int") for h in hits), F.lit(0)
+    ).cast("long")
+    has_copyright = (F.instr(t, "©") > 0) | (
+        F.instr(t, "copyright") > 0
+    )
+    lic = F.col("license")
+    return (
+        out.withColumn("license", license_col)
+        .withColumn("n_license_markers", n_markers)
+        .withColumn("has_copyright", has_copyright)
+        .withColumn(
+            "is_openly_licensed",
+            F.coalesce(
+                lic.isin(*sorted(OPEN_LICENSES)), F.lit(False)
+            ),
+        )
+        .drop("_lic_t")
+    )

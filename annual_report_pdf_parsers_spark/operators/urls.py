@@ -761,3 +761,52 @@ def robots_rules(
         "value",
     )
     return joined.unionByName(sitemaps)
+
+
+def sitemap_coverage(
+    entries: DataFrame,
+    crawled: DataFrame,
+    loc_col: str = "loc",
+    url_col: str = "url",
+) -> DataFrame:
+    """Coverage diff between sitemap-DECLARED pages and actually
+    CRAWLED urls — the crawl-completeness audit that closes the seed
+    loop: `sitemap_entries` tells the crawler what a site claims to
+    have; this op reports what that claim is worth.
+
+        uncrawled_seed  declared but never fetched (frontier gap)
+        orphan_page     fetched but not declared (discovery-only page
+                        — or a stale sitemap)
+        covered         both
+
+    Index entries (``is_index``) are pointers to child sitemaps, not
+    pages, and are excluded.  Both sides are DISTINCT'd before the
+    FULL OUTER join (a url crawled twice is still one page), and the
+    join pins shuffle_hash — both sides scale with the crawl (the
+    soft_weights AQE-broadcast trap).  The per-side distinct aggs
+    key by url, so the join reuses their partitioning (the
+    crawl_diff shape: only url strings ever shuffle).
+    """
+    s = (
+        entries.filter(~F.col("is_index"))
+        .select(F.col(loc_col).alias("url"))
+        .distinct()
+        .withColumn("_sc_s", F.lit(True))
+    )
+    c = (
+        crawled.select(F.col(url_col).alias("url"))
+        .distinct()
+        .withColumn("_sc_c", F.lit(True))
+    )
+    j = s.join(c.hint("shuffle_hash"), on="url", how="full_outer")
+    in_s = F.coalesce(F.col("_sc_s"), F.lit(False))
+    in_c = F.coalesce(F.col("_sc_c"), F.lit(False))
+    return j.select(
+        "url",
+        in_s.alias("in_sitemap"),
+        in_c.alias("crawled"),
+        F.when(in_s & in_c, F.lit("covered"))
+        .when(in_s, F.lit("uncrawled_seed"))
+        .otherwise(F.lit("orphan_page"))
+        .alias("status"),
+    )

@@ -2916,6 +2916,97 @@ def q_corpus_warc_records(spark, sf):
     return warc_records(d.select("doc_id", arc.alias("warc")))
 
 
+def q_text_license_detect(spark, sf):
+    """License/compliance detection over %6 probe arms on a 50-char
+    prose base: CC BY-SA prose (hits FOUR marker rows — the priority
+    rule must pick cc-by-sa, not the 'cc by' prefix), an
+    all-rights-reserved + © arm, a public-domain + CC0 arm, a
+    dual-grant MIT+Apache arm (priority picks mit), a copyright-
+    without-grant arm (license NULL, has_copyright true), and the
+    no-injection negative.  Oracle = the same first-match CASE
+    regenerated from LICENSE_MARKERS in table order."""
+    d = load(spark, sf, "documents")
+    base = F.substring(F.col("text"), 1, 50)
+    m6 = F.col("doc_id") % 6
+    inj = (
+        F.when(
+            m6 == 1,
+            F.concat(
+                base,
+                F.lit(
+                    " Licensed under a Creative Commons "
+                    "Attribution-ShareAlike 4.0 license. CC BY-SA."
+                ),
+            ),
+        )
+        .when(
+            m6 == 2,
+            F.concat(
+                base, F.lit(" © 2024 Example Corp. All Rights Reserved.")
+            ),
+        )
+        .when(
+            m6 == 3,
+            F.concat(
+                base, F.lit(" Released into the public domain (CC0).")
+            ),
+        )
+        .when(
+            m6 == 4,
+            F.concat(
+                base,
+                F.lit(
+                    " distributed under the MIT License and the "
+                    "Apache License 2.0"
+                ),
+            ),
+        )
+        .when(
+            m6 == 5,
+            F.concat(base, F.lit(" copyright notice without a grant")),
+        )
+        .otherwise(base)
+    )
+    return text.license_stats(
+        d.select("doc_id", inj.alias("text"))
+    ).select(
+        "doc_id", "license", "n_license_markers", "has_copyright",
+        "is_openly_licensed",
+    )
+
+
+def q_corpus_sitemap_diff(spark, sf):
+    """Sitemap-vs-crawl coverage audit composing sitemap_entries (the
+    SAME shared fixture as corpus_sitemap) with a synthesized crawl
+    set: %2 docs' crawl urls exactly match the decoded primary <loc>
+    (covered), %3 docs crawl an undeclared url (orphan_page), and the
+    /two/ + index-excluded locs stay uncrawled_seed — all three
+    statuses dense at sf0.01.  Oracle reuses the sitemap entry chain
+    verbatim as a CTE plus the same crawl arms + FULL OUTER join."""
+    from .operators.urls import sitemap_coverage, sitemap_entries
+
+    d = load(spark, sf, "documents")
+    entries = sitemap_entries(
+        d.select("doc_id", _sitemap_fixture_page().alias("xml"))
+    )
+    did = F.col("doc_id")
+    crawl1 = d.filter(did % 2 == 0).select(
+        F.concat(
+            F.lit("https://www.Site"),
+            (did % 7).cast("string"),
+            F.lit(".com/page/"),
+            (did % 50).cast("string"),
+            F.lit("?a=1&b=2"),
+        ).alias("url")
+    )
+    crawl2 = d.filter(did % 3 == 0).select(
+        F.concat(
+            F.lit("https://only-crawl.org/"), (did % 30).cast("string")
+        ).alias("url")
+    )
+    return sitemap_coverage(entries, crawl1.unionByName(crawl2))
+
+
 def q_corpus_drift(spark, sf):
     """Snapshot-drift report: ref = the ws-noise corpus, new = the same
     corpus with every 5th doc dropped (scraper-loss signal) and a spam
@@ -5509,6 +5600,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_paths": q_events_session_paths,
     "events_rate_spikes": q_events_rate_spikes,
     "corpus_robots_rules": q_corpus_robots_rules,
+    "text_license_detect": q_text_license_detect,
+    "corpus_sitemap_diff": q_corpus_sitemap_diff,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10781,4 +10874,64 @@ ORACLE_SQL["corpus_robots_rules"] = (
     "UNION ALL SELECT host, CAST(NULL AS BIGINT), "
     "  CAST(NULL AS VARCHAR), line_no, 'sitemap', value FROM grp "
     "WHERE directive = 'sitemap'"
+)
+
+
+def _license_oracle_sql() -> str:
+    """Regenerated from LICENSE_MARKERS/OPEN_LICENSES in TABLE ORDER
+    (first-match = the engine's priority rule, one site)."""
+    from .operators.text import LICENSE_MARKERS, OPEN_LICENSES
+
+    first = " ".join(
+        f"WHEN position('{m}' IN s) > 0 THEN '{lic}'"
+        for lic, m in LICENSE_MARKERS
+    )
+    n = " + ".join(
+        f"CASE WHEN position('{m}' IN s) > 0 THEN 1 ELSE 0 END"
+        for _, m in LICENSE_MARKERS
+    )
+    open_list = ", ".join(f"'{x}'" for x in sorted(OPEN_LICENSES))
+    return (
+        "WITH inj AS (SELECT doc_id, substr(text, 1, 50) || "
+        "CASE doc_id % 6 "
+        "WHEN 1 THEN ' Licensed under a Creative Commons "
+        "Attribution-ShareAlike 4.0 license. CC BY-SA.' "
+        "WHEN 2 THEN ' © 2024 Example Corp. All Rights Reserved.' "
+        "WHEN 3 THEN ' Released into the public domain (CC0).' "
+        "WHEN 4 THEN ' distributed under the MIT License and the "
+        "Apache License 2.0' "
+        "WHEN 5 THEN ' copyright notice without a grant' "
+        "ELSE '' END AS t FROM documents), "
+        "b AS (SELECT doc_id, lower(COALESCE(t, '')) AS s FROM inj), "
+        f"f AS (SELECT doc_id, s, CASE {first} END AS license, "
+        f"CAST({n} AS BIGINT) AS n_license_markers FROM b) "
+        "SELECT doc_id, license, n_license_markers, "
+        "(position('©' IN s) > 0 OR position('copyright' IN s) > 0) "
+        "  AS has_copyright, "
+        f"COALESCE(license IN ({open_list}), FALSE) "
+        "  AS is_openly_licensed FROM f"
+    )
+
+
+ORACLE_SQL["text_license_detect"] = _license_oracle_sql()
+
+# corpus_sitemap_diff: the sitemap entry chain REUSED VERBATIM as a
+# CTE (one site), the same crawl arms, DISTINCT sides, FULL OUTER.
+ORACLE_SQL["corpus_sitemap_diff"] = (
+    "WITH sm AS (" + _corpus_sitemap_oracle_sql() + "), "
+    "s AS (SELECT DISTINCT loc AS url FROM sm WHERE NOT is_index), "
+    "cr AS (SELECT 'https://www.Site' || CAST(doc_id % 7 AS VARCHAR) "
+    "  || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2' "
+    "  AS url FROM documents WHERE doc_id % 2 = 0 "
+    "UNION SELECT 'https://only-crawl.org/' || "
+    "  CAST(doc_id % 30 AS VARCHAR) FROM documents "
+    "  WHERE doc_id % 3 = 0), "
+    "j AS (SELECT COALESCE(s.url, cr.url) AS url, "
+    "  s.url IS NOT NULL AS in_sitemap, "
+    "  cr.url IS NOT NULL AS crawled "
+    "  FROM s FULL OUTER JOIN cr ON s.url = cr.url) "
+    "SELECT url, in_sitemap, crawled, "
+    "CASE WHEN in_sitemap AND crawled THEN 'covered' "
+    "WHEN in_sitemap THEN 'uncrawled_seed' "
+    "ELSE 'orphan_page' END AS status FROM j"
 )

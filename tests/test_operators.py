@@ -4058,3 +4058,60 @@ def test_robots_rules_grouping(spark):
     assert len(sm) == 1 and sm[0]["agent"] is None
     assert sm[0]["value"] == "https://s.example/m.xml"
     assert not any(r["value"] == "/orphan" for r in out)
+
+
+def test_license_stats_priority(spark):
+    """Table order is the tie rule: cc-by-sa text also contains the
+    'cc by' prefix marker but must detect cc-by-sa; all-rights-
+    reserved is never openly licensed; copyright alone detects no
+    license."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        license_stats,
+    )
+
+    rows = [
+        (1, "shared under CC BY-SA terms"),
+        (2, "shared under CC BY terms"),
+        (3, "© all rights reserved"),
+        (4, "plain copyright line"),
+        (5, "MIT License applies; Apache License too"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in license_stats(df).collect()}
+    assert out[1]["license"] == "cc-by-sa"
+    assert out[1]["n_license_markers"] == 2  # 'cc by-sa' + 'cc by'
+    assert out[2]["license"] == "cc-by" and out[2]["is_openly_licensed"]
+    assert out[3]["license"] == "all-rights-reserved"
+    assert not out[3]["is_openly_licensed"] and out[3]["has_copyright"]
+    assert out[4]["license"] is None and out[4]["has_copyright"]
+    assert out[5]["license"] == "mit" and out[5]["n_license_markers"] == 2
+    assert out[6]["license"] is None and not out[6]["has_copyright"]
+
+
+def test_sitemap_coverage_statuses(spark):
+    """All three statuses; index entries excluded; crawl dups count
+    once."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        sitemap_coverage,
+    )
+
+    entries = spark.createDataFrame(
+        [
+            ("https://a.org/1", False),
+            ("https://a.org/2", False),
+            ("https://a.org/child.xml", True),
+        ],
+        "loc string, is_index boolean",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.org/1",), ("https://a.org/1",), ("https://b.org/x",)],
+        "url string",
+    )
+    out = {r["url"]: r["status"] for r in
+           sitemap_coverage(entries, crawled).collect()}
+    assert out == {
+        "https://a.org/1": "covered",
+        "https://a.org/2": "uncrawled_seed",
+        "https://b.org/x": "orphan_page",
+    }

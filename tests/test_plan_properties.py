@@ -1314,3 +1314,25 @@ def test_corpus_robots_rules_plan(spark):
     assert plan.count("ShuffledHashJoin") == 1, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_text_license_detect_plan(spark):
+    """text_license_detect: zero-exchange narrow marker scan on the
+    pinned lowered text — no join, no Generate, no Python."""
+    plan = _qplan(spark, "text_license_detect")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_corpus_sitemap_diff_plan(spark):
+    """corpus_sitemap_diff: two url-keyed distinct aggs whose
+    partitioning the FULL OUTER join reuses — PINNED shuffle_hash
+    (both sides crawl-scaled, never broadcast), ONE Generate (the
+    sitemap block explode); no Python."""
+    plan = _qplan(spark, "corpus_sitemap_diff")
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "EvalPython" not in plan, plan
