@@ -262,3 +262,73 @@ def hop_distance(
     return dist.groupBy("node").agg(
         F.min("hops").cast("long").alias("hops")
     )
+
+
+def degree_stats(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> DataFrame:
+    """Per-node degree audit over a weighted edge list (one row per
+    distinct (src, dst)): out/in degree and weight, reciprocal-
+    neighbor count, self-loop flag — the link-graph health profile
+    read BEFORE trusting PageRank/HITS output (a farm of mutually-
+    linking hosts shows up as reciprocity >> organic baseline;
+    public knowledge: link-spam detection à la TrustRank).
+
+    Reciprocity counts DISTINCT neighbors with an edge in both
+    directions, self-loops excluded (a self-loop is its own reverse —
+    it gets its own flag instead).  All counts/weights are integers;
+    no floats anywhere.
+
+    Plan shape: the edge table is consumed by four branches (out agg,
+    in agg, reciprocal self-join, self-loop flag) — acceptable
+    because edges are ALREADY aggregated (bounded by distinct host
+    pairs, not by the corpus); every join is host-keyed and PINNED
+    shuffle_hash (the graph scales with the crawl — never broadcast).
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"),
+        F.col(dst_col).alias("d"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    outd = e.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("w").alias("out_weight"),
+    )
+    ind = e.groupBy(F.col("d").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("w").alias("in_weight"),
+    )
+    ne = e.filter(F.col("s") != F.col("d"))
+    rev = ne.select(
+        F.col("d").alias("s"), F.col("s").alias("d")
+    )
+    recip = (
+        ne.select("s", "d")
+        .join(rev.hint("shuffle_hash"), on=["s", "d"])
+        .groupBy(F.col("s").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    loops = (
+        e.filter(F.col("s") == F.col("d"))
+        .select(F.col("s").alias("host"))
+        .distinct()
+        .withColumn("_dg_loop", F.lit(True))
+    )
+    base = outd.join(ind.hint("shuffle_hash"), on="host", how="full_outer")
+    base = base.join(recip.hint("shuffle_hash"), on="host", how="left")
+    base = base.join(loops.hint("shuffle_hash"), on="host", how="left")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return base.select(
+        "host",
+        z("out_degree").alias("out_degree"),
+        z("in_degree").alias("in_degree"),
+        z("out_weight").alias("out_weight"),
+        z("in_weight").alias("in_weight"),
+        z("n_reciprocal").alias("n_reciprocal"),
+        F.coalesce(F.col("_dg_loop"), F.lit(False)).alias(
+            "has_self_loop"
+        ),
+    )

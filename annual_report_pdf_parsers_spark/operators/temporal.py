@@ -481,3 +481,80 @@ def rate_spikes(
             )
         ).alias("is_spike"),
     )
+
+
+def ab_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    salt: str = "ab1",
+) -> DataFrame:
+    """Deterministic A/B lift readout: users are assigned to arms by
+    a salted-md5 hex parity (the corpus_sample_hash convention — no
+    randomness, both engines regenerate the same split), conversion =
+    the user has at least one ``convert_type`` event, and the lift is
+    computed from INTEGER cross-products with exactly one final
+    division (ROUND 6) — the analytics twin of the dedup family's
+    digest-threshold sampling.
+
+    Returns ONE row: (n_treat, conv_treat, rate_treat, n_ctrl,
+    conv_ctrl, rate_ctrl, lift); lift is NULL when the control never
+    converts (division guard).
+
+    Plan shape: ONE user-keyed aggregation (conversion flag as
+    max(flag) in the same pass — no join anywhere), then the global
+    single-row conditional-sum aggregation (partial + final).  100 TB:
+    linear, two exchanges, nothing broadcast.
+    """
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"),
+            (F.col(type_col) == convert_type)
+            .cast("int")
+            .alias("conv"),
+        )
+        .groupBy("u")
+        .agg(F.max("conv").alias("conv"))
+        .select(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("u").cast("string"))),
+                1,
+                1,
+            ).alias("hx"),
+            "conv",
+        )
+    )
+    t = F.col("hx") < "8"
+    g = per_user.agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("long").alias("n_treat"),
+        F.sum(F.when(t, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_treat"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("long").alias("n_ctrl"),
+        F.sum(F.when(~t, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_ctrl"),
+    )
+    return g.select(
+        "n_treat",
+        "conv_treat",
+        F.round(
+            F.col("conv_treat") / F.col("n_treat").cast("double"), 6
+        ).alias("rate_treat"),
+        "n_ctrl",
+        "conv_ctrl",
+        F.round(
+            F.col("conv_ctrl") / F.col("n_ctrl").cast("double"), 6
+        ).alias("rate_ctrl"),
+        F.when(
+            (F.col("conv_ctrl") > 0) & (F.col("n_treat") > 0),
+            F.round(
+                (F.col("conv_treat") * F.col("n_ctrl"))
+                / (F.col("n_treat") * F.col("conv_ctrl")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        ).alias("lift"),
+    )

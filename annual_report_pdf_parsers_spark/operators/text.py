@@ -1935,3 +1935,57 @@ def license_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_lic_t")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage evaluation: per document, how
+    much of its token stream a top-k word vocabulary covers — the
+    acceptance metric of a vocab induction run (a tokenizer whose
+    vocab leaves 20% OOV fragments every rare word into bytes;
+    public practice in every BPE/unigram build).
+
+    Returns ``(doc_id, n_tokens, n_in_vocab, oov_frac)`` for every
+    document with at least one token (ROUND 6 on the one division).
+
+    100 TB shape: the vocab is built by :func:`vocab_topk` (map-side
+    partial agg + TakeOrderedAndProject) and is BOUNDED BY k — a
+    parameter, not the data — so broadcasting it to the coverage
+    join is the justified broadcast (the decontaminate rule: only
+    construction-bounded tables ever broadcast); the per-doc
+    aggregation is one map-side-partial exchange keyed by doc.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vocab = vocab_topk(df, k=k, text_col=text_col, id_col=id_col).select(
+        F.col("token").alias("_vc_tok")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+        ).alias("token"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab),
+        toks["token"] == vocab["_vc_tok"],
+        how="left",
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("_vc_tok").alias("n_in_vocab"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_in_vocab",
+        F.round(
+            (F.col("n_tokens") - F.col("n_in_vocab"))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_frac"),
+    )

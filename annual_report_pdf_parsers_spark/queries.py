@@ -3007,6 +3007,66 @@ def q_corpus_sitemap_diff(spark, sf):
     return sitemap_coverage(entries, crawl1.unionByName(crawl2))
 
 
+def q_graph_degree_stats(spark, sf):
+    """Link-graph degree audit over the shared link fixture's edges
+    PLUS a %5 reverse arm (site->host back-edges) so reciprocity is
+    non-vacuous; the self-edges make has_self_loop fire and are
+    excluded from reciprocity by the operator's rule.  Edges re-
+    aggregate after the union (degree_stats expects one row per
+    pair).  Oracle reuses the link-graph oracle verbatim as a CTE +
+    the same reverse arm + integer degree arithmetic."""
+    from .operators.graph import degree_stats
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    e1 = q_corpus_link_graph(spark, sf).select(
+        "src_host", "dst_host", "n_links"
+    )
+    rev = d.filter(did % 5 == 0).select(
+        F.concat(
+            F.lit("site"), (did % 7).cast("string"), F.lit(".com")
+        ).alias("src_host"),
+        F.concat(
+            F.lit("host"), (did % 4).cast("string"), F.lit(".net")
+        ).alias("dst_host"),
+        F.lit(1).cast("long").alias("n_links"),
+    )
+    edges = (
+        e1.unionByName(rev)
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("n_links"))
+    )
+    return degree_stats(edges)
+
+
+def q_text_vocab_coverage(spark, sf):
+    """Vocabulary-coverage eval over the ws-noise corpus at k=50: the
+    probe tokens recur corpus-wide so they land in the vocab, while
+    each doc's unique id-bearing tokens are OOV — every doc gets a
+    non-trivial oov_frac.  Oracle = the same top-50 (count DESC,
+    token) vocab + IN-vocab counting + ROUND-6 division."""
+    return text.vocab_coverage(
+        _with_ws_noise(load(spark, sf, "documents")), k=50
+    )
+
+
+def q_events_ab_lift(spark, sf):
+    """A/B lift readout over a deterministically-skewed conversion
+    set: purchases of user%3==0 are dropped BEFORE the salted-md5 arm
+    split, so the arms (whose hex-parity assignment is independent of
+    the %3 rule) convert at different rates and the lift is a
+    non-trivial value.  All arithmetic is integer cross-products with
+    single ROUND-6 divisions."""
+    e = load(spark, sf, "events")
+    kept = e.filter(
+        ~(
+            (F.col("user_id") % 3 == 0)
+            & (F.col("event_type") == "purchase")
+        )
+    )
+    return temporal.ab_lift(kept)
+
+
 def q_corpus_drift(spark, sf):
     """Snapshot-drift report: ref = the ws-noise corpus, new = the same
     corpus with every 5th doc dropped (scraper-loss signal) and a spam
@@ -5602,6 +5662,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_robots_rules": q_corpus_robots_rules,
     "text_license_detect": q_text_license_detect,
     "corpus_sitemap_diff": q_corpus_sitemap_diff,
+    "graph_degree_stats": q_graph_degree_stats,
+    "text_vocab_coverage": q_text_vocab_coverage,
+    "events_ab_lift": q_events_ab_lift,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -10934,4 +10997,80 @@ ORACLE_SQL["corpus_sitemap_diff"] = (
     "CASE WHEN in_sitemap AND crawled THEN 'covered' "
     "WHEN in_sitemap THEN 'uncrawled_seed' "
     "ELSE 'orphan_page' END AS status FROM j"
+)
+
+# graph_degree_stats: the link-graph oracle reused VERBATIM as a CTE
+# (one site) + the %5 reverse arm, re-aggregated pairs, then pure-
+# integer degree/reciprocity arithmetic (self-loops excluded from
+# reciprocity, flagged separately).
+ORACLE_SQL["graph_degree_stats"] = (
+    "WITH g AS (" + ORACLE_SQL["corpus_link_graph"] + "), "
+    "e0 AS (SELECT src_host, dst_host, n_links FROM g "
+    "  UNION ALL SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "  '.com', 'host' || CAST(doc_id % 4 AS VARCHAR) || '.net', 1 "
+    "  FROM documents WHERE doc_id % 5 = 0), "
+    "e AS (SELECT src_host AS s, dst_host AS d, "
+    "  CAST(SUM(n_links) AS BIGINT) AS w FROM e0 GROUP BY 1, 2), "
+    "o AS (SELECT s AS host, COUNT(*) AS od, SUM(w) AS ow "
+    "  FROM e GROUP BY s), "
+    "i AS (SELECT d AS host, COUNT(*) AS ind, SUM(w) AS iw "
+    "  FROM e GROUP BY d), "
+    "ne AS (SELECT s, d FROM e WHERE s <> d), "
+    "r AS (SELECT a.s AS host, COUNT(*) AS nr FROM ne AS a "
+    "  JOIN ne AS b ON a.s = b.d AND a.d = b.s GROUP BY a.s), "
+    "l AS (SELECT DISTINCT s AS host, TRUE AS lp FROM e "
+    "  WHERE s = d), "
+    "h AS (SELECT COALESCE(o.host, i.host) AS host, od, ind, ow, iw "
+    "  FROM o FULL OUTER JOIN i ON o.host = i.host) "
+    "SELECT h.host, CAST(COALESCE(od, 0) AS BIGINT) AS out_degree, "
+    "CAST(COALESCE(ind, 0) AS BIGINT) AS in_degree, "
+    "CAST(COALESCE(ow, 0) AS BIGINT) AS out_weight, "
+    "CAST(COALESCE(iw, 0) AS BIGINT) AS in_weight, "
+    "CAST(COALESCE(nr, 0) AS BIGINT) AS n_reciprocal, "
+    "COALESCE(lp, FALSE) AS has_self_loop "
+    "FROM h LEFT JOIN r ON h.host = r.host "
+    "LEFT JOIN l ON h.host = l.host"
+)
+
+# text_vocab_coverage: same ws-noise tokens, top-50 vocab with the
+# (count DESC, token) deterministic boundary, IN-vocab counting.
+ORACLE_SQL["text_vocab_coverage"] = (
+    "WITH wsbase AS (SELECT doc_id, "
+    f"text || {_WS_NOISE_SQL} AS text FROM documents), "
+    "tk AS (SELECT doc_id, unnest(list_transform(list_filter("
+    "regexp_split_to_array(text, " + _WSRE2 + "), t -> t <> ''), "
+    "w -> lower(w))) AS token FROM wsbase), "
+    "vc AS (SELECT token FROM (SELECT token, COUNT(*) AS n FROM tk "
+    "  GROUP BY token ORDER BY n DESC, token LIMIT 50)), "
+    "ag AS (SELECT doc_id, COUNT(*) AS nt, "
+    "  SUM(CASE WHEN token IN (SELECT token FROM vc) THEN 1 "
+    "  ELSE 0 END) AS niv FROM tk GROUP BY doc_id) "
+    "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, "
+    "CAST(niv AS BIGINT) AS n_in_vocab, "
+    "ROUND((nt - niv) / CAST(nt AS DOUBLE), 6) AS oov_frac FROM ag"
+)
+
+# events_ab_lift: same pre-split conversion skew, the salted-md5 hex
+# parity arms, integer conditional sums, single-division rates/lift.
+ORACLE_SQL["events_ab_lift"] = (
+    "WITH e AS (SELECT user_id, event_type FROM events "
+    "  WHERE NOT (user_id % 3 = 0 AND event_type = 'purchase')), "
+    "pu AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase' "
+    "  THEN 1 ELSE 0 END) AS conv FROM e GROUP BY user_id), "
+    "a AS (SELECT substr(md5('ab1' || CAST(user_id AS VARCHAR)), "
+    "  1, 1) AS hx, conv FROM pu), "
+    "g AS (SELECT "
+    "  SUM(CASE WHEN hx < '8' THEN 1 ELSE 0 END) AS nt, "
+    "  SUM(CASE WHEN hx < '8' THEN conv ELSE 0 END) AS ct, "
+    "  SUM(CASE WHEN hx >= '8' THEN 1 ELSE 0 END) AS nc, "
+    "  SUM(CASE WHEN hx >= '8' THEN conv ELSE 0 END) AS cc FROM a) "
+    "SELECT CAST(nt AS BIGINT) AS n_treat, "
+    "CAST(ct AS BIGINT) AS conv_treat, "
+    "ROUND(ct / CAST(nt AS DOUBLE), 6) AS rate_treat, "
+    "CAST(nc AS BIGINT) AS n_ctrl, "
+    "CAST(cc AS BIGINT) AS conv_ctrl, "
+    "ROUND(cc / CAST(nc AS DOUBLE), 6) AS rate_ctrl, "
+    "CASE WHEN cc > 0 AND nt > 0 THEN "
+    "ROUND((ct * nc) / CAST(nt * cc AS DOUBLE), 6) END AS lift "
+    "FROM g"
 )

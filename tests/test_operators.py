@@ -4115,3 +4115,81 @@ def test_sitemap_coverage_statuses(spark):
         "https://a.org/2": "uncrawled_seed",
         "https://b.org/x": "orphan_page",
     }
+
+
+def test_degree_stats_semantics(spark):
+    """Reciprocal pairs count distinct both-direction neighbors,
+    self-loops flag but never count as reciprocal, absent sides
+    coalesce to zero."""
+    from annual_report_pdf_parsers_spark.operators.graph import (
+        degree_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("b", "a", 1),   # reciprocal pair
+            ("a", "c", 2),                   # one-way
+            ("c", "c", 5),                   # self-loop only
+        ],
+        "src_host string, dst_host string, n_links long",
+    )
+    out = {r["host"]: r for r in degree_stats(edges).collect()}
+    a = out["a"]
+    assert (a["out_degree"], a["in_degree"]) == (2, 1)
+    assert (a["out_weight"], a["in_weight"]) == (5, 1)
+    assert a["n_reciprocal"] == 1 and not a["has_self_loop"]
+    b = out["b"]
+    assert b["n_reciprocal"] == 1
+    c = out["c"]
+    assert c["has_self_loop"] and c["n_reciprocal"] == 0
+    assert c["in_degree"] == 2  # from a and from itself
+
+
+def test_vocab_coverage_semantics(spark):
+    """OOV fraction per doc against a k-bounded vocab; ties at the k
+    boundary break by token asc."""
+    from annual_report_pdf_parsers_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    rows = [
+        (1, "aa aa bb zz"),
+        (2, "aa bb bb qq qq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # counts: aa=3 bb=3 qq=2 zz=1; k=2 -> vocab {aa, bb}
+    out = {r["doc_id"]: r for r in vocab_coverage(df, k=2).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_in_vocab"] == 3
+    assert out[1]["oov_frac"] == 0.25
+    assert out[2]["n_in_vocab"] == 3 and out[2]["oov_frac"] == 0.4
+
+
+def test_ab_lift_semantics(spark):
+    """Arm assignment is a pure function of (salt, user); conversion
+    is any-purchase; lift NULL when control never converts."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        ab_lift,
+    )
+
+    def arm(u):
+        return hashlib.md5(f"ab1{u}".encode()).hexdigest()[0] < "8"
+
+    rows = []
+    for u in range(40):
+        rows.append((u, "view"))
+        if u % 2 == 0:
+            rows.append((u, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_lift(df).collect()[0]
+    nt = sum(1 for u in range(40) if arm(u))
+    ct = sum(1 for u in range(40) if arm(u) and u % 2 == 0)
+    assert (r["n_treat"], r["conv_treat"]) == (nt, ct)
+    assert r["n_treat"] + r["n_ctrl"] == 40
+    # control-never-converts -> NULL lift
+    df2 = spark.createDataFrame(
+        [(u, "purchase" if arm(u) else "view") for u in range(40)],
+        "user_id long, event_type string",
+    )
+    assert ab_lift(df2).collect()[0]["lift"] is None

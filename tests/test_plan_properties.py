@@ -1336,3 +1336,34 @@ def test_corpus_sitemap_diff_plan(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert plan.count("Generate") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_graph_degree_stats_plan(spark):
+    """graph_degree_stats: every join host-keyed and PINNED
+    shuffle_hash over the ALREADY-AGGREGATED edge table (4 joins:
+    reciprocity self-join + out/in full-outer + two lefts); never a
+    broadcast, no cartesian, no Python."""
+    plan = _qplan(spark, "graph_degree_stats")
+    assert plan.count("ShuffledHashJoin") == 4, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_text_vocab_coverage_plan(spark):
+    """text_vocab_coverage: the vocab is k-BOUNDED so its broadcast
+    is the justified one (the decontaminate rule); one token agg +
+    the per-doc agg; no shuffle-side join of the corpus."""
+    plan = _qplan(spark, "text_vocab_coverage")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_events_ab_lift_plan(spark):
+    """events_ab_lift: ONE user-keyed aggregation + the single-row
+    global aggregation — 2 hash exchanges (the global agg's partial/
+    final pair plans as SinglePartition), NO join anywhere."""
+    plan = _qplan(spark, "events_ab_lift")
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
