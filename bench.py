@@ -208,6 +208,11 @@ HEADLINE = [
     "corpus_warc_records",
     "events_rate_spikes",
     "corpus_robots_rules",
+    "text_license_detect",
+    "corpus_sitemap_diff",
+    "graph_degree_stats",
+    "text_vocab_coverage",
+    "events_ab_lift",
 ]
 
 
