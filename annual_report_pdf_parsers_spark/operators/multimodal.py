@@ -693,3 +693,90 @@ def cdc_chunk_stats(
         F.coalesce(n.cast("long"), F.lit(0)).alias("n_bytes"),
     )
     return _chunk_share_stats(sizes, chunks)
+
+
+# SRT/VTT cue-timing line: HH:MM:SS,mmm --> HH:MM:SS.mmm (SRT uses
+# the comma, WebVTT the dot — both accepted; the oracle restates the
+# identical class).  Only Java+RE2-identical constructs.
+SRT_TIME_RE = (
+    "([0-9]{2}):([0-9]{2}):([0-9]{2})[,.]([0-9]{3})"
+    " *--> *"
+    "([0-9]{2}):([0-9]{2}):([0-9]{2})[,.]([0-9]{3})"
+)
+
+
+def srt_cues(
+    df: DataFrame, srt_col: str = "srt", id_col: str = "doc_id"
+) -> DataFrame:
+    """SRT/WebVTT-style subtitle cues as relational rows — the media
+    SIDECAR text that pairs a transcript with timestamps (the
+    video-text alignment feed of a multimodal corpus; the binary
+    decoders above handle the media track, this handles its text
+    track).
+
+    Blocks split on blank lines (CR stripped first); per block the
+    timing line yields integer-millisecond start/end (pure integer
+    arithmetic — no duration float exists), the declared index is
+    kept separately from the 1-based ``cue_no`` source order, and
+    multi-line cue text joins with single spaces (trimmed).  Blocks
+    without a parseable timing line keep their row with NULL fields
+    (``is_valid`` false — corruption is countable, the warc_records
+    convention); blocks that are ONLY whitespace do not exist (the
+    split eats them).
+
+    100 TB shape: zero-exchange narrow chain, ONE posexplode; the
+    per-cue regexes run on the exploded block only.
+    """
+    from pyspark.sql import Column, Window
+    from pyspark.sql import functions as F
+
+    clash = sorted({"_srt_b"} & set(df.columns))
+    if clash:
+        raise ValueError(f"srt_cues staging columns clash: {clash}")
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(
+                F.replace(
+                    F.coalesce(F.col(srt_col).cast("string"), F.lit("")),
+                    F.lit("\r"),
+                    F.lit(""),
+                ),
+                "\n[ \\t]*\n+",
+            )
+        ).alias("_srt_no", "_srt_b"),
+    ).filter(F.regexp_replace(F.col("_srt_b"), "[ \\t\\n]+", "") != "")
+    b = F.col("_srt_b")
+
+    def grp(i: int) -> Column:
+        return F.regexp_extract(b, SRT_TIME_RE, i)
+
+    has_time = grp(1) != ""
+    to_ms_start = (
+        grp(1).cast("long") * 3_600_000
+        + grp(2).cast("long") * 60_000
+        + grp(3).cast("long") * 1_000
+        + grp(4).cast("long")
+    )
+    to_ms_end = (
+        grp(5).cast("long") * 3_600_000
+        + grp(6).cast("long") * 60_000
+        + grp(7).cast("long") * 1_000
+        + grp(8).cast("long")
+    )
+    idx = F.regexp_extract(b, "^[ \\t]*([0-9]+)[ \\t]*\\n", 1)
+    cue_text = F.regexp_extract(b, "(?s)--> *[^\\n]*\\n(.*)$", 1)
+    cue_text = F.trim(
+        F.regexp_replace(cue_text, "[ \\t]*\\n[ \\t]*", " ")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_srt_no").asc())
+    return blocks.select(
+        id_col,
+        F.row_number().over(w).cast("long").alias("cue_no"),
+        F.when(idx != "", idx.cast("long")).alias("declared_idx"),
+        F.when(has_time, to_ms_start).alias("start_ms"),
+        F.when(has_time, to_ms_end).alias("end_ms"),
+        F.when(has_time, to_ms_end - to_ms_start).alias("dur_ms"),
+        F.when(has_time, cue_text).alias("text"),
+        has_time.alias("is_valid"),
+    )

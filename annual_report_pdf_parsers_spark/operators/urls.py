@@ -810,3 +810,128 @@ def sitemap_coverage(
         .otherwise(F.lit("orphan_page"))
         .alias("status"),
     )
+
+
+# bounded dot-segment normalization passes (RFC 3986 §5.2.4 as a
+# FIXED number of regex sweeps — deterministic and cross-engine
+# identical; chains deeper than the pass budget stay un-squashed,
+# unit-pinned).  One site: the oracle regenerates from these.
+RESOLVE_DOT_PASSES = 2
+RESOLVE_DOTDOT_PASSES = 4
+_DOT_RE = "/\\./"
+_DOTDOT_RE = "/[^/]+/\\.\\./"
+_UNDERFLOW_RE = "^/\\.\\./"
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve an href against its page url (RFC 3986 §5 reference
+    resolution, the crawl-frontier step between `html.links` and
+    `canonicalize_url`): absolute hrefs pass through; protocol-
+    relative take the base scheme; rooted replace the path; query-
+    only keep the base path; fragment-only resolve to the base
+    itself (fragments are client-side); plain/dotted relatives merge
+    against the base directory with bounded dot-segment removal
+    (leading ``../`` underflow clamps at the root, the browser
+    behavior).  The FRAGMENT is dropped from every result — a crawl
+    frontier never refetches by fragment.
+
+    NULL base or NULL/empty href resolve to NULL (no evidence).
+    Pure narrow expression — no UDF, no shuffle; malformed bases
+    (no scheme://host) yield NULL via the same guard.
+    """
+    b = F.coalesce(base.cast("string"), F.lit(""))
+    h = F.coalesce(href.cast("string"), F.lit(""))
+    origin = F.regexp_extract(
+        b, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
+    )
+    scheme = F.regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    bpath = F.regexp_replace(
+        F.regexp_extract(b, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        "^$",
+        "/",
+    )
+    bdir = F.regexp_replace(bpath, "[^/]*$", "")
+    bdir = F.when(bdir == "", F.lit("/")).otherwise(bdir)
+    base_no_frag = F.regexp_replace(b, "#.*", "")
+    joined = (
+        F.when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("#"), base_no_frag)
+        .when(h.startswith("?"), F.concat(origin, bpath, h))
+        .otherwise(F.concat(origin, bdir, h))
+    )
+    u = F.regexp_replace(joined, "#.*", "")
+    res_origin = F.regexp_extract(
+        u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
+    )
+    rest = F.substr(u, F.length(res_origin) + 1)
+    for _ in range(RESOLVE_DOT_PASSES):
+        rest = F.regexp_replace(rest, _DOT_RE, "/")
+    for _ in range(RESOLVE_DOTDOT_PASSES):
+        rest = F.regexp_replace(rest, _DOTDOT_RE, "/")
+    for _ in range(2):
+        rest = F.regexp_replace(rest, _UNDERFLOW_RE, "/")
+    out = F.concat(res_origin, rest)
+    valid = (origin != "") & (h != "")
+    return F.when(valid & (res_origin != ""), out)
+
+
+def cdx_records(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """CDX-style capture index over (url, fetch_ts, digest) rows —
+    the web-archive lookup table (SURT-keyed capture summaries; the
+    pyWB/OpenWayback index shape, public knowledge) that pairs with
+    `warc_records`: WARC stores the records, CDX finds them.
+
+    SURT key = reversed lowered host labels comma-joined + ')' +
+    the url's path?query (fragment stripped, bare path -> '/', kept
+    case-sensitive) — e.g. ``https://www.Ex.org/a?q=1`` ->
+    ``org,ex)/a?q=1`` (www stripped by the shared host_of).  Rows
+    with no parseable host carry no archive key and are dropped.
+
+    Per key: capture count, distinct-digest version count,
+    first/latest fetch_ts (STRINGS — CDX timestamps are sortable
+    14-digit text; the pub_date rule), and the digest of the latest
+    capture (ties at the latest timestamp break by max digest — the
+    max(struct) ordering, deterministic).
+
+    100 TB shape: narrow key construction + ONE map-side-partial
+    exchange keyed by surt_key; hot keys are bounded by per-url
+    recrawl counts.
+    """
+    host = host_of(F.col(url_col))
+    rest = F.regexp_replace(
+        F.regexp_extract(
+            F.col(url_col),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$",
+            1,
+        ),
+        "#.*",
+        "",
+    )
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.lit(")"),
+        rest,
+    )
+    ts = F.col(ts_col).cast("string")
+    dg = F.col(digest_col).cast("string")
+    staged = df.filter(host.isNotNull()).select(
+        surt.alias("surt_key"), ts.alias("_cx_ts"), dg.alias("_cx_d")
+    )
+    agg = staged.groupBy("surt_key").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.count_distinct(F.col("_cx_d")).alias("n_versions"),
+        F.min("_cx_ts").alias("first_ts"),
+        F.max("_cx_ts").alias("latest_ts"),
+        F.max(F.struct(F.col("_cx_ts"), F.col("_cx_d")))
+        .getField("_cx_d")
+        .alias("latest_digest"),
+    )
+    return agg

@@ -3067,6 +3067,126 @@ def q_events_ab_lift(spark, sf):
     return temporal.ab_lift(kept)
 
 
+def q_html_link_resolve(spark, sf):
+    """RFC 3986 reference resolution over %8 href arms against a
+    query+fragment base: absolute (foreign fragment dropped),
+    protocol-relative, rooted, query-only, fragment-only (resolves
+    to the base minus its fragment), plain relative, one-level ../,
+    and a 3-deep ../ underflow that must clamp at the root — every
+    branch of the resolver fires at sf0.01.  Oracle = the same CASE
+    + bounded dot-segment passes regenerated from the engine's
+    pass-count constants."""
+    from .operators.urls import resolve_href
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://www.Ex"),
+        (did % 5).cast("string"),
+        F.lit(".org/dir/sub/page.html?q=1#frag"),
+    )
+    m8 = did % 8
+    href = (
+        F.when(m8 == 0, F.lit("https://abs.example/x?y=2#z"))
+        .when(m8 == 1, F.lit("//cdn.example/lib.js"))
+        .when(
+            m8 == 2,
+            F.concat(F.lit("/rooted/r"), (did % 9).cast("string")),
+        )
+        .when(
+            m8 == 3,
+            F.concat(F.lit("?only="), (did % 4).cast("string")),
+        )
+        .when(m8 == 4, F.lit("#frag2"))
+        .when(
+            m8 == 5,
+            F.concat(F.lit("rel/p"), (did % 6).cast("string")),
+        )
+        .when(m8 == 6, F.lit("../up.html"))
+        .otherwise(F.lit("../../../deep.html"))
+    )
+    return d.select(
+        "doc_id",
+        resolve_href(base, href).alias("resolved"),
+    )
+
+
+def q_media_srt_cues(spark, sf):
+    """SRT/VTT cue parsing over %4 synthesized subtitle files: comma
+    vs dot millisecond separators, a CRLF arm, a malformed
+    timing-less block that must keep its row as is_valid=false, and
+    trailing blank-line runs that must not mint phantom cues;
+    multi-line cue text joins with single spaces.  All timestamps
+    resolve to integer milliseconds — no duration float exists.
+    Oracle = the same block split + per-group timing extraction."""
+    from .operators.multimodal import srt_cues
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    mm = F.lpad((did % 9).cast("string"), 2, "0")
+    mm2 = F.lpad(((did % 9) + 1).cast("string"), 2, "0")
+    ss = F.lpad((did % 50).cast("string"), 2, "0")
+    ms = F.lpad((did % 999).cast("string"), 3, "0")
+    sep = F.when(did % 4 == 1, F.lit(".")).otherwise(F.lit(","))
+    t1 = F.concat(F.lit("00:"), mm, F.lit(":"), ss, sep, ms)
+    t2 = F.concat(
+        F.lit("00:"), mm2, F.lit(":"), ss, sep, F.lit("250")
+    )
+    cue1 = F.concat(
+        F.lit("1\n"), t1, F.lit(" --> "), t2,
+        F.lit("\nline one "), (did % 7).cast("string"),
+        F.lit("\nline two"),
+    )
+    cue2 = F.concat(
+        F.lit("2\n00:10:00,000 --> 00:10:02,500\nsecond cue "),
+        (did % 5).cast("string"),
+    )
+    bad = F.when(
+        did % 4 == 2, F.lit("not a cue block\n\n")
+    ).otherwise(F.lit(""))
+    tail = F.when(did % 4 == 3, F.lit("\n\n\n")).otherwise(F.lit(""))
+    srt = F.concat(cue1, F.lit("\n\n"), bad, cue2, tail)
+    srt = F.when(
+        did % 4 == 1, F.replace(srt, F.lit("\n"), F.lit("\r\n"))
+    ).otherwise(srt)
+    return srt_cues(d.select("doc_id", srt.alias("srt")))
+
+
+def q_corpus_cdx_records(spark, sf):
+    """CDX capture index over synthesized recrawl captures: %40 url
+    collisions make multi-capture keys, a %3-derived digest gives
+    multiple versions per key, ties at the latest 14-digit timestamp
+    break by max digest (exercised: same-ts captures share ts but
+    differ in digest when doc_id%2 flips), and a %13 junk-url arm
+    must drop (no host, no archive key).  Oracle = the same SURT
+    arithmetic + group aggregation with the ts=max digest rule."""
+    from .operators.urls import cdx_records
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.when(did % 13 == 0, F.lit("junk url")).otherwise(
+        F.concat(
+            F.lit("https://www.Ex"),
+            (did % 5).cast("string"),
+            F.lit(".org/p/"),
+            (did % 40).cast("string"),
+            F.lit("?v=1#frag"),
+        )
+    )
+    ts = F.concat(
+        F.lit("2024011"),
+        ((did % 9) + 1).cast("string"),
+        F.lit("120000"),
+    )
+    digest = F.md5((did % 3).cast("string"))
+    return cdx_records(
+        d.select(
+            url.alias("url"), ts.alias("fetch_ts"),
+            digest.alias("digest"),
+        )
+    )
+
+
 def q_corpus_drift(spark, sf):
     """Snapshot-drift report: ref = the ws-noise corpus, new = the same
     corpus with every 5th doc dropped (scraper-loss signal) and a spam
@@ -5665,6 +5785,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_degree_stats": q_graph_degree_stats,
     "text_vocab_coverage": q_text_vocab_coverage,
     "events_ab_lift": q_events_ab_lift,
+    "html_link_resolve": q_html_link_resolve,
+    "media_srt_cues": q_media_srt_cues,
+    "corpus_cdx_records": q_corpus_cdx_records,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -11073,4 +11196,167 @@ ORACLE_SQL["events_ab_lift"] = (
     "CASE WHEN cc > 0 AND nt > 0 THEN "
     "ROUND((ct * nc) / CAST(nt * cc AS DOUBLE), 6) END AS lift "
     "FROM g"
+)
+
+
+def _link_resolve_oracle_sql() -> str:
+    """Regenerated from the resolver's pass-count constants (one
+    site): the same CASE arms, fragment strips, and bounded
+    dot-segment sweeps."""
+    from .operators.urls import (
+        RESOLVE_DOT_PASSES,
+        RESOLVE_DOTDOT_PASSES,
+    )
+
+    rest = "substr(u, length(ro) + 1)"
+    for _ in range(RESOLVE_DOT_PASSES):
+        rest = f"regexp_replace({rest}, '/\\./', '/', 'g')"
+    for _ in range(RESOLVE_DOTDOT_PASSES):
+        rest = f"regexp_replace({rest}, '/[^/]+/\\.\\./', '/', 'g')"
+    for _ in range(2):
+        rest = f"regexp_replace({rest}, '^/\\.\\./', '/', 'g')"
+    return (
+        "WITH f AS (SELECT doc_id, "
+        "  'https://www.Ex' || CAST(doc_id % 5 AS VARCHAR) || "
+        "  '.org/dir/sub/page.html?q=1#frag' AS b, "
+        "  CASE doc_id % 8 "
+        "  WHEN 0 THEN 'https://abs.example/x?y=2#z' "
+        "  WHEN 1 THEN '//cdn.example/lib.js' "
+        "  WHEN 2 THEN '/rooted/r' || CAST(doc_id % 9 AS VARCHAR) "
+        "  WHEN 3 THEN '?only=' || CAST(doc_id % 4 AS VARCHAR) "
+        "  WHEN 4 THEN '#frag2' "
+        "  WHEN 5 THEN 'rel/p' || CAST(doc_id % 6 AS VARCHAR) "
+        "  WHEN 6 THEN '../up.html' "
+        "  ELSE '../../../deep.html' END AS h FROM documents), "
+        "p AS (SELECT doc_id, h, "
+        "  regexp_extract(b, "
+        "    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS origin, "
+        "  regexp_extract(b, '^([A-Za-z][A-Za-z0-9+.-]*):', 1) "
+        "    AS scheme, "
+        "  regexp_replace(regexp_extract(b, "
+        "    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), "
+        "    '^$', '/') AS bpath, "
+        "  regexp_replace(b, '#.*', '') AS bnf FROM f), "
+        "p2 AS (SELECT *, CASE WHEN "
+        "  regexp_replace(bpath, '[^/]*$', '') = '' THEN '/' "
+        "  ELSE regexp_replace(bpath, '[^/]*$', '') END AS bdir "
+        "  FROM p), "
+        "j AS (SELECT doc_id, h, origin, "
+        "  CASE WHEN regexp_matches(h, "
+        "    '^[A-Za-z][A-Za-z0-9+.-]*://') THEN h "
+        "  WHEN h LIKE '//%' THEN scheme || ':' || h "
+        "  WHEN h LIKE '/%' THEN origin || h "
+        "  WHEN h LIKE '#%' THEN bnf "
+        "  WHEN h LIKE '?%' THEN origin || bpath || h "
+        "  ELSE origin || bdir || h END AS j0 FROM p2), "
+        "u0 AS (SELECT doc_id, h, origin, "
+        "  regexp_replace(j0, '#.*', '') AS u FROM j), "
+        "r AS (SELECT doc_id, h, origin, u, regexp_extract(u, "
+        "  '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS ro "
+        "  FROM u0) "
+        "SELECT doc_id, CASE WHEN origin <> '' AND h <> '' "
+        f"  AND ro <> '' THEN ro || {rest} END AS resolved FROM r"
+    )
+
+
+ORACLE_SQL["html_link_resolve"] = _link_resolve_oracle_sql()
+
+# media_srt_cues: the same %4 fixture (control bytes as chr()), blank-
+# line block split after CR strip, per-group timing extraction with
+# pure-integer millisecond arithmetic, ws-collapsed cue text, the
+# whitespace-only block filter, and ROW_NUMBER source order.
+_SRT_TIME_RE_SQL = (
+    "([0-9]{2}):([0-9]{2}):([0-9]{2})[,.]([0-9]{3})"
+    " *--> *"
+    "([0-9]{2}):([0-9]{2}):([0-9]{2})[,.]([0-9]{3})"
+)
+ORACLE_SQL["media_srt_cues"] = (
+    "WITH parts AS (SELECT doc_id, "
+    "  lpad(CAST(doc_id % 9 AS VARCHAR), 2, '0') AS mm, "
+    "  lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0') AS mm2, "
+    "  lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0') AS ss, "
+    "  lpad(CAST(doc_id % 999 AS VARCHAR), 3, '0') AS ms, "
+    "  CASE WHEN doc_id % 4 = 1 THEN '.' ELSE ',' END AS sep "
+    "  FROM documents), "
+    "built AS (SELECT doc_id, "
+    "  '1' || chr(10) || '00:' || mm || ':' || ss || sep || ms || "
+    "  ' --> ' || '00:' || mm2 || ':' || ss || sep || '250' || "
+    "  chr(10) || 'line one ' || CAST(doc_id % 7 AS VARCHAR) || "
+    "  chr(10) || 'line two' || chr(10) || chr(10) || "
+    "  CASE WHEN doc_id % 4 = 2 THEN 'not a cue block' || chr(10) "
+    "    || chr(10) ELSE '' END || "
+    "  '2' || chr(10) || '00:10:00,000 --> 00:10:02,500' || "
+    "  chr(10) || 'second cue ' || CAST(doc_id % 5 AS VARCHAR) || "
+    "  CASE WHEN doc_id % 4 = 3 THEN chr(10) || chr(10) || chr(10) "
+    "    ELSE '' END AS s0 FROM parts), "
+    "crlf AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN "
+    "  replace(s0, chr(10), chr(13) || chr(10)) ELSE s0 END AS srt "
+    "  FROM built), "
+    "sp AS (SELECT doc_id, string_split_regex("
+    "  replace(srt, chr(13), ''), '\\n[ \\t]*\\n+') AS arr "
+    "  FROM crlf), "
+    "bl AS (SELECT doc_id, i AS bno, arr[i] AS b "
+    "  FROM sp, UNNEST(generate_series(1, len(arr))) AS g(i) "
+    "  WHERE regexp_replace(arr[i], '[ \\t\\n]+', '', 'g') <> ''), "
+    "ex AS (SELECT doc_id, bno, b, "
+    f"  regexp_extract(b, '{_SRT_TIME_RE_SQL}', 1) AS g1, "
+    f"  regexp_extract(b, '{_SRT_TIME_RE_SQL}', 2) AS g2, "
+    f"  regexp_extract(b, '{_SRT_TIME_RE_SQL}', 3) AS g3, "
+    f"  regexp_extract(b, '{_SRT_TIME_RE_SQL}', 4) AS g4, "
+    f"  regexp_extract(b, '{_SRT_TIME_RE_SQL}', 5) AS g5, "
+    f"  regexp_extract(b, '{_SRT_TIME_RE_SQL}', 6) AS g6, "
+    f"  regexp_extract(b, '{_SRT_TIME_RE_SQL}', 7) AS g7, "
+    f"  regexp_extract(b, '{_SRT_TIME_RE_SQL}', 8) AS g8, "
+    "  regexp_extract(b, '^[ \\t]*([0-9]+)[ \\t]*\\n', 1) AS ix, "
+    "  trim(regexp_replace(regexp_extract(b, "
+    "    '(?s)--> *[^\\n]*\\n(.*)$', 1), "
+    "    '[ \\t]*\\n[ \\t]*', ' ', 'g')) AS ct FROM bl), "
+    "v AS (SELECT doc_id, bno, g1 <> '' AS ok, ix, ct, "
+    "  CASE WHEN g1 <> '' THEN CAST(g1 AS BIGINT) * 3600000 + "
+    "    CAST(g2 AS BIGINT) * 60000 + CAST(g3 AS BIGINT) * 1000 + "
+    "    CAST(g4 AS BIGINT) END AS sms, "
+    "  CASE WHEN g1 <> '' THEN CAST(g5 AS BIGINT) * 3600000 + "
+    "    CAST(g6 AS BIGINT) * 60000 + CAST(g7 AS BIGINT) * 1000 + "
+    "    CAST(g8 AS BIGINT) END AS ems FROM ex) "
+    "SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "  ORDER BY bno) AS BIGINT) AS cue_no, "
+    "CASE WHEN ix <> '' THEN CAST(ix AS BIGINT) END AS declared_idx, "
+    "sms AS start_ms, ems AS end_ms, ems - sms AS dur_ms, "
+    "CASE WHEN ok THEN ct END AS text, ok AS is_valid FROM v"
+)
+
+# corpus_cdx_records: the same capture synthesis, host via the
+# generic scheme://host + lower + www-strip restatement, reversed
+# label join, fragment-stripped path?query ('' -> '/'), group agg
+# with the latest-capture digest picked among ts = MAX(ts) rows by
+# MAX(digest) (the engine's max(struct) tie rule).
+ORACLE_SQL["corpus_cdx_records"] = (
+    "WITH cap AS (SELECT CASE WHEN doc_id % 13 = 0 THEN 'junk url' "
+    "  ELSE 'https://www.Ex' || CAST(doc_id % 5 AS VARCHAR) || "
+    "  '.org/p/' || CAST(doc_id % 40 AS VARCHAR) || '?v=1#frag' END "
+    "  AS url, '2024011' || CAST(doc_id % 9 + 1 AS VARCHAR) || "
+    "  '120000' AS ts, md5(CAST(doc_id % 3 AS VARCHAR)) AS dg "
+    "  FROM documents), "
+    "h AS (SELECT url, ts, dg, "
+    "  NULLIF(regexp_replace(lower(regexp_extract(url, "
+    "    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+    "    '^www\\.', ''), '') AS host FROM cap), "
+    "k AS (SELECT list_aggregate(list_reverse("
+    "    string_split(host, '.')), 'string_agg', ',') || ')' || "
+    "  CASE WHEN regexp_replace(regexp_extract(url, "
+    "    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1), "
+    "    '#.*', '') = '' THEN '/' "
+    "  ELSE regexp_replace(regexp_extract(url, "
+    "    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1), '#.*', '') "
+    "  END AS surt_key, ts, dg FROM h WHERE host IS NOT NULL), "
+    "g AS (SELECT surt_key, CAST(COUNT(*) AS BIGINT) AS n_captures, "
+    "  CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_versions, "
+    "  MIN(ts) AS first_ts, MAX(ts) AS latest_ts FROM k "
+    "  GROUP BY surt_key), "
+    "ld AS (SELECT k.surt_key, MAX(k.dg) AS latest_digest "
+    "  FROM k JOIN g ON k.surt_key = g.surt_key "
+    "  AND k.ts = g.latest_ts GROUP BY k.surt_key) "
+    "SELECT g.surt_key, n_captures, n_versions, first_ts, "
+    "latest_ts, latest_digest FROM g JOIN ld "
+    "ON g.surt_key = ld.surt_key"
 )

@@ -4193,3 +4193,104 @@ def test_ab_lift_semantics(spark):
         "user_id long, event_type string",
     )
     assert ab_lift(df2).collect()[0]["lift"] is None
+
+
+def test_resolve_href_cases(spark):
+    """Every RFC 3986 resolution branch plus the bounded-underflow
+    clamp and the NULL guards."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        resolve_href,
+    )
+
+    base = "https://www.Ex.org/dir/sub/page.html?q=1#frag"
+    cases = [
+        ("https://abs.example/x?y=2#z", "https://abs.example/x?y=2"),
+        ("//cdn.example/lib.js", "https://cdn.example/lib.js"),
+        ("/rooted/r", "https://www.Ex.org/rooted/r"),
+        ("?only=2", "https://www.Ex.org/dir/sub/page.html?only=2"),
+        ("#frag2", "https://www.Ex.org/dir/sub/page.html?q=1"),
+        ("rel/p", "https://www.Ex.org/dir/sub/rel/p"),
+        ("./here.html", "https://www.Ex.org/dir/sub/here.html"),
+        ("../up.html", "https://www.Ex.org/dir/up.html"),
+        ("../../../deep.html", "https://www.Ex.org/deep.html"),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, base, h) for i, (h, _) in enumerate(cases)],
+        "i long, base string, href string",
+    )
+    got = {
+        r["i"]: r["res"]
+        for r in df.select(
+            "i", resolve_href(F.col("base"), F.col("href")).alias("res")
+        ).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+    # malformed base -> NULL
+    df2 = spark.createDataFrame(
+        [("not a url", "x/y")], "base string, href string"
+    )
+    assert (
+        df2.select(
+            resolve_href(F.col("base"), F.col("href")).alias("r")
+        ).collect()[0]["r"]
+        is None
+    )
+
+
+def test_srt_cues_semantics(spark):
+    """Comma and dot millis both parse to integer ms; a timing-less
+    block keeps an invalid row; multi-line text joins with spaces;
+    trailing blank runs mint no cues; NULL srt emits nothing."""
+    from annual_report_pdf_parsers_spark.operators.multimodal import (
+        srt_cues,
+    )
+
+    srt = (
+        "1\n00:00:01,500 --> 00:00:03.250\nline one\n  line two\n\n"
+        "garbage block\n\n"
+        "2\n01:02:03,004 --> 01:02:04,000\nsolo\n\n\n"
+    )
+    df = spark.createDataFrame(
+        [(1, srt), (2, None)], "doc_id long, srt string"
+    )
+    out = {
+        (r["doc_id"], r["cue_no"]): r for r in srt_cues(df).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (1, 3)}
+    c1 = out[(1, 1)]
+    assert c1["start_ms"] == 1500 and c1["end_ms"] == 3250
+    assert c1["text"] == "line one line two"
+    assert c1["declared_idx"] == 1 and c1["is_valid"]
+    bad = out[(1, 2)]
+    assert not bad["is_valid"] and bad["start_ms"] is None
+    c2 = out[(1, 3)]
+    assert c2["start_ms"] == 3723004 and c2["dur_ms"] == 996
+
+
+def test_cdx_records_semantics(spark):
+    """SURT keys reverse host labels and strip www/fragment; the
+    latest-capture digest ties break by max digest; junk urls drop."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        cdx_records,
+    )
+
+    rows = [
+        ("https://www.Ex.org/a?q=1#f", "20240101", "d1"),
+        ("https://ex.org/a?q=1", "20240102", "d2"),
+        ("https://ex.org/a?q=1", "20240102", "d0"),  # tie at latest
+        ("https://sub.ex.org/", "20240103", "d3"),
+        ("junk", "20240104", "d4"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts string, digest string"
+    )
+    out = {r["surt_key"]: r for r in cdx_records(df).collect()}
+    a = out["org,ex)/a?q=1"]
+    assert a["n_captures"] == 3 and a["n_versions"] == 3
+    assert a["first_ts"] == "20240101" and a["latest_ts"] == "20240102"
+    assert a["latest_digest"] == "d2"  # max digest among the tie
+    assert "org,ex,sub)/" in out
+    assert len(out) == 2

@@ -1367,3 +1367,34 @@ def test_events_ab_lift_plan(spark):
     plan = _qplan(spark, "events_ab_lift")
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_html_link_resolve_plan(spark):
+    """html_link_resolve: zero-exchange narrow expression tree — no
+    join, no Generate, no Python."""
+    plan = _qplan(spark, "html_link_resolve")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_media_srt_cues_plan(spark):
+    """media_srt_cues: narrow chain with ONE Generate (block
+    posexplode) + ONE doc-keyed exchange (the cue_no window); no
+    join, no Python."""
+    plan = _qplan(spark, "media_srt_cues")
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_corpus_cdx_records_plan(spark):
+    """corpus_cdx_records: narrow SURT key construction + the
+    standard two-level distinct-aggregate shape (partial on
+    (surt, digest), final on surt) = 2 exchanges; no join, no
+    Python."""
+    plan = _qplan(spark, "corpus_cdx_records")
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
