@@ -213,6 +213,9 @@ HEADLINE = [
     "graph_degree_stats",
     "text_vocab_coverage",
     "events_ab_lift",
+    "html_link_resolve",
+    "media_srt_cues",
+    "corpus_cdx_records",
 ]
 
 
