@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup, similarity, temporal, text
 from .operators import scrub as _scrub
+from .operators import sketch as _sketch
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -3187,6 +3188,39 @@ def q_corpus_cdx_records(spark, sf):
     )
 
 
+def q_corpus_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count audit per group: per-lang small
+    groups over a 77-value vocabulary (the linear-counting correction
+    branch fires) plus an injected high-cardinality 'big' group (5
+    unique values per doc -> ~2500 distinct, raw-estimator branch)
+    and a NULL value on every 11th small row (carries no identity,
+    dropped before hashing but n_rows counts only non-null).  Oracle =
+    the identical md5 register/rank arithmetic with the harmonic sum
+    carried as an exact DECIMAL(38,0) integer."""
+    from .operators.sketch import hll_distinct
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    small = d.select(
+        F.coalesce(F.col("lang"), F.lit("unk")).alias("grp"),
+        F.when(did % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("v"), (did % 77).cast("string")))
+        .alias("v"),
+    )
+    big = d.select(
+        F.lit("big").alias("grp"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit("u"), (did * 5 + i).cast("string"))
+                    for i in range(5)
+                ]
+            )
+        ).alias("v"),
+    )
+    return hll_distinct(small.unionByName(big), "v", "grp")
+
+
 def q_corpus_drift(spark, sf):
     """Snapshot-drift report: ref = the ws-noise corpus, new = the same
     corpus with every 5th doc dropped (scraper-loss signal) and a spam
@@ -5788,6 +5822,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_link_resolve": q_html_link_resolve,
     "media_srt_cues": q_media_srt_cues,
     "corpus_cdx_records": q_corpus_cdx_records,
+    # corpus_hll_distinct is BORN below-window (late-r05 sketch axis);
+    # full value-hash oracle in the local gate every session; joins the
+    # r06 window queue.
+    "corpus_hll_distinct": q_corpus_hll_distinct,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -11359,4 +11397,54 @@ ORACLE_SQL["corpus_cdx_records"] = (
     "SELECT g.surt_key, n_captures, n_versions, first_ts, "
     "latest_ts, latest_digest FROM g JOIN ld "
     "ON g.surt_key = ld.surt_key"
+)
+
+# corpus_hll_distinct: the same fixture synthesis, then the HLL
+# register arithmetic REGENERATED from operators/sketch.py's constants
+# (register = first 2 md5 hex digits, rank = leading-zero bits of the
+# next 64 bits + 1 via a zero-run length + first-nonzero-hex CASE, the
+# harmonic sum as an exact DECIMAL(38,0) integer, alpha*m^2*2^65 as
+# the ONE Python-repr literal, linear counting below 2.5m).
+_HLL_ZR = "length(regexp_extract(substr(hx, 3, 16), '^(0*)', 1))"
+ORACLE_SQL["corpus_hll_distinct"] = (
+    "WITH vals AS ("
+    "  SELECT coalesce(lang, 'unk') AS grp, CASE WHEN doc_id % 11 = 0 "
+    "    THEN NULL ELSE 'v' || CAST(doc_id % 77 AS VARCHAR) END AS v "
+    "  FROM documents "
+    "  UNION ALL "
+    "  SELECT 'big', 'u' || CAST(doc_id * 5 + i AS VARCHAR) "
+    "  FROM documents, UNNEST(generate_series(0, 4)) AS g(i)), "
+    "h AS (SELECT grp, v, md5(v) AS hx FROM vals WHERE v IS NOT NULL), "
+    f"rk AS (SELECT grp, substr(hx, 1, 2) AS reg, {_HLL_ZR} AS zr, "
+    f"  substr(hx, 3 + {_HLL_ZR}, 1) AS fc FROM h), "
+    "rnk AS (SELECT grp, reg, CASE WHEN zr = 16 THEN 65 "
+    "  ELSE zr * 4 + (CASE WHEN fc = '1' THEN 3 "
+    "    WHEN fc IN ('2', '3') THEN 2 "
+    "    WHEN fc IN ('4', '5', '6', '7') THEN 1 ELSE 0 END) + 1 END "
+    "  AS rank FROM rk), "
+    "regs AS (SELECT grp, reg, MAX(rank) AS mrank FROM rnk "
+    "  GROUP BY grp, reg), "
+    "sk AS (SELECT grp, CAST(COUNT(*) AS INT) AS used_registers, "
+    "  SUM(CAST(power(2, 65 - mrank) AS DECIMAL(38,0))) AS zu "
+    "  FROM regs GROUP BY grp), "
+    "sk2 AS (SELECT grp, used_registers, "
+    f"  round({_sketch.EST_NUMERATOR} / CAST(zu + "
+    f"    ({_sketch.M_REGISTERS} - used_registers) * "
+    "    CAST(power(2, 65) AS DECIMAL(38,0)) AS DOUBLE), 4) "
+    "  AS raw_estimate FROM sk), "
+    "sk3 AS (SELECT grp, used_registers, raw_estimate, "
+    f"  CASE WHEN raw_estimate <= {_sketch.LC_THRESHOLD!r} "
+    f"    AND used_registers < {_sketch.M_REGISTERS} "
+    f"  THEN round({float(_sketch.M_REGISTERS)!r} * "
+    f"    ln({float(_sketch.M_REGISTERS)!r} / "
+    f"    CAST({_sketch.M_REGISTERS} - used_registers AS DOUBLE)), 4) "
+    "  ELSE raw_estimate END AS hll_estimate FROM sk2), "
+    "cnt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "  CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_distinct FROM h "
+    "  GROUP BY grp) "
+    "SELECT sk3.grp, n_rows, used_registers, raw_estimate, "
+    "hll_estimate, exact_distinct, "
+    "round(abs(hll_estimate - CAST(exact_distinct AS DOUBLE)) / "
+    "  CAST(exact_distinct AS DOUBLE), 6) AS rel_err "
+    "FROM sk3 JOIN cnt ON sk3.grp = cnt.grp"
 )

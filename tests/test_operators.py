@@ -4294,3 +4294,92 @@ def test_cdx_records_semantics(spark):
     assert a["latest_digest"] == "d2"  # max digest among the tie
     assert "org,ex,sub)/" in out
     assert len(out) == 2
+
+
+def test_hll_distinct_semantics(spark):
+    """HLL sketch vs a from-scratch Python model: register/rank/harmonic
+    arithmetic is bit-identical on both estimator branches (linear
+    counting for the 40-value group, raw HLL for the 3000-value group),
+    NULL values carry no identity, and the audit columns carry the
+    exact distinct count."""
+    import hashlib
+    import math
+
+    from annual_report_pdf_parsers_spark.operators.sketch import (
+        EST_NUMERATOR,
+        LC_THRESHOLD,
+        M_REGISTERS,
+        hll_distinct,
+    )
+
+    def model(values):
+        regs = {}
+        vals = [v for v in values if v is not None]
+        for v in vals:
+            hx = hashlib.md5(str(v).encode()).hexdigest()
+            reg, body = hx[:2], hx[2:18]
+            bits = bin(int(body, 16))[2:].zfill(64)
+            lz = 64 - len(bits.lstrip("0"))
+            regs[reg] = max(regs.get(reg, 0), lz + 1)
+        used = len(regs)
+        z = sum(2 ** (65 - r) for r in regs.values()) + (
+            M_REGISTERS - used
+        ) * 2**65
+        raw = round(float(EST_NUMERATOR) / float(z), 4)
+        zeros = M_REGISTERS - used
+        if raw <= LC_THRESHOLD and zeros > 0:
+            est = round(
+                float(M_REGISTERS)
+                * math.log(float(M_REGISTERS) / float(zeros)),
+                4,
+            )
+        else:
+            est = raw
+        return used, raw, est, len(set(vals))
+
+    small = [f"v{i % 40}" for i in range(300)]
+    big = [f"u{i}" for i in range(3000)]
+    rows = (
+        [("small", v) for v in small]
+        + [("big", v) for v in big]
+        + [("small", None)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {r["grp"]: r for r in hll_distinct(df, "v", "grp").collect()}
+    for g, vals in [("small", small), ("big", big)]:
+        used, raw, est, exact = model(vals)
+        r = out[g]
+        assert (
+            r["used_registers"],
+            r["raw_estimate"],
+            r["hll_estimate"],
+            r["exact_distinct"],
+        ) == (used, raw, est, exact), g
+    # the NULL row is dropped before hashing AND before n_rows
+    assert out["small"]["n_rows"] == 300
+    # the sketch is actually a useful estimator at both scales
+    assert out["small"]["rel_err"] < 0.25
+    assert out["big"]["rel_err"] < 0.15
+    # pure-sketch production form drops the exact-distinct audit
+    cols = hll_distinct(df, "v", "grp", include_exact=False).columns
+    assert "exact_distinct" not in cols and "rel_err" not in cols
+
+
+def test_hll_distinct_global_and_guards(spark):
+    """group_col=None sketches the whole column under scope='all';
+    value/group name collision raises."""
+    import pytest as _pytest
+
+    from annual_report_pdf_parsers_spark.operators.sketch import (
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(f"v{i % 7}",) for i in range(50)], "v string"
+    )
+    out = hll_distinct(df, "v").collect()
+    assert len(out) == 1 and out[0]["scope"] == "all"
+    assert out[0]["exact_distinct"] == 7
+    assert abs(out[0]["hll_estimate"] - 7) < 3
+    with _pytest.raises(ValueError):
+        hll_distinct(df.withColumn("g", F.col("v")), "v", "v")

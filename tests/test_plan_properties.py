@@ -1398,3 +1398,18 @@ def test_corpus_cdx_records_plan(spark):
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_hll_distinct_plan(spark):
+    """corpus_hll_distinct: register path = map-side-partial max over
+    (grp, reg) then the per-group fold (2 exchanges), audit path = the
+    mixed count/count-distinct Expand aggregate (2 exchanges), joined
+    with a SHUFFLED hash join (the per-group tables scale with group
+    cardinality — a host-keyed sketch must not broadcast them); no
+    cartesian, no Python."""
+    plan = _qplan(spark, "corpus_hll_distinct")
+    assert plan.count("Exchange") == 4, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan, plan

@@ -2118,3 +2118,90 @@ def test_fix_mojibake_matches_python_model(spark, docs):
     }
     for i, t in enumerate(docs):
         assert got[i] == model(t), f"doc {i}: {t!r}"
+
+
+# ---------------------------------------------------------------------------
+# sketch.hll_distinct vs a from-scratch Python HLL model
+# ---------------------------------------------------------------------------
+
+_hll_value = st.one_of(
+    st.none(),
+    st.text(
+        alphabet="abβ☃01 |:'\"\\\n", min_size=0, max_size=6
+    ),
+    st.integers(min_value=-5, max_value=10_000),
+)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), _hll_value),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_hll_distinct_matches_python_model(spark, rows):
+    """Register index, rank, harmonic DECIMAL sum, raw estimate, and
+    the linear-counting branch all reproduce a hashlib+math model
+    exactly (round-4) on adversarial values: unicode, quotes,
+    backslashes, newlines, NULLs, negative ints (cast to string the
+    way the engine casts)."""
+    import hashlib
+    import math
+
+    from annual_report_pdf_parsers_spark.operators.sketch import (
+        EST_NUMERATOR,
+        LC_THRESHOLD,
+        M_REGISTERS,
+        hll_distinct,
+    )
+
+    def model(values):
+        regs = {}
+        vals = [str(v) for v in values if v is not None]
+        for v in vals:
+            hx = hashlib.md5(v.encode()).hexdigest()
+            reg, body = hx[:2], hx[2:18]
+            bits = bin(int(body, 16))[2:].zfill(64)
+            lz = 64 - len(bits.lstrip("0"))
+            regs[reg] = max(regs.get(reg, 0), lz + 1)
+        used = len(regs)
+        z = sum(2 ** (65 - r) for r in regs.values()) + (
+            M_REGISTERS - used
+        ) * 2**65
+        raw = round(float(EST_NUMERATOR) / float(z), 4)
+        zeros = M_REGISTERS - used
+        if raw <= LC_THRESHOLD and zeros > 0:
+            est = round(
+                float(M_REGISTERS)
+                * math.log(float(M_REGISTERS) / float(zeros)),
+                4,
+            )
+        else:
+            est = raw
+        return used, raw, est, len(set(vals)), len(vals)
+
+    df = spark.createDataFrame(
+        [(g, str(v) if v is not None else None) for g, v in rows],
+        "grp string, v string",
+    )
+    got = {
+        r["grp"]: r for r in hll_distinct(df, "v", "grp").collect()
+    }
+    by_group: dict[str, list] = {}
+    for g, v in rows:
+        by_group.setdefault(g, []).append(v)
+    for g, vals in by_group.items():
+        used, raw, est, exact, n = model(vals)
+        if n == 0:
+            assert g not in got  # only-NULL group disappears
+            continue
+        r = got[g]
+        assert (
+            r["used_registers"],
+            r["raw_estimate"],
+            r["hll_estimate"],
+            r["exact_distinct"],
+            r["n_rows"],
+        ) == (used, raw, est, exact, n), g
