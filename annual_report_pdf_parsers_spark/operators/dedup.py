@@ -195,19 +195,12 @@ def minhash_signature(sh: Column, n_hashes: int = 8):
     )
 
 
-def band_rows(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = 8,
-    band_size: int = 2,
-    k: int = 3,
-) -> DataFrame:
-    """(sid, band_no, band_val) MinHash-LSH band rows — the candidate-key
-    expansion shared by within-corpus pairing (minhash_lsh_pairs) and
-    cross-corpus incremental dedup (incremental_lsh_flags)."""
+def _sig_bands(n_hashes: int, band_size: int):
+    """Band structs over an existing ``sig`` column — ONE site for the
+    band value format (band_rows and the Jaccard-estimate audit both
+    explode it; the DuckDB _MH_PAIRS fragment mirrors it)."""
     n_bands = n_hashes // band_size
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_no"),
@@ -222,23 +215,52 @@ def band_rows(
             for bi in range(n_bands)
         ]
     )
+
+
+def _explode_sig_bands(
+    docs: DataFrame, n_hashes: int, band_size: int
+) -> DataFrame:
+    """(sid, band_no, band_val) rows from a (sid, sig) table; empty-doc
+    bands (concat_ws of NULL minima = '') are dropped here."""
+    return (
+        docs.select(
+            "sid", F.explode(_sig_bands(n_hashes, band_size)).alias("b")
+        )
+        .select(
+            "sid",
+            F.col("b.band_no").alias("band_no"),
+            F.col("b.band_val").alias("band_val"),
+        )
+        .filter(F.col("band_val") != "")
+    )
+
+
+def band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(sid, band_no, band_val) MinHash-LSH band rows — the candidate-key
+    expansion shared by within-corpus pairing (minhash_lsh_pairs) and
+    cross-corpus incremental dedup (incremental_lsh_flags)."""
     # shingle array materialized as its OWN column: the 8 array_min
     # minima below each reference it — inline, Catalyst would re-tokenize
     # and re-shingle the text once per hash (measured 10x query cost)
     sig = minhash_signature(F.col("_sh"), n_hashes)
-    return (
+    # docs with no shingles produce NULL minima (array_min over an
+    # empty array); the real empty-doc gate is _explode_sig_bands'
+    # band_val != '' filter — concat_ws('') of NULLs is '' — so no
+    # size guard is needed here (F.array(...) is always length
+    # n_hashes).
+    docs = (
         with_shingles(df, text_col, k)
         .select(F.col(id_col).alias("sid"), "_sh")
         .select("sid", sig.alias("sig"))
-        # docs with no shingles produce NULL minima (array_min over an
-        # empty array); the real empty-doc gate is the band_val != ''
-        # filter below — concat_ws('') of NULLs is '' — so no size guard
-        # is needed here (F.array(...) is always length n_hashes).
-        .select("sid", F.explode(bands).alias("b"))
-        .select("sid", F.col("b.band_no").alias("band_no"),
-                F.col("b.band_val").alias("band_val"))
-        .filter(F.col("band_val") != "")
     )
+    return _explode_sig_bands(docs, n_hashes, band_size)
 
 
 def minhash_lsh_pairs(
@@ -254,18 +276,25 @@ def minhash_lsh_pairs(
     concatenation of its minhashes.  One explode + one equi-join on
     (band_no, band_val): shuffle-bounded, never all-pairs."""
     exploded = band_rows(df, text_col, id_col, n_hashes, band_size, k)
-    # self-join via ALIASED VIEWS of the SAME plan, renames applied
-    # AFTER the join: both join children are then byte-identical, so
-    # the (band_no, band_val) exchange is planned ONCE and the second
-    # side becomes a ReusedExchange — the tokenize/shingle/signature
-    # chain (the dominant cost) computes once, not once per side
-    # (measured ~2x on the r05 bench; the old pre-join renames made
-    # the subtrees differ and defeated reuse).
-    # shuffle_hash hint: the candidate-key table GROWS WITH THE CORPUS,
-    # so AQE's local broadcast of it is a small-sf artifact (and a
-    # serial driver build — measured 2.7x the query cost at sf0.1);
-    # at 100 TB a corpus-scaled broadcast is simply wrong.  Same lesson
-    # as the round-2 manifest join (NOTES.md).
+    return _pairs_from_bands(exploded)
+
+
+def _pairs_from_bands(exploded: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from a band-row table —
+    shared by minhash_lsh_pairs and the Jaccard-estimate audit.
+
+    Self-join via ALIASED VIEWS of the SAME plan, renames applied
+    AFTER the join: both join children are then byte-identical, so
+    the (band_no, band_val) exchange is planned ONCE and the second
+    side becomes a ReusedExchange — the tokenize/shingle/signature
+    chain (the dominant cost) computes once, not once per side
+    (measured ~2x on the r05 bench; the old pre-join renames made
+    the subtrees differ and defeated reuse).
+    shuffle_hash hint: the candidate-key table GROWS WITH THE CORPUS,
+    so AQE's local broadcast of it is a small-sf artifact (and a
+    serial driver build — measured 2.7x the query cost at sf0.1);
+    at 100 TB a corpus-scaled broadcast is simply wrong.  Same lesson
+    as the round-2 manifest join (NOTES.md)."""
     a, b = exploded.alias("a"), exploded.alias("b").hint("shuffle_hash")
     return (
         a.join(
@@ -343,6 +372,113 @@ def incremental_lsh_flags(
         .agg(
             F.min("_ref_id").alias("dup_of"),
             F.count_distinct(F.col("_ref_id")).alias("n_ref_matches"),
+        )
+    )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Sketch-quality audit of the MinHash dedup path: for every banded
+    LSH candidate pair, the Jaccard ESTIMATE the signature implies
+    (fraction of agreeing signature positions — the textbook MinHash
+    estimator, E[est] = J) next to the EXACT shingle-set Jaccard, plus
+    the absolute error:
+
+      (id_a, id_b, est_jaccard, exact_jaccard, abs_err)
+
+    This is how a pipeline picks ``n_hashes``/``band_size`` for a new
+    corpus: run the audit on a sample, read the error distribution,
+    then run the estimate-only dedup at scale.
+
+    100 TB shape: candidates come from the banded equi-join (never
+    all-pairs); the exact intersection is array_intersect on the two
+    DISTINCT shingle sets of just the candidate pairs — the same
+    verify-step confinement as dedup_embedding_cosine_lsh (per-doc
+    set size is bounded by document length, not corpus size).  The
+    doc-side joins are pinned shuffle_hash: the shingle-set table
+    scales with the corpus (the AQE corpus-scaled-broadcast trap).
+
+    The (sid, shingle-set, signature) table feeds THREE consumers
+    (the band explode and both pair sides), so it is MATERIALIZED
+    (``materialize=True`` localCheckpoint — the LADDER lesson:
+    a multi-consumer branch point cannot rely on ReusedExchange;
+    write-then-read at production scale) and the expensive
+    tokenize/shingle/signature chain runs exactly once.
+    """
+    from ..functions.numeric import pin
+
+    docs = (
+        with_shingles(df, text_col, k)
+        .select(
+            F.col(id_col).alias("sid"),
+            F.array_distinct(F.col("_sh")).alias("_set"),
+        )
+        .withColumn("sig", minhash_signature(F.col("_set"), n_hashes))
+    )
+    if materialize:
+        docs = docs.localCheckpoint(eager=False)
+    pairs = _pairs_from_bands(
+        _explode_sig_bands(docs, n_hashes, band_size)
+    )
+    a = docs.select(
+        F.col("sid").alias("id_a"),
+        F.col("_set").alias("_set_a"),
+        F.col("sig").alias("_sig_a"),
+    )
+    b = docs.select(
+        F.col("sid").alias("id_b"),
+        F.col("_set").alias("_set_b"),
+        F.col("sig").alias("_sig_b"),
+    )
+    j = (
+        pairs.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .withColumn(
+            "_matches",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "_sig_a", "_sig_b", lambda x, y: x == y
+                    ),
+                    lambda m: m,
+                )
+            ),
+        )
+        # staged + pinned: referenced twice below (numerator and the
+        # union-size denominator) and array_intersect per pair is the
+        # audit's dominant cost — re-inlining would double it
+        .withColumn(
+            "_inter",
+            pin(F.size(F.array_intersect("_set_a", "_set_b"))),
+        )
+    )
+    est = F.round(F.col("_matches") / F.lit(n_hashes), 6)
+    exact = F.round(
+        F.col("_inter")
+        / (
+            F.size("_set_a") + F.size("_set_b") - F.col("_inter")
+        ),
+        6,
+    )
+    return (
+        j.withColumn("est_jaccard", est)
+        .withColumn("exact_jaccard", exact)
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.round(
+                F.abs(F.col("est_jaccard") - F.col("exact_jaccard")),
+                6,
+            ).alias("abs_err"),
         )
     )
 

@@ -1169,6 +1169,17 @@ def q_dedup_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(_corpus_with_dupes(spark, sf))
 
 
+def q_dedup_jaccard_estimate(spark, sf):
+    """MinHash estimate-vs-exact Jaccard audit over the standard dupes
+    corpus: exact copies sit at est=1.0/exact=1.0 (abs_err 0), organic
+    near-dups spread across the 1/8-granular estimate lattice with
+    non-zero errors — the sketch-quality signal a pipeline reads to
+    size n_hashes.  Oracle = the shared _MH_PAIRS chain + unrolled
+    per-position signature agreement + the shingle-join exact
+    intersection."""
+    return dedup.minhash_jaccard_estimate(_corpus_with_dupes(spark, sf))
+
+
 def q_dedup_incremental(spark, sf):
     """Crawl-over-crawl incremental dedup: a NEW batch (exact copies of
     every 25th reference doc + fresh doc_id-derived documents sharing no
@@ -5826,6 +5837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # full value-hash oracle in the local gate every session; joins the
     # r06 window queue.
     "corpus_hll_distinct": q_corpus_hll_distinct,
+    "dedup_jaccard_estimate": q_dedup_jaccard_estimate,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -11447,4 +11459,37 @@ ORACLE_SQL["corpus_hll_distinct"] = (
     "round(abs(hll_estimate - CAST(exact_distinct AS DOUBLE)) / "
     "  CAST(exact_distinct AS DOUBLE), 6) AS rel_err "
     "FROM sk3 JOIN cnt ON sk3.grp = cnt.grp"
+)
+
+# dedup_jaccard_estimate: the shared _DUPES/_TOKS/_SHINGLES/_MH_PAIRS
+# chain, then per-pair signature agreement (8 unrolled h_i equality
+# terms — the SQL spelling of the engine's zip_with count) over the
+# candidate pairs, and the exact Jaccard from a shingle equi-join
+# (LEFT, coalesced to 0: a pure band-collision pair shares no
+# shingle).
+ORACLE_SQL["dedup_jaccard_estimate"] = (
+    f"WITH {_DUPES}, {_TOKS}, {_SHINGLES}, {_MH_PAIRS}, "
+    "szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh "
+    "  GROUP BY doc_id), "
+    "it AS (SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS i "
+    "  FROM pairs p JOIN sh a ON a.doc_id = p.id_a "
+    "  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle "
+    "  GROUP BY p.id_a, p.id_b), "
+    "m AS (SELECT p.id_a, p.id_b, ("
+    + " + ".join(
+        f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END"
+        for i in range(8)
+    )
+    + ") AS mt FROM pairs p "
+    "  JOIN mh ma ON ma.doc_id = p.id_a "
+    "  JOIN mh mb ON mb.doc_id = p.id_b), "
+    "r AS (SELECT m.id_a, m.id_b, "
+    "  round(CAST(mt AS DOUBLE) / 8, 6) AS est_jaccard, "
+    "  round(CAST(COALESCE(it.i, 0) AS DOUBLE) / "
+    "    (sa.sz + sb.sz - COALESCE(it.i, 0)), 6) AS exact_jaccard "
+    "  FROM m LEFT JOIN it ON it.id_a = m.id_a AND it.id_b = m.id_b "
+    "  JOIN szs sa ON sa.doc_id = m.id_a "
+    "  JOIN szs sb ON sb.doc_id = m.id_b) "
+    "SELECT id_a, id_b, est_jaccard, exact_jaccard, "
+    "round(abs(est_jaccard - exact_jaccard), 6) AS abs_err FROM r"
 )

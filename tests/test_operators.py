@@ -4383,3 +4383,56 @@ def test_hll_distinct_global_and_guards(spark):
     assert abs(out[0]["hll_estimate"] - 7) < 3
     with _pytest.raises(ValueError):
         hll_distinct(df.withColumn("g", F.col("v")), "v", "v")
+
+
+def test_minhash_jaccard_estimate_semantics(spark):
+    """Estimate-vs-exact audit vs a hashlib model: exact copies land at
+    est=1.0/exact=1.0/err=0; a near-dup pair reproduces the model's
+    signature-agreement estimate and set Jaccard exactly; a disjoint
+    doc pairs with nothing."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = t1 + " iota"  # near-dup
+    docs = [(1, t1), (2, t1), (3, t2), (4, "totally different words here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(t):
+        tk = t.split()
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    def sig(sh):
+        return [
+            min(
+                hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:8]
+                for s in sh
+            )
+            for i in range(8)
+        ]
+
+    def model(ta, tb):
+        sa, sb = shingles(ta), shingles(tb)
+        ga, gb = sig(sa), sig(sb)
+        est = round(sum(x == y for x, y in zip(ga, gb)) / 8, 6)
+        exact = round(len(sa & sb) / len(sa | sb), 6)
+        return est, exact, round(abs(est - exact), 6)
+
+    out = {
+        (r["id_a"], r["id_b"]): (
+            r["est_jaccard"],
+            r["exact_jaccard"],
+            r["abs_err"],
+        )
+        for r in minhash_jaccard_estimate(df).collect()
+    }
+    assert out[(1, 2)] == (1.0, 1.0, 0.0)
+    assert (1, 3) in out and out[(1, 3)] == model(t1, t2)
+    assert not any(4 in p for p in out)
+    # every reported pair matches the model
+    texts = dict(docs)
+    for (ia, ib), got in out.items():
+        assert got == model(texts[ia], texts[ib]), (ia, ib)

@@ -1413,3 +1413,19 @@ def test_corpus_hll_distinct_plan(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "EvalPython" not in plan, plan
+
+
+def test_dedup_jaccard_estimate_plan(spark):
+    """dedup_jaccard_estimate: the (sid, set, sig) table is
+    MATERIALIZED (LADDER rule — three consumers) so the tokenize/
+    shingle/signature chain plans ONCE as checkpoint scans; all three
+    joins are SHUFFLED hash (candidates and doc sets scale with the
+    corpus — no broadcast), no cartesian, no Python."""
+    plan = _qplan(spark, "dedup_jaccard_estimate")
+    assert plan.count("ShuffledHashJoin") == 3, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan, plan
+    # the shingle chain must NOT be re-derived per consumer: after the
+    # checkpoint there is no tokenizing split() left in the plan
+    assert "split(" not in plan, plan
