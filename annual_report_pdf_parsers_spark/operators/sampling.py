@@ -688,3 +688,100 @@ def fetch_schedule(
         .cast("long")
         .alias("window_no"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundaries: tuple[int, ...] = (16, 32, 64, 128, 256, 512),
+    batch_size: int = 8,
+    salt: str = "lb0",
+) -> DataFrame:
+    """Length-bucketed dynamic-padding batch planning — the loader-side
+    ALTERNATIVE to pack_sequences for models that pad rather than
+    concatenate (public knowledge: fairseq/tensor2tensor-style dynamic
+    batching groups similar-length examples so the pad-to-batch-max
+    waste stays small).  Documents are bucketed by exact token count
+    into the smallest boundary >= n_tokens; docs longer than the last
+    boundary land in bucket_cap = -1 (the OVERFLOW route — truncate or
+    hand to pack_sequences; they are reported, never silently dropped).
+    Within a bucket, documents take the deterministic salted-digest
+    order (the corpus-wide _salted_digest convention, id tie-break) and
+    fill batches of ``batch_size``.
+
+    Returns one row per planned batch::
+
+        (bucket_cap, batch_no, n_docs, max_tokens, sum_tokens,
+         pad_waste_frac)
+
+    pad_waste_frac = 1 - sum/(n*max) — the fraction of a dynamically
+    padded batch tensor that would be padding (0.0 for an all-empty
+    batch).  NULL text counts 0 tokens (the c4_filters convention).
+
+    100 TB shape: the token count and bucket CASE are narrow; the only
+    exchange is hash(bucket_cap) for the ordering window, and the
+    (bucket, batch) aggregation reuses that partitioning (bucket is a
+    subset of the grouping key) — ONE exchange total, pinned.  Bucket
+    count is bounded by ``boundaries``, so per-bucket sort is the
+    skew ceiling; shard the corpus first (shard, bucket) when one
+    bucket dominates.
+    """
+    from .text import token_count
+
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    bnds = sorted(set(int(b) for b in boundaries))
+    if not bnds or bnds[0] < 1:
+        raise ValueError("boundaries must be positive ints")
+    for n in ("_lb_nt", "_lb_dg", "_lb_rn", "bucket_cap", "batch_no"):
+        if n in df.columns:
+            raise ValueError(f"output/staging column {n!r} already exists")
+    nt = F.coalesce(
+        token_count(F.col(text_col)).cast("long"), F.lit(0).cast("long")
+    )
+    bucket = None
+    for b in bnds:
+        cond = F.col("_lb_nt") <= b
+        bucket = (
+            F.when(cond, F.lit(b)) if bucket is None else bucket.when(cond, F.lit(b))
+        )
+    bucket = bucket.otherwise(F.lit(-1)).cast("int")
+    w = Window.partitionBy("bucket_cap").orderBy("_lb_dg", id_col)
+    out = (
+        df.withColumn("_lb_nt", nt)
+        .withColumn("_lb_dg", _salted_digest(id_col, salt))
+        .withColumn("bucket_cap", bucket)
+        .withColumn(
+            "_lb_rn", F.row_number().over(w).cast("long")
+        )
+        .withColumn(
+            "batch_no",
+            F.expr(f"(_lb_rn - 1) DIV {int(batch_size)}").cast("long"),
+        )
+        .groupBy("bucket_cap", "batch_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("_lb_nt").alias("max_tokens"),
+            F.sum("_lb_nt").alias("sum_tokens"),
+        )
+    )
+    waste = F.when(F.col("max_tokens") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.col("sum_tokens").cast("double")
+            / (
+                F.col("n_docs").cast("double")
+                * F.col("max_tokens").cast("double")
+            ),
+            6,
+        )
+    )
+    return out.select(
+        "bucket_cap",
+        "batch_no",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        waste.alias("pad_waste_frac"),
+    )

@@ -3232,6 +3232,29 @@ def q_corpus_hll_distinct(spark, sf):
     return hll_distinct(small.unionByName(big), "v", "grp")
 
 
+def q_corpus_length_buckets(spark, sf):
+    """Dynamic-padding batch plan over controlled token counts:
+    repeat('w ', doc_id % 200) spans every bucket of (16,32,64,128)
+    INCLUDING the -1 overflow route (counts 129-199), a NULL text on
+    every 97th doc lands in the 16-bucket with 0 tokens, and batch
+    fills of 8 exercise partial final batches per bucket.  Oracle =
+    the same token count, boundary CASE, salted-digest ROW_NUMBER
+    order, integer floor-division batch assignment, and the guarded
+    waste division."""
+    from .operators.sampling import length_buckets
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    txt = F.when(did % 97 == 0, F.lit(None).cast("string")).otherwise(
+        F.expr("repeat('w ', CAST(doc_id % 200 AS INT))")
+    )
+    return length_buckets(
+        d.select("doc_id", txt.alias("text")),
+        boundaries=(16, 32, 64, 128),
+        batch_size=8,
+    )
+
+
 def q_corpus_drift(spark, sf):
     """Snapshot-drift report: ref = the ws-noise corpus, new = the same
     corpus with every 5th doc dropped (scraper-loss signal) and a spam
@@ -5838,6 +5861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r06 window queue.
     "corpus_hll_distinct": q_corpus_hll_distinct,
     "dedup_jaccard_estimate": q_dedup_jaccard_estimate,
+    "corpus_length_buckets": q_corpus_length_buckets,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -11492,4 +11516,34 @@ ORACLE_SQL["dedup_jaccard_estimate"] = (
     "  JOIN szs sb ON sb.doc_id = m.id_b) "
     "SELECT id_a, id_b, est_jaccard, exact_jaccard, "
     "round(abs(est_jaccard - exact_jaccard), 6) AS abs_err FROM r"
+)
+
+# corpus_length_buckets: the same repeat/NULL fixture, the engine's
+# token count (WS_SPLIT_RE2 class), the ascending boundary CASE with
+# the -1 overflow arm, salted-digest ROW_NUMBER order (id tie-break),
+# (rn-1)//8 batch assignment (DuckDB // == Spark DIV on positives),
+# and the max=0-guarded padding-waste division.
+ORACLE_SQL["corpus_length_buckets"] = (
+    "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN NULL "
+    "  ELSE repeat('w ', CAST(doc_id % 200 AS INT)) END AS text "
+    "  FROM documents), "
+    "n AS (SELECT doc_id, CAST(len(list_filter("
+    "  regexp_split_to_array(coalesce(text, ''), " + _WSRE2 + "), "
+    "  x -> x <> '')) AS BIGINT) AS nt FROM t), "
+    "b AS (SELECT doc_id, nt, CAST(CASE WHEN nt <= 16 THEN 16 "
+    "  WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64 "
+    "  WHEN nt <= 128 THEN 128 ELSE -1 END AS INT) AS bucket_cap, "
+    "  md5(CAST(doc_id AS VARCHAR) || '|lb0') AS dg FROM n), "
+    "r AS (SELECT *, CAST((CAST(ROW_NUMBER() OVER ("
+    "  PARTITION BY bucket_cap ORDER BY dg, doc_id) AS BIGINT) - 1) "
+    "  // 8 AS BIGINT) AS batch_no FROM b), "
+    "g AS (SELECT bucket_cap, batch_no, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_docs, MAX(nt) AS max_tokens, "
+    "  CAST(SUM(nt) AS BIGINT) AS sum_tokens FROM r "
+    "  GROUP BY bucket_cap, batch_no) "
+    "SELECT bucket_cap, batch_no, n_docs, max_tokens, sum_tokens, "
+    "CASE WHEN max_tokens = 0 THEN 0.0 ELSE "
+    "  round(1.0 - CAST(sum_tokens AS DOUBLE) / "
+    "  (CAST(n_docs AS DOUBLE) * CAST(max_tokens AS DOUBLE)), 6) END "
+    "AS pad_waste_frac FROM g"
 )

@@ -4436,3 +4436,66 @@ def test_minhash_jaccard_estimate_semantics(spark):
     texts = dict(docs)
     for (ia, ib), got in out.items():
         assert got == model(texts[ia], texts[ib]), (ia, ib)
+
+
+def test_length_buckets_semantics(spark):
+    """Bucket assignment (smallest boundary >= n_tokens, -1 overflow),
+    digest-ordered batch fill, partial final batches, NULL text as 0
+    tokens, and the pad-waste arithmetic vs a hashlib model."""
+    import hashlib
+
+    from annual_report_pdf_parsers_spark.operators.sampling import (
+        length_buckets,
+    )
+
+    rows = [(i, "w " * (i * 7 % 40)) for i in range(30)]
+    rows += [(100, None), (101, "w " * 999)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["bucket_cap"], r["batch_no"]): r
+        for r in length_buckets(
+            df, boundaries=(8, 16, 32), batch_size=4
+        ).collect()
+    }
+
+    def model():
+        per_bucket: dict[int, list] = {}
+        for i, t in rows:
+            nt = len((t or "").split())
+            cap = next((b for b in (8, 16, 32) if nt <= b), -1)
+            dg = hashlib.md5(f"{i}|lb0".encode()).hexdigest()
+            per_bucket.setdefault(cap, []).append((dg, i, nt))
+        out = {}
+        for cap, docs in per_bucket.items():
+            docs.sort()
+            for bno in range(0, len(docs), 4):
+                batch = docs[bno : bno + 4]
+                nts = [d[2] for d in batch]
+                mx, sm, n = max(nts), sum(nts), len(batch)
+                waste = (
+                    0.0 if mx == 0 else round(1.0 - sm / (n * mx), 6)
+                )
+                out[(cap, bno // 4)] = (n, mx, sm, waste)
+        return out
+
+    exp = model()
+    assert set(got) == set(exp)
+    for key, (n, mx, sm, waste) in exp.items():
+        r = got[key]
+        assert (
+            r["n_docs"],
+            r["max_tokens"],
+            r["sum_tokens"],
+            r["pad_waste_frac"],
+        ) == (n, mx, sm, waste), key
+    # the overflow route is reported, never dropped
+    assert any(cap == -1 for cap, _ in got)
+    # staging/output clash guard + bad params raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        length_buckets(df.withColumn("bucket_cap", F.lit(1)))
+    with _pytest.raises(ValueError):
+        length_buckets(df, batch_size=0)
+    with _pytest.raises(ValueError):
+        length_buckets(df, boundaries=())

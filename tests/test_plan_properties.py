@@ -1429,3 +1429,15 @@ def test_dedup_jaccard_estimate_plan(spark):
     # the shingle chain must NOT be re-derived per consumer: after the
     # checkpoint there is no tokenizing split() left in the plan
     assert "split(" not in plan, plan
+
+
+def test_corpus_length_buckets_plan(spark):
+    """corpus_length_buckets: token count + boundary CASE are narrow;
+    ONE hash(bucket_cap) exchange feeds both the ordering window and
+    the (bucket, batch) aggregation (bucket is a subset of the
+    grouping key, so the agg reuses the window's partitioning); no
+    join, no Python."""
+    plan = _qplan(spark, "corpus_length_buckets")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
