@@ -935,3 +935,107 @@ def cdx_records(
         .alias("latest_digest"),
     )
     return agg
+
+
+# Curated public-suffix stand-in (the URL_WORD_WEIGHTS convention:
+# deployments swap in the full Mozilla PSL snapshot; the operator
+# shape — longest-suffix argmax over a bounded literal vocabulary —
+# is the production plan either way).  Includes multi-label suffixes
+# (co.uk beats uk) and PSL private-section entries (github.io), the
+# two rules a naive last-two-labels split gets wrong.
+PUBLIC_SUFFIXES = [
+    "com", "org", "net", "io", "edu", "gov", "mil", "info", "biz",
+    "dev", "app", "de", "fr", "it", "nl", "es", "se", "ch", "at",
+    "be", "ca", "us", "ru", "pl", "jp", "cn", "uk", "in", "br", "au",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+    "org.au", "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in",
+    "github.io", "blogspot.com", "wordpress.com",
+]
+
+
+def with_registered_domain(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Adds (host, public_suffix, registered_domain) — the pay-level-
+    domain key every per-site corpus decision should group on
+    (raw-host grouping treats every blogspot subdomain as its own
+    site; PLD grouping is what quota/stats/link-graph ops want).
+
+    Longest matching suffix via an order-based array_max over
+    (length, suffix) structs — NEVER a sequential best-so-far
+    when()-chain (the NOTES gotcha-2 codegen lesson; ties are
+    impossible since a fixed-length host tail is unique, and the
+    struct order rule documents the argmax anyway).  The host is
+    staged + pinned so the HOF predicate references an ATTRIBUTE
+    (gotcha-3: an inline child expression re-evaluates per element).
+
+    Semantics: no matching suffix -> both NULL (IPs, intranet hosts,
+    unknown TLDs — downstream groups them per raw host); host EQUAL
+    to a suffix -> public_suffix set, registered_domain NULL (there
+    is no registrable label); junk url -> host NULL.  Pure narrow
+    expressions, zero exchanges.
+    """
+    for n in ("host", "public_suffix", "registered_domain", "_rd_host"):
+        if n in df.columns:
+            raise ValueError(f"output/staging column {n!r} already exists")
+    from ..functions.numeric import pin
+
+    out = df.withColumn("_rd_host", pin(host_of(F.col(url_col))))
+    host = F.col("_rd_host")
+    cands = F.array(
+        *[
+            F.struct(F.lit(len(s)).alias("l"), F.lit(s).alias("s"))
+            for s in PUBLIC_SUFFIXES
+        ]
+    )
+    best = F.array_max(
+        F.filter(
+            cands,
+            lambda c: (host == c["s"])
+            | host.endswith(F.concat(F.lit("."), c["s"])),
+        )
+    )
+    out = out.withColumn("public_suffix", best["s"])
+    suf = F.col("public_suffix")
+    label = F.regexp_extract(
+        F.substring(
+            host, F.lit(1), F.length(host) - F.length(suf) - 1
+        ),
+        r"([^.]+)$",
+        1,
+    )
+    reg = F.when(
+        suf.isNotNull() & (host != suf) & (label != ""),
+        F.concat(label, F.lit("."), suf),
+    )
+    return (
+        out.withColumn("registered_domain", reg)
+        .withColumn("host", host)
+        .drop("_rd_host")
+    )
+
+
+def registered_domains(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-PLD rollup of a url table:
+
+      (registered_domain, public_suffix, n_urls, n_hosts)
+
+    n_hosts > 1 is the subdomain-collapse signal (how many raw hosts
+    the PLD key merges).  Unmatched-TLD hosts group under (NULL,
+    NULL); suffix-only hosts under (NULL, suffix).  Junk urls (no
+    host) are dropped.
+
+    100 TB shape: narrow suffix argmax + ONE aggregation — the
+    count-distinct plans as the standard two-level partial agg
+    (first on (registered_domain, public_suffix, host), then final),
+    map-side-combined on both levels.
+    """
+    return (
+        with_registered_domain(df, url_col)
+        .filter(F.col("host").isNotNull())
+        .groupBy("registered_domain", "public_suffix")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )

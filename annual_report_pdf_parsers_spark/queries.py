@@ -3232,6 +3232,60 @@ def q_corpus_hll_distinct(spark, sf):
     return hll_distinct(small.unionByName(big), "v", "grp")
 
 
+def q_corpus_registered_domains(spark, sf):
+    """Pay-level-domain rollup over a 7-arm url fixture: multi-label
+    suffix beats its parent (a.b.shop.co.uk -> shop.co.uk, never uk),
+    PSL private-section entries mint per-user registered domains
+    (userN.github.io), www strips before matching, subdomain
+    multiplicity shows up as n_hosts > 1 (shopN.example.com), unknown
+    TLDs group under (NULL, NULL), a bare suffix host under
+    (NULL, 'com'), and junk urls drop.  Oracle = the same host
+    restatement + a longest-first CASE regenerated from
+    PUBLIC_SUFFIXES."""
+    from .operators.urls import registered_domains
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    m = did % 7
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://www.Shop"),
+                (did % 5).cast("string"),
+                F.lit(".Example.COM/x"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://a"),
+                (did % 3).cast("string"),
+                F.lit(".b.shop.co.uk/y"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://user"),
+                (did % 20).cast("string"),
+                F.lit(".github.io/p"),
+            ),
+        )
+        .when(m == 3, F.lit("https://weird.host.unknowntld/x"))
+        .when(m == 4, F.lit("junk url"))
+        .when(m == 5, F.lit("https://com/"))
+        .otherwise(
+            F.concat(
+                F.lit("https://site"),
+                (did % 30).cast("string"),
+                F.lit(".org/page"),
+            )
+        )
+    )
+    return registered_domains(d.select(url.alias("url")))
+
+
 def q_corpus_length_buckets(spark, sf):
     """Dynamic-padding batch plan over controlled token counts:
     repeat('w ', doc_id % 200) spans every bucket of (16,32,64,128)
@@ -5862,6 +5916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_hll_distinct": q_corpus_hll_distinct,
     "dedup_jaccard_estimate": q_dedup_jaccard_estimate,
     "corpus_length_buckets": q_corpus_length_buckets,
+    "corpus_registered_domains": q_corpus_registered_domains,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -11546,4 +11601,57 @@ ORACLE_SQL["corpus_length_buckets"] = (
     "  round(1.0 - CAST(sum_tokens AS DOUBLE) / "
     "  (CAST(n_docs AS DOUBLE) * CAST(max_tokens AS DOUBLE)), 6) END "
     "AS pad_waste_frac FROM g"
+)
+
+
+def _psl_case_sql(hvar: str = "host") -> str:
+    """Longest-match public-suffix CASE REGENERATED from the engine's
+    PUBLIC_SUFFIXES (arms sorted longest-first, suffix tie-break by
+    name — ties cannot both match, the order just makes the SQL
+    deterministic); mirrors the engine's (length, suffix) struct
+    argmax."""
+    from .operators.urls import PUBLIC_SUFFIXES
+
+    arms = " ".join(
+        f"WHEN {hvar} = '{s}' OR {hvar} LIKE '%.{s}' THEN '{s}'"
+        for s in sorted(PUBLIC_SUFFIXES, key=lambda x: (-len(x), x))
+    )
+    return f"CASE {arms} END"
+
+
+# corpus_registered_domains: the same 7-arm url synthesis, the
+# generic scheme://host + lower + www-strip host restatement (the
+# cdx_records precedent for try_parse_url HOST), the regenerated
+# longest-first suffix CASE, the label via a greatest()-guarded
+# substr (AND is not short-circuit — the lexical_diversity lesson;
+# a negative substr length must be structurally impossible), and the
+# standard distinct-agg rollup.
+ORACLE_SQL["corpus_registered_domains"] = (
+    "WITH u AS (SELECT CASE doc_id % 7 "
+    "  WHEN 0 THEN 'https://www.Shop' || CAST(doc_id % 5 AS VARCHAR) "
+    "    || '.Example.COM/x' "
+    "  WHEN 1 THEN 'https://a' || CAST(doc_id % 3 AS VARCHAR) "
+    "    || '.b.shop.co.uk/y' "
+    "  WHEN 2 THEN 'https://user' || CAST(doc_id % 20 AS VARCHAR) "
+    "    || '.github.io/p' "
+    "  WHEN 3 THEN 'https://weird.host.unknowntld/x' "
+    "  WHEN 4 THEN 'junk url' "
+    "  WHEN 5 THEN 'https://com/' "
+    "  ELSE 'https://site' || CAST(doc_id % 30 AS VARCHAR) "
+    "    || '.org/page' END AS url FROM documents), "
+    "h AS (SELECT NULLIF(regexp_replace(lower(regexp_extract(url, "
+    "  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+    "  '^www\\.', ''), '') AS host FROM u), "
+    f"s AS (SELECT host, {_psl_case_sql()} AS suf FROM h "
+    "  WHERE host IS NOT NULL), "
+    "r AS (SELECT host, suf AS public_suffix, "
+    "  CASE WHEN suf IS NOT NULL AND host <> suf THEN "
+    "    NULLIF(regexp_extract(substr(host, 1, "
+    "      CAST(greatest(len(host) - len(suf) - 1, 0) AS INT)), "
+    "      '([^.]+)$', 1), '') || '.' || suf END "
+    "  AS registered_domain FROM s) "
+    "SELECT registered_domain, public_suffix, "
+    "CAST(COUNT(*) AS BIGINT) AS n_urls, "
+    "CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts "
+    "FROM r GROUP BY registered_domain, public_suffix"
 )

@@ -4499,3 +4499,51 @@ def test_length_buckets_semantics(spark):
         length_buckets(df, batch_size=0)
     with _pytest.raises(ValueError):
         length_buckets(df, boundaries=())
+
+
+def test_registered_domain_semantics(spark):
+    """PLD extraction: longest suffix wins (co.uk over uk), PSL
+    private entries mint per-user domains (github.io), www strips
+    before matching, unknown TLD -> both NULL, bare-suffix host ->
+    suffix without registered domain, junk url -> NULL host; the
+    rollup collapses subdomains into n_hosts."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        registered_domains,
+        with_registered_domain,
+    )
+
+    rows = [
+        (1, "https://www.Sub.Example.COM/x"),
+        (2, "https://a.b.shop.co.uk/y"),
+        (3, "https://user1.github.io/p"),
+        (4, "https://weird.host.unknowntld/x"),
+        (5, "junk url"),
+        (6, "https://com/"),
+        (7, "https://other.example.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: (r["host"], r["public_suffix"], r["registered_domain"])
+        for r in with_registered_domain(df).collect()
+    }
+    assert got[1] == ("sub.example.com", "com", "example.com")
+    assert got[2] == ("a.b.shop.co.uk", "co.uk", "shop.co.uk")
+    assert got[3] == ("user1.github.io", "github.io", "user1.github.io")
+    assert got[4] == ("weird.host.unknowntld", None, None)
+    assert got[5] == (None, None, None)
+    assert got[6] == ("com", "com", None)
+    agg = {
+        (r["registered_domain"], r["public_suffix"]): (
+            r["n_urls"],
+            r["n_hosts"],
+        )
+        for r in registered_domains(df).collect()
+    }
+    # two distinct hosts collapse into the example.com PLD
+    assert agg[("example.com", "com")] == (2, 2)
+    assert agg[(None, None)] == (1, 1)  # unknown TLD kept, junk dropped
+    assert agg[(None, "com")] == (1, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with_registered_domain(df.withColumn("host", F.lit("x")))

@@ -1441,3 +1441,14 @@ def test_corpus_length_buckets_plan(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_registered_domains_plan(spark):
+    """corpus_registered_domains: the suffix argmax is a narrow
+    (length, suffix) struct array_max — no join against a suffix
+    table, no broadcast; the rollup is the standard two-level
+    distinct aggregate (2 exchanges); no Python."""
+    plan = _qplan(spark, "corpus_registered_domains")
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
