@@ -216,6 +216,11 @@ HEADLINE = [
     "html_link_resolve",
     "media_srt_cues",
     "corpus_cdx_records",
+    # sketch/loader/PLD batch (appended — earlier keys stay comparable)
+    "corpus_hll_distinct",
+    "dedup_jaccard_estimate",
+    "corpus_length_buckets",
+    "corpus_registered_domains",
 ]
 
 
