@@ -1989,3 +1989,165 @@ def vocab_coverage(
             6,
         ).alias("oov_frac"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    marker: str = "</w>",
+) -> DataFrame:
+    """First BPE merge-round statistics: adjacent symbol-pair counts
+    over the word-frequency table (Sennrich et al. 2016 — public
+    knowledge: the highest-count pair IS the first merge; a trainer
+    applies it and re-runs on the updated symbol table).  This op is
+    the SCALE-relevant step: the corpus is touched once to build the
+    word table (the vocab_topk wordcount); every merge iteration then
+    runs over that vocabulary-bounded table, never over the corpus.
+
+    Returns ``(pair, n_occurrences)`` for the k highest-count adjacent
+    pairs, pair spelled ``"sym1 sym2"``, the end-of-word ``marker``
+    appended per word (the classic formulation — '(t, </w>)' competing
+    with '(t, h)' is what makes suffixes mergeable).  Ties break by
+    pair ascending (deterministic k-boundary).
+
+    100 TB shape: one token explode + ONE map-side-partial word agg,
+    then narrow char splitting + a vocabulary-bounded pair agg;
+    top-k plans as TakeOrderedAndProject (no global sort).
+    """
+    from ..functions.numeric import pin
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not marker or " " in marker:
+        raise ValueError("marker must be non-empty and space-free")
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # '.' matches one code POINT in both Java and RE2 regex (tokens are
+    # whitespace-split, so no newline can appear); the marker rides as
+    # a final symbol.  Staged + pinned: both slice views below (and
+    # their size refs) reference the array.
+    chars = F.concat(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+        F.array(F.lit(marker)),
+    )
+    w2 = words.withColumn("_bp_ch", pin(chars))
+    sz = F.size(F.col("_bp_ch"))
+    pairs = F.zip_with(
+        F.slice(F.col("_bp_ch"), 1, sz - 1),
+        F.slice(F.col("_bp_ch"), 2, sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        w2.select(F.explode(pairs).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Skip-gram window co-occurrence counts + PMI — the embedding-
+    training feed (public knowledge: word2vec negative sampling and
+    the Levy & Goldberg 2014 PMI-matrix equivalence both consume
+    exactly this table).  DIRECTED (center, context) pairs for every
+    offset 1..window in both directions; marginals and the total are
+    derived from the SAME pair table (row/column sums of the PMI
+    matrix), so the statistics are self-consistent by construction:
+
+      pmi(a,b) = ln( n_ab * N / (n_a * n_b) )   (round 6)
+
+    Returns (tok_a, tok_b, n_pair, n_a, n_b, pmi) for pairs with
+    n_pair >= min_count (the skew/noise cut, applied BEFORE any join).
+    Tokens lowercased.
+
+    100 TB shape: pair generation is NARROW (per-doc array slices
+    zipped per offset — no self-join on position); ONE pair
+    aggregation (map-side partial absorbs hot stopword pairs), then
+    vocabulary-bounded marginal aggs joined back with PINNED
+    shuffle_hash (token vocabulary scales with the corpus — the
+    soft_weights AQE-broadcast trap); the 1-row total is the one
+    justified broadcast (the mixture_sample rule).
+    """
+    from ..functions.numeric import pin
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tk = tokens(F.lower(F.col(text_col)))
+    base = df.select(pin(tk).alias("_co_tk"))
+    sz = F.size(F.col("_co_tk"))
+    arrs = []
+    for d in range(1, window + 1):
+        left = F.slice(F.col("_co_tk"), 1, F.greatest(sz - d, F.lit(0)))
+        right = F.slice(
+            F.col("_co_tk"), 1 + d, F.greatest(sz - d, F.lit(0))
+        )
+        arrs.append(
+            F.zip_with(
+                left,
+                right,
+                lambda a, b: F.struct(
+                    a.alias("tok_a"), b.alias("tok_b")
+                ),
+            )
+        )
+        arrs.append(
+            F.zip_with(
+                left,
+                right,
+                lambda a, b: F.struct(
+                    b.alias("tok_a"), a.alias("tok_b")
+                ),
+            )
+        )
+    pair_rows = base.select(
+        F.explode(F.concat(*arrs)).alias("p")
+    ).select(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+    pairs = (
+        pair_rows.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    if materialize:
+        # the aggregated pair table feeds FOUR consumers (keep filter,
+        # both marginals, the total) — the LADDER rule: checkpoint the
+        # branch point or the explode+agg re-derives per consumer
+        # (measured 10 exchanges -> 6 with the checkpoint;
+        # write-then-read at production scale)
+        pairs = pairs.localCheckpoint(eager=False)
+    kept = pairs.filter(F.col("n_pair") >= min_count)
+    ma = pairs.groupBy("tok_a").agg(F.sum("n_pair").alias("n_a"))
+    mb = pairs.groupBy("tok_b").agg(F.sum("n_pair").alias("n_b"))
+    total = pairs.agg(F.sum("n_pair").alias("_co_n"))
+    out = (
+        kept.join(ma.hint("shuffle_hash"), "tok_a")
+        .join(mb.hint("shuffle_hash"), "tok_b")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.round(
+        F.log(
+            (
+                F.col("n_pair").cast("double")
+                * F.col("_co_n").cast("double")
+            )
+            / (
+                F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            )
+        ),
+        6,
+    )
+    return out.select(
+        "tok_a", "tok_b", "n_pair", "n_a", "n_b", pmi.alias("pmi")
+    )

@@ -3232,6 +3232,52 @@ def q_corpus_hll_distinct(spark, sf):
     return hll_distinct(small.unionByName(big), "v", "grp")
 
 
+def q_corpus_bpe_pairs(spark, sf):
+    """First BPE merge-round pair counts over the raw corpus text
+    (k=60): suffix pairs like 't </w>' compete with in-word pairs —
+    the tokenizer-training wordcount transpose.  Oracle = the same
+    token wordcount, per-code-point split with the appended marker,
+    adjacent-pair UNNEST, weighted sum, and the (count DESC, pair)
+    top-k cut."""
+    return text.bpe_pair_counts(load(spark, sf, "documents"), k=60)
+
+
+def q_corpus_cooccurrence(spark, sf):
+    """Skip-gram co-occurrence + PMI (window 2, min_count 10) over the
+    lowered corpus: directed pairs both ways, marginals and the total
+    derived from the same pair table.  Oracle = the position-UNNEST
+    pair generation per offset/direction, the same aggs, and the
+    identical ln arithmetic."""
+    return text.cooccurrence_pmi(
+        load(spark, sf, "documents"), window=2, min_count=10
+    )
+
+
+def q_events_hll_users(spark, sf):
+    """The HLL sketch composed on the events table: distinct users per
+    event_type (5 small groups — linear counting) plus an injected
+    'all-events' group keyed by (user, event) — ~10k distinct, the raw
+    estimator branch at a cardinality the documents fixture cannot
+    reach.  Oracle = the shared _hll_chain_sql fragment over the same
+    values CTE."""
+    from .operators.sketch import hll_distinct
+
+    ev = load(spark, sf, "events")
+    daily = ev.select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").cast("string").alias("v"),
+    )
+    allg = ev.select(
+        F.lit("all-events").alias("grp"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        ).alias("v"),
+    )
+    return hll_distinct(daily.unionByName(allg), "v", "grp")
+
+
 def q_corpus_registered_domains(spark, sf):
     """Pay-level-domain rollup over a 7-arm url fixture: multi-label
     suffix beats its parent (a.b.shop.co.uk -> shop.co.uk, never uk),
@@ -5917,6 +5963,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_estimate": q_dedup_jaccard_estimate,
     "corpus_length_buckets": q_corpus_length_buckets,
     "corpus_registered_domains": q_corpus_registered_domains,
+    "corpus_bpe_pairs": q_corpus_bpe_pairs,
+    "corpus_cooccurrence": q_corpus_cooccurrence,
+    "events_hll_users": q_events_hll_users,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -11490,22 +11539,22 @@ ORACLE_SQL["corpus_cdx_records"] = (
     "ON g.surt_key = ld.surt_key"
 )
 
-# corpus_hll_distinct: the same fixture synthesis, then the HLL
-# register arithmetic REGENERATED from operators/sketch.py's constants
-# (register = first 2 md5 hex digits, rank = leading-zero bits of the
-# next 64 bits + 1 via a zero-run length + first-nonzero-hex CASE, the
-# harmonic sum as an exact DECIMAL(38,0) integer, alpha*m^2*2^65 as
-# the ONE Python-repr literal, linear counting below 2.5m).
+# HLL register arithmetic REGENERATED from operators/sketch.py's
+# constants (register = first 2 md5 hex digits, rank = leading-zero
+# bits of the next 64 bits + 1 via a zero-run length + first-nonzero-
+# hex CASE, the harmonic sum as an exact DECIMAL(38,0) integer,
+# alpha*m^2*2^65 as the ONE Python-repr literal, linear counting
+# below 2.5m) — parametrized by the (grp, v) values CTE so every
+# hll consumer (documents fixture, events composition) shares the
+# one chain.
 _HLL_ZR = "length(regexp_extract(substr(hx, 3, 16), '^(0*)', 1))"
-ORACLE_SQL["corpus_hll_distinct"] = (
-    "WITH vals AS ("
-    "  SELECT coalesce(lang, 'unk') AS grp, CASE WHEN doc_id % 11 = 0 "
-    "    THEN NULL ELSE 'v' || CAST(doc_id % 77 AS VARCHAR) END AS v "
-    "  FROM documents "
-    "  UNION ALL "
-    "  SELECT 'big', 'u' || CAST(doc_id * 5 + i AS VARCHAR) "
-    "  FROM documents, UNNEST(generate_series(0, 4)) AS g(i)), "
-    "h AS (SELECT grp, v, md5(v) AS hx FROM vals WHERE v IS NOT NULL), "
+
+
+def _hll_chain_sql(vals_cte: str) -> str:
+    return (
+        f"WITH vals AS ({vals_cte}), "
+        "h AS (SELECT grp, v, md5(v) AS hx FROM vals "
+        "  WHERE v IS NOT NULL), "
     f"rk AS (SELECT grp, substr(hx, 1, 2) AS reg, {_HLL_ZR} AS zr, "
     f"  substr(hx, 3 + {_HLL_ZR}, 1) AS fc FROM h), "
     "rnk AS (SELECT grp, reg, CASE WHEN zr = 16 THEN 65 "
@@ -11538,6 +11587,16 @@ ORACLE_SQL["corpus_hll_distinct"] = (
     "round(abs(hll_estimate - CAST(exact_distinct AS DOUBLE)) / "
     "  CAST(exact_distinct AS DOUBLE), 6) AS rel_err "
     "FROM sk3 JOIN cnt ON sk3.grp = cnt.grp"
+    )
+
+
+ORACLE_SQL["corpus_hll_distinct"] = _hll_chain_sql(
+    "SELECT coalesce(lang, 'unk') AS grp, CASE WHEN doc_id % 11 = 0 "
+    "  THEN NULL ELSE 'v' || CAST(doc_id % 77 AS VARCHAR) END AS v "
+    "FROM documents "
+    "UNION ALL "
+    "SELECT 'big', 'u' || CAST(doc_id * 5 + i AS VARCHAR) "
+    "FROM documents, UNNEST(generate_series(0, 4)) AS g(i)"
 )
 
 # dedup_jaccard_estimate: the shared _DUPES/_TOKS/_SHINGLES/_MH_PAIRS
@@ -11654,4 +11713,62 @@ ORACLE_SQL["corpus_registered_domains"] = (
     "CAST(COUNT(*) AS BIGINT) AS n_urls, "
     "CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts "
     "FROM r GROUP BY registered_domain, public_suffix"
+)
+
+# corpus_bpe_pairs: the engine's wordcount (WS_SPLIT_RE2 class),
+# per-code-point split ('.' matches one code point in RE2 as in
+# Java), appended '</w>' marker, adjacent-pair generate_series, the
+# weighted sum, and the same deterministic (count DESC, pair) top-60.
+ORACLE_SQL["corpus_bpe_pairs"] = (
+    "WITH tj AS (SELECT list_filter(regexp_split_to_array(text, "
+    + _WSRE2 + "), t -> t <> '') AS tk FROM documents), "
+    "words AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n "
+    "  FROM tj, UNNEST(tk) AS u(w) GROUP BY w), "
+    "ch AS (SELECT word, n, list_append("
+    "  regexp_extract_all(word, '.'), '</w>') AS c FROM words), "
+    "pr AS (SELECT c[i] || ' ' || c[i+1] AS pair, n FROM ch, "
+    "  UNNEST(generate_series(1, len(c) - 1)) AS g(i)), "
+    "agg AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences "
+    "  FROM pr GROUP BY pair) "
+    "SELECT pair, n_occurrences FROM agg "
+    "ORDER BY n_occurrences DESC, pair LIMIT 60"
+)
+
+# corpus_cooccurrence: position-UNNEST directed pair generation per
+# offset (1, 2) and direction, the same pair/marginal/total aggs, the
+# min_count cut, and the identical (n_pair * N) / (n_a * n_b) ln op
+# order.
+ORACLE_SQL["corpus_cooccurrence"] = (
+    "WITH tj AS (SELECT list_filter(regexp_split_to_array("
+    "  lower(text), " + _WSRE2 + "), t -> t <> '') AS tk "
+    "  FROM documents), "
+    "pr AS ("
+    "  SELECT tk[i] AS tok_a, tk[i + d] AS tok_b "
+    "  FROM tj, UNNEST(generate_series(1, len(tk))) AS g(i), "
+    "    UNNEST([1, 2]) AS dd(d) WHERE i + d <= len(tk) "
+    "  UNION ALL "
+    "  SELECT tk[i + d] AS tok_a, tk[i] AS tok_b "
+    "  FROM tj, UNNEST(generate_series(1, len(tk))) AS g(i), "
+    "    UNNEST([1, 2]) AS dd(d) WHERE i + d <= len(tk)), "
+    "pc AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_pair "
+    "  FROM pr GROUP BY tok_a, tok_b), "
+    "ma AS (SELECT tok_a, CAST(SUM(n_pair) AS BIGINT) AS n_a "
+    "  FROM pc GROUP BY tok_a), "
+    "mb AS (SELECT tok_b, CAST(SUM(n_pair) AS BIGINT) AS n_b "
+    "  FROM pc GROUP BY tok_b), "
+    "tt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS nn FROM pc) "
+    "SELECT pc.tok_a, pc.tok_b, n_pair, n_a, n_b, "
+    "round(ln((CAST(n_pair AS DOUBLE) * CAST(nn AS DOUBLE)) / "
+    "  (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS pmi "
+    "FROM pc JOIN ma ON pc.tok_a = ma.tok_a "
+    "JOIN mb ON pc.tok_b = mb.tok_b CROSS JOIN tt "
+    "WHERE n_pair >= 10"
+)
+
+ORACLE_SQL["events_hll_users"] = _hll_chain_sql(
+    "SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS v "
+    "FROM events "
+    "UNION ALL "
+    "SELECT 'all-events', CAST(user_id AS VARCHAR) || ':' || "
+    "CAST(event_id AS VARCHAR) FROM events"
 )

@@ -4547,3 +4547,101 @@ def test_registered_domain_semantics(spark):
 
     with _pytest.raises(ValueError):
         with_registered_domain(df.withColumn("host", F.lit("x")))
+
+
+def test_bpe_pair_counts_semantics(spark):
+    """BPE first-merge pair counts vs a Counter model: per-code-point
+    split, the </w> marker pair, word-frequency weighting, NULL text
+    contributing nothing, and the (count DESC, pair) top-k cut."""
+    from collections import Counter
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate"),
+        (3, None),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wc = Counter(w for _, t in docs if t for w in t.split())
+    pc = Counter()
+    for w, n in wc.items():
+        ch = list(w) + ["</w>"]
+        for i in range(len(ch) - 1):
+            pc[f"{ch[i]} {ch[i + 1]}"] += n
+    exp = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in bpe_pair_counts(df, k=10).collect()
+    ]
+    assert got == exp
+    # the single-char word still mints its marker pair
+    assert ("x </w>", 1) in pc.items()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_pair_counts(df, k=0)
+    with _pytest.raises(ValueError):
+        bpe_pair_counts(df, marker="a b")
+
+
+def test_cooccurrence_pmi_semantics(spark):
+    """Directed window pairs both ways, self-consistent marginals and
+    total from the pair table, the min_count cut, and the exact ln
+    arithmetic vs a Counter+math model."""
+    import math
+    from collections import Counter
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        cooccurrence_pmi,
+    )
+
+    docs = [(1, "The cat sat on the mat"), (2, "the cat ate"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs: Counter = Counter()
+    for _, t in docs:
+        tk = (t or "").lower().split()
+        for i in range(len(tk)):
+            for d in (1, 2):
+                if i + d < len(tk):
+                    pairs[(tk[i], tk[i + d])] += 1
+                    pairs[(tk[i + d], tk[i])] += 1
+    n_total = sum(pairs.values())
+    na: Counter = Counter()
+    nb: Counter = Counter()
+    for (a, b), n in pairs.items():
+        na[a] += n
+        nb[b] += n
+    exp = {
+        (a, b): (
+            n,
+            na[a],
+            nb[b],
+            round(
+                math.log(
+                    (float(n) * float(n_total))
+                    / (float(na[a]) * float(nb[b]))
+                ),
+                6,
+            ),
+        )
+        for (a, b), n in pairs.items()
+        if n >= 2
+    }
+    got = {
+        (r["tok_a"], r["tok_b"]): (
+            r["n_pair"],
+            r["n_a"],
+            r["n_b"],
+            r["pmi"],
+        )
+        for r in cooccurrence_pmi(df, window=2, min_count=2).collect()
+    }
+    assert got == exp and got  # non-vacuous
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cooccurrence_pmi(df, window=0)

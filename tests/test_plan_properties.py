@@ -1452,3 +1452,41 @@ def test_corpus_registered_domains_plan(spark):
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_bpe_pairs_plan(spark):
+    """corpus_bpe_pairs: wordcount agg + vocabulary-bounded pair agg
+    (2 exchanges), top-k as TakeOrderedAndProject — NO global sort,
+    no join, no Python."""
+    plan = _qplan(spark, "corpus_bpe_pairs")
+    assert plan.count("Exchange") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_corpus_cooccurrence_plan(spark):
+    """corpus_cooccurrence: pair generation is NARROW (array slices,
+    no position self-join); the aggregated pair table is checkpointed
+    (LADDER rule — 4 consumers; no tokenizing split() left in the
+    plan); marginal joins are SHUFFLED hash; the only broadcast is the
+    1-row total (BroadcastNestedLoop on a literal single row)."""
+    plan = _qplan(spark, "corpus_cooccurrence")
+    assert plan.count("ShuffledHashJoin") == 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "split(" not in plan, plan
+    assert plan.count("Exchange") <= 6, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_events_hll_users_plan(spark):
+    """events_hll_users: the sketch shape on the events table — same
+    bounds as the documents fixture (4 exchanges, SHJ, no
+    broadcast)."""
+    plan = _qplan(spark, "events_hll_users")
+    assert plan.count("Exchange") == 4, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
