@@ -1835,3 +1835,94 @@ def bitext_pairs(
         ratio.alias("len_ratio"),
         (ratio >= F.lit(min_ratio)).alias("keep"),
     )
+
+
+FORM_EL_RE = "(?is)(<form(?:[ \\t\\n\\r][^>]*)?>.*?</form>)"
+FORM_ATTRS_RE = "(?is)^<form([^>]*)>"
+FORM_BODY_RE = "(?is)^<form[^>]*>(.*)</form>$"
+METHOD_ATTR_RE = (
+    "(?is)[ \\t\\n\\r]method[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+ACTION_ATTR_RE = (
+    "(?is)[ \\t\\n\\r]action[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']"
+)
+FORM_FIELD_RE = "(?is)<(?:input|select|textarea)[ \\t\\n\\r/>]"
+PASSWORD_INPUT_RE = (
+    "(?is)<input[^>]*[ \\t\\n\\r]type[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']password[\"']"
+)
+
+
+def forms(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Form extraction — ``<form>`` elements as relational rows, the
+    login-wall / search-box / paywall DISPATCH signal (public
+    practice: quality pipelines drop or down-weight pages that are
+    mostly interactive chrome, and a password form is the canonical
+    auth-wall marker)::
+
+        (doc_id, form_no, method, action, n_fields, has_password)
+
+    ``method`` lowercased, absent/blank -> 'get' (the HTML default);
+    ``action`` entity-decoded + trimmed RAW (the href contract),
+    absent AND blank -> NULL (self-submitting form); ``n_fields``
+    counts input/select/textarea open tags with the boundary guard
+    (``<inputx`` never counts — the dom_stats rule); has_password via
+    the quoted type attribute (the quoted-attr contract shared with
+    SRC/ALT).  Nested forms truncate at the first ``</form>`` (the
+    tables lossy-deterministic no-parser trade; invalid HTML anyway).
+    Script/style/comment stripped first.
+
+    100 TB shape: narrow + ONE posexplode; per-form regexes run on
+    the already-exploded element (gotcha-3), attrs/body pinned so the
+    output expressions reference attributes.
+    """
+    clash = sorted(
+        {"_fo_h", "_fo_els", "_fo_el", "_fo_attrs", "_fo_body"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(f"forms staging columns clash: {clash}")
+    from ..functions.numeric import pin
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(h, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        COMMENT_RE,
+        " ",
+    )
+    base = df.withColumn("_fo_h", pin(h)).withColumn(
+        "_fo_els",
+        pin(F.regexp_extract_all(F.col("_fo_h"), F.lit(FORM_EL_RE), 1)),
+    )
+    per_el = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col("_fo_els")).alias("form_no", "_fo_el"),
+    )
+    el = F.col("_fo_el")
+    per_el = per_el.withColumn(
+        "_fo_attrs", pin(F.regexp_extract(el, FORM_ATTRS_RE, 1))
+    ).withColumn("_fo_body", pin(F.regexp_extract(el, FORM_BODY_RE, 1)))
+    method = F.lower(
+        F.trim(F.regexp_extract(F.col("_fo_attrs"), METHOD_ATTR_RE, 1))
+    )
+    method = F.when(method == "", F.lit("get")).otherwise(method)
+    action = F.regexp_extract(F.col("_fo_attrs"), ACTION_ATTR_RE, 1)
+    for ent, ch in HTML_ENTITIES:
+        action = F.replace(action, F.lit(ent), F.lit(ch))
+    action = F.nullif(F.trim(action), F.lit(""))
+    return per_el.select(
+        "doc_id",
+        F.col("form_no").cast("long").alias("form_no"),
+        method.alias("method"),
+        action.alias("action"),
+        F.regexp_count(F.col("_fo_body"), F.lit(FORM_FIELD_RE))
+        .cast("long")
+        .alias("n_fields"),
+        F.col("_fo_body").rlike(PASSWORD_INPUT_RE).alias("has_password"),
+    )

@@ -3232,6 +3232,59 @@ def q_corpus_hll_distinct(spark, sf):
     return hll_distinct(small.unionByName(big), "v", "grp")
 
 
+# Forms fixture arms — ONE site; the engine query lits these and the
+# oracle splices them (single-quote-doubled), so the two cannot drift.
+_FORMS_FIX = {
+    "base": (
+        "<html><head><script>var f=\"<form action='/ghost'>"
+        "<input></form>\";</script>"
+        '<!-- <form action="/c"><input></form> --></head><body>'
+        '<form action="/search?q=&amp;x=1" method="GET">'
+        '<input type="text" name="q"><inputx>'
+        '<select name="s"></select><input type="submit"></form>'
+    ),
+    "login": (
+        "<FORM METHOD='POST' ACTION='/login'>"
+        '<input type="email"><INPUT TYPE=\'password\'>'
+        "<textarea></textarea></FORM>"
+    ),
+    "bare": '<form><textarea name="t"></textarea></form>',
+    "nested": (
+        '<form action="/outer"><input name="a">'
+        '<form action="/inner"><input name="b"></form></form>'
+    ),
+    "tail": "</body></html>",
+}
+
+
+def q_html_forms(spark, sf):
+    """Form extraction over a 4-arm page: the base GET search form
+    (entity in action, <inputx> boundary decoy, scripted + commented
+    ghost forms stripped), %3 a CASED single-quoted POST login form
+    with a password input, %5 an attribute-less form (method defaults
+    'get', action NULL), %11 a nested form truncating at the first
+    close (the tables trade).  Oracle regenerated from the engine's
+    FORM_* regex constants + the shared entity list."""
+    from .operators.html import forms
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    page = F.concat(
+        F.lit(_FORMS_FIX["base"]),
+        F.when(did % 3 == 0, F.lit(_FORMS_FIX["login"])).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 5 == 0, F.lit(_FORMS_FIX["bare"])).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 11 == 0, F.lit(_FORMS_FIX["nested"])).otherwise(
+            F.lit("")
+        ),
+        F.lit(_FORMS_FIX["tail"]),
+    )
+    return forms(d.select("doc_id", page.alias("html")))
+
+
 def q_corpus_bpe_pairs(spark, sf):
     """First BPE merge-round pair counts over the raw corpus text
     (k=60): suffix pairs like 't </w>' compete with in-word pairs —
@@ -5966,6 +6019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_pairs": q_corpus_bpe_pairs,
     "corpus_cooccurrence": q_corpus_cooccurrence,
     "events_hll_users": q_events_hll_users,
+    "html_forms": q_html_forms,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -11772,3 +11826,63 @@ ORACLE_SQL["events_hll_users"] = _hll_chain_sql(
     "SELECT 'all-events', CAST(user_id AS VARCHAR) || ':' || "
     "CAST(event_id AS VARCHAR) FROM events"
 )
+
+
+def _html_forms_oracle_sql() -> str:
+    """html_forms oracle — the same strip passes, FORM_* regexes, and
+    entity chain regenerated from the engine constants; the fixture
+    arms spliced from the shared _FORMS_FIX dict."""
+    from .operators.html import (
+        ACTION_ATTR_RE,
+        COMMENT_RE,
+        FORM_ATTRS_RE,
+        FORM_BODY_RE,
+        FORM_EL_RE,
+        FORM_FIELD_RE,
+        HTML_ENTITIES,
+        METHOD_ATTR_RE,
+        PASSWORD_INPUT_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    fix = {k: q(v) for k, v in _FORMS_FIX.items()}
+    act = f"regexp_extract(attrs, '{q(ACTION_ATTR_RE)}', 1)"
+    for ent, ch in HTML_ENTITIES:
+        act = f"replace({act}, '{ent}', '{q(ch)}')"
+    meth = (
+        "lower(trim(regexp_extract(attrs, "
+        f"'{q(METHOD_ATTR_RE)}', 1)))"
+    )
+    return (
+        f"WITH d0 AS (SELECT doc_id, '{fix['base']}' || "
+        f"CASE WHEN doc_id % 3 = 0 THEN '{fix['login']}' ELSE '' END "
+        f"|| CASE WHEN doc_id % 5 = 0 THEN '{fix['bare']}' ELSE '' "
+        f"END || CASE WHEN doc_id % 11 = 0 THEN '{fix['nested']}' "
+        f"ELSE '' END || '{fix['tail']}' AS page FROM documents), "
+        "h AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(page, '{q(SCRIPT_RE)}', ' ', 'g'), "
+        f"'{q(STYLE_RE)}', ' ', 'g'), '{q(COMMENT_RE)}', ' ', 'g') "
+        "AS hh FROM d0), "
+        "els AS (SELECT doc_id, regexp_extract_all(hh, "
+        f"'{q(FORM_EL_RE)}', 1) AS fs FROM h), "
+        "pe AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS form_no, "
+        "fs[i] AS el FROM els, "
+        "UNNEST(generate_series(1, len(fs))) AS g(i)), "
+        "ab AS (SELECT doc_id, form_no, "
+        f"regexp_extract(el, '{q(FORM_ATTRS_RE)}', 1) AS attrs, "
+        f"regexp_extract(el, '{q(FORM_BODY_RE)}', 1) AS body FROM pe) "
+        "SELECT doc_id, form_no, "
+        f"CASE WHEN {meth} = '' THEN 'get' ELSE {meth} END AS method, "
+        f"NULLIF(trim({act}), '') AS action, "
+        f"CAST(len(regexp_extract_all(body, '{q(FORM_FIELD_RE)}')) "
+        "AS BIGINT) AS n_fields, "
+        f"regexp_matches(body, '{q(PASSWORD_INPUT_RE)}') "
+        "AS has_password FROM ab"
+    )
+
+
+ORACLE_SQL["html_forms"] = _html_forms_oracle_sql()

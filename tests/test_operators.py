@@ -4645,3 +4645,48 @@ def test_cooccurrence_pmi_semantics(spark):
 
     with _pytest.raises(ValueError):
         cooccurrence_pmi(df, window=0)
+
+
+def test_forms_semantics(spark):
+    """Form rows: method default + lowering, entity-decoded action,
+    NULL action for self-submitting forms, boundary-guarded field
+    counts (<inputx> never counts), password detection through cased
+    single-quoted attrs, scripted/commented ghost forms stripped, and
+    the nested-form first-close truncation pinned."""
+    from annual_report_pdf_parsers_spark.operators.html import forms
+
+    page = (
+        "<script>var f='<form action=\"/ghost\"><input></form>';"
+        "</script><!-- <form action=\"/c\"><input></form> -->"
+        '<form action="/s?a=&amp;b=1" method="GET">'
+        '<input name="q"><inputx><select></select></form>'
+        "<FORM METHOD='POST' ACTION='/login'>"
+        "<INPUT TYPE='password'><textarea></textarea></FORM>"
+        "<form><textarea></textarea></form>"
+    )
+    nested = (
+        '<form action="/outer"><input name="a">'
+        '<form action="/inner"><input name="b"></form></form>'
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, nested), (3, None)], "doc_id long, html string"
+    )
+    out = {
+        (r["doc_id"], r["form_no"]): (
+            r["method"],
+            r["action"],
+            r["n_fields"],
+            r["has_password"],
+        )
+        for r in forms(df).collect()
+    }
+    assert out[(1, 0)] == ("get", "/s?a=&b=1", 2, False)
+    assert out[(1, 1)] == ("post", "/login", 2, True)
+    assert out[(1, 2)] == ("get", None, 1, False)
+    # nested form truncates at the FIRST close; inner fields counted
+    assert out[(2, 0)] == ("get", "/outer", 2, False)
+    assert len(out) == 4  # ghost forms stripped, NULL html no rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        forms(df.withColumn("_fo_h", F.lit("x")))

@@ -1490,3 +1490,14 @@ def test_events_hll_users_plan(spark):
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_html_forms_plan(spark):
+    """html_forms: narrow strip passes + ONE posexplode; per-form
+    regexes on the exploded attribute (no re-derivation); zero
+    exchanges, no join, no Python."""
+    plan = _qplan(spark, "html_forms")
+    assert plan.count("Generate") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
