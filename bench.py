@@ -221,6 +221,10 @@ HEADLINE = [
     "dedup_jaccard_estimate",
     "corpus_length_buckets",
     "corpus_registered_domains",
+    "corpus_bpe_pairs",
+    "corpus_cooccurrence",
+    "events_hll_users",
+    "html_forms",
 ]
 
 
