@@ -416,9 +416,11 @@ def minhash_jaccard_estimate(
 
     docs = (
         with_shingles(df, text_col, k)
+        # _sh is already distinct by construction (shingles_from_tokens
+        # wraps array_distinct), so it IS the shingle set
         .select(
             F.col(id_col).alias("sid"),
-            F.array_distinct(F.col("_sh")).alias("_set"),
+            F.col("_sh").alias("_set"),
         )
         .withColumn("sig", minhash_signature(F.col("_set"), n_hashes))
     )

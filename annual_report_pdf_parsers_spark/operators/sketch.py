@@ -97,6 +97,8 @@ def hll_distinct(
         F.col(value_col).cast("string").alias("v"),
     )
     h = F.md5(F.col("v"))
+    # per-register row counts ride the register aggregation, so n_rows
+    # is free on the production path (no second corpus scan, no join)
     regs = (
         base.select(
             "grp",
@@ -104,7 +106,10 @@ def hll_distinct(
             hll_rank(h).alias("rank"),
         )
         .groupBy("grp", "reg")
-        .agg(F.max("rank").alias("mrank"))
+        .agg(
+            F.max("rank").alias("mrank"),
+            F.count(F.lit(1)).alias("_rc"),
+        )
     )
     two65 = F.pow(F.lit(2.0), F.lit(65)).cast("decimal(38,0)")
     sk = regs.groupBy("grp").agg(
@@ -114,6 +119,7 @@ def hll_distinct(
                 "decimal(38,0)"
             )
         ).alias("_zu"),
+        F.sum("_rc").alias("n_rows"),
     )
     zeros = F.lit(M_REGISTERS) - F.col("used_registers")
     z_total = F.col("_zu") + zeros.cast("decimal(38,0)") * two65
@@ -134,19 +140,18 @@ def hll_distinct(
             ),
         ).otherwise(F.col("raw_estimate")),
     )
-    counts = base.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *(
-            [F.countDistinct("v").alias("exact_distinct")]
-            if include_exact
-            else []
-        ),
-    )
-    # both sides are per-group aggregates already partitioned by grp;
-    # shuffle_hash keeps the join off the corpus-scaled-broadcast path
-    # (group cardinality grows with the corpus for host-like groups —
-    # the soft_weights AQE trap)
-    out = sk.join(counts.hint("shuffle_hash"), "grp")
+    if include_exact:
+        # the exact-distinct audit is the only consumer that re-scans
+        # the input; both sides are per-group aggregates partitioned
+        # by grp, and shuffle_hash keeps the join off the corpus-
+        # scaled-broadcast path (group cardinality grows with the
+        # corpus for host-like groups — the soft_weights AQE trap)
+        counts = base.groupBy("grp").agg(
+            F.countDistinct("v").alias("exact_distinct")
+        )
+        out = sk.join(counts.hint("shuffle_hash"), "grp")
+    else:
+        out = sk
     cols = [
         F.col("grp").alias(grp),
         "n_rows",

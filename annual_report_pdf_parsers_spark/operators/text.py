@@ -2026,12 +2026,16 @@ def bpe_pair_counts(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # '.' matches one code POINT in both Java and RE2 regex (tokens are
-    # whitespace-split, so no newline can appear); the marker rides as
-    # a final symbol.  Staged + pinned: both slice views below (and
-    # their size refs) reference the array.
+    # (?s). matches one code POINT per symbol.  The s-flag is load-
+    # bearing for cross-engine parity: Java's bare '.' excludes the
+    # NEL line terminator U+0085 — which the whitespace-split class
+    # does NOT cover, so it CAN appear inside a token — while RE2's
+    # '.' (the DuckDB oracle) matches it; \n/\r/U+2028/U+2029 are in
+    # the split class and can never appear, so DOTALL only aligns the
+    # NEL case.  Staged + pinned: both slice views below (and their
+    # size refs) reference the array.
     chars = F.concat(
-        F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+        F.regexp_extract_all(F.col("word"), F.lit("(?s)."), 0),
         F.array(F.lit(marker)),
     )
     w2 = words.withColumn("_bp_ch", pin(chars))

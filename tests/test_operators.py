@@ -4564,9 +4564,18 @@ def test_bpe_pair_counts_semantics(spark):
         (2, "the cat ate"),
         (3, None),
         (4, "x"),
+        # U+0085 (NEL) survives the whitespace split INSIDE a token;
+        # the (?s) flag on the per-code-point split is what keeps the
+        # engine matching it like RE2/Python do (review fix)
+        (5, "a\u0085b a\u0085b"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    wc = Counter(w for _, t in docs if t for w in t.split())
+    # split on the literal separator, NOT str.split(): Python's
+    # no-arg split treats U+0085 as whitespace, the engine's WS class
+    # deliberately does not (it must match the oracle's RE2 class)
+    wc = Counter(
+        w for _, t in docs if t for w in t.split(" ") if w
+    )
     pc = Counter()
     for w, n in wc.items():
         ch = list(w) + ["</w>"]
@@ -4580,6 +4589,8 @@ def test_bpe_pair_counts_semantics(spark):
     assert got == exp
     # the single-char word still mints its marker pair
     assert ("x </w>", 1) in pc.items()
+    # the NEL-bearing token split per code point (weight 2)
+    assert pc["a \u0085"] == 2 and pc["\u0085 b"] == 2
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
