@@ -558,3 +558,86 @@ def ab_lift(
             ),
         ).alias("lift"),
     )
+
+
+def bot_regularity(
+    events: DataFrame,
+    on: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    min_events: int = 20,
+    spread_factor: int = 10,
+) -> DataFrame:
+    """Timing-regularity bot detection — the crawl/abuse traffic
+    filter (public heuristic: scripted clients fire on near-constant
+    timers while humans are bursty; event rate + inter-event-gap
+    regularity is the standard first-pass signal before any
+    fingerprinting).  The decision is ALL-INTEGER so no float exists
+    to drift (the rate_spikes discipline):
+
+      is_regular = (max_gap - min_gap) * spread_factor * n_gaps
+                   < sum_gap
+      is_bot     = n_events >= min_events AND is_regular
+
+    i.e. the gap spread must be under 1/spread_factor of the MEAN gap,
+    cross-multiplied.  Gaps are integer microseconds between
+    consecutive events per user ordered by (ts, id) — the consecutive
+    differences of a sorted multiset are tie-order invariant, the id
+    tie-break just pins the plan.  A single-event user has no gaps
+    (0 < 0 fails -> never regular); an all-same-ts user sums to 0
+    (never regular).
+
+    Returns per user::
+
+      (user_col, n_events, n_gaps, min_gap_us, max_gap_us,
+       sum_gap_us, is_regular, is_bot)
+
+    100 TB shape: ONE user-keyed exchange — the window sort and the
+    per-user aggregation share the clustering (subset rule); the
+    decision runs on the tiny aggregate.
+    """
+    if min_events < 2 or spread_factor < 1:
+        raise ValueError(
+            "min_events must be >= 2 and spread_factor >= 1"
+        )
+    for n in ("_br_prev", "_br_gap"):
+        if n in events.columns:
+            raise ValueError(f"staging column {n!r} already exists")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(on).asc(), F.col(id_col).asc()
+    )
+    staged = events.withColumn(
+        "_br_prev", F.lag(F.col(on)).over(w)
+    ).withColumn(
+        "_br_gap",
+        F.expr(f"timestampdiff(MICROSECOND, _br_prev, {on})").cast(
+            "long"
+        ),
+    )
+    agg = staged.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("_br_gap").alias("n_gaps"),
+        F.min("_br_gap").alias("min_gap_us"),
+        F.max("_br_gap").alias("max_gap_us"),
+        F.sum("_br_gap").alias("sum_gap_us"),
+    )
+    regular = (
+        (F.col("max_gap_us") - F.col("min_gap_us"))
+        * F.lit(int(spread_factor))
+        * F.col("n_gaps")
+        < F.col("sum_gap_us")
+    )
+    regular = F.coalesce(regular, F.lit(False))
+    return agg.select(
+        user_col,
+        "n_events",
+        "n_gaps",
+        "min_gap_us",
+        "max_gap_us",
+        "sum_gap_us",
+        regular.alias("is_regular"),
+        (
+            (F.col("n_events") >= F.lit(int(min_events)))
+            & regular
+        ).alias("is_bot"),
+    )

@@ -1039,3 +1039,99 @@ def registered_domains(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.countDistinct("host").alias("n_hosts"),
         )
     )
+
+
+def with_host_safety(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-frontier host-safety classification — the SSRF /
+    internal-network guard every fetcher runs before touching a
+    candidate url (public practice: crawlers must never fetch
+    loopback, RFC-1918 private, or link-local addresses, and skip
+    .onion / mDNS .local names).  Adds::
+
+        (host, host_class, fetch_ok)
+
+    host_class priority (first match wins, the CASE order IS the
+    rule): no_host < loopback (localhost name or 127/8) < private_ip
+    (10/8, 192.168/16, 172.16/12) < link_local (169.254/16) <
+    public_ip (any other dotted-quad — fetchable but flagged:
+    IP-literal urls are policy-routable) < onion < mdns_local
+    (.local) < bare (dot-less intranet name) < name (fetchable).
+    An INVALID dotted-quad (octet > 255) never reaches the quad arms:
+    Spark's try_parse_url rejects it at the parser and the url lands
+    in no_host (verified against the 999.1.2.3 fixture arm).
+
+    Octets are extracted via anchored regexp groups and NULLIF-guarded
+    before the int cast (ANSI: a bare cast of '' THROWS — the
+    epoch_plan lesson); the four ints ride ONE pinned STRUCT (the
+    pub_date staging rule) and the class/flag pair is ONE when-chain
+    producing a struct, so no predicate is evaluated twice.  Pure
+    narrow expressions, zero exchanges.
+    """
+    for n in ("host", "host_class", "fetch_ok", "_hs_host", "_hs_o", "_hs_d"):
+        if n in df.columns:
+            raise ValueError(f"output/staging column {n!r} already exists")
+    from ..functions.numeric import pin
+
+    ip_re = r"^([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})$"
+    out = df.withColumn("_hs_host", pin(host_of(F.col(url_col))))
+    host = F.col("_hs_host")
+    out = out.withColumn(
+        "_hs_o",
+        pin(
+            F.struct(
+                *[
+                    F.nullif(
+                        F.regexp_extract(host, ip_re, i + 1), F.lit("")
+                    )
+                    .cast("int")
+                    .alias(f"o{i + 1}")
+                    for i in range(4)
+                ]
+            )
+        ),
+    )
+    o = [F.col("_hs_o")[f"o{i + 1}"] for i in range(4)]
+    # try_parse_url has already validated the quad (an octet > 255
+    # fails the whole parse -> NULL host), so shape == valid here
+    ip_valid = o[0].isNotNull()
+
+    def cls(name: str, ok: bool):
+        return F.struct(
+            F.lit(name).alias("c"), F.lit(ok).alias("ok")
+        )
+
+    decided = (
+        F.when(host.isNull(), cls("no_host", False))
+        .when(
+            (host == "localhost") | host.endswith(".localhost"),
+            cls("loopback", False),
+        )
+        .when(ip_valid & (o[0] == 127), cls("loopback", False))
+        .when(ip_valid & (o[0] == 10), cls("private_ip", False))
+        .when(
+            ip_valid & (o[0] == 192) & (o[1] == 168),
+            cls("private_ip", False),
+        )
+        .when(
+            ip_valid & (o[0] == 172) & o[1].between(16, 31),
+            cls("private_ip", False),
+        )
+        .when(
+            ip_valid & (o[0] == 169) & (o[1] == 254),
+            cls("link_local", False),
+        )
+        .when(ip_valid, cls("public_ip", True))
+        .when(host.endswith(".onion"), cls("onion", False))
+        .when(host.endswith(".local"), cls("mdns_local", False))
+        .when(~host.contains("."), cls("bare", False))
+        .otherwise(cls("name", True))
+    )
+    # the decision struct is referenced twice (class + flag): pin it
+    # so the when-chain evaluates once per row, not once per field
+    return (
+        out.withColumn("_hs_d", pin(decided))
+        .withColumn("host", host)
+        .withColumn("host_class", F.col("_hs_d")["c"])
+        .withColumn("fetch_ok", F.col("_hs_d")["ok"])
+        .drop("_hs_host", "_hs_o", "_hs_d")
+    )

@@ -3232,6 +3232,87 @@ def q_corpus_hll_distinct(spark, sf):
     return hll_distinct(small.unionByName(big), "v", "grp")
 
 
+def q_events_bot_detect(spark, sf):
+    """Timing-regularity bot detection over the natural events users
+    plus two injected clients: user 99991 fires every 210 s exactly
+    (the %7 event_id stride x 30 s — zero spread, flagged bot) and
+    decoy 99992 adds a (id%50)*40 s jitter (regular-ish rate, spread
+    far above mean/10 — must NOT flag).  NTZ timestamp literals (the
+    events table reads as TIMESTAMP_NTZ).  Oracle = the same lag
+    window (ts, id order), date_diff microseconds, and the integer
+    cross-multiplied spread rule."""
+    from .operators.temporal import bot_regularity
+
+    ev = load(spark, sf, "events").select("event_id", "ts", "user_id")
+    bot = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        F.expr(
+            "timestampadd(SECOND, CAST(event_id * 30 AS INT), "
+            "TIMESTAMP_NTZ '2024-06-01 00:00:00')"
+        ).alias("ts"),
+        F.lit(99991).cast("long").alias("user_id"),
+    )
+    decoy = ev.filter(F.col("event_id") % 11 == 0).select(
+        "event_id",
+        F.expr(
+            "timestampadd(SECOND, CAST(event_id * 30 + "
+            "(event_id % 50) * 40 AS INT), "
+            "TIMESTAMP_NTZ '2024-07-01 00:00:00')"
+        ).alias("ts"),
+        F.lit(99992).cast("long").alias("user_id"),
+    )
+    return bot_regularity(ev.unionByName(bot).unionByName(decoy))
+
+
+def q_corpus_host_safety(spark, sf):
+    """Host-safety classification over a 14-arm url rotation: every
+    class fires — loopback by name and by 127/8, all three RFC-1918
+    ranges INCLUDING the 172.16/12 boundary pair (172.20 private vs
+    172.32 public), link-local, a shape-valid-octet-invalid 999 quad,
+    a public IP literal, .onion, .local, a bare intranet name, a junk
+    url, and plain fetchable names.  Oracle = the same host
+    restatement + anchored octet groups with NULLIF-guarded casts +
+    the identical priority CASE."""
+    from .operators.urls import with_host_safety
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    m = did % 14
+    url = (
+        F.when(m == 0, F.lit("https://localhost/admin"))
+        .when(m == 1, F.lit("https://dev.Localhost/x"))
+        .when(m == 2, F.lit("http://127.0.0.1:8080/x"))
+        .when(m == 3, F.lit("http://10.1.2.3/x"))
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("http://192.168.0."),
+                (did % 200).cast("string"),
+                F.lit("/x"),
+            ),
+        )
+        .when(m == 5, F.lit("http://172.20.5.5/x"))
+        .when(m == 6, F.lit("http://172.32.1.1/x"))
+        .when(m == 7, F.lit("http://169.254.9.9/x"))
+        .when(m == 8, F.lit("http://999.1.2.3/x"))
+        .when(m == 9, F.lit("http://8.8.8.8/dns"))
+        .when(m == 10, F.lit("http://hidden.service.onion/x"))
+        .when(m == 11, F.lit("http://printer.local/x"))
+        .when(m == 12, F.lit("http://intranet/wiki"))
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site"),
+                (did % 40).cast("string"),
+                F.lit(".example.org/p"),
+            )
+        )
+    )
+    extra = spark.createDataFrame([("junk url",)], "url string")
+    return with_host_safety(
+        d.select(url.alias("url")).unionByName(extra)
+    ).select("url", "host", "host_class", "fetch_ok")
+
+
 # Forms fixture arms — ONE site; the engine query lits these and the
 # oracle splices them (single-quote-doubled), so the two cannot drift.
 _FORMS_FIX = {
@@ -6020,6 +6101,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_cooccurrence": q_corpus_cooccurrence,
     "events_hll_users": q_events_hll_users,
     "html_forms": q_html_forms,
+    "events_bot_detect": q_events_bot_detect,
+    "corpus_host_safety": q_corpus_host_safety,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -11886,3 +11969,112 @@ def _html_forms_oracle_sql() -> str:
 
 
 ORACLE_SQL["html_forms"] = _html_forms_oracle_sql()
+
+# events_bot_detect: the same two injected clients (INTERVAL second
+# arithmetic == timestampadd on NTZ), lag over (ts, id), microsecond
+# date_diff, and the all-integer cross-multiplied spread rule —
+# coalesced FALSE for gap-less users.
+_BOT_REG_SQL = (
+    "coalesce((max_gap_us - min_gap_us) * 10 * n_gaps < sum_gap_us, "
+    "FALSE)"
+)
+ORACLE_SQL["events_bot_detect"] = (
+    "WITH ev AS ("
+    "  SELECT event_id, ts, user_id FROM events "
+    "  UNION ALL "
+    "  SELECT event_id, TIMESTAMP '2024-06-01 00:00:00' + "
+    "    INTERVAL (event_id * 30) SECOND, CAST(99991 AS BIGINT) "
+    "  FROM events WHERE event_id % 7 = 0 "
+    "  UNION ALL "
+    "  SELECT event_id, TIMESTAMP '2024-07-01 00:00:00' + "
+    "    INTERVAL (event_id * 30 + (event_id % 50) * 40) SECOND, "
+    "    CAST(99992 AS BIGINT) "
+    "  FROM events WHERE event_id % 11 = 0), "
+    "g AS (SELECT user_id, event_id, ts, lag(ts) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM ev), "
+    "d AS (SELECT user_id, CASE WHEN pts IS NULL THEN NULL "
+    "  ELSE CAST(date_diff('microsecond', pts, ts) AS BIGINT) END "
+    "  AS gap FROM g), "
+    "a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "  CAST(COUNT(gap) AS BIGINT) AS n_gaps, MIN(gap) AS min_gap_us, "
+    "  MAX(gap) AS max_gap_us, CAST(SUM(gap) AS BIGINT) "
+    "  AS sum_gap_us FROM d GROUP BY user_id) "
+    "SELECT user_id, n_events, n_gaps, min_gap_us, max_gap_us, "
+    f"sum_gap_us, {_BOT_REG_SQL} AS is_regular, "
+    f"n_events >= 20 AND {_BOT_REG_SQL} AS is_bot FROM a"
+)
+
+
+def _host_safety_oracle_sql() -> str:
+    """corpus_host_safety oracle — the generic host restatement (with
+    an explicit port strip: the regexp form keeps the :port that
+    parse_url HOST drops, and an invalid-quad NULL rule: Spark's
+    try_parse_url rejects a dotted-quad with an octet > 255 at the
+    parser), anchored octet groups with NULLIF-guarded casts, and the
+    engine's priority CASE with fetch_ok derived from the class (only
+    public_ip and name fetch)."""
+    ip_re = (
+        "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
+    )
+    vd = (
+        "o1 IS NOT NULL AND o1 <= 255 AND o2 <= 255 AND o3 <= 255 "
+        "AND o4 <= 255"
+    )
+    arms = (
+        "CASE doc_id % 14 "
+        "WHEN 0 THEN 'https://localhost/admin' "
+        "WHEN 1 THEN 'https://dev.Localhost/x' "
+        "WHEN 2 THEN 'http://127.0.0.1:8080/x' "
+        "WHEN 3 THEN 'http://10.1.2.3/x' "
+        "WHEN 4 THEN 'http://192.168.0.' || "
+        "  CAST(doc_id % 200 AS VARCHAR) || '/x' "
+        "WHEN 5 THEN 'http://172.20.5.5/x' "
+        "WHEN 6 THEN 'http://172.32.1.1/x' "
+        "WHEN 7 THEN 'http://169.254.9.9/x' "
+        "WHEN 8 THEN 'http://999.1.2.3/x' "
+        "WHEN 9 THEN 'http://8.8.8.8/dns' "
+        "WHEN 10 THEN 'http://hidden.service.onion/x' "
+        "WHEN 11 THEN 'http://printer.local/x' "
+        "WHEN 12 THEN 'http://intranet/wiki' "
+        "ELSE 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) || "
+        "  '.example.org/p' END"
+    )
+    return (
+        f"WITH u AS (SELECT {arms} AS url FROM documents "
+        "  UNION ALL SELECT 'junk url'), "
+        "h0 AS (SELECT url, NULLIF(regexp_replace(regexp_replace("
+        "  lower(regexp_extract(url, "
+        "  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+        "  ':[0-9]+$', ''), '^www\\.', ''), '') AS h0 FROM u), "
+        "oc0 AS (SELECT url, h0, "
+        + ", ".join(
+            f"CAST(NULLIF(regexp_extract(h0, '{ip_re}', {i + 1}), "
+            f"'') AS INT) AS o{i + 1}"
+            for i in range(4)
+        )
+        + " FROM h0), "
+        "oc AS (SELECT url, "
+        f"  CASE WHEN o1 IS NOT NULL AND NOT ({vd}) THEN NULL "
+        "  ELSE h0 END AS host, "
+        f"  CASE WHEN {vd} THEN o1 END AS o1, "
+        f"  CASE WHEN {vd} THEN o2 END AS o2 FROM oc0), "
+        "r AS (SELECT url, host, CASE "
+        "WHEN host IS NULL THEN 'no_host' "
+        "WHEN host = 'localhost' OR host LIKE '%.localhost' "
+        "  THEN 'loopback' "
+        "WHEN o1 = 127 THEN 'loopback' "
+        "WHEN o1 = 10 THEN 'private_ip' "
+        "WHEN o1 = 192 AND o2 = 168 THEN 'private_ip' "
+        "WHEN o1 = 172 AND o2 BETWEEN 16 AND 31 THEN 'private_ip' "
+        "WHEN o1 = 169 AND o2 = 254 THEN 'link_local' "
+        "WHEN o1 IS NOT NULL THEN 'public_ip' "
+        "WHEN host LIKE '%.onion' THEN 'onion' "
+        "WHEN host LIKE '%.local' THEN 'mdns_local' "
+        "WHEN host NOT LIKE '%.%' THEN 'bare' "
+        "ELSE 'name' END AS host_class FROM oc) "
+        "SELECT url, host, host_class, "
+        "host_class IN ('public_ip', 'name') AS fetch_ok FROM r"
+    )
+
+
+ORACLE_SQL["corpus_host_safety"] = _host_safety_oracle_sql()

@@ -4701,3 +4701,90 @@ def test_forms_semantics(spark):
 
     with _pytest.raises(ValueError):
         forms(df.withColumn("_fo_h", F.lit("x")))
+
+
+def test_bot_regularity_semantics(spark):
+    """All-integer regularity rule: a constant-timer client flags, a
+    jittered client and a bursty human do not; single-event and
+    all-same-ts users can never be regular; min_events gates the
+    flag."""
+    from datetime import datetime, timedelta
+
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        bot_regularity,
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    rows = []
+    # bot: 30 events exactly 10 s apart
+    rows += [(100 + i, t(10 * i), 1) for i in range(30)]
+    # human: bursty gaps (1 s and 120 s alternating-ish)
+    rows += [(200 + i, datetime(2024, 1, 1, 0, i % 2, i), 2) for i in range(30)]
+    # regular but BELOW min_events
+    rows += [(300 + i, t(10 * i), 3) for i in range(5)]
+    # single event + same-ts pair
+    rows += [(400, t(0), 4), (500, t(7), 5), (501, t(7), 5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    out = {
+        r["user_id"]: r
+        for r in bot_regularity(df, min_events=20).collect()
+    }
+    assert out[1]["is_bot"] and out[1]["is_regular"]
+    assert out[1]["min_gap_us"] == out[1]["max_gap_us"] == 10_000_000
+    assert not out[2]["is_bot"] and not out[2]["is_regular"]
+    # regular timing but too few events: is_regular without is_bot
+    assert out[3]["is_regular"] and not out[3]["is_bot"]
+    assert not out[4]["is_regular"] and out[4]["n_gaps"] == 0
+    assert not out[5]["is_regular"] and out[5]["sum_gap_us"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bot_regularity(df, min_events=1)
+
+
+def test_host_safety_semantics(spark):
+    """Priority classification: loopback by name and by 127/8, the
+    three RFC-1918 ranges with the 172.16/12 boundary, link-local,
+    public IP literal (fetchable, flagged), onion/mdns/bare never
+    fetch, invalid quads die at the url parser (no_host), names
+    fetch."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        with_host_safety,
+    )
+
+    cases = [
+        ("https://localhost/x", "loopback", False),
+        ("https://a.Localhost/x", "loopback", False),
+        ("http://127.0.0.1:8080/x", "loopback", False),
+        ("http://10.0.0.1/x", "private_ip", False),
+        ("http://192.168.1.1/x", "private_ip", False),
+        ("http://172.16.0.1/x", "private_ip", False),
+        ("http://172.31.255.255/x", "private_ip", False),
+        ("http://172.32.0.1/x", "public_ip", True),
+        ("http://169.254.1.1/x", "link_local", False),
+        ("http://8.8.8.8/x", "public_ip", True),
+        ("http://999.1.2.3/x", "no_host", False),
+        ("http://a.onion/x", "onion", False),
+        ("http://b.local/x", "mdns_local", False),
+        ("http://intranet/x", "bare", False),
+        ("junk url", "no_host", False),
+        ("https://www.example.org/x", "name", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)],
+        "i long, url string",
+    )
+    got = {
+        r["i"]: (r["host_class"], r["fetch_ok"])
+        for r in with_host_safety(df).collect()
+    }
+    for i, (u, cls_, ok) in enumerate(cases):
+        assert got[i] == (cls_, ok), u
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with_host_safety(df.withColumn("host", F.lit("x")))

@@ -1501,3 +1501,23 @@ def test_html_forms_plan(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_events_bot_detect_plan(spark):
+    """events_bot_detect: ONE user-keyed exchange shared by the lag
+    window and the per-user aggregation (subset rule); the decision
+    runs on the tiny aggregate — no join, no Python."""
+    plan = _qplan(spark, "events_bot_detect")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_corpus_host_safety_plan(spark):
+    """corpus_host_safety: pure narrow classification — pinned host +
+    ONE pinned octet struct + ONE pinned decision struct; zero
+    exchanges, no join, no Python."""
+    plan = _qplan(spark, "corpus_host_safety")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
