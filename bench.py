@@ -225,6 +225,8 @@ HEADLINE = [
     "corpus_cooccurrence",
     "events_hll_users",
     "html_forms",
+    "events_bot_detect",
+    "corpus_host_safety",
 ]
 
 
