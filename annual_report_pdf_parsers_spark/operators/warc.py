@@ -45,11 +45,20 @@ _CLEN_RE = "Content-Length: ([0-9]+)"
 
 
 def warc_records(
-    df: DataFrame, warc_col: str = "warc", id_col: str = "doc_id"
+    df: DataFrame,
+    warc_col: str = "warc",
+    id_col: str = "doc_id",
+    keep_payload: bool = False,
 ) -> DataFrame:
     """Explode concatenated WARC/1.0 records into one row per record:
     ``(id, rec_no, warc_type, target_uri, warc_date, content_length,
     payload_md5, is_valid)``.
+
+    ``keep_payload=True`` additionally carries the bounded payload
+    TEXT (valid records only) for in-pipeline extraction — the
+    archive -> main-content composition consumes it in the same
+    narrow chain, so the payload still never crosses an exchange;
+    the default hashes-only form is the ingestion AUDIT shape.
 
     rec_no is 1-based in ARCHIVE order and keeps gaps for blocks that
     fail validation (the sitemap convention: source position is data).
@@ -123,5 +132,10 @@ def warc_records(
         field(_DATE_RE).alias("warc_date"),
         clen.alias("content_length"),
         F.when(valid, F.md5(payload)).alias("payload_md5"),
+        *(
+            [F.when(valid, payload).alias("payload")]
+            if keep_payload
+            else []
+        ),
         valid.alias("is_valid"),
     )

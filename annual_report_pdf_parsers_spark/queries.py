@@ -3232,6 +3232,74 @@ def q_corpus_hll_distinct(spark, sf):
     return hll_distinct(small.unionByName(big), "v", "grp")
 
 
+def q_corpus_warc_extract(spark, sf):
+    """The archive->corpus capstone: WARC response records whose
+    payload is the shared html page synth, parsed with the bounded
+    read (the %5 arm's Content-Length cuts 200 chars — extraction
+    over a TRUNCATED page must still be deterministic), request
+    records (%3) excluded by type, header-less blocks (%7) by
+    validity, then jusText main-content extraction on the recovered
+    payload in the SAME narrow chain — the WARC->WET conversion every
+    web corpus starts from.  Gate value-hashes md5(main_text).
+    Oracle = the shared _WARC_CHAIN_SQL + _html_main_ctes fragments
+    composed over the same archive synthesis."""
+    from .operators.html import main_content
+    from .operators.warc import warc_records
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    crlf = F.lit("\r\n")
+    page = _html_page()
+    clen = F.when(
+        did % 5 == 0, F.greatest(F.length(page) - 200, F.lit(0))
+    ).otherwise(F.length(page))
+    uri = F.concat(
+        F.lit("https://ex"),
+        (did % 20).cast("string"),
+        F.lit(".org/p/"),
+        did.cast("string"),
+    )
+    rec1 = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: response"), crlf,
+        F.lit("WARC-Target-URI: "), uri, crlf,
+        F.lit("Content-Length: "), clen.cast("string"), crlf, crlf,
+        page, crlf, crlf,
+    )
+    rec2 = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: request"), crlf,
+        F.lit("WARC-Target-URI: "), uri, crlf,
+        F.lit("Content-Length: 14"), crlf, crlf,
+        F.lit("GET / HTTP/1.1"), crlf, crlf,
+    )
+    bad = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: metadata"), crlf,
+        F.lit("No-Uri: x"), crlf, crlf,
+        F.lit("junk"),
+    )
+    arc = F.concat(
+        rec1,
+        F.when(did % 3 == 0, rec2).otherwise(F.lit("")),
+        F.when(did % 7 == 0, bad).otherwise(F.lit("")),
+    )
+    recs = warc_records(
+        d.select("doc_id", arc.alias("warc")), keep_payload=True
+    )
+    pages = recs.filter(
+        F.col("is_valid") & (F.col("warc_type") == "response")
+    ).select("doc_id", F.col("payload").alias("html"))
+    mc = main_content(pages)
+    return mc.select(
+        "doc_id",
+        F.md5(F.col("main_text")).alias("main_md5"),
+        "n_blocks",
+        "n_good",
+        "link_frac",
+    )
+
+
 def q_events_bot_detect(spark, sf):
     """Timing-regularity bot detection over the natural events users
     plus two injected clients: user 99991 fires every 210 s exactly
@@ -6103,6 +6171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_forms": q_html_forms,
     "events_bot_detect": q_events_bot_detect,
     "corpus_host_safety": q_corpus_host_safety,
+    "corpus_warc_extract": q_corpus_warc_extract,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -9116,14 +9185,17 @@ _HTML_PAGE_SQL = (
 )
 
 
-def _html_main_ctes(page_sql: str, ctx: bool = False) -> str:
+def _html_main_ctes(
+    page_sql: str, ctx: bool = False, src: str = "documents"
+) -> str:
     """The strip/split/score/reconstruct CTE chain over a page
     expression (regenerated from the SAME regex + entity constants the
     engine uses, operators/html.py — one site to edit), ending in
     ``mc(doc_id, main_text, n_blocks, n_good, link_frac)``.  Shared by
     the html_main_content, html_main_content_ctx (``ctx=True`` adds
-    the jusText context-promotion rule via IGNORE-NULLS windows), and
-    corpus_web_extract oracles."""
+    the jusText context-promotion rule via IGNORE-NULLS windows),
+    corpus_web_extract, and corpus_warc_extract (``src`` points the
+    page expression at an upstream CTE instead of documents) oracles."""
     from .operators.html import (
         ANCHOR_TEXT_RE,
         BLOCK_SPLIT_RE,
@@ -9147,7 +9219,7 @@ def _html_main_ctes(page_sql: str, ctx: bool = False) -> str:
         f"a -> length({btxt('a')}))), (p, q) -> p + q)"
     )
     return (
-        f"d AS (SELECT doc_id, {page_sql} AS h FROM documents), "
+        f"d AS (SELECT doc_id, {page_sql} AS h FROM {src}), "
         "s AS (SELECT doc_id, regexp_replace(regexp_replace("
         f"regexp_replace(h, '{SCRIPT_RE}', ' ', 'g'), "
         f"'{STYLE_RE}', ' ', 'g'), '{COMMENT_RE}', ' ', 'g') AS t "
@@ -11218,12 +11290,43 @@ ORACLE_SQL["corpus_inverted_index"] = (
     "WHERE \"rank\" <= 3"
 )
 
-# corpus_warc_records: the same synthesized archives (CRLF as
-# chr(13)||chr(10) so the SQL carries no control bytes), version-line
-# split with the rec_no = i-1 indexing, header regexes over the
-# before-blank-line fragment only, and the Content-Length-bounded
-# payload substr; absent-and-blank headers both NULL via NULLIF.
+# WARC parsing CTE chain over an existing arcs(doc_id, arc) + c(nl)
+# pair — version-line split with rec_no = i-1 indexing, header
+# regexes over the before-blank-line fragment only, the validity
+# rule — ending in wv(doc_id, rec_no, b, ba, warc_type, target_uri,
+# warc_date, content_length, is_valid); w-prefixed CTE names so the
+# chain composes with _html_main_ctes (which owns bl/s/d).  Shared
+# by the corpus_warc_records and corpus_warc_extract oracles.
 _CRLF_SQL = "chr(13) || chr(10)"
+_WARC_CHAIN_SQL = (
+    "wbl AS (SELECT doc_id, "
+    "  string_split_regex(arc, 'WARC/1\\.0') AS arr FROM arcs), "
+    "wrc AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS rec_no, "
+    "  arr[i] AS b FROM wbl, "
+    "  UNNEST(generate_series(2, len(arr))) AS g(i)), "
+    "wpr AS (SELECT doc_id, rec_no, b, "
+    "  position((nl || nl) IN b) AS ba, "
+    "  CASE WHEN position((nl || nl) IN b) > 0 "
+    "    THEN substr(b, 1, position((nl || nl) IN b) - 1) "
+    "    ELSE b END AS hdr FROM wrc, c), "
+    "wf AS (SELECT doc_id, rec_no, b, ba, "
+    "  NULLIF(regexp_extract(hdr, 'WARC-Type: ([^\\r\\n]+)', 1), '') "
+    "    AS warc_type, "
+    "  NULLIF(regexp_extract(hdr, "
+    "    'WARC-Target-URI: ([^\\r\\n]+)', 1), '') AS target_uri, "
+    "  NULLIF(regexp_extract(hdr, 'WARC-Date: ([^\\r\\n]+)', 1), '') "
+    "    AS warc_date, "
+    "  CASE WHEN regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) "
+    "    <> '' THEN CAST(regexp_extract(hdr, "
+    "    'Content-Length: ([0-9]+)', 1) AS BIGINT) END "
+    "    AS content_length FROM wpr), "
+    "wv AS (SELECT *, (target_uri IS NOT NULL "
+    "  AND content_length IS NOT NULL AND ba > 0) AS is_valid FROM wf)"
+)
+
+# corpus_warc_records: the same synthesized archives (CRLF as
+# chr(13)||chr(10) so the SQL carries no control bytes) + the shared
+# parsing chain; absent-and-blank headers both NULL via NULLIF.
 ORACLE_SQL["corpus_warc_records"] = (
     f"WITH c AS (SELECT {_CRLF_SQL} AS nl FROM (VALUES (1))), "
     "base AS (SELECT doc_id, substr(text, 1, 60) AS p1, "
@@ -11248,34 +11351,12 @@ ORACLE_SQL["corpus_warc_records"] = (
     "    'WARC/1.0' || nl || 'WARC-Type: metadata' || nl || "
     "    'No-Uri: x' || nl || nl || 'junk' ELSE '' END AS arc "
     "  FROM lens, c), "
-    "bl AS (SELECT doc_id, "
-    "  string_split_regex(arc, 'WARC/1\\.0') AS arr FROM arcs), "
-    "rc AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS rec_no, "
-    "  arr[i] AS b FROM bl, "
-    "  UNNEST(generate_series(2, len(arr))) AS g(i)), "
-    "pr AS (SELECT doc_id, rec_no, b, "
-    "  position((nl || nl) IN b) AS ba, "
-    "  CASE WHEN position((nl || nl) IN b) > 0 "
-    "    THEN substr(b, 1, position((nl || nl) IN b) - 1) "
-    "    ELSE b END AS hdr FROM rc, c), "
-    "f AS (SELECT doc_id, rec_no, b, ba, "
-    "  NULLIF(regexp_extract(hdr, 'WARC-Type: ([^\\r\\n]+)', 1), '') "
-    "    AS warc_type, "
-    "  NULLIF(regexp_extract(hdr, "
-    "    'WARC-Target-URI: ([^\\r\\n]+)', 1), '') AS target_uri, "
-    "  NULLIF(regexp_extract(hdr, 'WARC-Date: ([^\\r\\n]+)', 1), '') "
-    "    AS warc_date, "
-    "  CASE WHEN regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) "
-    "    <> '' THEN CAST(regexp_extract(hdr, "
-    "    'Content-Length: ([0-9]+)', 1) AS BIGINT) END "
-    "    AS content_length FROM pr), "
-    "v AS (SELECT *, (target_uri IS NOT NULL "
-    "  AND content_length IS NOT NULL AND ba > 0) AS is_valid FROM f) "
+    f"{_WARC_CHAIN_SQL} "
     "SELECT doc_id, rec_no, warc_type, target_uri, warc_date, "
     "content_length, "
     "CASE WHEN is_valid THEN "
     "  md5(substr(substr(b, ba + 4), 1, content_length)) END "
-    "  AS payload_md5, is_valid FROM v"
+    "  AS payload_md5, is_valid FROM wv"
 )
 
 # events_session_paths: sessionize's integer-µs gap cumsum (the
@@ -12078,3 +12159,39 @@ def _host_safety_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_host_safety"] = _host_safety_oracle_sql()
+
+# corpus_warc_extract: the archive synthesis over the shared
+# _HTML_PAGE_SQL payload, the shared _WARC_CHAIN_SQL parsing chain,
+# the response/validity filter recovering the bounded payload, and
+# the shared _html_main_ctes extraction over that pages CTE.
+ORACLE_SQL["corpus_warc_extract"] = (
+    f"WITH c AS (SELECT {_CRLF_SQL} AS nl FROM (VALUES (1))), "
+    f"pg0 AS (SELECT doc_id, ({_HTML_PAGE_SQL}) AS p0 "
+    "  FROM documents), "
+    "lens AS (SELECT doc_id, p0, "
+    "  'https://ex' || CAST(doc_id % 20 AS VARCHAR) || '.org/p/' || "
+    "  CAST(doc_id AS VARCHAR) AS uri, "
+    "  CASE WHEN doc_id % 5 = 0 THEN greatest(length(p0) - 200, 0) "
+    "  ELSE length(p0) END AS l1 FROM pg0), "
+    "arcs AS (SELECT doc_id, "
+    "  'WARC/1.0' || nl || 'WARC-Type: response' || nl || "
+    "  'WARC-Target-URI: ' || uri || nl || "
+    "  'Content-Length: ' || CAST(l1 AS VARCHAR) || nl || nl || "
+    "  p0 || nl || nl || "
+    "  CASE WHEN doc_id % 3 = 0 THEN "
+    "    'WARC/1.0' || nl || 'WARC-Type: request' || nl || "
+    "    'WARC-Target-URI: ' || uri || nl || "
+    "    'Content-Length: 14' || nl || nl || "
+    "    'GET / HTTP/1.1' || nl || nl ELSE '' END || "
+    "  CASE WHEN doc_id % 7 = 0 THEN "
+    "    'WARC/1.0' || nl || 'WARC-Type: metadata' || nl || "
+    "    'No-Uri: x' || nl || nl || 'junk' ELSE '' END AS arc "
+    "  FROM lens, c), "
+    f"{_WARC_CHAIN_SQL}, "
+    "pages AS (SELECT doc_id, "
+    "  substr(substr(b, ba + 4), 1, content_length) AS page FROM wv "
+    "  WHERE is_valid AND warc_type = 'response'), "
+    f"{_html_main_ctes('page', src='pages')} "
+    "SELECT doc_id, md5(main_text) AS main_md5, n_blocks, n_good, "
+    "link_frac FROM mc"
+)

@@ -4788,3 +4788,51 @@ def test_host_safety_semantics(spark):
 
     with _pytest.raises(ValueError):
         with_host_safety(df.withColumn("host", F.lit("x")))
+
+
+def test_warc_payload_extraction_compose(spark):
+    """warc_records(keep_payload=True) -> main_content composition:
+    the bounded payload feeds extraction in one chain, request and
+    invalid records never mint pages, and a lying (short)
+    Content-Length yields extraction over the truncated html."""
+    from annual_report_pdf_parsers_spark.operators.html import (
+        main_content,
+    )
+    from annual_report_pdf_parsers_spark.operators.warc import (
+        warc_records,
+    )
+
+    body = (
+        "<html><body><p>"
+        + "visible main words repeated enough to clear the bar "
+        + "visible main words repeated enough to clear the bar"
+        + "</p></body></html>"
+    )
+    crlf = "\r\n"
+
+    def rec(rtype, uri, clen, payload):
+        return (
+            f"WARC/1.0{crlf}WARC-Type: {rtype}{crlf}"
+            f"WARC-Target-URI: {uri}{crlf}"
+            f"Content-Length: {clen}{crlf}{crlf}{payload}{crlf}{crlf}"
+        )
+
+    full = rec("response", "u1", len(body), body)
+    trunc = rec("response", "u2", len(body) - 60, body)
+    req = rec("request", "u1", 3, "GET")
+    df = spark.createDataFrame(
+        [(1, full + req), (2, trunc)], "doc_id long, warc string"
+    )
+    recs = warc_records(df, keep_payload=True)
+    by = {(r["doc_id"], r["rec_no"]): r for r in recs.collect()}
+    assert by[(1, 1)]["payload"] == body
+    assert by[(2, 1)]["payload"] == body[:-60]
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & F.col("is_valid")
+    ).select("doc_id", F.col("payload").alias("html"))
+    mc = {r["doc_id"]: r for r in main_content(pages).collect()}
+    assert len(mc) == 2  # the request record minted no page
+    assert mc[1]["n_good"] >= 1
+    assert mc[1]["main_text"] != mc[2]["main_text"]  # truncation shows
+    # default audit form carries no payload column
+    assert "payload" not in warc_records(df).columns

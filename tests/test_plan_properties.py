@@ -1521,3 +1521,15 @@ def test_corpus_host_safety_plan(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_warc_extract_plan(spark):
+    """corpus_warc_extract: archive parse -> payload -> main-content
+    extraction is ONE zero-exchange narrow chain with a single
+    Generate (the record posexplode) — the payload never crosses an
+    exchange; no join, no Python."""
+    plan = _qplan(spark, "corpus_warc_extract")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
