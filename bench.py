@@ -227,6 +227,7 @@ HEADLINE = [
     "html_forms",
     "events_bot_detect",
     "corpus_host_safety",
+    "corpus_warc_extract",
 ]
 
 
