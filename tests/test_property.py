@@ -2205,3 +2205,205 @@ def test_hll_distinct_matches_python_model(spark, rows):
             r["exact_distinct"],
             r["n_rows"],
         ) == (used, raw, est, exact, n), g
+
+
+# ---------------------------------------------------------------------------
+# urls.with_host_safety vs a pure-Python classifier model
+# ---------------------------------------------------------------------------
+
+_hs_host = st.one_of(
+    # dotted quads incl. invalid octets and boundary values
+    st.tuples(
+        st.sampled_from([0, 8, 10, 127, 169, 172, 192, 255, 256, 300]),
+        st.sampled_from([0, 16, 31, 32, 168, 254, 255, 999]),
+        st.integers(min_value=0, max_value=260),
+        st.integers(min_value=0, max_value=260),
+    ).map(lambda t: ".".join(str(x) for x in t)),
+    st.sampled_from(
+        [
+            "localhost", "a.localhost", "x.onion", "p.local",
+            "intranet", "example.org", "www.shop.example.com",
+        ]
+    ),
+)
+
+
+@SETTINGS
+@given(st.lists(_hs_host, min_size=1, max_size=40))
+def test_host_safety_matches_python_model(spark, hosts):
+    """The priority classification vs an independent model: quad
+    validity (every octet <= 255, mirroring try_parse_url's parser
+    rejection), range membership, suffix rules, bare names."""
+    from annual_report_pdf_parsers_spark.operators.urls import (
+        with_host_safety,
+    )
+
+    def model(h):
+        h = h.removeprefix("www.")
+        parts = h.split(".")
+        quad = len(parts) == 4 and all(
+            p.isdigit() and len(p) <= 3 for p in parts
+        )
+        if quad and any(int(p) > 255 for p in parts):
+            return ("no_host", False)  # parser rejects the url
+        if h == "localhost" or h.endswith(".localhost"):
+            return ("loopback", False)
+        if quad:
+            o = [int(p) for p in parts]
+            if o[0] == 127:
+                return ("loopback", False)
+            if o[0] == 10 or (o[0] == 192 and o[1] == 168) or (
+                o[0] == 172 and 16 <= o[1] <= 31
+            ):
+                return ("private_ip", False)
+            if o[0] == 169 and o[1] == 254:
+                return ("link_local", False)
+            return ("public_ip", True)
+        if h.endswith(".onion"):
+            return ("onion", False)
+        if h.endswith(".local"):
+            return ("mdns_local", False)
+        if "." not in h:
+            return ("bare", False)
+        return ("name", True)
+
+    df = spark.createDataFrame(
+        [(i, f"http://{h}/p") for i, h in enumerate(hosts)],
+        "i long, url string",
+    )
+    got = {
+        r["i"]: (r["host_class"], r["fetch_ok"])
+        for r in with_host_safety(df).collect()
+    }
+    for i, h in enumerate(hosts):
+        assert got[i] == model(h), h
+
+
+# ---------------------------------------------------------------------------
+# temporal.bot_regularity vs an integer-gap model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_bot_regularity_matches_python_model(spark, rows):
+    """Gap extraction, min/max/sum, and the cross-multiplied spread
+    rule vs a sorted-diff model -- duplicate timestamps, single-event
+    users, and arbitrary arrival orders included."""
+    from datetime import datetime, timedelta
+
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        bot_regularity,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, u, base + timedelta(seconds=s))
+        for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u) for i, u, t in data],
+        "event_id long, ts timestamp_ntz, user_id string",
+    )
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["n_gaps"],
+            r["min_gap_us"],
+            r["max_gap_us"],
+            r["sum_gap_us"],
+            r["is_regular"],
+            r["is_bot"],
+        )
+        for r in bot_regularity(
+            df, user_col="user_id", min_events=5
+        ).collect()
+    }
+    per_user: dict[str, list[int]] = {}
+    for _, u, t in data:
+        per_user.setdefault(u, []).append(
+            int((t - base).total_seconds()) * 1_000_000
+        )
+    for u, ts in per_user.items():
+        ts.sort()
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        if gaps:
+            mn, mx, sm = min(gaps), max(gaps), sum(gaps)
+            reg = (mx - mn) * 10 * len(gaps) < sm
+        else:
+            mn = mx = sm = None
+            reg = False
+        exp = (
+            len(ts),
+            len(gaps),
+            mn,
+            mx,
+            sm,
+            reg,
+            len(ts) >= 5 and reg,
+        )
+        assert got[u] == exp, (u, ts)
+
+
+# ---------------------------------------------------------------------------
+# text.bpe_pair_counts vs a Counter model on unicode-bearing words
+# ---------------------------------------------------------------------------
+
+_bpe_word = st.text(
+    alphabet="abc\u00df\u6f22\u00e9\u0085", min_size=1, max_size=5
+)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(_bpe_word, min_size=0, max_size=6),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_pair_counts_matches_python_model(spark, docs):
+    """Per-code-point pair counting vs a Counter model on words
+    carrying multibyte letters AND the U+0085 NEL line terminator
+    (the (?s) review fix) -- weights, markers, and the deterministic
+    top-k cut all reproduce."""
+    from collections import Counter
+
+    from annual_report_pdf_parsers_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    wc: Counter = Counter()
+    for ws in docs:
+        for w in ws:
+            # mirror the engine's whitespace-run split: the fixture
+            # joins with single spaces, so tokens are the non-empty
+            # space-split pieces (NEL is NOT whitespace to the engine)
+            for tk in w.split(" "):
+                if tk:
+                    wc[tk] += 1
+    pc: Counter = Counter()
+    for w, n in wc.items():
+        ch = list(w) + ["</w>"]
+        for i in range(len(ch) - 1):
+            pc[f"{ch[i]} {ch[i + 1]}"] += n
+    exp = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in bpe_pair_counts(df, k=30).collect()
+    ]
+    assert got == exp
