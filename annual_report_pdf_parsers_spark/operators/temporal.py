@@ -621,11 +621,17 @@ def bot_regularity(
         F.max("_br_gap").alias("max_gap_us"),
         F.sum("_br_gap").alias("sum_gap_us"),
     )
+    # the cross-multiplication runs in DECIMAL(38,0): a multi-year
+    # spread (~3e13 µs) times tens of thousands of gaps overflows
+    # BIGINT and ANSI mode would kill the whole job for one
+    # long-history user (review fix; the oracle mirrors the cast)
     regular = (
-        (F.col("max_gap_us") - F.col("min_gap_us"))
+        (F.col("max_gap_us") - F.col("min_gap_us")).cast(
+            "decimal(38,0)"
+        )
         * F.lit(int(spread_factor))
         * F.col("n_gaps")
-        < F.col("sum_gap_us")
+        < F.col("sum_gap_us").cast("decimal(38,0)")
     )
     regular = F.coalesce(regular, F.lit(False))
     return agg.select(

@@ -1051,14 +1051,24 @@ def with_host_safety(df: DataFrame, url_col: str = "url") -> DataFrame:
         (host, host_class, fetch_ok)
 
     host_class priority (first match wins, the CASE order IS the
-    rule): no_host < loopback (localhost name or 127/8) < private_ip
-    (10/8, 192.168/16, 172.16/12) < link_local (169.254/16) <
-    public_ip (any other dotted-quad — fetchable but flagged:
-    IP-literal urls are policy-routable) < onion < mdns_local
-    (.local) < bare (dot-less intranet name) < name (fetchable).
-    An INVALID dotted-quad (octet > 255) never reaches the quad arms:
-    Spark's try_parse_url rejects it at the parser and the url lands
-    in no_host (verified against the 999.1.2.3 fixture arm).
+    rule): no_host < loopback (localhost name or 127/8) <
+    ip6_literal (any ':'/'['-bearing host — range-checking IPv6 is
+    out of scope, so the guard FAILS CLOSED: '[::1]' and
+    '[::ffff:127.0.0.1]' must never be fetchable) < ambiguous_ip
+    (digits-and-dots hosts that are NOT a plain decimal quad —
+    leading-zero octets like 0177.0.0.1 parse as OCTAL in standard
+    clients and resolve to loopback; also fail-closed) < private_ip
+    for 0/8 ("this network" — connects to localhost on Linux) <
+    loopback 127/8 < private_ip (10/8, 192.168/16, 172.16/12) <
+    link_local (169.254/16) < public_ip (any other plain decimal
+    quad — fetchable but flagged: IP-literal urls are
+    policy-routable) < onion < mdns_local (.local) < bare (dot-less
+    intranet name) < name (fetchable).
+    An INVALID plain quad (octet > 255, too many labels, '127.1'
+    shorthand) never reaches the arms: Spark's try_parse_url rejects
+    those at the parser and the url lands in no_host (verified
+    against the 999.1.2.3 fixture arm) — but it ACCEPTS leading-zero
+    octets, hence the explicit ambiguous_ip arm.
 
     Octets are extracted via anchored regexp groups and NULLIF-guarded
     before the int cast (ANSI: a bare cast of '' THROWS — the
@@ -1091,9 +1101,16 @@ def with_host_safety(df: DataFrame, url_col: str = "url") -> DataFrame:
         ),
     )
     o = [F.col("_hs_o")[f"o{i + 1}"] for i in range(4)]
-    # try_parse_url has already validated the quad (an octet > 255
-    # fails the whole parse -> NULL host), so shape == valid here
+    # try_parse_url has already rejected malformed quads (octet >
+    # 255, wrong label count), so for PLAIN DECIMAL quads shape ==
+    # valid; leading-zero octets survive the parser and are handled
+    # by the ambiguous_ip arm BEFORE these octet tests fire
     ip_valid = o[0].isNotNull()
+    # digits-and-dots host with a leading-zero octet (octal in
+    # standard clients) or any non-quad numeric shape the parser let
+    # through: never trust the decimal reading
+    numericish = host.rlike(r"^[0-9.]+$")
+    leading_zero = host.rlike(r"(^|\.)0[0-9]")
 
     def cls(name: str, ok: bool):
         return F.struct(
@@ -1106,7 +1123,18 @@ def with_host_safety(df: DataFrame, url_col: str = "url") -> DataFrame:
             (host == "localhost") | host.endswith(".localhost"),
             cls("loopback", False),
         )
+        .when(
+            host.contains(":") | host.startswith("["),
+            cls("ip6_literal", False),
+        )
+        .when(
+            numericish & (leading_zero | ~ip_valid),
+            cls("ambiguous_ip", False),
+        )
         .when(ip_valid & (o[0] == 127), cls("loopback", False))
+        .when(
+            ip_valid & (o[0] == 0), cls("private_ip", False)
+        )
         .when(ip_valid & (o[0] == 10), cls("private_ip", False))
         .when(
             ip_valid & (o[0] == 192) & (o[1] == 168),

@@ -3314,8 +3314,10 @@ def q_events_bot_detect(spark, sf):
     ev = load(spark, sf, "events").select("event_id", "ts", "user_id")
     bot = ev.filter(F.col("event_id") % 7 == 0).select(
         "event_id",
+        # BIGINT quantity: an INT cast would ANSI-overflow at the
+        # event_id scale large sfs reach (review fix)
         F.expr(
-            "timestampadd(SECOND, CAST(event_id * 30 AS INT), "
+            "timestampadd(SECOND, CAST(event_id * 30 AS BIGINT), "
             "TIMESTAMP_NTZ '2024-06-01 00:00:00')"
         ).alias("ts"),
         F.lit(99991).cast("long").alias("user_id"),
@@ -3324,7 +3326,7 @@ def q_events_bot_detect(spark, sf):
         "event_id",
         F.expr(
             "timestampadd(SECOND, CAST(event_id * 30 + "
-            "(event_id % 50) * 40 AS INT), "
+            "(event_id % 50) * 40 AS BIGINT), "
             "TIMESTAMP_NTZ '2024-07-01 00:00:00')"
         ).alias("ts"),
         F.lit(99992).cast("long").alias("user_id"),
@@ -3333,19 +3335,21 @@ def q_events_bot_detect(spark, sf):
 
 
 def q_corpus_host_safety(spark, sf):
-    """Host-safety classification over a 14-arm url rotation: every
+    """Host-safety classification over a 17-arm url rotation: every
     class fires — loopback by name and by 127/8, all three RFC-1918
     ranges INCLUDING the 172.16/12 boundary pair (172.20 private vs
-    172.32 public), link-local, a shape-valid-octet-invalid 999 quad,
-    a public IP literal, .onion, .local, a bare intranet name, a junk
-    url, and plain fetchable names.  Oracle = the same host
-    restatement + anchored octet groups with NULLIF-guarded casts +
-    the identical priority CASE."""
+    172.32 public), link-local, a shape-valid-octet-invalid 999 quad
+    (parser-rejected -> no_host), a public IP literal, .onion,
+    .local, a bare intranet name, a junk url, an IPv6 literal, an
+    OCTAL leading-zero quad (0177.0.0.1 — the SSRF bypass the review
+    found), the 0/8 "this network" quad, and plain fetchable names.
+    Oracle = the same host restatement + anchored octet groups with
+    NULLIF-guarded casts + the identical priority CASE."""
     from .operators.urls import with_host_safety
 
     d = load(spark, sf, "documents")
     did = F.col("doc_id")
-    m = did % 14
+    m = did % 17
     url = (
         F.when(m == 0, F.lit("https://localhost/admin"))
         .when(m == 1, F.lit("https://dev.Localhost/x"))
@@ -3367,6 +3371,9 @@ def q_corpus_host_safety(spark, sf):
         .when(m == 10, F.lit("http://hidden.service.onion/x"))
         .when(m == 11, F.lit("http://printer.local/x"))
         .when(m == 12, F.lit("http://intranet/wiki"))
+        .when(m == 13, F.lit("http://[::ffff:127.0.0.1]/x"))
+        .when(m == 14, F.lit("http://0177.0.0.1/x"))
+        .when(m == 15, F.lit("http://0.1.2.3/x"))
         .otherwise(
             F.concat(
                 F.lit("https://www.site"),
@@ -12056,8 +12063,8 @@ ORACLE_SQL["html_forms"] = _html_forms_oracle_sql()
 # date_diff, and the all-integer cross-multiplied spread rule —
 # coalesced FALSE for gap-less users.
 _BOT_REG_SQL = (
-    "coalesce((max_gap_us - min_gap_us) * 10 * n_gaps < sum_gap_us, "
-    "FALSE)"
+    "coalesce(CAST(max_gap_us - min_gap_us AS DECIMAL(38,0)) * 10 "
+    "* n_gaps < CAST(sum_gap_us AS DECIMAL(38,0)), FALSE)"
 )
 ORACLE_SQL["events_bot_detect"] = (
     "WITH ev AS ("
@@ -12088,12 +12095,16 @@ ORACLE_SQL["events_bot_detect"] = (
 
 def _host_safety_oracle_sql() -> str:
     """corpus_host_safety oracle — the generic host restatement (with
-    an explicit port strip: the regexp form keeps the :port that
-    parse_url HOST drops, and an invalid-quad NULL rule: Spark's
-    try_parse_url rejects a dotted-quad with an octet > 255 at the
-    parser), anchored octet groups with NULLIF-guarded casts, and the
-    engine's priority CASE with fetch_ok derived from the class (only
-    public_ip and name fetch)."""
+    an explicit port strip, minus the bracketed-IPv6 case which
+    carries no port here, and an invalid-quad NULL rule: Spark's
+    try_parse_url rejects a PLAIN dotted-quad with an octet > 255 at
+    the parser), anchored octet groups with NULLIF-guarded casts, and
+    the engine's priority CASE with fetch_ok derived from the class
+    (only public_ip and name fetch).  The restatement is exact FOR
+    THE FIXTURE ARMS — it does not reproduce the parser's rejection
+    of every malformed host shape (e.g. '127.1' shorthand or 5-label
+    quads, which the engine sends to no_host), so new fixture arms
+    must stay within the shapes mirrored here."""
     ip_re = (
         "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
     )
@@ -12102,7 +12113,7 @@ def _host_safety_oracle_sql() -> str:
         "AND o4 <= 255"
     )
     arms = (
-        "CASE doc_id % 14 "
+        "CASE doc_id % 17 "
         "WHEN 0 THEN 'https://localhost/admin' "
         "WHEN 1 THEN 'https://dev.Localhost/x' "
         "WHEN 2 THEN 'http://127.0.0.1:8080/x' "
@@ -12117,6 +12128,9 @@ def _host_safety_oracle_sql() -> str:
         "WHEN 10 THEN 'http://hidden.service.onion/x' "
         "WHEN 11 THEN 'http://printer.local/x' "
         "WHEN 12 THEN 'http://intranet/wiki' "
+        "WHEN 13 THEN 'http://[::ffff:127.0.0.1]/x' "
+        "WHEN 14 THEN 'http://0177.0.0.1/x' "
+        "WHEN 15 THEN 'http://0.1.2.3/x' "
         "ELSE 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) || "
         "  '.example.org/p' END"
     )
@@ -12143,7 +12157,13 @@ def _host_safety_oracle_sql() -> str:
         "WHEN host IS NULL THEN 'no_host' "
         "WHEN host = 'localhost' OR host LIKE '%.localhost' "
         "  THEN 'loopback' "
+        "WHEN host LIKE '%:%' OR host LIKE '[%' "
+        "  THEN 'ip6_literal' "
+        "WHEN regexp_matches(host, '^[0-9.]+$') AND "
+        "  (regexp_matches(host, '(^|\\.)0[0-9]') OR o1 IS NULL) "
+        "  THEN 'ambiguous_ip' "
         "WHEN o1 = 127 THEN 'loopback' "
+        "WHEN o1 = 0 THEN 'private_ip' "
         "WHEN o1 = 10 THEN 'private_ip' "
         "WHEN o1 = 192 AND o2 = 168 THEN 'private_ip' "
         "WHEN o1 = 172 AND o2 BETWEEN 16 AND 31 THEN 'private_ip' "

@@ -4773,6 +4773,13 @@ def test_host_safety_semantics(spark):
         ("http://intranet/x", "bare", False),
         ("junk url", "no_host", False),
         ("https://www.example.org/x", "name", True),
+        # SSRF bypass arms (review findings): octal quads and IPv6
+        # literals survive try_parse_url and MUST fail closed
+        ("http://0177.0.0.1/x", "ambiguous_ip", False),
+        ("http://010.1.2.3/x", "ambiguous_ip", False),
+        ("http://[::ffff:127.0.0.1]/x", "ip6_literal", False),
+        ("http://[::1]/x", "ip6_literal", False),
+        ("http://0.1.2.3/x", "private_ip", False),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _, _) in enumerate(cases)],

@@ -2252,6 +2252,8 @@ def test_host_safety_matches_python_model(spark, hosts):
             o = [int(p) for p in parts]
             if o[0] == 127:
                 return ("loopback", False)
+            if o[0] == 0:  # "this network" connects to localhost
+                return ("private_ip", False)
             if o[0] == 10 or (o[0] == 192 and o[1] == 168) or (
                 o[0] == 172 and 16 <= o[1] <= 31
             ):
