@@ -647,3 +647,65 @@ def bot_regularity(
             & regular
         ).alias("is_bot"),
     )
+
+
+def attribution_matrix(
+    events: DataFrame,
+    on: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """First-touch x last-touch attribution matrix — the standard
+    credit-assignment report (public practice: first/last-touch are
+    the two baseline attribution models every analytics stack ships):
+    per CONVERTING user, the type of the earliest event and of the
+    latest event STRICTLY BEFORE the first conversion (the funnel
+    tie rule: an event at exactly the conversion timestamp carries no
+    causal order), rolled up into::
+
+        (first_touch, last_touch, n_users)
+
+    Users whose first event IS the conversion credit 'direct' on both
+    ends.  First/last are min/max over (ts, id, type) structs — the
+    (ts, id) prefix is a total order, so the pick is deterministic
+    without a sort-based window.
+
+    100 TB shape: ONE user-keyed exchange — the conversion-time
+    window (no ORDER BY: a partition-wide min needs no sort) and the
+    per-user aggregation share the clustering (subset rule); the
+    matrix rollup aggregates a types^2-bounded table.
+    """
+    for n in ("_at_conv",):
+        if n in events.columns:
+            raise ValueError(f"staging column {n!r} already exists")
+    w = Window.partitionBy(user_col)
+    conv_ts = F.min(
+        F.when(F.col(type_col) == conversion, F.col(on))
+    ).over(w)
+    staged = events.withColumn("_at_conv", conv_ts).filter(
+        F.col("_at_conv").isNotNull()
+    )
+    pre = F.col(on) < F.col("_at_conv")
+    s = F.struct(
+        F.col(on).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("t"),
+    )
+    per_user = staged.groupBy(user_col).agg(
+        F.min(F.when(pre, s)).alias("_first"),
+        F.max(F.when(pre, s)).alias("_last"),
+    )
+    return (
+        per_user.select(
+            F.coalesce(F.col("_first.t"), F.lit("direct")).alias(
+                "first_touch"
+            ),
+            F.coalesce(F.col("_last.t"), F.lit("direct")).alias(
+                "last_touch"
+            ),
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -3232,6 +3232,37 @@ def q_corpus_hll_distinct(spark, sf):
     return hll_distinct(small.unionByName(big), "v", "grp")
 
 
+def q_events_attribution(spark, sf):
+    """First/last-touch attribution matrix over the natural events
+    stream (every user purchases at sf0.01, so the matrix is dense)
+    plus an injected direct-converter (user 99993's only event is a
+    purchase — the 'direct'/'direct' cell must appear) and a same-ts
+    probe (user 99994's click AT the conversion timestamp carries no
+    causal order and must not take credit; its earlier view does).
+    Oracle = the same conversion-time window, strictly-before filter,
+    and ROW_NUMBER-over-(ts, id) first/last picks."""
+    from .operators.temporal import attribution_matrix
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    extra = spark.createDataFrame(
+        [
+            (9000001, "2024-03-01 00:00:00", 99993, "purchase"),
+            (9000002, "2024-03-01 00:00:00", 99994, "view"),
+            (9000003, "2024-03-01 00:05:00", 99994, "click"),
+            (9000004, "2024-03-01 00:05:00", 99994, "purchase"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    return attribution_matrix(ev.unionByName(extra))
+
+
 def q_corpus_warc_extract(spark, sf):
     """The archive->corpus capstone: WARC response records whose
     payload is the shared html page synth, parsed with the bounded
@@ -6179,6 +6210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_bot_detect": q_events_bot_detect,
     "corpus_host_safety": q_corpus_host_safety,
     "corpus_warc_extract": q_corpus_warc_extract,
+    "events_attribution": q_events_attribution,
     "corpus_url_quality": q_corpus_url_quality,
     "corpus_domain_filter": q_corpus_domain_filter,
     "corpus_text_filter_ml": q_corpus_text_filter_ml,
@@ -12179,6 +12211,38 @@ def _host_safety_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_host_safety"] = _host_safety_oracle_sql()
+
+# events_attribution: the same injected rows, per-user conversion-time
+# window, strictly-before filter, ROW_NUMBER-over-(ts, id) first/last
+# picks with a LEFT join back so purchase-first users credit 'direct'.
+ORACLE_SQL["events_attribution"] = (
+    "WITH ev AS (SELECT event_id, ts, user_id, event_type FROM events "
+    "  UNION ALL SELECT * FROM (VALUES "
+    "  (9000001, TIMESTAMP '2024-03-01 00:00:00', 99993, 'purchase'), "
+    "  (9000002, TIMESTAMP '2024-03-01 00:00:00', 99994, 'view'), "
+    "  (9000003, TIMESTAMP '2024-03-01 00:05:00', 99994, 'click'), "
+    "  (9000004, TIMESTAMP '2024-03-01 00:05:00', 99994, 'purchase')"
+    "  ) AS t(event_id, ts, user_id, event_type)), "
+    "cv AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts "
+    "  END) OVER (PARTITION BY user_id) AS conv FROM ev), "
+    "cu AS (SELECT DISTINCT user_id FROM cv WHERE conv IS NOT NULL), "
+    "pe AS (SELECT user_id, event_type, ts, event_id FROM cv "
+    "  WHERE conv IS NOT NULL AND ts < conv), "
+    "fst AS (SELECT user_id, event_type AS ft FROM ("
+    "  SELECT user_id, event_type, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM pe) "
+    "  WHERE rn = 1), "
+    "lst AS (SELECT user_id, event_type AS lt FROM ("
+    "  SELECT user_id, event_type, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "  FROM pe) WHERE rn = 1), "
+    "m AS (SELECT cu.user_id, coalesce(ft, 'direct') AS first_touch, "
+    "  coalesce(lt, 'direct') AS last_touch FROM cu "
+    "  LEFT JOIN fst ON cu.user_id = fst.user_id "
+    "  LEFT JOIN lst ON cu.user_id = lst.user_id) "
+    "SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) "
+    "AS n_users FROM m GROUP BY first_touch, last_touch"
+)
 
 # corpus_warc_extract: the archive synthesis over the shared
 # _HTML_PAGE_SQL payload, the shared _WARC_CHAIN_SQL parsing chain,

@@ -4843,3 +4843,56 @@ def test_warc_payload_extraction_compose(spark):
     assert mc[1]["main_text"] != mc[2]["main_text"]  # truncation shows
     # default audit form carries no payload column
     assert "payload" not in warc_records(df).columns
+
+
+def test_attribution_matrix_semantics(spark):
+    """First/last-touch picks are (ts, id)-deterministic and strictly
+    before the FIRST conversion; purchase-first users credit
+    'direct'; equal-ts events at conversion carry no credit;
+    non-converters drop."""
+    from datetime import datetime, timedelta
+
+    from annual_report_pdf_parsers_spark.operators.temporal import (
+        attribution_matrix,
+    )
+
+    def t(m):
+        return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    rows = [
+        # u1: view -> click -> purchase -> click (post-conv ignored)
+        (1, t(0), 1, "view"),
+        (2, t(1), 1, "click"),
+        (3, t(2), 1, "purchase"),
+        (4, t(3), 1, "click"),
+        # u2: purchase only -> direct/direct
+        (5, t(0), 2, "purchase"),
+        # u3: click AT conversion ts (no credit), earlier view wins
+        (6, t(0), 3, "view"),
+        (7, t(5), 3, "click"),
+        (8, t(5), 3, "purchase"),
+        # u4: never converts -> excluded
+        (9, t(0), 4, "click"),
+        # u5: same-ts first events -> id tie-break picks lower id
+        (10, t(0), 5, "error"),
+        (11, t(0), 5, "signup"),
+        (12, t(9), 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string"
+    )
+    got = {
+        (r["first_touch"], r["last_touch"]): r["n_users"]
+        for r in attribution_matrix(df).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,   # u1
+        ("direct", "direct"): 1,  # u2
+        ("view", "view"): 1,    # u3 — the equal-ts click took no credit
+        ("error", "signup"): 1,  # u5 — (ts, id) total order both ends
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        attribution_matrix(df.withColumn("_at_conv", F.lit(1)))

@@ -1533,3 +1533,14 @@ def test_corpus_warc_extract_plan(spark):
     assert plan.count("Generate") == 1, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_events_attribution_plan(spark):
+    """events_attribution: ONE user-keyed exchange shared by the
+    conversion window (no sort — partition-wide min) and the per-user
+    agg; the matrix rollup aggregates a types^2-bounded table; no
+    join, no Python."""
+    plan = _qplan(spark, "events_attribution")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+    assert "EvalPython" not in plan, plan
