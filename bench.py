@@ -228,6 +228,7 @@ HEADLINE = [
     "events_bot_detect",
     "corpus_host_safety",
     "corpus_warc_extract",
+    "events_attribution",
 ]
 
 
