@@ -5920,7 +5920,9 @@ FROM vals v LEFT JOIN mani m ON m.doc_id = v.doc_id AND m.f = v.f
 
 # ORDER MATTERS: the driver's CORRECTNESS gate snapshots the FIRST 50
 # keys.  End-of-r05 composition: 48 training-data/extraction ops + the
-# 2 flagship entries = 50 exactly (pipeline_oracle is key #50).  The
+# 2 flagship entries = 50 exactly (pipeline_oracle is key #50); the
+# session's 12 late additions are all BORN below-window (the r06
+# queue) with full value-hash oracles in the local gate.  The
 # r05 registry grew past what one window can cover, so rotation policy
 # (NOTES items 29/36/38): every rotation is TWO edits (remove from the
 # window AND re-add below — verify with the oracle-no-query set
