@@ -720,26 +720,65 @@ def simhash_pairs_multiprobe(
     w = n_bits // n_blocks
     fp = simhash_bits(df, n_bits, text_col, id_col)
     combos = list(combinations(range(n_blocks), key_blocks))
+    # r06 PERF (guide §2.3/§2.4, measured at sf1.0): the original shape
+    # shuffled every candidate row carrying TWO 64-char fingerprint
+    # strings into a post-join .distinct() — 168 s of the 77-168 s query
+    # was that one exchange+aggregate (the join itself costs ~6 s).  Three
+    # structural fixes, result-identical:
+    #   1. fingerprints ride the key rows as 32-bit INTEGER LIMBS (the
+    #      same conv(substring, 2, 10) limbs hamming_on_bits builds per
+    #      candidate — built once per key row instead), so the verify is
+    #      bit_count(xor) on longs and the key-table shuffle carries
+    #      ~24 bytes/row instead of ~100;
+    #   2. the Hamming filter runs DIRECTLY on the join output, before
+    #      any further shuffle — candidates die map-side;
+    #   3. the .distinct() is replaced by a min-combo keep filter: an
+    #      uncapped pair's matching-combo set is fully determined by its
+    #      two fingerprints (combo matches iff all its blocks are equal),
+    #      so keeping a candidate only where the join combo equals the
+    #      lexicographically-first matching combo emits each pair exactly
+    #      once — NO post-join exchange at all.  With max_key_freq the
+    #      matching set also depends on which key rows survived the cap,
+    #      so that path keeps a distinct — but on (id_a, id_b, hamming)
+    #      AFTER the Hamming filter (result-sized, not candidate-sized).
+    n_limbs = (n_bits + 31) // 32
+    limb_cols = [
+        F.conv(
+            F.substring("simhash", off * 32 + 1, min(32, n_bits - off * 32)),
+            2,
+            10,
+        )
+        .cast("long")
+        .alias(f"l{off}")
+        for off in range(n_limbs)
+    ]
+    key_val = {
+        ci: F.conv(
+            F.concat(*[
+                F.substring("simhash", blk * w + 1, w) for blk in combo
+            ]),
+            2,
+            10,
+        ).cast("long")
+        for ci, combo in enumerate(combos)
+    }
+    # one combined integer join key: combo_no * 2^(w*key_blocks) + bits
+    # (w*key_blocks <= 62 always holds for n_bits <= 128 splits)
+    kw = w * key_blocks
     keys = fp.select(
         "sid",
-        "simhash",
+        *limb_cols,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(ci).alias("combo_no"),
-                    F.concat(*[
-                        F.substring("simhash", blk * w + 1, w)
-                        for blk in combo
-                    ]).alias("key_bits"),
-                )
-                for ci, combo in enumerate(combos)
+                (F.lit(ci) * F.lit(1 << kw) + key_val[ci]).cast("long")
+                for ci in range(len(combos))
             ])
-        ).alias("kd"),
-    ).select("sid", "simhash", "kd.combo_no", "kd.key_bits")
+        ).alias("ckey"),
+    )
     if max_key_freq is not None:
         from pyspark.sql import Window
 
-        wnd = Window.partitionBy("combo_no", "key_bits")
+        wnd = Window.partitionBy("ckey")
         keys = (
             keys.withColumn("_kf", F.count(F.lit(1)).over(wnd))
             .filter(F.col("_kf") <= max_key_freq)
@@ -752,27 +791,65 @@ def simhash_pairs_multiprobe(
     # shuffle_hash: the key table grows with the corpus — never let the
     # planner broadcast it (see minhash_lsh_pairs; measured 2.7x)
     a, b = keys.alias("a"), keys.alias("b").hint("shuffle_hash")
+    xors = [
+        F.col(f"a.l{off}").bitwiseXOR(F.col(f"b.l{off}"))
+        for off in range(n_limbs)
+    ]
     cand = (
-        a.join(
-            b,
-            [
-                F.col("a.combo_no") == F.col("b.combo_no"),
-                F.col("a.key_bits") == F.col("b.key_bits"),
-            ],
-        )
+        a.join(b, [F.col("a.ckey") == F.col("b.ckey")])
         .filter(F.col("a.sid") < F.col("b.sid"))
         .select(
             F.col("a.sid").alias("id_a"),
             F.col("b.sid").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
+            *[xors[off].alias(f"x{off}") for off in range(n_limbs)],
+            F.col("a.ckey").alias("_ck"),
         )
-        .distinct()
-    )
-    ham = hamming_on_bits(F.col("fp_a"), F.col("fp_b"), n_bits)
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .withColumn(
+            "hamming",
+            sum(
+                [F.bit_count(F.col(f"x{off}")) for off in range(n_limbs)][1:],
+                F.bit_count(F.col("x0")),
+            ).cast("int"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+    )
+    if max_key_freq is not None:
+        return cand.select("id_a", "id_b", "hamming").distinct()
+    # min-combo keep: block b is equal iff its w-bit slice of the XOR is
+    # zero; the first key_blocks equal block indices name the
+    # lexicographically-first matching combination (itertools order).
+    per_limb = 32 // w if 32 % w == 0 else None
+    if per_limb is None:
+        # blocks straddle limb boundaries — fall back to result-sized
+        # distinct (cannot derive block equality from 32-bit limbs)
+        return cand.select("id_a", "id_b", "hamming").distinct()
+    # block b equal iff its w-bit slice of the XOR limb is zero; the
+    # slice is a LITERAL mask per block (conv puts the substring's first
+    # char at bit 31, so block position pos covers bits
+    # [32 - w*(pos+1), 32 - w*pos))
+    eqs = []
+    for blk in range(n_blocks):
+        limb_i, pos = blk // per_limb, blk % per_limb
+        mask = ((1 << w) - 1) << (32 - w * (pos + 1))
+        eqs.append(
+            F.col(f"x{limb_i}").bitwiseAND(F.lit(mask)) == 0
+        )
+    eq_blocks = F.filter(
+        F.array(*[
+            F.when(eqs[blk], F.lit(blk)).otherwise(F.lit(-1))
+            for blk in range(n_blocks)
+        ]),
+        lambda v: v >= 0,
+    )
+    combo_of = F.element_at(
+        F.array(*[
+            F.array(*[F.lit(blk) for blk in combo]) for combo in combos
+        ]),
+        F.shiftright(F.col("_ck"), kw).cast("int") + 1,
+    )
+    return (
+        cand.filter(F.slice(eq_blocks, 1, key_blocks) == combo_of)
+        .select("id_a", "id_b", "hamming")
     )
 
 
