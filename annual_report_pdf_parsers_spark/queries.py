@@ -1109,6 +1109,26 @@ def _with_ws_noise(d):
     )
 
 
+def _spread(spark, df, key="doc_id"):
+    """Scan-parallelism restoration for HEAVY narrow chains (r06, guide
+    §2.5 input skew / §6 input splits): the sandbox testdata tables are
+    ONE parquet row group, so a scan yields a single partition and every
+    narrow map stage above it runs on 1 of N cores — measured 6-17 s
+    serial for the heavy text/html chains at sf1.0 while the same work
+    spread over 32 cores prices under 2 s.  ONE narrow re-key below the
+    scan restores the parallelism a production multi-split layout gives
+    for free; the helper is a NO-OP whenever the scan already yields >=
+    defaultParallelism splits, so it cannot add an exchange at scale.
+    Applied per-QUERY at the fixture edge (the _corpus_with_dupes
+    precedent) — operators themselves stay zero-exchange narrow.  Only
+    queries whose map cost dominates the ~0.3 s shuffle are spread (the
+    dedup_exact lesson: a cheap query loses more to the exchange than
+    the parallelism returns)."""
+    if df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def _corpus_with_dupes(spark, sf):
     """documents (with the whitespace probe of _ws_noise) plus shifted
     copies of every 50th doc — deterministic near/exact duplicates so
@@ -1589,14 +1609,19 @@ def q_text_langid(spark, sf):
     )
     for i, (_, s) in enumerate(_LANGID_SENTS):
         sent = sent.when(k % _N_LANGS == i, F.lit(s))
-    injected = d.withColumn("text", sent.otherwise(F.lit("")))
+    injected = _spread(
+        spark, d.withColumn("text", sent.otherwise(F.lit("")))
+    )
     return text.lang_id_trigram(injected).select(
         "doc_id", "lang_guess", "lang_score", "lang_margin"
     )
 
 
 def q_text_quality(spark, sf):
-    return text.quality_score(load(spark, sf, "documents")).select(
+    # _spread: heavy narrow chain over the single-row-group sandbox scan
+    return text.quality_score(
+        _spread(spark, load(spark, sf, "documents"))
+    ).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
     )
 
@@ -1643,7 +1668,10 @@ def q_text_repetition(spark, sf):
     brief: quality scoring): duplicate-token fraction, duplicate-3-gram
     fraction, and top-3-gram mass — the standard signals for
     machine-generated/spammy webtext."""
-    return text.repetition_stats(load(spark, sf, "documents"))
+    # _spread: heavy narrow chain over the single-row-group sandbox scan
+    return text.repetition_stats(
+        _spread(spark, load(spark, sf, "documents"))
+    )
 
 
 def q_text_char_entropy(spark, sf):
@@ -1659,8 +1687,11 @@ def q_text_char_entropy(spark, sf):
         .otherwise(F.lit(""))
     )
     return text.char_entropy(
-        d.select(
-            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        _spread(
+            spark,
+            d.select(
+                "doc_id", F.concat(F.col("text"), suffix).alias("text")
+            ),
         )
     )
 
@@ -1681,8 +1712,11 @@ def q_text_unigram_lm(spark, sf):
         .otherwise(F.lit(""))
     )
     return text.unigram_logprob(
-        d.select(
-            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        _spread(
+            spark,
+            d.select(
+                "doc_id", F.concat(F.col("text"), suffix).alias("text")
+            ),
         )
     )
 
@@ -1703,8 +1737,11 @@ def q_text_bigram_lm(spark, sf):
         .otherwise(F.lit(""))
     )
     return text.bigram_logprob(
-        d.select(
-            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        _spread(
+            spark,
+            d.select(
+                "doc_id", F.concat(F.col("text"), suffix).alias("text")
+            ),
         )
     )
 
@@ -1728,8 +1765,11 @@ def q_corpus_quality_ensemble(spark, sf):
         .when(m == 2, F.lit(" is."))
         .otherwise(F.lit(""))
     )
-    d = d.select(
-        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    d = _spread(
+        spark,
+        d.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        ),
     )
     rd = text.readability(d).select("doc_id", "text", "flesch")
     clf = text.quality_classifier(rd, keep_cols=("flesch", "text"))
@@ -1779,10 +1819,13 @@ def q_corpus_ccnet_tiers(spark, sf):
         .otherwise(F.lit(""))
     )
     return text.ccnet_tiers(
-        d.select(
-            "doc_id",
-            "lang",
-            F.concat(F.col("text"), suffix).alias("text"),
+        _spread(
+            spark,
+            d.select(
+                "doc_id",
+                "lang",
+                F.concat(F.col("text"), suffix).alias("text"),
+            ),
         )
     )
 
@@ -1796,7 +1839,7 @@ def q_text_quality_classifier(spark, sf):
     oracle regenerates the 256-arm bucket CASE from the same
     CLASSIFIER_WEIGHTS dict (one site to edit)."""
     return text.quality_classifier(
-        _with_ws_noise(load(spark, sf, "documents"))
+        _spread(spark, _with_ws_noise(load(spark, sf, "documents")))
     )
 
 
@@ -1959,7 +2002,7 @@ def q_html_main_content(spark, sf):
 
     d = load(spark, sf, "documents")
     return main_content(
-        d.select("doc_id", _html_page().alias("html"))
+        _spread(spark, d.select("doc_id", _html_page().alias("html")))
     )
 
 
@@ -2018,7 +2061,9 @@ def q_corpus_web_extract(spark, sf):
         F.lit(" body paragraph tail &amp; \ufffd more.</p>"),
     ).otherwise(F.lit(" body paragraph tail &amp; more.</p>"))
     page = _html_page(body_tail=body_tail)
-    mc = main_content(d.select("doc_id", page.alias("html")))
+    mc = main_content(
+        _spread(spark, d.select("doc_id", page.alias("html")))
+    )
     scored = text.quality_classifier(
         mc,
         text_col="main_text",
@@ -2056,7 +2101,8 @@ def q_html_main_content_ctx(spark, sf):
     d = load(spark, sf, "documents")
     page = _html_page(mid="<h3>Mid section</h3>")
     return main_content(
-        d.select("doc_id", page.alias("html")), context_pass=True
+        _spread(spark, d.select("doc_id", page.alias("html"))),
+        context_pass=True,
     )
 
 
@@ -2234,7 +2280,12 @@ def q_html_tables(spark, sf):
     from .operators.html import tables
 
     d = load(spark, sf, "documents")
-    return tables(d.select("doc_id", _table_fixture_page().alias("html")))
+    return tables(
+        _spread(
+            spark,
+            d.select("doc_id", _table_fixture_page().alias("html")),
+        )
+    )
 
 
 def _table_fixture_page():
@@ -2596,7 +2647,9 @@ def q_corpus_frontier_score(spark, sf):
         (did % 50).cast("string"),
         F.lit('">go</a>'),
     )
-    lk = links(d.select("doc_id", page.alias("html")))
+    lk = links(
+        _spread(spark, d.select("doc_id", page.alias("html")))
+    )
     src = F.concat(
         F.lit("host"), (did % 4).cast("string"), F.lit(".net")
     )
@@ -2664,7 +2717,12 @@ def q_graph_pagerank(spark, sf):
     from .operators.html import host_link_graph, links
 
     d = load(spark, sf, "documents")
-    lk = links(d.select("doc_id", _link_fixture_page().alias("html")))
+    lk = links(
+        _spread(
+            spark,
+            d.select("doc_id", _link_fixture_page().alias("html")),
+        )
+    )
     src = F.concat(
         F.lit("host"),
         (F.col("doc_id") % 4).cast("string"),
@@ -2686,7 +2744,12 @@ def q_graph_hits(spark, sf):
     from .operators.html import host_link_graph, links
 
     d = load(spark, sf, "documents")
-    lk = links(d.select("doc_id", _link_fixture_page().alias("html")))
+    lk = links(
+        _spread(
+            spark,
+            d.select("doc_id", _link_fixture_page().alias("html")),
+        )
+    )
     src = F.concat(
         F.lit("host"),
         (F.col("doc_id") % 4).cast("string"),
@@ -2812,7 +2875,8 @@ def q_text_tfidf_topk(spark, sf):
     non-vacuous.  Oracle = the same two aggregations + smoothed-idf
     formula + ROW_NUMBER over the ROUNDED score."""
     return text.tfidf_topk(
-        _with_ws_noise(load(spark, sf, "documents")), k=5
+        _spread(spark, _with_ws_noise(load(spark, sf, "documents"))),
+        k=5,
     )
 
 
@@ -3489,7 +3553,9 @@ def q_corpus_cooccurrence(spark, sf):
     pair generation per offset/direction, the same aggs, and the
     identical ln arithmetic."""
     return text.cooccurrence_pmi(
-        load(spark, sf, "documents"), window=2, min_count=10
+        _spread(spark, load(spark, sf, "documents")),
+        window=2,
+        min_count=10,
     )
 
 
@@ -3624,7 +3690,8 @@ def q_corpus_dsir_sample(spark, sf):
     from .operators.sampling import dsir_sample
 
     return dsir_sample(
-        _with_ws_noise(load(spark, sf, "documents")), n=100
+        _spread(spark, _with_ws_noise(load(spark, sf, "documents"))),
+        n=100,
     )
 
 
@@ -3786,7 +3853,10 @@ def q_html_jsonld(spark, sf):
 
     d = load(spark, sf, "documents")
     return jsonld(
-        d.select("doc_id", _jsonld_fixture_page().alias("html"))
+        _spread(
+            spark,
+            d.select("doc_id", _jsonld_fixture_page().alias("html")),
+        )
     )
 
 
@@ -4650,8 +4720,11 @@ def q_corpus_assemble(spark, sf):
     arithmetic, packing window) stage for stage."""
     from .operators.sampling import mixture_sample, pack_sequences
 
-    d = _with_ws_noise(load(spark, sf, "documents")).select(
-        "doc_id", "source", "text"
+    d = _spread(
+        spark,
+        _with_ws_noise(load(spark, sf, "documents")).select(
+            "doc_id", "source", "text"
+        ),
     )
     cls = text.quality_classifier(d)
     kept = d.join(
@@ -4884,7 +4957,9 @@ def q_corpus_quota_topk(spark, sf):
     source (domain contribution cap with explicit total tie-break)."""
     from .operators.sampling import quota_topk_per_group
 
-    d = text.quality_score(load(spark, sf, "documents"))
+    d = text.quality_score(
+        _spread(spark, load(spark, sf, "documents"))
+    )
     return quota_topk_per_group(
         d, group_col="source", order_col="quality", id_col="doc_id", k=12
     ).select("doc_id", "source", "quality", "rnk")
@@ -4918,8 +4993,11 @@ def q_text_pii_scrub(spark, sf):
         )
         .otherwise(F.lit(""))
     )
-    injected = d.select(
-        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    injected = _spread(
+        spark,
+        d.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        ),
     )
     return scrub_pii(injected).select(
         "doc_id", "n_emails", "n_ips", "n_phones", "text"
@@ -4934,7 +5012,9 @@ def q_corpus_decontaminate(spark, sf):
     decision table over ALL docs, zeros included."""
     d = load(spark, sf, "documents")
     bench = d.filter(F.col("doc_id") % 40 == 0).select("text")
-    return dedup.decontaminate(d, bench)
+    # _spread only the CORPUS side — the bench side stays the bounded
+    # broadcast build
+    return dedup.decontaminate(_spread(spark, d), bench)
 
 
 def q_corpus_contamination_report(spark, sf):
@@ -4948,7 +5028,9 @@ def q_corpus_contamination_report(spark, sf):
     bench = d.filter(F.col("doc_id") % 40 == 0).select(
         "doc_id", "text"
     )
-    return dedup.decontaminate_report(d, bench)
+    # _spread only the CORPUS side — the bench side stays the bounded
+    # broadcast build
+    return dedup.decontaminate_report(_spread(spark, d), bench)
 
 
 def q_corpus_health_report(spark, sf):
@@ -5093,8 +5175,9 @@ def q_corpus_curation(spark, sf):
         F.col("doc_id") % 2 == 0,
         F.lit(" First probe sentence. Second one! Third?"),
     ).otherwise(F.lit(""))
-    injected = d.withColumn(
-        "text", F.concat(F.col("text"), suffix)
+    injected = _spread(
+        spark,
+        d.withColumn("text", F.concat(F.col("text"), suffix)),
     )
     scored = text.readability(text.quality_score(injected))
     keep_sources = text.source_stats(
@@ -5230,13 +5313,16 @@ def q_text_lexical_diversity(spark, sf):
     the hapax boundary test.  Oracle = relational (doc, word) counts
     (the engine stays narrow — no shuffle)."""
     d = _with_ws_noise(load(spark, sf, "documents"))
-    inj = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" Rpt rpt RPT uniq"),
-            F.col("doc_id").cast("string"),
-        ).alias("text"),
+    inj = _spread(
+        spark,
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" Rpt rpt RPT uniq"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        ),
     )
     return text.lexical_diversity(inj)
 
@@ -5347,8 +5433,11 @@ def q_text_mojibake(spark, sf):
         .when(m5 == 3, F.lit(f" na{p['ï']}ve {p['ñ']} {p['ü']}"))
         .otherwise(F.lit(""))
     )
-    injected = d.select(
-        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    injected = _spread(
+        spark,
+        d.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        ),
     )
     return fix_mojibake(injected).select(
         "doc_id",
