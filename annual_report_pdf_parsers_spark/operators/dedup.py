@@ -1239,6 +1239,11 @@ def dup_span_stats(
             F.when(n >= k, win).otherwise(F.array().cast("array<string>"))
         ).alias("h"),
     )
+    # r06 PERF (the LADDER rule, same as _chunk_share_stats): ``spans``
+    # has two consumers and the pinned tokenize/window-hash chain above
+    # it cannot be deduplicated by exchange reuse — materialize the
+    # small (doc_id, h) rows once instead of hashing every window twice.
+    spans = spans.localCheckpoint(eager=False)
     cross = spans.groupBy("h").agg(
         (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
     )
@@ -1315,6 +1320,12 @@ def excise_dup_spans(
     base = df.select(
         F.col(id_col).alias("doc_id"), pin(tokens(F.col(text_col))).alias("_tk")
     )
+    # r06 PERF (the LADDER rule): ``base`` has THREE consumers (spans,
+    # the token posexplode, the n_tokens rollup) and the pinned tokenize
+    # cannot be deduplicated by exchange reuse — materialize the token
+    # arrays once (the corpus_span_ladder production pattern: tokenize
+    # once, run every pass against it).
+    base = base.localCheckpoint(eager=False)
     n = F.size(F.col("_tk"))
     idx = F.sequence(F.lit(0), (n - k).cast("int"))
     win = F.transform(
@@ -1334,6 +1345,8 @@ def excise_dup_spans(
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    # two consumers of the window-hash rows (owners agg + the cut join)
+    spans = spans.localCheckpoint(eager=False)
     owners = spans.groupBy("h").agg(
         F.min("doc_id").alias("owner"),
         (F.min("doc_id") != F.max("doc_id")).alias("is_dup"),
@@ -1664,6 +1677,11 @@ def winnow_stats(
             )
         ).alias("key"),
     ).select("doc_id", F.substring(F.col("key"), 1, 32).alias("h"))
+    # r06 PERF (the LADDER rule, same as _chunk_share_stats): ``fps``
+    # has two consumers and its pin()-staged window-hash chain cannot
+    # be deduplicated by exchange reuse — materialize the small
+    # (doc_id, h) rows once instead of hashing every window twice.
+    fps = fps.localCheckpoint(eager=False)
     cross = fps.groupBy("h").agg(
         (F.min("doc_id") != F.max("doc_id")).alias("is_shared")
     )

@@ -565,6 +565,15 @@ def _chunk_share_stats(sizes, chunks):
     exploded chunk hashes."""
     from pyspark.sql import functions as F
 
+    # r06 PERF (the LADDER rule): ``chunks`` has TWO consumers (the
+    # cross-doc agg and the join-back), and the chunk-hash derivation
+    # above it is a pin()-staged chain — nondeterministic projections
+    # never canonicalize equal, so exchange reuse cannot fire and the
+    # whole boundary/hash computation ran once PER CONSUMER (measured
+    # ~2x the media_cdc_dedup cost at sf1.0).  A lazy localCheckpoint
+    # materializes the (doc_id, h) rows once at first use — only the
+    # 40-byte hash rows are stored, never the blobs.
+    chunks = chunks.localCheckpoint(eager=False)
     cross = chunks.groupBy("h").agg(
         (F.min("doc_id") != F.max("doc_id")).alias("is_shared")
     )

@@ -3568,7 +3568,9 @@ def q_events_hll_users(spark, sf):
     values CTE."""
     from .operators.sketch import hll_distinct
 
-    ev = load(spark, sf, "events")
+    # _spread: the per-row md5 register derivation over 2x the events
+    # table is the map cost; the sandbox events scan is one row group
+    ev = _spread(spark, load(spark, sf, "events"), key="event_id")
     daily = ev.select(
         F.col("event_type").alias("grp"),
         F.col("user_id").cast("string").alias("v"),
@@ -5548,8 +5550,10 @@ def q_events_slide_window(spark, sf):
     15 minutes — each event lands in exactly 4 windows.  Oracle =
     integer-µs window-start arithmetic (floor-slot minus 0..3 slides)
     + the same DECIMAL(18,2) value sum."""
+    # _spread: the 4x window Expand runs map-side before the (window,
+    # key) exchange — on the sandbox's one-row-group scan it was serial
     return temporal.sliding_window_counts(
-        load(spark, sf, "events"),
+        _spread(spark, load(spark, sf, "events"), key="event_id"),
         window_len="1 hour",
         slide="15 minutes",
     )

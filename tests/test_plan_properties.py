@@ -356,7 +356,12 @@ def test_dup_spans_and_langid_plan_shape(spark):
     df = QUERIES["text_dup_spans"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 4, plan
+    # 4 -> 3 (r06): dup_span_stats materializes the span rows once
+    # (lazy localCheckpoint — the LADDER rule), so the tokenize/window
+    # chain and its fixture re-key appear once, not per consumer; the
+    # tokenizing split() now lives entirely below the checkpoint (0
+    # split sites in the optimized plan above it)
+    assert plan.count("Exchange hashpartitioning") == 3, plan
     assert "CartesianProduct" not in plan
     assert opt.count("split(") <= 2, opt.count("split(")
 
@@ -847,7 +852,8 @@ def test_slide_window_plan(spark):
     plan = _qplan(spark, "events_slide_window")
     assert "Join" not in plan, plan
     assert "Expand" in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # +1 exchange: the fixture-edge scan-parallelism re-key (_spread, r06)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "partial_count" in plan or "partial" in plan, plan
     assert "EvalPython" not in plan, plan
 
@@ -1518,7 +1524,10 @@ def test_events_hll_users_plan(spark):
     bounds as the documents fixture (4 exchanges, SHJ, no
     broadcast)."""
     plan = _qplan(spark, "events_hll_users")
-    assert plan.count("Exchange") == 4, plan
+    # 4 -> 8 (r06): the _spread fixture re-key appears under every
+    # consumer branch (2 union arms x 2 sketch consumers) in the static
+    # plan; runtime exchange reuse computes it once
+    assert plan.count("Exchange") == 8, plan
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
