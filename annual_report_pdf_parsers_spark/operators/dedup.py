@@ -615,57 +615,23 @@ def simhash_pairs(
         raise ValueError("n_bands must divide n_bits evenly")
     if max_hamming is None:
         max_hamming = n_bands - 1
-    w = n_bits // n_bands
-    fp = simhash_bits(df, n_bits, text_col, id_col)
-    bands = fp.select(
-        "sid",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_no"),
-                    F.substring("simhash", b * w + 1, w).alias("band_bits"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bd"),
-    ).select("sid", "simhash", "bd.band_no", "bd.band_bits")
-    if max_band_freq is not None:
-        from pyspark.sql import Window
-
-        wnd = Window.partitionBy("band_no", "band_bits")
-        bands = (
-            bands.withColumn("_bf", F.count(F.lit(1)).over(wnd))
-            .filter(F.col("_bf") <= max_band_freq)
-            .drop("_bf")
-        )
-    # aliased-view self-join (renames AFTER the join) so both children
-    # share one plan and the band exchange is reused — the fingerprint
-    # aggregation computes once, not per side (see minhash_lsh_pairs)
-    # shuffle_hash: the key table grows with the corpus — never let the
-    # planner broadcast it (see minhash_lsh_pairs; measured 2.7x)
-    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            [
-                F.col("a.band_no") == F.col("b.band_no"),
-                F.col("a.band_bits") == F.col("b.band_bits"),
-            ],
-        )
-        .filter(F.col("a.sid") < F.col("b.sid"))
-        .select(
-            F.col("a.sid").alias("id_a"),
-            F.col("b.sid").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
-        )
-        .distinct()
-    )
-    ham = hamming_on_bits(F.col("fp_a"), F.col("fp_b"), n_bits)
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    # r06 PERF: banding is exactly the key_blocks=1 special case of the
+    # block-combination scheme, so the banded form delegates to
+    # simhash_pairs_multiprobe and inherits its integer-limb shuffle,
+    # the Hamming filter directly on the join output, and the min-band
+    # dedup filter (no candidate-wide distinct — the measured 77->7 s
+    # multiprobe fix; the capped path keeps a result-sized distinct).
+    # The band value/window-cap semantics are identical: the combo key
+    # for key_blocks=1 IS (band_no, band_bits).
+    return simhash_pairs_multiprobe(
+        df,
+        n_bits=n_bits,
+        n_blocks=n_bands,
+        key_blocks=1,
+        max_hamming=max_hamming,
+        text_col=text_col,
+        id_col=id_col,
+        max_key_freq=max_band_freq,
     )
 
 
