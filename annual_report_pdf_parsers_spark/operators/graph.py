@@ -51,6 +51,12 @@ def hits(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    # r06 PERF (the LADDER rule): the edge table is node-scaled (tiny)
+    # but its LINEAGE is the caller's whole link-extraction chain, and
+    # it is consumed many times (both node branches, the n count, every
+    # half-round's propagate join) — each consumer re-derived the
+    # extraction.  Materialize the edges once.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(src.alias("node"))
         .unionByName(edges.select(dst.alias("node")))
@@ -154,6 +160,11 @@ def pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    # r06 PERF: materialize the (tiny, node-scaled) edge table once —
+    # its lineage is the caller's whole link-extraction chain and it is
+    # consumed by both node branches, the n count, the out-weight agg,
+    # and every round's contribution join (see hits)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(src.alias("node"))
         .unionByName(edges.select(dst.alias("node")))
@@ -240,9 +251,11 @@ def hop_distance(
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
+    # r06 PERF: materialize the edge list once — consumed by every BFS
+    # round, and its lineage is the caller's extraction chain (see hits)
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    )
+    ).localCheckpoint(eager=False)
     frontier = seeds.select(F.col(seed_col).alias("node")).distinct()
     levels = [frontier.withColumn("hops", F.lit(0))]
     for h in range(1, max_hops + 1):
@@ -288,11 +301,14 @@ def degree_stats(
     pairs, not by the corpus); every join is host-keyed and PINNED
     shuffle_hash (the graph scales with the crawl — never broadcast).
     """
+    # r06 PERF: materialize the aggregated edge list once — FIVE
+    # branches consume it and its lineage is the caller's whole
+    # link-extraction chain (see hits)
     e = edges.select(
         F.col(src_col).alias("s"),
         F.col(dst_col).alias("d"),
         F.col(weight_col).cast("long").alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     outd = e.groupBy(F.col("s").alias("host")).agg(
         F.count(F.lit(1)).alias("out_degree"),
         F.sum("w").alias("out_weight"),
