@@ -89,6 +89,15 @@ def hll_distinct(
     """
     grp = group_col or "scope"
     if group_col is None:
+        if "scope" in df.columns:
+            # ADVICE r05: withColumn would silently OVERWRITE the
+            # caller's column and group the sketch by the literal —
+            # refuse, matching the clash guards of with_host_safety /
+            # with_registered_domain / length_buckets
+            raise ValueError(
+                "hll_distinct staging column 'scope' already exists — "
+                "pass group_col or rename it"
+            )
         df = df.withColumn(grp, F.lit("all"))
     if grp == value_col:
         raise ValueError("group_col and value_col must differ")

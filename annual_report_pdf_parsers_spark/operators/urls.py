@@ -1083,7 +1083,17 @@ def with_host_safety(df: DataFrame, url_col: str = "url") -> DataFrame:
     from ..functions.numeric import pin
 
     ip_re = r"^([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})$"
-    out = df.withColumn("_hs_host", pin(host_of(F.col(url_col))))
+    # ADVICE r05: a root-anchored trailing dot ('localhost.',
+    # 'printer.local.', '*.onion.') resolves identically in DNS, so it
+    # must not fall through the suffix arms to fetchable 'name' — strip
+    # ONE trailing dot before classification (dotted quads with a
+    # trailing dot never get here: try_parse_url rejects them to
+    # no_host, verified empirically).  The mirrored rule lives in the
+    # hypothesis model and the unit fixture arms.
+    out = df.withColumn(
+        "_hs_host",
+        pin(F.regexp_replace(host_of(F.col(url_col)), r"\.$", "")),
+    )
     host = F.col("_hs_host")
     out = out.withColumn(
         "_hs_o",

@@ -4780,6 +4780,14 @@ def test_host_safety_semantics(spark):
         ("http://[::ffff:127.0.0.1]/x", "ip6_literal", False),
         ("http://[::1]/x", "ip6_literal", False),
         ("http://0.1.2.3/x", "private_ip", False),
+        # trailing-dot FQDN arms (ADVICE r05): a root-anchored dot
+        # resolves identically in DNS — strip one dot, fail closed;
+        # trailing-dot QUADS die at try_parse_url (no_host)
+        ("http://localhost./x", "loopback", False),
+        ("http://printer.local./x", "mdns_local", False),
+        ("http://x.onion./x", "onion", False),
+        ("http://127.0.0.1./x", "no_host", False),
+        ("https://example.org./x", "name", True),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _, _) in enumerate(cases)],

@@ -2223,6 +2223,8 @@ _hs_host = st.one_of(
         [
             "localhost", "a.localhost", "x.onion", "p.local",
             "intranet", "example.org", "www.shop.example.com",
+            # trailing-dot FQDN forms (the ADVICE r05 SSRF bypass)
+            "localhost.", "printer.local.", "x.onion.", "example.org.",
         ]
     ),
 )
@@ -2239,6 +2241,18 @@ def test_host_safety_matches_python_model(spark, hosts):
     )
 
     def model(h):
+        if h.endswith("."):
+            hh = h[:-1]
+            qparts = hh.split(".")
+            if len(qparts) == 4 and all(
+                p.isdigit() and len(p) <= 3 for p in qparts
+            ):
+                # try_parse_url rejects dotted quads with a trailing
+                # dot at the parser — the url lands in no_host
+                return ("no_host", False)
+            # root-anchored FQDN: one trailing dot strips before
+            # classification (the ADVICE r05 fail-closed rule)
+            h = hh
         h = h.removeprefix("www.")
         parts = h.split(".")
         quad = len(parts) == 4 and all(
