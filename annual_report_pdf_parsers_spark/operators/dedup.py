@@ -964,7 +964,14 @@ def connected_components(
         else:
             stepped = _prop_step(labels)
             steps_left -= 1
-        new_labels = stepped.localCheckpoint(eager=True)
+        # r06 PERF (second pass): LAZY checkpoint — the convergence
+        # action below (the sum collect / changed count) is the round's
+        # single consumer, so it materializes the checkpoint inside ITS
+        # job: one driver-synced job per round instead of two.  The
+        # edges checkpoint above stays EAGER on purpose: it is consumed
+        # from multiple concurrent stages in round 1 and a lazy persist
+        # could race its expensive pair lineage into duplicate compute.
+        new_labels = stepped.localCheckpoint(eager=False)
         if numeric_ids:
             # DECIMAL(38,0) sum: a BIGINT sum overflows at ~10^9 nodes
             # with 64-bit hash-derived ids (ANSI mode would throw every
@@ -1071,12 +1078,15 @@ def connected_components_star(
             F.greatest(F.col("a"), F.col("b")).alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the n_old count below is the single consumer and
+        # materializes the checkpoint in its own job (r06 second pass —
+        # one driver-synced job per step instead of two)
+        .localCheckpoint(eager=False)
     )
     converged = False
     n_old = e.count()
     for _ in range(max_rounds):
-        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e_new = _small_star(_large_star(e)).localCheckpoint(eager=False)
         n_new = e_new.count()
         if n_old == n_new:
             n_union = e.unionByName(e_new).distinct().count()
