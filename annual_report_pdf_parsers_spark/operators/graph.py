@@ -61,6 +61,11 @@ def hits(
         edges.select(src.alias("node"))
         .unionByName(edges.select(dst.alias("node")))
         .distinct()
+        # lazy-materialized by the n count below: the node table is
+        # consumed ~2x per round (score init + every half-round's
+        # normalize join) and would otherwise re-run its union+distinct
+        # shuffle per consumer (r06 second pass)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     e = edges.select(
@@ -169,6 +174,9 @@ def pagerank(
         edges.select(src.alias("node"))
         .unionByName(edges.select(dst.alias("node")))
         .distinct()
+        # lazy-materialized by the n count below — consumed by every
+        # round's rank join; see hits (r06 second pass)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     wd = edges.groupBy(src.alias("_s")).agg(F.sum(w).alias("_wd"))
