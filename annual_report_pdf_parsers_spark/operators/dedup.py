@@ -1860,6 +1860,13 @@ def cluster_keep_best(
             "cluster_id",
             F.coalesce(F.col("cluster_id"), F.col("doc_id")),
         )
+        # r06 second pass (the LADDER rule): base carries the caller's
+        # whole scoring chain and is consumed by BOTH the per-cluster
+        # argmax and the join-back — the plan audit showed the scored
+        # subtree (scan + classifier) planned twice with no exchange
+        # reuse.  Materialize the small (doc_id, _sc, cluster_id) rows
+        # once; only these three columns persist, never the text.
+        .localCheckpoint(eager=False)
     )
     best = base.groupBy("cluster_id").agg(
         F.min(
