@@ -5210,7 +5210,17 @@ def q_corpus_end_to_end(spark, sf):
     near-dups fall to the MinHash+CC stage."""
     from .operators.sampling import shard_shuffle
 
-    s5 = _e2e_stages(spark, sf)[-1][1]
+    # r06 second pass: materialize=True — the one-lazy-plan form
+    # replicated the prefix lineage at every stage's self-join
+    # (left side + the keep-set derivation both carry it), an
+    # EXPONENTIAL plan: 98 static parquet-scan copies of the corpus
+    # subtree at 6 stages, and the materialized funnel variant was
+    # measurably cheaper while computing MORE (six counts).  The
+    # checkpoints live inside one query evaluation (every bench/gate
+    # invocation rebuilds from the parquet scan — the LADDER rule),
+    # results are value-identical, and the composition pin only
+    # tightens (exchange count drops).
+    s5 = _e2e_stages(spark, sf, materialize=True)[-1][1]
     return shard_shuffle(s5.select("doc_id", "source"), "doc_id").select(
         "doc_id", "source", "shard", "pos"
     )
